@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session settings for the engine.
+  *
+  * Centralised so Verify/Bench/tests all run with the same semantics:
+  *  - UTC session timezone (oracle parity with DuckDB)
+  *  - AQE on (runtime shuffle-partition coalescing + skew-join splitting —
+  *    the behaviour we rely on at cluster scale)
+  *  - `nanosAsLong`: the driver-generated `events.parquet` stores
+  *    TIMESTAMP(NANOS) which Spark 4 otherwise refuses to read; we read the
+  *    raw nanos and convert with [[graft.ops.EventOps.tsFromNanos]].
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Apply engine configs to an already-constructed session (used when the
+    * driver harness owns the builder). Only dynamic confs can be set here. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def local(cores: Int = 4): SparkSession = {
+    val s = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

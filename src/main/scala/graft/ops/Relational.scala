@@ -1,0 +1,474 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.model.Tables
+
+/** Relational operator catalog over the testdata star schema ([EXT] rows of
+  * SURVEY.md §2.5–2.7 plus the scalar pack of §2.3).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` — declarative
+  * plans that Catalyst is free to reorder, push down, and codegen.
+  * Scale design notes per query are in the Scaladoc; the cross-cutting
+  * rules are:
+  *
+  *  - dimension tables (`region`, `nation`, `supplier`, small literal dims)
+  *    are joined with an explicit `broadcast()` hint — at 100 TB the fact
+  *    tables shuffle-partition on the join key and dims replicate;
+  *  - aggregates over 2-decimal money columns go through `DECIMAL` so the
+  *    result is independent of partition/merge order (double addition is
+  *    not associative; decimal is) — this is what makes the DuckDB oracle
+  *    hash-match and, at cluster scale, makes reruns reproducible;
+  *  - integer-typed outputs are cast to LONG so the parquet schema matches
+  *    DuckDB's BIGINT results;
+  *  - every query has a total deterministic ORDER BY (ties broken by key).
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Order-insensitive exact sum of a 2-decimal money column, as double. */
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+  private def tsNtz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  /** Money arithmetic in pure decimal: `price * (1 ± rate)` with both
+    * factors cast to decimal BEFORE multiplying. Decimal × decimal is
+    * exact (scales add), so the per-row value — and therefore the sum, in
+    * any partition order — is bit-identical across engines. Rounding a
+    * double PRODUCT to 4 decimals instead (the obvious formulation) is a
+    * trap: the product can land exactly on a .00005 tie and Spark
+    * (HALF_UP) and DuckDB (round-half-even) break ties differently. */
+  private def price12(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def rate4(c: Column): Column = c.cast(DecimalType(4, 2))
+  private def discPriceOf(price: Column, disc: Column): Column =
+    price12(price) * rate4(lit(1.0) - disc)
+  private def chargeOf(price: Column, disc: Column, tax: Column): Column =
+    price12(price) * rate4(lit(1.0) - disc) * rate4(lit(1.0) + tax)
+  /** SQL fragments matching the above, for the DuckDB oracles. */
+  private val DISC_PRICE_SQL =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
+  private val CHARGE_SQL = DISC_PRICE_SQL + " * CAST(1.0 + l_tax AS DECIMAL(4,2))"
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-style pricing summary: scan-heavy partial+final hash agg.
+    * At scale: map-side combine on 6 groups means the shuffle carries only
+    * num_partitions × 6 rows — bandwidth-free. Filter pushes to parquet. */
+  val q01 = Q("q01_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(${DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(${CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val discPrice = discPriceOf(li("l_extendedprice"), li("l_discount"))
+    val charge = chargeOf(li("l_extendedprice"), li("l_discount"), li("l_tax"))
+    li.filter(li("l_shipdate") <= tsNtz("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        moneySum(li("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum("l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+        (moneySum(li("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (moneySum(li("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Top-k sort: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * each partition keeps k rows, driver merges; no full sort at any scale. */
+  val q02 = Q("q02_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-style: selective dim filter, two fact joins, agg, top-k.
+    * customer (small side) broadcasts; orders⋈lineitem shuffles on the
+    * orderkey — the natural co-partitioning key for both tables. */
+  val q03 = Q("q03_shipping_priority",
+    s"""SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(${DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") < tsNtz("1998-01-01 00:00:00"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > tsNtz("1998-01-01 00:00:00"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(discPriceOf(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** Existential semi-join: never materialises matched lineitem rows, so
+    * the join output stays bounded by |orders| regardless of fanout. */
+  val q04 = Q("q04_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** TPC-H Q5-style multiway join. Dim chain region→nation broadcasts into
+    * both the customer and supplier sides; the two fact joins shuffle on
+    * orderkey. The c_nationkey = s_nationkey condition rides on the join. */
+  val q05 = Q("q05_region_volume",
+    s"""SELECT n_name,
+      |  CAST(sum(${DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1998-01-01 00:00:00"))
+    val c = Tables.customer(s, d)
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPriceOf(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-style filter-everything agg: the whole WHERE clause reaches
+    * the parquet reader as PushedFilters; no shuffle at all (single global
+    * agg of partials). The canonical "is pushdown working" probe. */
+  val q06 = Q("q06_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(price12(col("l_extendedprice")) * rate4(col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Window pack: rank / running sum / lag over one shuffle-once window.
+    * All three functions share a single Window spec, so Spark sorts each
+    * partition once and evaluates the functions in one pass. */
+  val q07 = Q("q07_window_orders",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(rn AS BIGINT) AS rn,
+      |  CAST(run_total AS DOUBLE) AS run_total,
+      |  prev_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER w AS rn,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS run_total,
+      |    lag(o_totalprice) OVER w AS prev_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(dec2(col("o_totalprice"))).over(wf).cast("double").as("run_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** ROLLUP: hierarchical totals in one pass (Expand + single shuffle),
+    * not one job per level. NULL grouping cells coalesced to 'ALL' to keep
+    * the sort total and the oracle NULL-ordering-independent. */
+  val q08 = Q("q08_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** CUBE over orders: all 4 grouping combinations in one Expand pass. */
+  val q09 = Q("q09_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Exact distinct aggregates. count(DISTINCT) expands to a two-phase
+    * agg (distinct-by-key then count) — scales via shuffle on the group
+    * key, not by pulling distinct sets to one node. */
+  val q10 = Q("q10_distinct_agg",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  sum(DISTINCT l_quantity) AS sum_distinct_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum_distinct(col("l_quantity")).as("sum_distinct_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HyperLogLog++ cardinality — the sketch that replaces exact distinct
+    * at 100 TB (mergeable, fixed-size state). No DuckDB oracle: sketch
+    * estimates are implementation-defined; the spec asserts bounds. */
+  val q10b = Q.noOracle("q10b_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"))
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Set operations. Spark `union` is UNION ALL (no dedup shuffle);
+    * intersect/except are distinct-set semantics, same as SQL. */
+  val q11 = Q("q11_setops",
+    """SELECT op, n FROM (
+      |  SELECT 'except' AS op, count(*) AS n FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    EXCEPT
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |  UNION ALL
+      |  SELECT 'intersect', count(*) FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    INTERSECT
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |  UNION ALL
+      |  SELECT 'union_all', count(*) FROM (
+      |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |    UNION ALL
+      |    SELECT c_custkey FROM customer WHERE c_acctbal > 0))
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = c.filter(col("c_acctbal") > 0).select("c_custkey")
+    def tagged(op: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    tagged("except", a.except(b))
+      .unionByName(tagged("intersect", a.intersect(b)))
+      .unionByName(tagged("union_all", a.union(b)))
+      .orderBy("op")
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Range (theta) join against a tiny literal band dim → broadcast
+    * nested-loop with 3 rows on the build side: effectively a map-side
+    * CASE, no shuffle. The pattern for binning a 100 TB fact table. */
+  val q12 = Q("q12_range_join",
+    """SELECT band, count(*) AS n,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0),
+      |             ('high', 1500.0, 1000000.0)) AS b(band, lo, hi)
+      |  ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 1000.0), ("mid", 1000.0, 1500.0),
+      ("high", 1500.0, 1000000.0)).toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), moneySum(col("p_retailprice")).as("total_price"))
+      .orderBy("band")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Scalar function pack (SURVEY §2.3 [EXT]): string/date/math built-ins,
+    * all codegen'd inside one WholeStageCodegen projection. */
+  val q13 = Q("q13_scalar_pack",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  upper(o_orderpriority) AS pri_u,
+      |  substring(o_orderpriority, 1, 1) AS pri_c,
+      |  CAST(length(o_orderstatus) AS BIGINT) AS st_len,
+      |  abs(o_totalprice - 1000.0) AS adiff,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+      |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+      |  CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders
+      |WHERE o_orderkey <= 100
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") <= 100)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        upper(col("o_orderpriority")).as("pri_u"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_c"),
+        length(col("o_orderstatus")).cast("long").as("st_len"),
+        abs(col("o_totalprice") - 1000.0).as("adiff"),
+        floor(col("o_totalprice")).as("fl"),
+        ceil(col("o_totalprice")).as("ce"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+        datediff(col("o_orderdate"), tsNtz("1995-01-01 00:00:00"))
+          .cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Conditional aggregation (TPC-H Q14-style promo share): CASE WHEN
+    * inside sum, two decimal sums, one double division at the end. */
+  val q14 = Q("q14_promo_share",
+    s"""SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |        THEN ${DISC_PRICE_SQL}
+      |        ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) * 100.0
+      |  / CAST(sum(${DISC_PRICE_SQL}) AS DOUBLE)
+      |  AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val discPrice = discPriceOf(col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast(DecimalType(17, 4)))).cast("double") * 100.0 /
+          sum(discPrice).cast("double")).as("promo_share"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Anti join: customers with no RECENT order (date predicate pushed to
+    * the probe-side scan), counted per nation. The anti join shuffles on
+    * custkey; nation broadcasts. */
+  val q15 = Q("q15_customers_without_orders",
+    """SELECT n_name, count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= tsNtz("2000-01-01 00:00:00"))
+    val n = Tables.nation(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Full outer join on an aggregated key — exercises null-producing
+    * sides; supplier vs customer account balances joined per nation. */
+  val q16 = Q("q16_full_outer_balance",
+    """SELECT coalesce(cn, sn) AS nation,
+      |  coalesce(c_cnt, 0) AS customers, coalesce(s_cnt, 0) AS suppliers
+      |FROM
+      |  (SELECT n_name AS cn, count(*) AS c_cnt FROM customer
+      |   JOIN nation ON c_nationkey = n_nationkey
+      |   WHERE c_acctbal > 5000 GROUP BY n_name) c
+      |FULL OUTER JOIN
+      |  (SELECT n_name AS sn, count(*) AS s_cnt FROM supplier
+      |   JOIN nation ON s_nationkey = n_nationkey
+      |   WHERE s_acctbal > 5000 GROUP BY n_name) s
+      |ON cn = sn
+      |ORDER BY nation""".stripMargin) { (s, d) =>
+    val n = broadcast(Tables.nation(s, d))
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("cn")).agg(count(lit(1)).as("c_cnt"))
+    val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("sn")).agg(count(lit(1)).as("s_cnt"))
+    c.join(sup, col("cn") === col("sn"), "full_outer")
+      .select(coalesce(col("cn"), col("sn")).as("nation"),
+        coalesce(col("c_cnt"), lit(0L)).as("customers"),
+        coalesce(col("s_cnt"), lit(0L)).as("suppliers"))
+      .orderBy("nation")
+  }
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q10b, q11, q12, q13, q14, q15, q16)
+}
