@@ -12,11 +12,13 @@ object SparkEntry {
 
   /** All operator catalogs, in SURVEY.md §2 order. */
   def catalog: Seq[Q] =
-    ops.Relational.all
+    ops.Relational.all ++ ops.NewsPipeline.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full news-digest pipeline (classify → summarise → digest → JSON),
+    * i.e. the reference's §3.2 batch lifecycle end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    ops.Relational.q01.run(spark, "/root/testdata/sf0.001")
+    ops.NewsPipeline.n05.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,287 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Q
+import graft.model.Tables
+
+/** The reference's news pipeline (SURVEY.md §2.3–2.5, §2.9, §3.2),
+  * re-expressed as deterministic, oracle-checkable Spark built-ins over the
+  * `documents` table.
+  *
+  * The reference's two model-backed operators are replaced by algorithmic
+  * equivalents with the SAME operator shape and schema contract
+  * (SURVEY.md §2.9 "Spark-native mapping"):
+  *
+  *  - zero-shot classification (`news_categorization_streaming.py:59-86`)
+  *    → keyword-lexicon scoring: per-category substring-occurrence counts,
+  *    top-1 label + normalised confidence, `unknown`/0.0 sentinel on no
+  *    hits (mirroring the reference's error sentinel at `:77-81`);
+  *  - t5 summarisation (`news_summarization_batch.py:52-73`) → a word-budget
+  *    head summary preserving the reference's length law
+  *    `min(100, max(20, words/3))` (`:66-68`); the frequency-scored
+  *    extractive variant lives in [[TextFunctions.extractiveSummary]]
+  *    (not SQL-expressible → rows-only check).
+  *
+  * Every scalar here is a Catalyst expression (no UDFs), so classification
+  * and summarisation stay inside WholeStageCodegen and Catalyst can push
+  * filters/pruning through them — the reference's `mapInPandas` barrier
+  * (SURVEY.md §4) is gone by construction.
+  *
+  * One canonical label set is used end-to-end, fixing the reference's
+  * classifier/router label mismatch (SURVEY.md §2.9).
+  */
+object NewsPipeline {
+
+  /** Canonical category → keyword lexicon (engine-defined; the reference's
+    * 7-label domain, `news_categorization_streaming.py:59`, with the
+    * "environmental news"/"health news" vs "environmental"/"health"
+    * mismatch resolved to the short forms). Keywords are drawn from the
+    * synthetic documents vocabulary so scores are non-trivial. */
+  val lexicon: Seq[(String, Seq[String])] = Seq(
+    "arts" -> Seq("window", "row"),
+    "environmental" -> Seq("stream", "batch"),
+    "health" -> Seq("filter", "scan"),
+    "political" -> Seq("order", "group"),
+    "social" -> Seq("join", "merge"),
+    "sports" -> Seq("fast", "slow"),
+    "technology" -> Seq("spark", "query"))
+
+  /** Category → delivery-channel id (the reference's static routing dict,
+    * `summary_news_to_telegram.py:24-32`). `unknown` is deliberately
+    * unmapped: routing drops it, mirroring the reference's skip. */
+  val channelMap: Seq[(String, Long)] = Seq(
+    "arts" -> 1001L, "environmental" -> 1002L, "health" -> 1003L,
+    "political" -> 1004L, "social" -> 1005L, "sports" -> 1006L,
+    "technology" -> 1007L)
+
+  /** Digest date is a parameter (deterministic), not driver wall-clock as
+    * in the reference (`news_summarization_batch.py:109` — plan-time
+    * `datetime.now`); SURVEY.md §2.3 flags this for testability. */
+  val digestDate = "2024-01-31"
+
+  // -------------------------------------------------------- classification
+
+  /** Substring-occurrence count of `kw` in `text`, Catalyst-side:
+    * (len(text) - len(replace(text, kw))) / len(kw), integer division. */
+  private def hits(text: Column, kw: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(kw), ""))) / kw.length).cast("long")
+
+  private def scoreFor(text: Column, kws: Seq[String]): Column =
+    kws.map(hits(text, _)).reduce(_ + _)
+
+  /** Adds `category` (top-1 label, first-in-lexicon-order tiebreak) and
+    * `confidence` (top score / total score; 0.0 + `unknown` when no
+    * keyword hits — the reference's sentinel row, SURVEY.md §2.4). */
+  def classify(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val scores = lexicon.map { case (cat, kws) => cat -> scoreFor(text, kws) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val total = scores.map(_._2).reduce(_ + _)
+    val label = when(maxScore === 0, lit("unknown")).otherwise(
+      coalesce(scores.map { case (cat, sc) =>
+        when(sc === maxScore, lit(cat))
+      }: _*))
+    val conf = when(maxScore === 0, lit(0.0))
+      .otherwise(maxScore.cast("double") / total.cast("double"))
+    df.withColumn("category", label).withColumn("confidence", conf)
+  }
+
+  /** DuckDB SQL for the same classification, as a scores CTE + final
+    * projection; shares [[lexicon]] so Spark and oracle can't drift. */
+  private def hitsSql(kw: String): String =
+    s"(length(text) - length(replace(text, '$kw', ''))) // ${kw.length}"
+  private def scoreSql(kws: Seq[String]): String =
+    kws.map(hitsSql).mkString(" + ")
+  /** `scored` must provide s_<cat> columns; yields category/confidence. */
+  private val scoreCols: String = lexicon.map { case (cat, kws) =>
+    s"${scoreSql(kws)} AS s_$cat"
+  }.mkString(", ")
+  private val maxSql = "greatest(" + lexicon.map("s_" + _._1).mkString(", ") + ")"
+  private val totalSql = lexicon.map("s_" + _._1).mkString(" + ")
+  private val labelSql = s"CASE WHEN $maxSql = 0 THEN 'unknown' ELSE coalesce(" +
+    lexicon.map { case (cat, _) =>
+      s"CASE WHEN s_$cat = $maxSql THEN '$cat' END"
+    }.mkString(", ") + ") END"
+  private val confSql =
+    s"CASE WHEN $maxSql = 0 THEN 0.0 ELSE CAST($maxSql AS DOUBLE) / CAST($totalSql AS DOUBLE) END"
+
+  /** CTE prefix used by every oracle below: documents → scores → classified. */
+  private val classifiedCte =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, lang, source, $scoreCols FROM documents),
+       |classified AS (
+       |  SELECT doc_id, text, lang, source,
+       |         $labelSql AS category, $confSql AS confidence
+       |  FROM scored)""".stripMargin
+
+  // -------------------------------------------------------- summarisation
+
+  /** The reference's summary length law: min(100, max(20, words/3))
+    * (`news_summarization_batch.py:66-67`). */
+  def budget(words: Column): Column =
+    least(lit(100), greatest(lit(20), (words / 3).cast("int"))).cast("int")
+
+  /** Word-budget head summary: first `budget` words of the (5000-char
+    * truncated, `news_summarization_batch.py:65,92`) document. */
+  def summarize(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = split(substring(col(textCol), 1, 5000), " ")
+    val b = budget(size(words))
+    df.withColumn("summary", array_join(slice(words, lit(1), b), " "))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("budget", b.cast("long"))
+  }
+
+  private val summarySql =
+    """array_to_string(list_slice(string_split(substring(text, 1, 5000), ' '), 1,
+      |  least(100, greatest(20, len(string_split(substring(text, 1, 5000), ' ')) // 3))), ' ')""".stripMargin
+
+  // -------------------------------------------------------------- queries
+
+  /** Format projection with per-field defaults (the reference's
+    * "Headline: …, Authors: …" f-string, `raw_news_to_telegram.py:58-69`),
+    * mapped onto the documents schema. */
+  val n01 = Q("n01_format_projection",
+    """SELECT doc_id,
+      |  concat('Source: ', coalesce(source, 'Unknown'),
+      |         ', Lang: ', coalesce(lang, ''),
+      |         ', Text: ', substring(coalesce(text, ''), 1, 50)) AS message
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit("Source: "), coalesce(col("source"), lit("Unknown")),
+          lit(", Lang: "), coalesce(col("lang"), lit("")),
+          lit(", Text: "), substring(coalesce(col("text"), lit("")), 1, 50))
+          .as("message"))
+      .orderBy("doc_id")
+  }
+
+  /** Offset scan — skip first 20 records in doc_id order (the reference's
+    * replay resume index, `raw_news_to_telegram.py:55-57`, `main.py:18`),
+    * as a deterministic window rank instead of a driver-side counter. */
+  val n02 = Q("n02_skip_offset",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn > 20 ORDER BY doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    val w = Window.orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), row_number().over(w).as("rn"))
+      .filter(col("rn") > 20)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+      .limit(50)
+  }
+
+  /** Keyword zero-shot classification: message/category/confidence schema
+    * contract of `news_categorization_streaming.py:108`. */
+  val n03 = Q("n03_keyword_classify",
+    s"""$classifiedCte
+       |SELECT doc_id, category, confidence FROM classified
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    classify(Tables.documents(s, d))
+      .select("doc_id", "category", "confidence")
+      .orderBy("doc_id")
+  }
+
+  /** Word-budget summarisation preserving the reference's length law. */
+  val n04 = Q("n04_summarize_budget",
+    s"""SELECT doc_id, $summarySql AS summary,
+       |  len(string_split(substring(text, 1, 5000), ' ')) AS n_words,
+       |  least(100, greatest(20, len(string_split(substring(text, 1, 5000), ' ')) // 3)) AS budget
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    summarize(Tables.documents(s, d))
+      .select("doc_id", "summary", "n_words", "budget")
+      .orderBy("doc_id")
+  }
+
+  /** The full batch digest pipeline (§3.2): classify → summarise → filter
+    * blanks → bullet → per-category sorted digest → date suffix → JSON.
+    * `collect_list` order is pinned via `sort_array` (the reference's
+    * digest order is partition-luck, SURVEY.md §2.9). */
+  val n05 = Q("n05_digest",
+    s"""$classifiedCte,
+       |summarized AS (
+       |  SELECT category, $summarySql AS summary FROM classified
+       |  WHERE category <> 'unknown'),
+       |bulleted AS (
+       |  SELECT category, concat('- ', summary) AS bullet FROM summarized
+       |  WHERE summary <> ''),
+       |digests AS (
+       |  SELECT category,
+       |         concat(string_agg(bullet, chr(10) ORDER BY bullet),
+       |                chr(10), 'Date: $digestDate') AS content
+       |  FROM bulleted GROUP BY category)
+       |SELECT category, content,
+       |       to_json(struct_pack(content := content, category := category)) AS value
+       |FROM digests ORDER BY category""".stripMargin) { (s, d) =>
+    val classified = classify(Tables.documents(s, d))
+      .filter(col("category") =!= "unknown")
+    val summarized = summarize(classified)
+      .filter(col("summary") =!= "")
+      .withColumn("bullet", concat(lit("- "), col("summary")))
+    summarized
+      .groupBy("category")
+      .agg(concat(
+        concat_ws("\n", sort_array(collect_list(col("bullet")))),
+        lit("\nDate: " + digestDate)).as("content"))
+      .select(col("category"), col("content"),
+        to_json(struct(col("content"), col("category"))).as("value"))
+      .orderBy("category")
+  }
+
+  /** Category → channel routing as a broadcast dim join; unmapped
+    * categories drop (inner-join semantics, `summary_news_to_telegram.py:66-77`). */
+  val n06 = Q("n06_route_categories",
+    s"""$classifiedCte
+       |SELECT channel, count(*) AS n
+       |FROM classified
+       |JOIN (VALUES ${channelMap.map { case (c, id) => s"('$c', $id)" }.mkString(", ")})
+       |  AS r(category, channel) USING (category)
+       |GROUP BY channel ORDER BY channel""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val routes = channelMap.toDF("category", "channel")
+    classify(Tables.documents(s, d))
+      .join(broadcast(routes), "category")
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("channel")
+  }
+
+  /** JSON field probe on events.props (`from_json`/`get_json_object`
+    * surface, digest-consumer shape `summary_news_to_telegram.py:61-64`). */
+  val n07 = Q("n07_json_extract",
+    """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** The batch tier's time predicate (`created_at > today 13:30 UTC`,
+    * `database_storage.py:31`) over events; the filter lands on the
+    * nanos LONG column pre-conversion so parquet can push it down. */
+  val n08 = Q("n08_time_predicate",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE ts > TIMESTAMP '2024-01-15 13:30:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val cutoffNanos = java.time.Instant.parse("2024-01-15T13:30:00Z")
+      .getEpochSecond * 1000000000L
+    Tables.events(s, d)
+      .filter(col("ts") > cutoffNanos)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  def all: Seq[Q] = Seq(n01, n02, n03, n04, n05, n06, n07, n08)
+}
