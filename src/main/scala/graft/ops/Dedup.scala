@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** Deduplication operators for the training-data pipeline (north-star
+  * requirement; ref: absent — the reference has no dedup at all).
+  *
+  * Scale design: every variant is formulated as shuffle-on-key dataflow,
+  * never a driver-side loop:
+  *
+  *  - exact: hash-groupBy on content digest — one shuffle, map-side
+  *    combine; at 100 TB this is the cheapest possible full-corpus pass;
+  *  - n-gram Jaccard: shingle inverted index + self-equi-join on shingle.
+  *    The join fans out quadratically in per-shingle document frequency,
+  *    which is why the LSH variant below is the scale path; the exact
+  *    variant stays correct + oracle-checkable for validation runs;
+  *  - MinHash+LSH: k=8 signatures → b=4 bands × r=2 — candidate
+  *    generation becomes an equi-join on (band, signature), i.e. a plain
+  *    shuffle; cost is linear in corpus size + output candidates. The
+  *    hash family is md5-derived (`minhash64`) specifically so the DuckDB
+  *    oracle can evaluate the identical function — a rows-only check
+  *    would not catch a banding bug;
+  *  - embedding cosine: exact pairwise above a threshold; the arithmetic
+  *    is written element-order-deterministic (cast-to-double, sequential
+  *    fold) so both engines compute bit-identical cosines.
+  *
+  * SimHash (bit-sliced, custom Catalyst expression) lives in
+  * [[graft.functions.SimHash]] and is exercised by `d05_simhash`.
+  */
+object Dedup {
+
+  /** 3-word shingles of `text`, DISTINCT per doc. 0-based in Spark,
+    * mirrored 1-based in the oracle SQL. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("s"))
+      .distinct()
+
+  private val shinglesSql =
+    """shingles AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 3))""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup by content digest. The corpus is unioned with itself so
+    * the operator demonstrably removes something (the synthetic docs have
+    * no natural exact dups); keeper = min doc_id per digest. */
+  val d01 = Q("d01_dedup_exact",
+    """SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies
+      |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      |GROUP BY md5(text)
+      |ORDER BY keeper""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    docs.union(docs)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+  }
+
+  // ---------------------------------------------------------------- d02
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|), integers divided once → the
+    * double is bit-identical in any engine. */
+  val d02 = Q("d02_ngram_jaccard",
+    s"""WITH $shinglesSql,
+       |counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM shingles a JOIN shingles b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j,
+       |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = i
+       |JOIN counts cb ON cb.doc_id = j
+       |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val pairs = a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("ca.c") + col("cb.c") - col("common"))
+    pairs
+      .join(counts.as("ca"), col("i") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- d03
+  private val K = 8 // minhash functions
+  private val R = 2 // rows per band
+  private val B = K / R // bands
+
+  /** 60-bit minhash value for shingle column `s` under seed `j`:
+    * first 15 hex digits of md5("j:" + s). Identical arithmetic exists in
+    * DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), which is the
+    * whole point — the oracle recomputes the same signatures. */
+  private def minhash64(sCol: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"$j:"), sCol)), 1, 15), 16, 10).cast("long")
+  private def minhash64Sql(j: Int): String =
+    s"CAST(concat('0x', substr(md5(concat('$j:', s)), 1, 15)) AS BIGINT)"
+
+  /** MinHash+LSH candidate pairs: signatures → band join → distinct pairs.
+    * Probability a pair with Jaccard t collides: 1-(1-t^R)^B; with R=2,
+    * B=4 the curve crosses ~0.55, so every d02 pair (t ≥ 0.8) should
+    * surface — the spec asserts that containment. */
+  val d03 = Q("d03_minhash_lsh",
+    s"""WITH $shinglesSql,
+       |sigs AS (
+       |  SELECT doc_id, ${(0 until K).map(j => s"min(${minhash64Sql(j)}) AS h$j").mkString(", ")}
+       |  FROM shingles GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until B).map(b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until R).map(r => s"h${b * R + r}").mkString(", ")}) AS sig FROM sigs")
+      .mkString("\n  UNION ALL\n  ")})
+       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    val sigs = sh.groupBy("doc_id")
+      .agg(min(minhash64(col("s"), 0)).as("h0"),
+        (1 until K).map(j => min(minhash64(col("s"), j)).as(s"h$j")): _*)
+    val bands = (0 until B).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", (0 until R).map(r => col(s"h${b * R + r}")): _*).as("sig"))
+    }.reduce(_ unionByName _)
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** Embedding near-dup pairs by exact cosine ≥ 0.4. Element-order
+    * deterministic arithmetic: cast each float to double, multiply, fold
+    * left-to-right — both engines produce bit-identical doubles, and the
+    * output carries only the pair ids so a last-ulp wobble can't flip a
+    * row unless a cosine sits exactly on the threshold.
+    * Brute-force O(n²) — correct baseline; the LSH-bucketed scale path is
+    * `s02_lsh_topk` in [[Similarity]]. */
+  val d04 = Q("d04_embedding_neardup",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j,
+      |    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |      k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |         k -> CAST(a.embedding[k] AS DOUBLE) * CAST(a.embedding[k] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |         k -> CAST(b.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))))
+      |    AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT i, j FROM pairs WHERE cos >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def dot(x: String, y: String): Column = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val cos = dot("a.embedding", "b.embedding") /
+      (sqrt(dot("a.embedding", "a.embedding")) * sqrt(dot("b.embedding", "b.embedding")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), cos.as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("i", "j")
+      .orderBy("i", "j")
+  }
+
+  def all: Seq[Q] = Seq(d01, d02, d03, d04)
+}

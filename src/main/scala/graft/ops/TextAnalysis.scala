@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** Text-analysis operators for the training-data pipeline (north-star
+  * requirement; ref: absent). All pure Catalyst expressions — one
+  * projection pass over the corpus, no UDFs, no shuffle except where an
+  * aggregation is the point. At 100 TB each of these is a map-only stage
+  * that pipelines with the scan.
+  */
+object TextAnalysis {
+
+  /** Stopword lexicon for quality scoring / language ID. Tiny and
+    * engine-defined (the synthetic corpus vocabulary is English-ish). */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "or", "of")
+
+  private def wordsOf(c: Column): Column = split(c, " ")
+
+  // ---------------------------------------------------------------- t01
+  /** Token statistics: whitespace tokens, regex (BPE-ish word/number)
+    * tokens, character count, avg token length. */
+  val t01 = Q("t01_token_stats",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+      |  length(text) AS n_chars,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val text = col("text")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(wordsOf(text)).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long")
+        .as("re_tokens"),
+      length(text).cast("long").as("n_chars"),
+      (length(regexp_replace(text, " ", "")).cast("double") /
+        size(wordsOf(text))).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: length, stopword ratio, vocabulary diversity
+    * (distinct/total tokens), all folded into one [0,1]-ish score.
+    * Single-division doubles → engine-order independent. */
+  val t02 = Q("t02_quality_score",
+    s"""SELECT doc_id, n_tokens, stop_hits,
+       |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+       |  least(1.0, n_tokens / 200.0) * (CAST(n_distinct AS DOUBLE) / n_tokens)
+       |    AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_filter(string_split(text, ' '),
+       |        w -> list_contains([${stopwords.map("'" + _ + "'").mkString(", ")}], w))) AS stop_hits,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val w = wordsOf(col("text"))
+    val stopArr = stopwords.map(x => s"'$x'").mkString(", ")
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      size(expr(s"filter(split(text, ' '), x -> array_contains(array($stopArr), x))"))
+        .cast("long").as("stop_hits"),
+      size(array_distinct(w)).cast("long").as("n_distinct"))
+    base.select(
+      col("doc_id"), col("n_tokens"), col("stop_hits"),
+      (col("stop_hits").cast("double") / col("n_tokens")).as("stop_ratio"),
+      (col("n_distinct").cast("double") / col("n_tokens")).as("diversity"),
+      (least(lit(1.0), col("n_tokens") / 200.0) *
+        (col("n_distinct").cast("double") / col("n_tokens"))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t03
+  /** Language ID, n-gram-heuristic shape: score = stopword-lexicon hits
+    * per language, argmax with fixed tiebreak, compared against the
+    * labelled `lang` column. (The synthetic corpus is English-ish for
+    * every label, so predictions skew `en` — the *operator* is the
+    * deliverable, the lexicons are config.) */
+  val langLexicon: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("und", "der", "das"),
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "la", "les"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  val t03 = Q("t03_lang_id",
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, ${langLexicon.map { case (l, kws) =>
+        kws.map(k => s"len(list_filter(string_split(text,' '), w -> w = '$k'))")
+          .mkString(" + ") + s" AS s_$l"
+      }.mkString(", ")}
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE WHEN greatest(${langLexicon.map("s_" + _._1).mkString(", ")}) = 0
+       |       THEN 'und' ELSE coalesce(${langLexicon.map { case (l, _) =>
+        s"CASE WHEN s_$l = greatest(${langLexicon.map("s_" + _._1).mkString(", ")}) THEN '$l' END"
+      }.mkString(", ")}) END AS predicted
+       |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scores = langLexicon.map { case (l, kws) =>
+      l -> kws.map(k =>
+        size(expr(s"filter(split(text, ' '), w -> w = '$k')")).cast("long"))
+        .reduce(_ + _)
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val predicted = when(mx === 0, lit("und")).otherwise(
+      coalesce(scores.map { case (l, sc) => when(sc === mx, lit(l)) }: _*))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), predicted.as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprint: digest of whitespace-normalised text, plus a
+    * 32-bit shard bucket from the digest head — the partitioning trick
+    * for distributing a dedup/fingerprint table evenly at scale. */
+  val t04 = Q("t04_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, ' +', ' '))) AS fingerprint,
+      |  CAST(concat('0x', substr(md5(lower(regexp_replace(text, ' +', ' '))), 1, 8)) AS BIGINT)
+      |    % 1024 AS shard
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val fp = md5(lower(regexp_replace(col("text"), " +", " ")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fingerprint"),
+        (conv(substring(fp, 1, 8), 16, 10).cast("long") % 1024).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04)
+}
