@@ -184,5 +184,24 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  def all: Seq[Q] = Seq(d01, d02, d03, d04)
+  // ---------------------------------------------------------------- d05
+  /** SimHash near-dup pairs: 64-bit fingerprint per doc (one map pass via
+    * the codegen'd [[graft.functions.SimHash64]] expression), pairs at
+    * Hamming distance ≤ 12 via `bit_count(xor)`. The pairwise comparison
+    * here is the validation harness; at scale candidates come from
+    * rotated-prefix bucketing, same as d03's band join. FNV-1a hashing is
+    * not available in DuckDB → rows-only check; the spec pins exact
+    * fingerprints and the containment of d02's high-Jaccard pairs. */
+  val d05 = Q.noOracle("d05_simhash") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
+    h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.h ^ b.h)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy("i", "j")
+  }
+
+  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
 }
