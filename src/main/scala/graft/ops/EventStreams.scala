@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** Event-time windowing operators (SURVEY.md §2.8 [EXT]) in their
+  * batch-checkable form: `window`/`session_window` aggregations are
+  * identical logical operators in batch and streaming — the streaming
+  * variants (with watermarks, `MemoryStream`, `foreachBatch` persist) are
+  * built in [[graft.streaming.StreamOps]] and exercised by the spec; the
+  * queries here pin the windowing arithmetic against the DuckDB oracle.
+  *
+  * `events.ts` arrives as raw TIMESTAMP(NANOS) longs (Spark 4 cannot read
+  * nanos parquet natively — `GraftSession` sets `nanosAsLong`); conversion
+  * truncates to micros with integer division, exactly matching DuckDB's
+  * ns→µs cast. Kept as TIMESTAMP_NTZ so parquet round-trips tz-naive.
+  */
+object EventStreams {
+
+  /** nanos long → TIMESTAMP_NTZ, truncating to micros ( = DuckDB's cast). */
+  val tsFromNanos: Column =
+    expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts", tsFromNanos)
+
+  // --------------------------------------------------------------- st01
+  /** Tumbling 1-hour windows: count + exact value sum per (window, type).
+    * In streaming this is the canonical watermarked aggregation; state per
+    * open window only. */
+  val st01 = Q("st01_tumbling_window",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // --------------------------------------------------------------- st02
+  /** Sliding windows (2 h length, 1 h slide): each event lands in exactly
+    * two windows; the oracle materialises the same two starts per event. */
+  val st02 = Q("st02_sliding_window",
+    """WITH cand AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS ws,
+      |         event_type FROM events)
+      |SELECT ws AS window_start, event_type, count(*) AS n
+      |FROM cand GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  // --------------------------------------------------------------- st03
+  /** Session windows, 30-minute gap, per user: Spark's `session_window`
+    * against a gaps-and-islands oracle (lag + cumulative island id).
+    * Session start = first event; sessions close when the gap exceeds
+    * 30 min — the exact semantics `session_window` gives a stream. */
+  val st03 = Q("st03_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL '30 minutes' OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03)
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.ops.NewsPipeline
+
+/** Structured Streaming tier (SURVEY.md §2.8): the reference's streaming
+  * classification job plus the [EXT] watermark/window/stateful operators,
+  * re-expressed on `readStream`/`writeStream`.
+  *
+  * Design decisions vs the reference
+  * (`news-processing/news_categorization_streaming.py`):
+  *  - classification is a stateless Catalyst projection
+  *    ([[NewsPipeline.classify]]), so the streaming plan is map-only and
+  *    scales with source parallelism — no Python worker hop, no
+  *    per-row side effects;
+  *  - persistence happens in `foreachBatch` as an idempotent
+  *    partitioned-parquet append (exactly-once per batch with checkpoint),
+  *    replacing the reference's per-row Mongo insert inside the transform
+  *    (at-least-once, lineage-invisible — `:88-91`);
+  *  - checkpoint location is stable, not timestamp-suffixed (`:32`), so
+  *    restarts actually recover.
+  *
+  * Event/message case classes carry `Timestamp` event time so
+  * `MemoryStream[T]` drives every operator in tests with manually
+  * advanced event time.
+  */
+object StreamOps {
+
+  case class Message(message: String, ts: Timestamp)
+  case class UserEvent(user_id: Long, event_type: String, value: Double,
+      ts: Timestamp)
+  case class UserRunningCount(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /** The reference's streaming tier: value → message → classify.
+    * Stateless; works identically on any streaming or batch frame with a
+    * string `value` column (`selectExpr` cast mirrors
+    * `news_categorization_streaming.py:57`). */
+  def classifyStream(raw: DataFrame): DataFrame =
+    NewsPipeline.classify(
+      raw.selectExpr("CAST(value AS STRING) AS message"), textCol = "message")
+
+  /** Watermarked tumbling-window aggregation over a user-event stream:
+    * append-mode output as windows finalise; state bounded by watermark. */
+  def windowedCounts(events: Dataset[UserEvent]): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Watermarked session windows (30-minute gap) per user. */
+  def sessionCounts(events: Dataset[UserEvent]): DataFrame =
+    events.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Custom state: running per-user totals via `mapGroupsWithState` —
+    * the engine's `KeyValueGroupedDataset` stateful surface (the [EXT]
+    * demo op of SURVEY.md §2.8). State is one struct per user. */
+  def runningUserCounts(events: Dataset[UserEvent]): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunningCount, UserRunningCount](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunningCount]) =>
+          val prev = state.getOption.getOrElse(UserRunningCount(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { e => n += 1; total += e.value }
+          val next = UserRunningCount(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** The Mongo-replacement sink: classified stream → partitioned parquet
+    * append per micro-batch. Batch id makes reruns observable; the append
+    * is idempotent under checkpoint recovery at the batch level. */
+  def persistClassified(classified: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    classified.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .withColumn("created_at", current_timestamp())
+          .write.mode("append").partitionBy("category").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
