@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, IDF, StringIndexer, Tokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** MLlib-backed text classification — the north-star replacement for the
+  * reference's HuggingFace zero-shot model (`BASELINE.json`, SURVEY.md
+  * §2.9): Tokenizer → HashingTF → IDF → LogisticRegression, served as a
+  * `DataFrame => DataFrame` transform with the reference's
+  * `message/category/confidence` schema contract
+  * (`news_categorization_streaming.py:108`); confidence = max of the
+  * probability vector.
+  *
+  * Training labels come from the deterministic keyword classifier
+  * ([[NewsPipeline.classify]]) — i.e. the lexicon is distilled into a
+  * statistical model whose serving path needs no lexicon scan. Model
+  * outputs are not SQL-expressible → rows-only driver check; the spec
+  * asserts the schema contract, label domain, confidence ∈ (0,1], and
+  * training-set agreement with the teacher labels.
+  *
+  * Scale: HashingTF is stateless (no vocab broadcast); IDF and LR
+  * coefficients are small broadcast vectors; serving is one map pass.
+  * Training at 100 TB would sample — the pipeline shape is unchanged.
+  */
+object MLClassify {
+
+  val NumFeatures = 1 << 12
+
+  def pipeline(): Pipeline = {
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("tf")
+      .setNumFeatures(NumFeatures)
+    val idf = new IDF().setInputCol("tf").setOutputCol("features")
+    val indexer = new StringIndexer().setInputCol("label_str")
+      .setOutputCol("label").setStringOrderType("alphabetAsc")
+    val lr = new LogisticRegression().setMaxIter(40).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label")
+    new Pipeline().setStages(Array(tok, tf, idf, indexer, lr))
+  }
+
+  /** Train on keyword-labelled docs, serve over the same frame. Returns
+    * doc_id, category (model prediction mapped back to string labels),
+    * confidence (top class probability). */
+  def classifyWithModel(docs: DataFrame): DataFrame = {
+    val labelled = NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .withColumnRenamed("category", "label_str")
+    val model = pipeline().fit(labelled)
+    // StringIndexer with alphabetAsc: index i ↔ i-th sorted label.
+    val labels = labelled.select("label_str").distinct()
+      .orderBy("label_str").collect().map(_.getString(0))
+    val labelExpr = array(labels.map(lit): _*)
+    model.transform(labelled)
+      .withColumn("probs", vector_to_array(col("probability")))
+      .select(col("doc_id"),
+        element_at(labelExpr, col("prediction").cast("int") + 1).as("category"),
+        array_max(col("probs")).as("confidence"),
+        col("label_str").as("teacher_category"))
+  }
+
+  /** Rows-only driver check (model outputs aren't SQL-expressible). */
+  val ml01 = Q.noOracle("ml01_mllib_classify") { (s, d) =>
+    classifyWithModel(Tables.documents(s, d)).orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(ml01)
+}
