@@ -1,0 +1,30 @@
+package graft
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH candidates contain every high-Jaccard pair") {
+    val exact = ops.Dedup.d02.run(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = ops.Dedup.d03.run(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(exact.subsetOf(cand),
+      s"missing: ${exact.diff(cand).take(5)}")
+  }
+
+  test("exact dedup keeps one keeper per digest with n_copies = 2") {
+    val rows = ops.Dedup.d01.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) == 2L))
+    val keepers = rows.map(_.getLong(1))
+    assert(keepers.distinct.length == keepers.length)
+  }
+
+  test("simhash near-dup pairs include the Jaccard near-dups") {
+    val exact = ops.Dedup.d02.run(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = ops.Dedup.d05.run(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(sim))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Message, UserEvent}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming classification: MemoryStream -> classify -> memory sink") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamOps.classifyStream(in.toDF())
+      .writeStream.format("memory").queryName("classified")
+      .outputMode(OutputMode.Append()).start()
+    in.addData("spark spark query", "no keywords here at all zzz")
+    q.processAllAvailable()
+    val out = spark.table("classified")
+      .select("message", "category", "confidence")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    q.stop()
+    assert(out("spark spark query") == (("technology", 1.0)))
+    assert(out("no keywords here at all zzz") == (("unknown", 0.0)))
+  }
+
+  test("watermarked tumbling windows finalise in append mode") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.windowedCounts(in.toDS())
+      .writeStream.format("memory").queryName("windows")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      UserEvent(1, "click", 1.0, ts(0)),
+      UserEvent(1, "click", 2.0, ts(1)),
+      UserEvent(2, "view", 5.0, ts(6)))
+    q.processAllAvailable()
+    // advance event time past watermark (10 min) + window (5 min)
+    in.addData(UserEvent(3, "click", 9.0, ts(30)))
+    q.processAllAvailable()
+    val rows = spark.table("windows").collect()
+    q.stop()
+    val byKey = rows.map(r => (r.getTimestamp(0), r.getString(1)) ->
+      ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(byKey((ts(0), "click")) == ((2L, 3.0)))
+    assert(byKey((ts(5), "view")) == ((1L, 5.0)))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(UserEvent(1, "click", 1.0, ts(0)), UserEvent(1, "view", 2.0, ts(1)))
+    q.processAllAvailable()
+    in.addData(UserEvent(1, "click", 4.0, ts(2)))
+    q.processAllAvailable()
+    val last = spark.table("running").collect()
+      .filter(_.getLong(0) == 1L).maxBy(_.getLong(1))
+    q.stop()
+    assert(last.getLong(1) == 3L)
+    assert(last.getDouble(2) == 7.0)
+  }
+
+  test("foreachBatch persists classified stream as partitioned parquet") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-persist").toString
+    val in = MemoryStream[String]
+    val q = StreamOps.persistClassified(
+      StreamOps.classifyStream(in.toDF()),
+      s"$dir/out", s"$dir/ckpt")
+    in.addData("spark query", "fast slow run")
+    q.processAllAvailable()
+    q.stop()
+    val persisted = spark.read.parquet(s"$dir/out")
+    assert(persisted.count() == 2)
+    assert(persisted.columns.toSet ==
+      Set("message", "confidence", "category", "batch_id", "created_at"))
+    // partitioned by category → directory per label
+    val cats = persisted.select("category").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cats == Set("technology", "sports"))
+  }
+}
