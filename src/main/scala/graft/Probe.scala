@@ -2,21 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only schema probe; not part of the library surface. */
+/** Dev-only probe; not part of the library surface. Runs one named query
+  * (or all) at a scale factor, printing timing — used to isolate plan
+  * regressions like codegen-size fallbacks. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.configure(
-      SparkSession.builder().master("local[4]")).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    for (t <- Seq("lineitem", "orders", "events", "embeddings", "documents")) {
-      println(s"== $t")
-      spark.read.parquet(s"$d/$t.parquet").printSchema()
+      SparkSession.builder().master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val which = if (args.nonEmpty) args(0) else "all"
+    val qs = SparkEntry.catalog.filter(q => which == "all" || q.name == which)
+    qs.foreach { q =>
+      val t0 = System.nanoTime()
+      q.run(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"[probe] ${q.name}%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    spark.read.parquet(s"$d/events.parquet")
-      .selectExpr("min(ts)", "max(ts)",
-        "timestamp_micros(CAST(min(ts) / 1000 AS LONG))").show(false)
-    println("entry rows=" + SparkEntry.entry(spark).count())
     spark.stop()
   }
 }

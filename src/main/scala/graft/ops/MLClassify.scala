@@ -31,7 +31,7 @@ import graft.model.Tables
   */
 object MLClassify {
 
-  val NumFeatures = 1 << 12
+  val NumFeatures = 1 << 10
 
   def pipeline(): Pipeline = {
     val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
@@ -40,7 +40,7 @@ object MLClassify {
     val idf = new IDF().setInputCol("tf").setOutputCol("features")
     val indexer = new StringIndexer().setInputCol("label_str")
       .setOutputCol("label").setStringOrderType("alphabetAsc")
-    val lr = new LogisticRegression().setMaxIter(40).setRegParam(0.01)
+    val lr = new LogisticRegression().setMaxIter(25).setRegParam(0.01)
       .setFeaturesCol("features").setLabelCol("label")
     new Pipeline().setStages(Array(tok, tf, idf, indexer, lr))
   }

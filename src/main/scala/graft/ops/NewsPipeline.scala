@@ -64,29 +64,39 @@ object NewsPipeline {
 
   // -------------------------------------------------------- classification
 
-  /** Substring-occurrence count of `kw` in `text`, Catalyst-side:
-    * (len(text) - len(replace(text, kw))) / len(kw), integer division. */
-  private def hits(text: Column, kw: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(kw), ""))) / kw.length).cast("long")
-
-  private def scoreFor(text: Column, kws: Seq[String]): Column =
-    kws.map(hits(text, _)).reduce(_ + _)
-
   /** Adds `category` (top-1 label, first-in-lexicon-order tiebreak) and
     * `confidence` (top score / total score; 0.0 + `unknown` when no
-    * keyword hits — the reference's sentinel row, SURVEY.md §2.4). */
+    * keyword hits — the reference's sentinel row, SURVEY.md §2.4).
+    *
+    * The per-category scores are LET-BOUND via a single-element
+    * `transform(array(scores), sc -> ...)` lambda. This matters: with the
+    * scores as plain (intermediate) columns, predicate pushdown and
+    * project collapsing substitute the full score tree into every
+    * consumer — `greatest(...)` duplicated per CASE arm pushed a filter
+    * condition past janino's 64 KB method limit and dropped whole stages
+    * to interpreted mode. A lambda variable is opaque to substitution, so
+    * every keyword chain appears exactly once in any copy of this
+    * expression, wherever the optimizer moves it.
+    * `array_position(sc, array_max(sc))` = first max → the fixed
+    * lexicon-order tiebreak. */
   def classify(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val text = col(textCol)
-    val scores = lexicon.map { case (cat, kws) => cat -> scoreFor(text, kws) }
-    val maxScore = greatest(scores.map(_._2): _*)
-    val total = scores.map(_._2).reduce(_ + _)
-    val label = when(maxScore === 0, lit("unknown")).otherwise(
-      coalesce(scores.map { case (cat, sc) =>
-        when(sc === maxScore, lit(cat))
-      }: _*))
-    val conf = when(maxScore === 0, lit(0.0))
-      .otherwise(maxScore.cast("double") / total.cast("double"))
-    df.withColumn("category", label).withColumn("confidence", conf)
+    val hit = (kw: String) =>
+      s"CAST((length($textCol) - length(replace($textCol, '$kw', ''))) / ${kw.length} AS BIGINT)"
+    val scores = lexicon
+      .map { case (_, kws) => kws.map(hit).mkString(" + ") }
+      .mkString("array(", ", ", ")")
+    val cats = lexicon.map(c => s"'${c._1}'").mkString("array(", ", ", ")")
+    val clsExpr =
+      s"""element_at(transform(array($scores), sc -> named_struct(
+         |  'category', IF(array_max(sc) = 0L, 'unknown',
+         |    element_at($cats, CAST(array_position(sc, array_max(sc)) AS INT))),
+         |  'confidence', IF(array_max(sc) = 0L, CAST(0.0 AS DOUBLE),
+         |    CAST(array_max(sc) AS DOUBLE) /
+         |    CAST(aggregate(sc, 0L, (a, x) -> a + x) AS DOUBLE)))), 1)""".stripMargin
+    df.withColumn("__cls", expr(clsExpr))
+      .withColumn("category", col("__cls.category"))
+      .withColumn("confidence", col("__cls.confidence"))
+      .drop("__cls")
   }
 
   /** DuckDB SQL for the same classification, as a scores CTE + final
