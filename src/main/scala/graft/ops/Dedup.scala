@@ -109,14 +109,22 @@ object Dedup {
   private val R = 2 // rows per band
   private val B = K / R // bands
 
-  /** 60-bit minhash value for shingle column `s` under seed `j`:
-    * first 15 hex digits of md5("j:" + s). Identical arithmetic exists in
-    * DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`), which is the
-    * whole point — the oracle recomputes the same signatures. */
+  /** Minhash family: ONE md5 per shingle (the expensive part), then K
+    * affine maps h_j(x) = (a_j·x + b_j) mod (2³¹−1) over the 60-bit
+    * digest head — 8× fewer digests than seeding md5 per function.
+    * Operands stay under 2⁶² so the arithmetic is overflow-free in both
+    * engines (DuckDB BIGINT overflow is an error, not a wrap), and the
+    * oracle recomputes identical values. */
+  private val MersenneP = 2147483647L // 2^31 - 1
+  private val HashA = Seq(1103L, 12289L, 331L, 7919L, 104729L, 2741L, 49157L, 15485863L)
+  private val HashB = Seq(12345L, 98765L, 555L, 777L, 31337L, 271828L, 161803L, 424243L)
+
+  private def baseHash(sCol: Column): Column =
+    conv(substring(md5(sCol), 1, 15), 16, 10).cast("long") % MersenneP
   private def minhash64(sCol: Column, j: Int): Column =
-    conv(substring(md5(concat(lit(s"$j:"), sCol)), 1, 15), 16, 10).cast("long")
+    (baseHash(sCol) * HashA(j) + HashB(j)) % MersenneP
   private def minhash64Sql(j: Int): String =
-    s"CAST(concat('0x', substr(md5(concat('$j:', s)), 1, 15)) AS BIGINT)"
+    s"((CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $MersenneP) * ${HashA(j)} + ${HashB(j)}) % $MersenneP"
 
   /** MinHash+LSH candidate pairs: signatures → band join → distinct pairs.
     * Probability a pair with Jaccard t collides: 1-(1-t^R)^B; with R=2,
@@ -135,8 +143,20 @@ object Dedup {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
        |  AND a.doc_id < b.doc_id
        |ORDER BY i, j""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d))
-    val sigs = sh.groupBy("doc_id")
+    // Signatures in one fused pass: scan → explode → hash → map-side
+    // partial min per doc → tiny shuffle (K longs per doc). min over the
+    // shingle MULTISET equals min over the set, so no distinct is needed
+    // (unlike d02's Jaccard counts), and duplicate-occurrence hashing is
+    // cheaper than the extra shuffle a dedup-then-join formulation costs
+    // (both were measured; the pipelined version wins ~2×). Same values —
+    // the oracle computes per distinct posting and min agrees.
+    val shAll = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .as("s"))
+    val sigs = shAll.groupBy("doc_id")
       .agg(min(minhash64(col("s"), 0)).as("h0"),
         (1 until K).map(j => min(minhash64(col("s"), j)).as(s"h$j")): _*)
     val bands = (0 until B).map { b =>

@@ -22,7 +22,7 @@ import graft.model.Tables
   *  - t5 summarisation (`news_summarization_batch.py:52-73`) → a word-budget
   *    head summary preserving the reference's length law
   *    `min(100, max(20, words/3))` (`:66-68`); the frequency-scored
-  *    extractive variant lives in [[TextFunctions.extractiveSummary]]
+  *    extractive variant lives in [[graft.functions.TextFunctions.extractiveSummary]]
   *    (not SQL-expressible → rows-only check).
   *
   * Every scalar here is a Catalyst expression (no UDFs), so classification
@@ -293,5 +293,22 @@ object NewsPipeline {
       .orderBy("event_type")
   }
 
-  def all: Seq[Q] = Seq(n01, n02, n03, n04, n05, n06, n07, n08)
+  /** Frequency-scored extractive summarisation through the
+    * `mapPartitions` iterator shape (the reference's `mapInPandas`
+    * analogue, SURVEY.md §2.9): per-partition init once, rows stream.
+    * Not SQL-expressible → rows-only check; the spec pins behaviour. */
+  val n09 = Q.noOracle("n09_summarize_extractive") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          (id, graft.functions.TextFunctions.extractiveSummary(text))
+        }
+      }
+      .toDF("doc_id", "summary")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(n01, n02, n03, n04, n05, n06, n07, n08, n09)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+
+import graft.functions.TextFunctions
+import graft.sources.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  private def write(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    val f = dir.resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  private val articleSchema = new StructType()
+    .add("headline", StringType)
+    .add("authors", ArrayType(StringType))
+    .add("short_description", StringType)
+
+  test("tolerant JSONL scan skips corrupt lines, keeps good ones") {
+    val path = write("a.jsonl",
+      """{"headline": "h1", "authors": ["a", "b"], "short_description": "d1"}
+        |this line is not json at all
+        |{"headline": "h2", "authors": [], "short_description": null}
+        |""".stripMargin)
+    val df = Ingest.tolerantJson(spark, path, Some(articleSchema))
+    assert(df.count() == 2)
+  }
+
+  test("whole-file JSON array scan via multiLine") {
+    val path = write("a.json",
+      """[{"headline": "h1", "authors": ["x"], "short_description": "d"},
+        | {"headline": "h2", "authors": null, "short_description": "e"}]""".stripMargin)
+    val df = Ingest.tolerantJson(spark, path, Some(articleSchema),
+      multiLine = true)
+    assert(df.count() == 2)
+  }
+
+  test("format projection applies reference defaults") {
+    import spark.implicits._
+    val raw = Seq(
+      ("h1", Seq("a", "b"), "d1"),
+      (null, null, null): (String, Seq[String], String))
+      .toDF("headline", "authors", "short_description")
+    val out = Ingest.formatArticles(raw).collect().map(_.getString(0)).toSet
+    assert(out.contains("Headline: h1, Authors: a, b, Description: d1"))
+    assert(out.contains("Headline: , Authors: Unknown, Description: "))
+  }
+
+  test("CSV scan reads header-typed columns") {
+    val path = write("t.csv", "id,name\n1,alpha\n2,beta\n")
+    val df = Ingest.csv(spark, path)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("extractive summary: budget law and sentence selection") {
+    // 10 sentences x 10 words = 100 words, budget = 33. The two "alpha"
+    // sentences dominate the frequency score (20/100 per word) and must
+    // be selected; greedy fill then takes the earliest low-score
+    // sentences until >= 33 words → exactly 4 sentences, original order.
+    val high = Seq.fill(10)("alpha").mkString(" ") + "."
+    val lows = (0 until 8).map(i => (0 until 10).map(j => s"w${i}_$j").mkString(" ") + ".")
+    val text = (Seq(high, lows.head, high) ++ lows.tail).mkString(" ")
+    val s = TextFunctions.extractiveSummary(text)
+    val sentences = TextFunctions.sentencesOf(s)
+    assert(sentences.length == 4)
+    assert(sentences.count(_.startsWith("alpha")) == 2)
+    // selected sentences keep original document order
+    assert(sentences(0).startsWith("alpha") && sentences(2).startsWith("alpha"))
+    // single-"sentence" text degrades to the word-budget head
+    val flat = (1 to 90).map(i => s"w$i").mkString(" ")
+    assert(TextFunctions.extractiveSummary(flat).split(" ").length == 30)
+    // empty/null-safe
+    assert(TextFunctions.extractiveSummary("") == "")
+    assert(TextFunctions.extractiveSummary(null) == "")
+  }
+}
