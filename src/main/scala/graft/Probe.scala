@@ -14,10 +14,16 @@ object Probe {
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val which = if (args.nonEmpty) args(0) else "all"
     val qs = SparkEntry.catalog.filter(q => which == "all" || q.name == which)
+    val mode = sys.env.getOrElse("PROBE_MODE", "time")
     qs.foreach { q =>
-      val t0 = System.nanoTime()
-      q.run(spark, d).write.format("noop").mode("overwrite").save()
-      println(f"[probe] ${q.name}%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      if (mode == "explain") {
+        println(s"===== ${q.name}")
+        q.run(spark, d).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        q.run(spark, d).write.format("noop").mode("overwrite").save()
+        println(f"[probe] ${q.name}%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
     }
     spark.stop()
   }
