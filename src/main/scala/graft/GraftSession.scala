@@ -29,7 +29,8 @@ object GraftSession {
   def local(cores: Int = 4): SparkSession = {
     val s = configure(SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString))
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -517,6 +517,38 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- q19
+  /** Exact percentiles (interpolated, SQL-standard continuous quantile):
+    * quantity values are integer-valued doubles, so the interpolation
+    * arithmetic is exact in both engines. `percentile()` in Spark is the
+    * exact (sort-based) aggregate — at 100 TB you'd reach for
+    * `approx_percentile` (KLL-sketch, mergeable); that variant is
+    * engine-specific and covered rows-only in q19b. */
+  val q19 = Q("q19_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Sketch-based percentile — the 100 TB path (fixed-size mergeable
+    * state); estimates are implementation-defined → rows-only. */
+  val q19b = Q.noOracle("q19b_approx_percentiles") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
+        .as("approx_price_quantiles"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18)
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b)
 }

@@ -83,6 +83,41 @@ object StreamOps {
       }
   }
 
+  case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, closed: Boolean)
+
+  /** Session aggregation with an explicit processing-time TIMEOUT — the
+    * state-expiry surface (`GroupStateTimeout`) that `session_window`
+    * hides. Each user's open session accumulates; when no events arrive
+    * within `timeoutMs`, the timed-out callback fires (`rows` empty,
+    * `state.hasTimedOut`), emits the closed session, and clears state —
+    * bounding state size by active users, which is what keeps a 100 TB
+    * stream's state store finite. */
+  def sessionsWithTimeout(events: Dataset[UserEvent], timeoutMs: Long)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (uid, rows, state: GroupState[SessionSummary]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get.copy(closed = true)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val prev = state.getOption
+              .getOrElse(SessionSummary(uid, 0L, 0.0, closed = false))
+            var n = prev.n_events
+            var total = prev.total_value
+            rows.foreach { e => n += 1; total += e.value }
+            val next = SessionSummary(uid, n, total, closed = false)
+            state.update(next)
+            state.setTimeoutDuration(timeoutMs)
+            Iterator.single(next)
+          }
+      }
+  }
+
   /** The Mongo-replacement sink: classified stream → partitioned parquet
     * append per micro-batch. Batch id makes reruns observable; the append
     * is idempotent under checkpoint recovery at the batch level. */
