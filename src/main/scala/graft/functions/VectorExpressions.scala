@@ -82,6 +82,9 @@ object GraftFunctions {
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   def cosineSim(spark: SparkSession, a: String, b: String): Column = {

@@ -33,15 +33,18 @@ import graft.model.Tables
   */
 object Dedup {
 
-  /** 3-word shingles of `text`, DISTINCT per doc. 0-based in Spark,
-    * mirrored 1-based in the oracle SQL. */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** 3-word shingles of `text`, DISTINCT per doc, via the compiled
+    * [[graft.functions.WordShingles]] expression (the equivalent
+    * `transform(sequence(...), i -> concat_ws(...))` lambda chain is
+    * interpreted per shingle and dominated this scan stage). The oracle
+    * SQL keeps the 1-based list_transform formulation — same values. */
+  private def shingles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("s"))
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
       .distinct()
+  }
 
   private val shinglesSql =
     """shingles AS (
@@ -150,12 +153,11 @@ object Dedup {
     // cheaper than the extra shuffle a dedup-then-join formulation costs
     // (both were measured; the pipelined version wins ~2×). Same values —
     // the oracle computes per distinct posting and min agrees.
+    graft.functions.GraftFunctions.register(s)
     val shAll = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .as("s"))
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
     val sigs = shAll.groupBy("doc_id")
       .agg(min(minhash64(col("s"), 0)).as("h0"),
         (1 until K).map(j => min(minhash64(col("s"), j)).as(s"h$j")): _*)
