@@ -549,6 +549,70 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q20
+  /** As-of join (SURVEY.md §2.6's "operator Spark lacks" tier): each
+    * event picks the value of the user's latest signup at-or-before its
+    * timestamp. Composed from built-ins (preference (a) of §7.3): tag
+    * both sides, union, one window pass with `last(value, ignoreNulls)`,
+    * keep left rows — a single shuffle on (user, time) versus the
+    * quadratic range join a naive formulation would plan. Ties at equal
+    * timestamps order the right side first, matching ASOF's `>=`.
+    * Ordering uses the raw nanosecond longs — full precision, no
+    * timestamp-type coercion in either engine. */
+  val q20 = Q("q20_asof_join",
+    """SELECT e.event_id, s.value AS signup_value
+      |FROM events e
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |                WHERE event_type = 'signup') s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("tag"), lit(null).cast("double").as("v"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        col("ts"), lit(0).as("tag"), col("value").as("v"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("signup_value", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select("event_id", "signup_value")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Analytic-function pack #2: ntile / percent_rank / cume_dist /
+    * first_value / nth_value, one shared shuffle-once window (explicit
+    * full frame for the value functions — default frames differ subtly
+    * between engines). */
+  val q21 = Q("q21_window_analytics",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first(col("o_totalprice")).over(wf).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b)
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
+    q20, q21)
 }
