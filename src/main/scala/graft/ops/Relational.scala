@@ -612,7 +612,78 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q22
+  /** Correlated scalar subquery (orders above their own customer's
+    * average), written directly in its decorrelated form — per-key
+    * aggregate + equi-join — which is exactly what Catalyst rewrites the
+    * correlated SQL into (§4 "subquery decorrelation" row). The per-key
+    * mean is decimal-exact so the comparison is engine-order-free. */
+  val q22 = Q("q22_correlated_subquery",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                             / count(*)
+      |                      FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val perCust = o.groupBy(col("o_custkey").as("k"))
+      .agg((moneySum(col("o_totalprice")) / count(lit(1))).as("cust_avg"))
+    o.join(perCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Explicit GROUPING SETS (the non-hierarchical shape rollup/cube
+    * can't express): per-flag totals, per-status totals, grand total —
+    * one Expand pass. Declared via `spark.sql` over a temp view, the
+    * engine's SQL entry point (SURVEY.md §1 API surface). */
+  val q23 = Q("q23_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY flag, status""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** String function pack #2: reverse / lpad / rpad / translate /
+    * levenshtein / split_part — codegen'd built-ins with DuckDB
+    * equivalents. */
+  val q24 = Q("q24_string_pack",
+    """SELECT p_partkey,
+      |  reverse(p_brand) AS brand_rev,
+      |  starts_with(p_type, 'P') AS is_p,
+      |  lpad(p_brand, 12, '.') AS brand_pad,
+      |  rpad(p_type, 10, '-') AS type_pad,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+      |  CAST(levenshtein(p_type, 'PROMO') AS BIGINT) AS lev,
+      |  split_part(p_brand, '#', 2) AS brand_num
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        reverse(col("p_brand")).as("brand_rev"),
+        col("p_type").startsWith("P").as("is_p"),
+        lpad(col("p_brand"), 12, ".").as("brand_pad"),
+        rpad(col("p_type"), 10, "-").as("type_pad"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("type_tr"),
+        levenshtein(col("p_type"), lit("PROMO")).cast("long").as("lev"),
+        expr("split_part(p_brand, '#', 2)").as("brand_num"))
+      .orderBy("p_partkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21)
+    q20, q21, q22, q23, q24)
 }
