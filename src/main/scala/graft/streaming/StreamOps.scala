@@ -83,6 +83,28 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding 10 minutes. Both sides carry watermarks so
+    * the join state is bounded — Spark retains click state only within
+    * the interval + watermark, the invariant that keeps a day-scale
+    * stream joinable at all. Equi-key (user_id) + time-range condition →
+    * state shuffles on user_id. */
+  def clicksBeforePurchase(clicks: Dataset[UserEvent],
+      purchases: Dataset[UserEvent]): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"), col("click_value"))
+  }
+
   case class SessionSummary(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
 

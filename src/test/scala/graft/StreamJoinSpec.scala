@@ -1,0 +1,37 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.UserEvent
+
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("stream-stream interval join: purchases pick up preceding clicks") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamOps.clicksBeforePurchase(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("joined")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      UserEvent(1, "click", 1.0, ts(10, 0)),   // within window of 10:05
+      UserEvent(1, "click", 2.0, ts(9, 55)),   // exactly at -10min boundary
+      UserEvent(1, "click", 3.0, ts(9, 40)),   // too old → excluded
+      UserEvent(2, "click", 4.0, ts(10, 1)))   // other user
+    purchases.addData(UserEvent(1, "purchase", 100.0, ts(10, 5)))
+    q.processAllAvailable()
+    val rows = spark.table("joined").collect()
+      .map(r => (r.getLong(0), r.getDouble(4))).sorted
+    q.stop()
+    // user 1's purchase joins the 10:00 and 9:50 clicks only
+    assert(rows.toSeq == Seq((1L, 1.0), (1L, 2.0)))
+  }
+}
