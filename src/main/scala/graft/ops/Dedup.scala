@@ -227,5 +227,53 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05)
+  // ---------------------------------------------------------------- d06
+  /** Production-hardened variant of d02: shingles whose document
+    * frequency exceeds a cap are dropped from the inverted index before
+    * the self-join ("stop shingles", the textual analogue of stopwords).
+    * The d02 join's fanout is Σ df² over shingles — one shingle shared by
+    * 10⁵ docs alone generates 10¹⁰ candidate pairs at corpus scale; the
+    * cap bounds per-shingle fanout at df², making the join cost
+    * predictable. Jaccard is then computed over the SURVIVING shingle
+    * sets (cap mirrored exactly in the oracle), trading recall on
+    * boilerplate-heavy pairs for a join that cannot blow up. */
+  val d06 = Q("d06_ngram_jaccard_capped",
+    s"""WITH $shinglesSql,
+       |kept AS (
+       |  SELECT doc_id, s FROM shingles
+       |  WHERE s IN (SELECT s FROM shingles GROUP BY s HAVING count(*) <= 50)),
+       |counts AS (SELECT doc_id, count(*) AS c FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM kept a JOIN kept b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT i, j,
+       |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = i
+       |JOIN counts cb ON cb.doc_id = j
+       |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val sh = shingles(Tables.documents(s, d))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("s")
+    val kept = sh.join(rare, "s")
+    val counts = kept.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("ca.c") + col("cb.c") - col("common"))
+    pairs
+      .join(counts.as("ca"), col("i") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
+  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
 }

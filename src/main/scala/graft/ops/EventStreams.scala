@@ -94,5 +94,54 @@ object EventStreams {
       .orderBy("user_id", "session_start")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03)
+  // --------------------------------------------------------------- st04
+  /** SCD2 dimension build from an event log: collapse each user's
+    * consecutive runs of the same event_type into validity intervals
+    * [valid_from, valid_to) — gaps-and-islands (change flag → running
+    * island id → min/max + lead) entirely in one window cascade over a
+    * single shuffle on user_id. The classic "latest attribute history"
+    * maintenance pass a warehouse runs over a 100 TB changelog. Open
+    * intervals carry NULL valid_to (coalesced to a sentinel for
+    * deterministic sorting). */
+  val st04 = Q("st04_scd2_intervals",
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM ordered),
+      |intervals AS (
+      |  SELECT user_id, event_type, min(ts) AS valid_from, count(*) AS n_events
+      |  FROM islands GROUP BY user_id, event_type, island)
+      |SELECT user_id, event_type, valid_from,
+      |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+      |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |  n_events
+      |FROM intervals
+      |ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("user_id").orderBy("valid_from")
+    events(s, d)
+      .withColumn("chg",
+        when(not(lag(col("event_type"), 1).over(wOrd) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy("user_id", "event_type", "island")
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        coalesce(lead(col("valid_from"), 1).over(wLead),
+          lit("9999-12-31 00:00:00").cast(org.apache.spark.sql.types.TimestampNTZType))
+          .as("valid_to"),
+        col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03, st04)
 }
