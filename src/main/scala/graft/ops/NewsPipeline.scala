@@ -260,14 +260,18 @@ object NewsPipeline {
       .orderBy("channel")
   }
 
-  /** JSON field probe on events.props (`from_json`/`get_json_object`
-    * surface, digest-consumer shape `summary_news_to_telegram.py:61-64`). */
+  /** JSON field probe on events.props via schema'd `from_json` (the
+    * digest-consumer decode shape, `summary_news_to_telegram.py:61-64`;
+    * `get_json_object` would work too, but the schema'd parse is the
+    * 100 TB posture — one parse per row serving any number of fields). */
   val n07 = Q("n07_json_extract",
     """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
       .groupBy("event_type")
       .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
