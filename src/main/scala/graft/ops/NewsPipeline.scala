@@ -80,8 +80,11 @@ object NewsPipeline {
     * `array_position(sc, array_max(sc))` = first max → the fixed
     * lexicon-order tiebreak. */
   def classify(df: DataFrame, textCol: String = "text"): DataFrame = {
+    // coalesce: NULL text takes the unknown/0.0 sentinel path, matching
+    // the reference's non-string guard (news_categorization_streaming.py:74-81)
+    val t = s"coalesce($textCol, '')"
     val hit = (kw: String) =>
-      s"CAST((length($textCol) - length(replace($textCol, '$kw', ''))) / ${kw.length} AS BIGINT)"
+      s"CAST((length($t) - length(replace($t, '$kw', ''))) / ${kw.length} AS BIGINT)"
     val scores = lexicon
       .map { case (_, kws) => kws.map(hit).mkString(" + ") }
       .mkString("array(", ", ", ")")
@@ -102,7 +105,7 @@ object NewsPipeline {
   /** DuckDB SQL for the same classification, as a scores CTE + final
     * projection; shares [[lexicon]] so Spark and oracle can't drift. */
   private def hitsSql(kw: String): String =
-    s"(length(text) - length(replace(text, '$kw', ''))) // ${kw.length}"
+    s"(length(coalesce(text, '')) - length(replace(coalesce(text, ''), '$kw', ''))) // ${kw.length}"
   private def scoreSql(kws: Seq[String]): String =
     kws.map(hitsSql).mkString(" + ")
   /** `scored` must provide s_<cat> columns; yields category/confidence. */
@@ -137,7 +140,7 @@ object NewsPipeline {
   /** Word-budget head summary: first `budget` words of the (5000-char
     * truncated, `news_summarization_batch.py:65,92`) document. */
   def summarize(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = split(substring(col(textCol), 1, 5000), " ")
+    val words = split(substring(coalesce(col(textCol), lit("")), 1, 5000), " ")
     val b = budget(size(words))
     df.withColumn("summary", array_join(slice(words, lit(1), b), " "))
       .withColumn("n_words", size(words).cast("long"))
@@ -145,8 +148,8 @@ object NewsPipeline {
   }
 
   private val summarySql =
-    """array_to_string(list_slice(string_split(substring(text, 1, 5000), ' '), 1,
-      |  least(100, greatest(20, len(string_split(substring(text, 1, 5000), ' ')) // 3))), ' ')""".stripMargin
+    """array_to_string(list_slice(string_split(substring(coalesce(text, ''), 1, 5000), ' '), 1,
+      |  least(100, greatest(20, len(string_split(substring(coalesce(text, ''), 1, 5000), ' ')) // 3))), ' ')""".stripMargin
 
   // -------------------------------------------------------------- queries
 

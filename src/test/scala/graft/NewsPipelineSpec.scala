@@ -8,7 +8,8 @@ class NewsPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   test("classify emits unknown/0.0 sentinel when no keyword hits") {
-    val df = Seq((1L, "zzz yyy xxx"), (2L, ""), (3L, "spark spark"))
+    val df = Seq((1L, "zzz yyy xxx"), (2L, ""), (3L, "spark spark"),
+      (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = NewsPipeline.classify(df)
       .select("doc_id", "category", "confidence")
@@ -17,6 +18,8 @@ class NewsPipelineSpec extends SparkSpec {
     assert(out(2L) == (("unknown", 0.0)))
     assert(out(3L)._1 == "technology")
     assert(out(3L)._2 == 1.0)
+    // NULL text -> sentinel, not NULL (the reference's non-string guard)
+    assert(out(4L) == (("unknown", 0.0)))
   }
 
   test("classify tiebreak is first-in-lexicon order") {
