@@ -23,6 +23,63 @@ object TextFunctions {
   def sentencesOf(text: String): Array[String] =
     text.split("(?<=[.!?])\\s+").filter(_.nonEmpty)
 
+  /** Rabin–Karp rolling hashes of every `k`-gram of the byte string:
+    * h(i+1) = (h(i) - s[i]·B^(k-1)) · B + s[i+k], all mod 2⁶¹−1 — O(n)
+    * total, the primitive under content-defined chunking and winnowing.
+    * Base/modulus chosen so intermediate products stay in 63 bits. */
+  private final val Mod = (1L << 61) - 1
+  private final val Base = 257L
+  def rollingHashes(text: String, k: Int): Array[Long] = {
+    val s = text.getBytes("UTF-8")
+    if (s.length < k) return Array.empty
+    var pow = 1L // Base^(k-1) mod Mod
+    var i = 0
+    while (i < k - 1) { pow = mulMod(pow, Base); i += 1 }
+    val out = new Array[Long](s.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (mulMod(h, Base) + (s(i) & 0xffL)) % Mod; i += 1 }
+    out(0) = h
+    i = 1
+    while (i < out.length) {
+      h = (h - mulMod(s(i - 1) & 0xffL, pow) % Mod + Mod) % Mod
+      h = (mulMod(h, Base) + (s(i + k - 1) & 0xffL)) % Mod
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** 128-bit-safe modular multiply for the 61-bit Mersenne modulus. */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // fold 2^64·hi + lo into mod 2^61-1: 2^61 ≡ 1
+    val part = ((hi << 3) | (lo >>> 61)) + (lo & Mod)
+    val r = (part >>> 61) + (part & Mod)
+    if (r >= Mod) r - Mod else r
+  }
+
+  /** Winnowing fingerprint (Schleimer et al.): the min hash of each
+    * sliding window of `w` consecutive k-gram hashes, deduplicated — a
+    * position-robust document signature: guaranteed to share prints with
+    * any document that shares a run of ≥ w+k−1 bytes. */
+  def winnow(text: String, k: Int = 8, w: Int = 4): Set[Long] = {
+    val hs = rollingHashes(text, k)
+    if (hs.isEmpty) return Set.empty
+    if (hs.length <= w) return Set(hs.min)
+    val out = scala.collection.mutable.Set.empty[Long]
+    var i = 0
+    while (i + w <= hs.length) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toSet
+  }
+
   def extractiveSummary(text0: String): String = {
     val text = if (text0 == null) "" else text0.take(5000)
     if (text.isEmpty) return ""

@@ -64,6 +64,37 @@ object Multimodal {
     }
   }
 
+  case class Frame(doc_id: Long, frame_no: Int, n_bytes: Long, f0: Double)
+
+  /** STUB resize: a real implementation would decode, scale to (w, h),
+    * re-encode; the stand-in deterministically folds the bytes to the
+    * target "pixel count". Same signature and per-row shape. */
+  def resizeStub(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.min(w * h, 64))
+    var i = 0
+    while (i < out.length) {
+      out(i) = content(i % content.length)
+      i += 1
+    }
+    out
+  }
+
+  /** Frame sampling as the 1→N iterator transform (the reference's UDTF
+    * shape generalised): each media row yields `n` evenly-spaced
+    * "frames". A real decoder would seek keyframes; the stub derives
+    * each frame's feature from a byte stride. flatMap keeps the operator
+    * streaming — no per-document materialisation. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      (0 until n).iterator.map { k =>
+        val stride = math.max(1, r.content.length / n)
+        val b = r.content(math.min(k * stride, r.content.length - 1)) & 0xff
+        Frame(r.doc_id, k, r.content.length.toLong, b / 255.0)
+      }
+    }
+  }
+
   /** Schema/plumbing query — the oracle checks modality split and byte
     * lengths of the identically-constructed BLOBs. */
   val mm01 = Q("mm01_media_schema",
@@ -89,5 +120,13 @@ object Multimodal {
     extractFeatures(media).toDF().orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(mm01, mm02)
+  /** Frame sampling over the media table: 1→N flatMap, rows-only check
+    * (the spec pins exact frames). */
+  val mm03 = Q.noOracle("mm03_frame_sample") { (s, d) =>
+    import s.implicits._
+    val media = mediaFrame(Tables.documents(s, d)).as[MediaRow]
+    sampleFrames(media, 4).toDF().orderBy("doc_id", "frame_no")
+  }
+
+  def all: Seq[Q] = Seq(mm01, mm02, mm03)
 }

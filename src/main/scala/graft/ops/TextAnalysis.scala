@@ -146,5 +146,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04)
+  // ---------------------------------------------------------------- t05
+  /** Winnowing fingerprints (rolling-hash k-grams → per-window minima,
+    * [[graft.functions.TextFunctions.winnow]]): position-robust document
+    * signatures via `mapPartitions`. Docs sharing any ≥ (w+k−1)-byte run
+    * share a print, so near-dup candidates = equi-join on print — the
+    * byte-level analogue of d03's shingle LSH. Rows-only check (the hash
+    * family has no DuckDB equivalent); the spec pins values and the
+    * shared-substring guarantee. */
+  val t05 = Q.noOracle("t05_winnow_fingerprint") { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val prints = graft.functions.TextFunctions.winnow(text)
+        (id, prints.size.toLong, if (prints.isEmpty) 0L else prints.min)
+      })
+      .toDF("doc_id", "n_prints", "min_print")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling hashes: O(n) recurrence equals direct recomputation") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val k = 8
+    val rolled = TextFunctions.rollingHashes(text, k)
+    // direct: hash each k-gram from scratch (rollingHashes of the slice)
+    val direct = (0 to text.getBytes("UTF-8").length - k).map { i =>
+      TextFunctions.rollingHashes(
+        new String(text.getBytes("UTF-8").slice(i, i + k), "ISO-8859-1"), k).head
+    }
+    assert(rolled.toSeq == direct)
+  }
+
+  test("winnowing: shared long runs produce shared fingerprints") {
+    val shared = "a common run of bytes that is long enough to matter"
+    val a = "prefix one " + shared + " suffix alpha"
+    val b = "totally different start " + shared + " and another end"
+    val c = "no overlap here at all with anything else whatsoever"
+    val pa = TextFunctions.winnow(a)
+    val pb = TextFunctions.winnow(b)
+    val pc = TextFunctions.winnow(c)
+    assert(pa.intersect(pb).nonEmpty, "docs sharing a long run must share prints")
+    assert(pa.intersect(pc).isEmpty)
+    // deterministic
+    assert(pa == TextFunctions.winnow(a))
+    // short/empty inputs are safe
+    assert(TextFunctions.winnow("", 8, 4).isEmpty)
+    assert(TextFunctions.winnow("tiny", 8, 4).isEmpty)
+  }
+
+  test("frame sampling: 1->N shape, deterministic frames") {
+    val media = Multimodal.mediaFrame(model.Tables.documents(spark, sf))
+      .as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() == 500 * 4)
+    val f0 = frames.filter(_.doc_id == 0L).collect().sortBy(_.frame_no)
+    assert(f0.map(_.frame_no).toSeq == Seq(0, 1, 2, 3))
+    assert(f0.forall(f => f.f0 >= 0.0 && f.f0 <= 1.0))
+    // resize stub: fixed output size, deterministic bytes
+    val r = Multimodal.resizeStub("somebytes".getBytes, 8, 8)
+    assert(r.length == 64)
+    assert(r.toSeq == Multimodal.resizeStub("somebytes".getBytes, 8, 8).toSeq)
+  }
+}
