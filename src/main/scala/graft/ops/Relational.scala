@@ -683,7 +683,56 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // ---------------------------------------------------------------- q25
+  /** TPC-H Q13-style two-level aggregation: orders-per-customer (left
+    * outer join so zero-order customers count), then the histogram of
+    * those counts. Two shuffles, each on a different key — the
+    * aggregate-of-aggregate shape. */
+  val q25 = Q("q25_order_count_histogram",
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** TPC-H Q11-style HAVING against a global scalar: nations whose total
+    * customer balance exceeds 4.5% of the worldwide total (= above-average share across the 25 nations). The fraction is
+    * a 1-row broadcast joined into the post-aggregation filter —
+    * HAVING-with-subquery as dataflow. Decimal sums keep both the
+    * per-nation values and the threshold engine-order-free. */
+  val q26 = Q("q26_having_scalar",
+    """SELECT n_name,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |HAVING CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) >
+      |  (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 0.045
+      |   FROM customer)
+      |ORDER BY total_bal DESC, n_name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val threshold = c.agg((moneySum(col("c_acctbal")) * 0.045).as("thresh"))
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("c_acctbal")).as("total_bal"))
+      .join(broadcast(threshold))
+      .filter(col("total_bal") > col("thresh"))
+      .select("n_name", "total_bal")
+      .orderBy(col("total_bal").desc, col("n_name"))
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24)
+    q20, q21, q22, q23, q24, q25, q26)
 }
