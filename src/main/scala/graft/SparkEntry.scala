@@ -12,9 +12,10 @@ object SparkEntry {
 
   /** All operator catalogs, in SURVEY.md §2 order. */
   def catalog: Seq[Q] =
-    ops.Relational.all ++ ops.NewsPipeline.all ++ ops.Dedup.all ++
-      ops.TextAnalysis.all ++ ops.Similarity.all ++ ops.EventStreams.all ++
-      ops.TypedOps.all ++ ops.MLClassify.all ++ multimodal.Multimodal.all
+    sources.Ingest.all ++ ops.Relational.all ++ ops.NewsPipeline.all ++
+      ops.Dedup.all ++ ops.TextAnalysis.all ++ ops.Similarity.all ++
+      ops.EventStreams.all ++ ops.TypedOps.all ++ ops.MLClassify.all ++
+      multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full news-digest pipeline (classify → summarise → digest → JSON),

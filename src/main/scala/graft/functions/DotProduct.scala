@@ -11,7 +11,12 @@ import org.apache.spark.sql.types._
   * DOUBLE)), 0D, (acc, v) -> acc + v)` fold, but as one codegen'd loop
   * instead of an interpreted higher-order-function chain (which also
   * materialises the zipped array). [[graft.plans.RewriteDotProducts]]
-  * rewrites that built-in pattern to this expression automatically. */
+  * rewrites that built-in pattern to this expression automatically.
+  *
+  * Null semantics match the built-in fold exactly, so the rewrite is
+  * safe for containsNull=true arrays (the type parquet list columns
+  * read as): length mismatch → NULL (zip_with pads the shorter side
+  * with null, and null poisons the sum), any null element → NULL. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -19,14 +24,17 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -39,12 +47,17 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -98,7 +98,8 @@ object Multimodal {
   /** Schema/plumbing query — the oracle checks modality split and byte
     * lengths of the identically-constructed BLOBs. */
   val mm01 = Q("mm01_media_schema",
-    """SELECT media_type, count(*) AS n, sum(octet_length(content)) AS total_bytes
+    """SELECT media_type, count(*) AS n,
+      |  CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes
       |FROM (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,

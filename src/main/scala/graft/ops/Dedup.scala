@@ -211,9 +211,10 @@ object Dedup {
   // ---------------------------------------------------------------- d05
   /** SimHash near-dup pairs: 64-bit fingerprint per doc (one map pass via
     * the codegen'd [[graft.functions.SimHash64]] expression), pairs at
-    * Hamming distance ≤ 12 via `bit_count(xor)`. The pairwise comparison
-    * here is the validation harness; at scale candidates come from
-    * rotated-prefix bucketing, same as d03's band join. FNV-1a hashing is
+    * Hamming distance ≤ 8 via `bit_count(xor)`. The pairwise comparison
+    * here is the O(n²) validation harness; the production candidate
+    * generation is [[d07]]'s block bucketing, which provably returns the
+    * identical pair set through a linear equi-join. FNV-1a hashing is
     * not available in DuckDB → rows-only check; the spec pins exact
     * fingerprints and the containment of d02's high-Jaccard pairs. */
   val d05 = Q.noOracle("d05_simhash") { (s, d) =>
@@ -275,5 +276,120 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06)
+  // ---------------------------------------------------------------- d07
+  /** Scale-safe candidate generation for SimHash dedup (the bucketing
+    * SCALE.md names for d05): the 64-bit fingerprint splits into 9
+    * disjoint blocks (8 × 7 bits + top 8 bits). A pair at Hamming ≤ 8
+    * has its differing bits in at most 8 blocks, so at least one block
+    * matches exactly (pigeonhole) — candidate pairs are an equi-join on
+    * (block_no, block_bits), the same shuffle shape as d03's band join,
+    * then verified with the cheap `bit_count(xor) ≤ 8` predicate.
+    *
+    * Because the candidate set is a SUPERSET of the true pairs and the
+    * verifier is exact, the output is provably identical to d05's
+    * all-pairs scan — but the plan is a linear bucketed shuffle join,
+    * never a nested loop. Cost: 9 index rows per doc + Σ(bucket size²)
+    * join fanout; uniform 7-bit buckets hold n/128 docs, and a skewed
+    * bucket (boilerplate-heavy corpora) is handled the same way as d06's
+    * stop-shingle cap — widen the block or key on two blocks, trading
+    * recall. The spec asserts pair-set equality with d05; PlanAuditSpec
+    * asserts no nested-loop join in the physical plan. */
+  val d07 = Q.noOracle("d07_simhash_bucketed") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
+    val blockKeys = (0 until 9).map { b =>
+      val width = if (b == 8) 255L else 127L
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("h"), b * 7).bitwiseAND(lit(width)).as("key"))
+    }
+    val keyed = h
+      .select(col("doc_id"), col("h"), explode(array(blockKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("h"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.h ^ b.h)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- d08
+  /** Connected components by iterative min-label propagation — the step
+    * an actual dedup PIPELINE needs after pair generation: near-dup
+    * pairs are edges, components are duplicate clusters, and the
+    * min-doc_id label picks one deterministic keeper per cluster.
+    *
+    * Pregel-style dataflow: each round propagates labels across edges
+    * (shuffle on src) and folds them with a map-side-combined min
+    * (shuffle on node); `localCheckpoint` cuts the lineage so round N's
+    * plan doesn't replay rounds 1..N-1. Rounds needed = component
+    * diameter (dup clusters are shallow; the driver loop exits on a
+    * fixpoint detected by the monotone label sum — labels only ever
+    * decrease, so an unchanged sum IS convergence, one scalar action per
+    * round, no row-level collect). At 100 TB the same loop runs with the
+    * alternating large-star/small-star optimisation; the dataflow shape
+    * per round is identical. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("i").as("src"), col("j").as("dst"))
+      .union(edges.select(col("j").as("src"), col("i").as("dst")))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val prop = und.join(labels, und("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum("label")).head.getLong(0)
+      done = s == prevSum
+      prevSum = s
+      it += 1
+    }
+    labels
+  }
+
+  /** Duplicate-cluster resolution over the d02 edge set: every document
+    * gets its cluster id (min doc_id of its component) and a keeper
+    * flag. The oracle computes the same transitive closure with a
+    * recursive CTE over the identical edge definition — so the
+    * ITERATION, not just the pair generation, is cross-engine checked. */
+  val d08 = Q("d08_dup_clusters",
+    s"""WITH RECURSIVE $shinglesSql,
+       |counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |  FROM shingles a JOIN shingles b USING (s)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |dup_pairs AS (
+       |  SELECT i, j FROM cand
+       |  JOIN counts ca ON ca.doc_id = i
+       |  JOIN counts cb ON cb.doc_id = j
+       |  WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM dup_pairs
+       |          UNION ALL SELECT j, i FROM dup_pairs),
+       |reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(label) AS cluster,
+       |       node = min(label) AS is_keeper
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
+    val pairs = d02.run(s, d).select("i", "j")
+    connectedComponents(docs, pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster"),
+        (col("node") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

@@ -143,5 +143,36 @@ object EventStreams {
       .orderBy("user_id", "valid_from")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03, st04)
+  // --------------------------------------------------------------- st05
+  /** Batch twin of the stream-stream interval join — and not a rewrite:
+    * it calls [[graft.streaming.StreamOps.clicksBeforePurchase]] itself
+    * on batch Datasets (Catalyst's EliminateEventTimeWatermark erases the
+    * watermark nodes in batch, leaving exactly the join the stream runs).
+    * Each purchase matches the same user's clicks in the preceding
+    * 10 minutes; the oracle is the equivalent DuckDB range self-join, so
+    * the interval arithmetic is cross-engine checked, not just
+    * spec-pinned. */
+  val st05 = Q("st05_interval_join",
+    """SELECT p.user_id, p.ts AS purchase_ts, c.ts AS click_ts,
+      |  p.value AS purchase_value, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def side(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.UserEvent]
+    graft.streaming.StreamOps.clicksBeforePurchase(side("click"), side("purchase"))
+      .select(col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_value"), col("click_value"))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05)
 }

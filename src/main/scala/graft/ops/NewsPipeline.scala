@@ -172,17 +172,26 @@ object NewsPipeline {
   }
 
   /** Offset scan — skip first 20 records in doc_id order (the reference's
-    * replay resume index, `raw_news_to_telegram.py:55-57`, `main.py:18`),
-    * as a deterministic window rank instead of a driver-side counter. */
+    * replay resume index, `raw_news_to_telegram.py:55-57`, `main.py:18`).
+    *
+    * Two-phase, scale-safe: phase 1 finds the 20th-smallest doc_id via a
+    * bounded top-k (TakeOrderedAndProject — every partition keeps ≤20
+    * rows, merge is O(20·P)); phase 2 filters `doc_id > cutoff` with the
+    * cutoff riding in as a 1-row broadcast (the scalar-subquery shape).
+    * doc_id is the unique replay key, so this is exactly `rn > 20`. The
+    * naive `row_number() OVER (ORDER BY doc_id)` with no PARTITION BY
+    * funnels the whole table through one task — fatal at 100 TB;
+    * PlanAuditSpec asserts no WindowExec appears here. */
   val n02 = Q("n02_skip_offset",
     """SELECT doc_id, source FROM (
       |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) AS rn
       |  FROM documents)
       |WHERE rn > 20 ORDER BY doc_id LIMIT 50""".stripMargin) { (s, d) =>
-    val w = Window.orderBy("doc_id")
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), row_number().over(w).as("rn"))
-      .filter(col("rn") > 20)
+    val docs = Tables.documents(s, d)
+    val cutoff = docs.select("doc_id").orderBy("doc_id").limit(20)
+      .agg(max("doc_id").as("cut"))
+    docs.join(broadcast(cutoff))
+      .filter(col("doc_id") > col("cut"))
       .select("doc_id", "source")
       .orderBy("doc_id")
       .limit(50)
@@ -268,7 +277,8 @@ object NewsPipeline {
     * `get_json_object` would work too, but the schema'd parse is the
     * 100 TB posture — one parse per row serving any number of fields). */
   val n07 = Q("n07_json_extract",
-    """SELECT event_type, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k, count(*) AS n
+    """SELECT event_type,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .select(col("event_type"),

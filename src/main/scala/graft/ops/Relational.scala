@@ -102,8 +102,11 @@ object Relational {
 
   // ---------------------------------------------------------------- q03
   /** TPC-H Q3-style: selective dim filter, two fact joins, agg, top-k.
-    * customer (small side) broadcasts; orders⋈lineitem shuffles on the
-    * orderkey — the natural co-partitioning key for both tables. */
+    * customer is fact-scale even after the 1/5 segment filter, so it gets
+    * NO broadcast hint — the join shuffles on custkey (AQE may still
+    * broadcast at small SF where it measures the side as tiny);
+    * orders⋈lineitem shuffles on the orderkey — the natural
+    * co-partitioning key for both tables. */
   val q03 = Q("q03_shipping_priority",
     s"""SELECT l_orderkey, o_orderdate,
       |  CAST(sum(${DISC_PRICE_SQL}) AS DOUBLE) AS revenue
@@ -120,7 +123,7 @@ object Relational {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > tsNtz("1998-01-01 00:00:00"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(discPriceOf(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
@@ -148,8 +151,10 @@ object Relational {
 
   // ---------------------------------------------------------------- q05
   /** TPC-H Q5-style multiway join. Dim chain region→nation broadcasts into
-    * both the customer and supplier sides; the two fact joins shuffle on
-    * orderkey. The c_nationkey = s_nationkey condition rides on the join. */
+    * the supplier side; customer is a fact table (10⁹+ rows at 100 TB) so
+    * its join carries NO hint — it shuffles on custkey (AQE may demote to
+    * broadcast at small SF). The two fact joins shuffle on orderkey. The
+    * c_nationkey = s_nationkey condition rides on the join. */
   val q05 = Q("q05_region_volume",
     s"""SELECT n_name,
       |  CAST(sum(${DISC_PRICE_SQL}) AS DOUBLE) AS revenue
@@ -174,7 +179,7 @@ object Relational {
     Tables.lineitem(s, d)
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .groupBy("n_name")
       .agg(sum(discPriceOf(col("l_extendedprice"), col("l_discount")))
@@ -398,7 +403,10 @@ object Relational {
 
   // ---------------------------------------------------------------- q14
   /** Conditional aggregation (TPC-H Q14-style promo share): CASE WHEN
-    * inside sum, two decimal sums, one double division at the end. */
+    * inside sum, two decimal sums, one double division at the end.
+    * part is ~20% of lineitem's key space — NOT a dim — so the join is
+    * unhinted: it shuffles on partkey (bucketing both tables on partkey
+    * would make it zero-shuffle; see [[Bucketing]]). */
   val q14 = Q("q14_promo_share",
     s"""SELECT
       |  CAST(sum(CASE WHEN p_type = 'PROMO'
@@ -410,7 +418,7 @@ object Relational {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d)
     val discPrice = discPriceOf(col("l_extendedprice"), col("l_discount"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", discPrice)
           .otherwise(lit(0).cast(DecimalType(17, 4)))).cast("double") * 100.0 /
@@ -486,7 +494,7 @@ object Relational {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -540,12 +548,19 @@ object Relational {
   }
 
   /** Sketch-based percentile — the 100 TB path (fixed-size mergeable
-    * state); estimates are implementation-defined → rows-only. */
+    * state); estimates are implementation-defined → rows-only. The sketch
+    * array is flattened to scalar columns (p50/p90/p99) so downstream
+    * consumers — and the driver's sort-based row check — see a flat,
+    * orderable frame rather than an array column. */
   val q19b = Q.noOracle("q19b_approx_percentiles") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)")
-        .as("approx_price_quantiles"))
+        .as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p50_price"),
+        element_at(col("q"), 2).as("p90_price"),
+        element_at(col("q"), 3).as("p99_price"))
       .orderBy("l_returnflag")
   }
 

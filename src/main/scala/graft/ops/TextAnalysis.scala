@@ -61,14 +61,25 @@ object TextAnalysis {
        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val w = wordsOf(col("text"))
+    // The three counts come out of ONE `transform(array(split(...)), w ->
+    // named_struct(...))` lambda: `w` let-binds the split so it is
+    // tokenised once per row (the classify trick, NewsPipeline.scala) —
+    // as three independent columns the split was evaluated 3× per row
+    // (HOFs are interpreted, no codegen CSE), measured ~40% slower.
+    // CollapseProject keeps the two projections separate because the
+    // struct is expensive and multiply-referenced.
     val stopArr = stopwords.map(x => s"'$x'").mkString(", ")
-    val base = Tables.documents(s, d).select(
-      col("doc_id"),
-      size(w).cast("long").as("n_tokens"),
-      size(expr(s"filter(split(text, ' '), x -> array_contains(array($stopArr), x))"))
-        .cast("long").as("stop_hits"),
-      size(array_distinct(w)).cast("long").as("n_distinct"))
+    val statsExpr =
+      s"""element_at(transform(array(split(text, ' ')), w -> named_struct(
+         |  'n_tokens', CAST(size(w) AS BIGINT),
+         |  'stop_hits', CAST(size(filter(w, x -> array_contains(array($stopArr), x))) AS BIGINT),
+         |  'n_distinct', CAST(size(array_distinct(w)) AS BIGINT))), 1)""".stripMargin
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), expr(statsExpr).as("__t"))
+      .select(col("doc_id"),
+        col("__t.n_tokens").as("n_tokens"),
+        col("__t.stop_hits").as("stop_hits"),
+        col("__t.n_distinct").as("n_distinct"))
     base.select(
       col("doc_id"), col("n_tokens"), col("stop_hits"),
       (col("stop_hits").cast("double") / col("n_tokens")).as("stop_ratio"),
@@ -166,5 +177,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05)
+  // ---------------------------------------------------------------- t06
+  /** Winnowing near-dup retrieval — the query t05's prints exist FOR:
+    * explode each document's print set into an inverted index, drop
+    * boilerplate prints past a document-frequency cap (d06's stop-shingle
+    * guard — bounds join fanout at df² per print), then equi-join on
+    * print and count shared prints per pair. Same bucketed-join dataflow
+    * as d02/d06 with prints instead of shingles — byte-level, so it
+    * catches near-dups that word-shingling misses (reflowed whitespace
+    * aside, any shared ≥ w+k−1-byte run surfaces). Rows-only check (the
+    * hash family has no DuckDB equivalent); the spec asserts containment
+    * of d02's word-level high-Jaccard pairs. */
+  val t06 = Q.noOracle("t06_winnow_candidates") { (s, d) =>
+    import s.implicits._
+    val prints = Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.TextFunctions.winnow(text).iterator.map(p => (id, p))
+      }
+      .toDF("doc_id", "p")
+    val rare = prints.groupBy("p").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("p")
+    val kept = prints.join(rare, "p")
+    kept.as("a")
+      .join(kept.as("b"), col("a.p") === col("b.p") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared_prints"))
+      .filter(col("shared_prints") >= 2)
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- t07
+  /** Benchmark decontamination — the training-data op that keeps eval
+    * sets out of the corpus: flag every training document sharing an
+    * 8-word shingle with the held-out slice (here `doc_id % 10 = 0`
+    * stands in for the benchmark suite). The eval side is tiny BY
+    * CONSTRUCTION (benchmarks are KBs against a 100 TB corpus), so its
+    * distinct shingles broadcast — the corpus never shuffles, one
+    * map-side hash probe per shingle, then a per-doc count. This is the
+    * legitimate broadcast case the fact-table joins must NOT use. */
+  val t07 = Q("t07_decontaminate",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+      |                          w[i+4], w[i+5], w[i+6], w[i+7]))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 8)),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+      |SELECT doc_id, count(*) AS n_shared
+      |FROM sh JOIN ev USING (s)
+      |WHERE doc_id % 10 <> 0
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 8)")).as("s"))
+      .distinct()
+    val evalSh = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(evalSh), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * expression — measured ~25× on the d04 pairwise workload. */
 object RewriteDotProducts extends Rule[LogicalPlan] {
 
+  /** Safe for any element nullability: [[DotProduct]] propagates null
+    * exactly like the built-in idiom (NULL on length mismatch — zip_with
+    * pads with null — or on any null element), so the rewrite preserves
+    * semantics even for containsNull=true arrays, which is what parquet
+    * list columns read as. */
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

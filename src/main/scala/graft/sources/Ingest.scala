@@ -2,7 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+import graft.Q
 
 /** Batch ingestion scans (SURVEY.md §2.1).
   *
@@ -47,4 +49,46 @@ object Ingest {
       lit(", Description: "), coalesce(col("short_description"), lit("")))
       .as("value"))
   }
+
+  /** The reference loader's article schema (`raw_news_to_telegram.py:34`):
+    * explicit, so malformed-row detection is deterministic (inference
+    * would re-scan and could widen types on dirty data). */
+  val articleSchema: StructType = StructType(Seq(
+    StructField("headline", StringType),
+    StructField("authors", ArrayType(StringType)),
+    StructField("short_description", StringType),
+    StructField("link", StringType),
+    StructField("category", StringType)))
+
+  /** Committed JSONL fixture with structurally-broken lines mixed in —
+    * the reference front door's actual input condition. */
+  val fixturePath = "/root/repo/fixtures/news_articles.jsonl"
+
+  /** End-to-end oracled ingestion: tolerant JSONL scan (malformed lines
+    * dropped in-scan) → format projection. The DuckDB oracle reads the
+    * same fixture with `ignore_errors` — both engines must agree on which
+    * lines survive AND on the projected strings. DuckDB turns unparseable
+    * lines into all-NULL rows instead of dropping them, so the oracle
+    * filters those out (the fixture has no legitimately all-NULL record).
+    * `dir` is unused: the fixture is the front-door input, not part of
+    * the star schema. */
+  val in01 = Q("in01_tolerant_jsonl",
+    s"""SELECT concat('Headline: ', coalesce(headline, ''),
+       |  ', Authors: ', CASE WHEN authors IS NOT NULL AND len(authors) > 0
+       |                 THEN array_to_string(authors, ', ') ELSE 'Unknown' END,
+       |  ', Description: ', coalesce(short_description, '')) AS value
+       |FROM read_json('$fixturePath',
+       |  format='newline_delimited', ignore_errors=true,
+       |  columns={headline: 'VARCHAR', authors: 'VARCHAR[]',
+       |           short_description: 'VARCHAR', link: 'VARCHAR',
+       |           category: 'VARCHAR'})
+       |WHERE headline IS NOT NULL OR authors IS NOT NULL
+       |   OR short_description IS NOT NULL OR link IS NOT NULL
+       |   OR category IS NOT NULL
+       |ORDER BY value""".stripMargin) { (s, _) =>
+    formatArticles(tolerantJson(s, fixturePath, Some(articleSchema)))
+      .orderBy("value")
+  }
+
+  def all: Seq[Q] = Seq(in01)
 }

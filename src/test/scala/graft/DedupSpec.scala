@@ -27,4 +27,26 @@ class DedupSpec extends SparkSpec {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.subsetOf(sim))
   }
+
+  test("d07 bucketed simhash returns exactly d05's all-pairs result") {
+    // pigeonhole guarantee: Hamming ≤ 8 over 9 blocks ⇒ ≥1 block equal,
+    // so candidates ⊇ true pairs; the exact verifier then makes the two
+    // queries set-identical, not merely overlapping.
+    val allPairs = ops.Dedup.d05.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = ops.Dedup.d07.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(allPairs.nonEmpty, "corpus should contain simhash near-dups")
+    assert(bucketed == allPairs,
+      s"missing=${allPairs.diff(bucketed).take(5)} extra=${bucketed.diff(allPairs).take(5)}")
+  }
+
+  test("t06 winnow candidates contain the word-level high-Jaccard pairs") {
+    val exact = ops.Dedup.d02.run(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnowed = ops.TextAnalysis.t06.run(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(winnowed), s"missing: ${exact.diff(winnowed).take(5)}")
+  }
 }

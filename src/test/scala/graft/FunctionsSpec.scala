@@ -48,6 +48,28 @@ class FunctionsSpec extends SparkSpec {
     assert(df.selectExpr("cosine_sim(a, b)").head().isNullAt(0))
   }
 
+  test("dot_product null semantics match the built-in fold exactly") {
+    // the RewriteDotProducts optimizer rule swaps the built-in idiom for
+    // DotProduct on ANY float arrays (incl. containsNull=true, what
+    // parquet reads) — sound only if null handling is identical: NULL on
+    // length mismatch (zip_with pads with null) and on any null element.
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f), Some(4f))),
+      (2L, Seq[Option[Float]](Some(1f), None), Seq[Option[Float]](Some(3f), Some(4f))),
+      (3L, Seq[Option[Float]](Some(1f), Some(2f)), Seq[Option[Float]](Some(3f))))
+      .toDF("id", "a", "b")
+    val rows = df.selectExpr("id", "dot_product(a, b) AS custom",
+      """aggregate(zip_with(a, b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)),
+        |CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS builtin""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"id=${r.getLong(0)}: $r")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(rows.count(_.isNullAt(1)) == 2)
+  }
+
   test("simhash64: pinned values, identity, and locality") {
     // pinned: the fingerprint is a stable contract (rows-only driver
     // checks re-run the query, so cross-run stability matters)

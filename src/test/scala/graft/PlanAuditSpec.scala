@@ -41,4 +41,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashJoin"), plan.take(800))
     assert(!plan.contains("NestedLoop"), plan.take(800))
   }
+
+  test("d07: bucketed simhash pairs via equi-join, never a nested loop") {
+    val plan = executedPlan("d07_simhash_bucketed")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(800))
+  }
+
+  test("n02: two-phase skip has no single-partition window") {
+    // the naive row_number() OVER (ORDER BY doc_id) funnels the table
+    // through one task; the two-phase formulation must plan a bounded
+    // top-k (TakeOrderedAndProject) + broadcast, with no WindowExec
+    val plan = executedPlan("n02_skip_offset")
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
+  test("no broadcast hints on fact-scale tables (customer/part)") {
+    // hints force a broadcast regardless of size — at 100 TB customer and
+    // part are fact-scale, so their joins must be left to AQE (which may
+    // still broadcast at small SF, from measured sizes — that's fine).
+    // Audit the analyzed plan: every surviving ResolvedHint subtree must
+    // scan only genuine dims (region/nation/supplier or local relations).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("q03_shipping_priority", "q05_region_volume",
+        "q14_promo_share", "q17_pivot")) {
+      val q = SparkEntry.catalog.find(_.name == name).get
+      val analyzed = q.run(spark, sf).queryExecution.analyzed
+      val hinted = analyzed.collect { case h: ResolvedHint =>
+        h.collectLeaves().map(_.toString).mkString("|")
+      }
+      for (leaves <- hinted; bad <- Seq("customer.parquet", "part.parquet"))
+        assert(!leaves.contains(bad), s"$name still hints a fact table: $bad")
+    }
+  }
 }
