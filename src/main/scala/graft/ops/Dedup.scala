@@ -335,8 +335,14 @@ object Dedup {
     * per round is identical. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // Materialise the edge list ONCE: every propagation round joins it,
+    // and without the checkpoint each round would re-run the (expensive)
+    // pair-generation query that produced the edges — twice, once per
+    // union branch. Edge sets are tiny relative to the corpus (they are
+    // the near-dup pairs), so this is cheap at any scale.
     val und = edges.select(col("i").as("src"), col("j").as("dst"))
       .union(edges.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("label")).head.getLong(0)
