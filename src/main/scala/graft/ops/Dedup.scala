@@ -46,13 +46,37 @@ object Dedup {
       .distinct()
   }
 
-  private val shinglesSql =
+  private[ops] val shinglesSql =
     """shingles AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
       |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |    WHERE len(w) >= 3))""".stripMargin
+
+  /** CTE chain shingles→pairs→transitive closure→clusters, shared by the
+    * d08 oracle and the p01 corpus-cleaning composition (one definition,
+    * no drift). Requires WITH RECURSIVE and [[shinglesSql]] before it. */
+  private[ops] val clustersSql =
+    """counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+      |  FROM shingles a JOIN shingles b USING (s)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup_pairs AS (
+      |  SELECT i, j FROM cand
+      |  JOIN counts ca ON ca.doc_id = i
+      |  JOIN counts cb ON cb.doc_id = j
+      |  WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
+      |edges AS (SELECT i AS src, j AS dst FROM dup_pairs
+      |          UNION ALL SELECT j, i FROM dup_pairs),
+      |reach(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node),
+      |clusters AS (
+      |  SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node)""".stripMargin
 
   // ---------------------------------------------------------------- d01
   /** Exact dedup by content digest. The corpus is unioned with itself so
@@ -369,26 +393,9 @@ object Dedup {
     * ITERATION, not just the pair generation, is cross-engine checked. */
   val d08 = Q("d08_dup_clusters",
     s"""WITH RECURSIVE $shinglesSql,
-       |counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
-       |cand AS (
-       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
-       |  FROM shingles a JOIN shingles b USING (s)
-       |  WHERE a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |dup_pairs AS (
-       |  SELECT i, j FROM cand
-       |  JOIN counts ca ON ca.doc_id = i
-       |  JOIN counts cb ON cb.doc_id = j
-       |  WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8),
-       |edges AS (SELECT i AS src, j AS dst FROM dup_pairs
-       |          UNION ALL SELECT j, i FROM dup_pairs),
-       |reach(node, label) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)
-       |SELECT node AS doc_id, min(label) AS cluster,
-       |       node = min(label) AS is_keeper
-       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |$clustersSql
+       |SELECT doc_id, cluster, doc_id = cluster AS is_keeper
+       |FROM clusters ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
     val pairs = d02.run(s, d).select("i", "j")
     connectedComponents(docs, pairs)

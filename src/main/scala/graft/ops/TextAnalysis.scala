@@ -217,19 +217,38 @@ object TextAnalysis {
     * distinct shingles broadcast — the corpus never shuffles, one
     * map-side hash probe per shingle, then a per-doc count. This is the
     * legitimate broadcast case the fact-table joins must NOT use. */
-  val t07 = Q("t07_decontaminate",
-    """WITH sh AS (
+  /** CTE chain 8-gram shingles → eval-slice shingles → contaminated
+    * docs; shared by the t07 oracle and the p01 composition. */
+  private[ops] val contaminationSql =
+    """sh8 AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
       |                          w[i+4], w[i+5], w[i+6], w[i+7]))) AS s
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |    WHERE len(w) >= 8)),
-      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
-      |SELECT doc_id, count(*) AS n_shared
-      |FROM sh JOIN ev USING (s)
-      |WHERE doc_id % 10 <> 0
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |ev AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 10 = 0),
+      |contaminated AS (
+      |  SELECT doc_id, count(*) AS n_shared
+      |  FROM sh8 JOIN ev USING (s)
+      |  WHERE doc_id % 10 <> 0
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc quality score CTE (t02's arithmetic), shared with p01. */
+  private[ops] val qualitySql =
+    """quality AS (
+      |  SELECT doc_id,
+      |    least(1.0, n_tokens / 200.0) * (CAST(n_distinct AS DOUBLE) / n_tokens)
+      |      AS quality
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |    FROM documents))""".stripMargin
+
+  val t07 = Q("t07_decontaminate",
+    s"""WITH $contaminationSql
+       |SELECT doc_id, n_shared FROM contaminated ORDER BY doc_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))

@@ -105,6 +105,21 @@ object StreamOps {
         col("click_ts"), col("purchase_value"), col("click_value"))
   }
 
+  /** Streaming exact dedup — the streaming twin of the d01 batch op:
+    * drop re-occurrences of a content fingerprint, with the state store
+    * bounded by the watermark horizon. `dropDuplicatesWithinWatermark`
+    * keeps one fingerprint key per unseen doc and EVICTS keys once the
+    * watermark passes them — the property that makes an infinite-stream
+    * dedup possible at all (plain `dropDuplicates` on a stream grows
+    * state forever). Within the horizon dedup is exact; a duplicate
+    * arriving later than the horizon is admitted again — the documented
+    * trade every watermarked dedup makes. */
+  def dedupWithinWatermark(docs: Dataset[Message]): DataFrame =
+    docs.toDF()
+      .withColumn("fp", md5(col("message")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+
   case class SessionSummary(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
 

@@ -59,6 +59,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("t07: eval-side shingles broadcast; corpus side never shuffles for the join") {
+    val plan = executedPlan("t07_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(800))
+  }
+
+  test("t06: winnow retrieval joins on print, never a nested loop") {
+    val plan = executedPlan("t06_winnow_candidates")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(800))
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may

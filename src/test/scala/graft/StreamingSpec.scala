@@ -31,6 +31,24 @@ class StreamingSpec extends SparkSpec {
     assert(out("no keywords here at all zzz") == (("unknown", 0.0)))
   }
 
+  test("dedupWithinWatermark drops repeats, keeps state bounded by horizon") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Message]
+    val q = StreamOps.dedupWithinWatermark(in.toDS())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    in.addData(
+      Message("alpha doc", ts(0)),
+      Message("alpha doc", ts(1)),   // same content, same batch → dropped
+      Message("beta doc", ts(2)))
+    q.processAllAvailable()
+    in.addData(Message("alpha doc", ts(3)))  // within horizon → dropped
+    q.processAllAvailable()
+    val out = spark.table("deduped").select("message").as[String].collect()
+    q.stop()
+    assert(out.sorted.toSeq == Seq("alpha doc", "beta doc"))
+  }
+
   test("watermarked tumbling windows finalise in append mode") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[UserEvent]
