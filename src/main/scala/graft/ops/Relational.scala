@@ -747,7 +747,63 @@ object Relational {
       .orderBy(col("total_bal").desc, col("n_name"))
   }
 
+  // ---------------------------------------------------------------- q27
+  /** Latest-record-per-key — the warehouse "current state from a
+    * changelog" op: row_number over (key, recency) and keep rank 1. One
+    * shuffle on the key; the window partitions by custkey so no global
+    * ordering bottleneck (contrast n02's unpartitioned-window trap).
+    * Ties (same date) break on o_orderkey for determinism. */
+  val q27 = Q("q27_latest_per_key",
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Batch upsert/MERGE: apply a change set to a base table — matched
+    * keys take the change row, unmatched changes insert, the rest of the
+    * base passes through. Expressed as a full outer join + coalesce (the
+    * exact dataflow a MERGE INTO lowers to without a transactional table
+    * format). The change set here is derived deterministically from the
+    * base (balance reset for custkey % 100 = 0, plus synthetic new keys)
+    * so the oracle constructs the identical one. Shuffles once on the
+    * key; at 100 TB both sides would be bucketed on custkey → zero
+    * shuffle (see Bucketing). */
+  val q28 = Q("q28_upsert_merge",
+    """WITH changes AS (
+      |  SELECT c_custkey, 0.0 AS new_bal FROM customer WHERE c_custkey % 100 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 100.0 AS new_bal FROM customer
+      |  WHERE c_custkey % 500 = 0)
+      |SELECT coalesce(c.c_custkey, ch.c_custkey) AS custkey,
+      |  CAST(coalesce(ch.new_bal, c.c_acctbal) AS DOUBLE) AS acctbal,
+      |  ch.new_bal IS NOT NULL AS updated
+      |FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.c_custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val changes = c.filter(col("c_custkey") % 100 === 0)
+      .select(col("c_custkey"), lit(0.0).as("new_bal"))
+      .unionByName(c.filter(col("c_custkey") % 500 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(100.0).as("new_bal")))
+    c.join(changes, Seq("c_custkey"), "full_outer")
+      .select(col("c_custkey").as("custkey"),
+        coalesce(col("new_bal"), col("c_acctbal")).cast("double").as("acctbal"),
+        col("new_bal").isNotNull.as("updated"))
+      .orderBy("custkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24, q25, q26)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28)
 }
