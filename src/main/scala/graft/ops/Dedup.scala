@@ -313,11 +313,18 @@ object Dedup {
     * verifier is exact, the output is provably identical to d05's
     * all-pairs scan — but the plan is a linear bucketed shuffle join,
     * never a nested loop. Cost: 9 index rows per doc + Σ(bucket size²)
-    * join fanout; uniform 7-bit buckets hold n/128 docs, and a skewed
-    * bucket (boilerplate-heavy corpora) is handled the same way as d06's
-    * stop-shingle cap — widen the block or key on two blocks, trading
-    * recall. The spec asserts pair-set equality with d05; PlanAuditSpec
-    * asserts no nested-loop join in the physical plan. */
+    * join fanout; uniform 7-bit buckets hold n/128 docs.
+    *
+    * MEASURED caveat (sf0.1, 5000 docs): this synthetic corpus draws all
+    * docs from one template vocabulary, so fingerprints concentrate —
+    * the top 7-bit block bucket holds 1649/5000 docs and Σsize² is 22.4M
+    * vs 12.5M all-pairs, i.e. at k=8 on THIS corpus bucketing cannot
+    * beat the dense pair structure (88k of 12.5M pairs genuinely sit at
+    * Hamming ≤ 8 — the output itself is huge). k=8 is the recall-first
+    * validation setting; the production setting is [[d09]]'s k=3 with
+    * 16-bit blocks, where the same join shape measures 24× under
+    * all-pairs even here. The spec asserts pair-set equality with d05;
+    * PlanAuditSpec asserts no nested-loop join in the physical plan. */
   val d07 = Q.noOracle("d07_simhash_bucketed") { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val h = Tables.documents(s, d)
@@ -337,6 +344,37 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         expr("bit_count(a.h ^ b.h)").cast("long").as("hamming"))
       .filter(col("hamming") <= 8)
+      .distinct()
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- d09
+  /** Production simhash dedup — Manku et al.'s web-scale configuration:
+    * Hamming ≤ 3 over 64-bit fingerprints, bucketed by 4 disjoint 16-bit
+    * blocks (≤3 dirty bits touch ≤3 blocks → ≥1 block matches exactly).
+    * 16-bit keys are what make the buckets selective: measured at sf0.1
+    * on this vocabulary-correlated corpus, Σ(bucket²) = 521k vs 12.5M
+    * all-pairs (24×; max bucket 189 docs) — where d07's recall-first
+    * 7-bit blocks degenerate, this keying does not. 4 index rows per
+    * doc, then the exact bit_count verifier on candidates only. */
+  val d09 = Q.noOracle("d09_simhash_prod") { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
+    val blockKeys = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(65535L)).as("key"))
+    }
+    val keyed = h
+      .select(col("doc_id"), col("h"), explode(array(blockKeys: _*)).as("bk"))
+      .select(col("doc_id"), col("h"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.h ^ b.h)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
       .distinct()
       .orderBy("i", "j")
   }
@@ -404,5 +442,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }

@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
       s"missing=${allPairs.diff(bucketed).take(5)} extra=${bucketed.diff(allPairs).take(5)}")
   }
 
+  test("d09 production simhash equals the all-pairs Hamming<=3 reference") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val h = model.Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
+    val reference = h.as("a")
+      .join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        expr("bit_count(a.h ^ b.h)").cast("long").as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = ops.Dedup.d09.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reference.nonEmpty, "corpus should contain Hamming<=3 pairs")
+    assert(bucketed == reference,
+      s"missing=${reference.diff(bucketed).take(5)} extra=${bucketed.diff(reference).take(5)}")
+  }
+
   test("t06 winnow candidates contain the word-level high-Jaccard pairs") {
     val exact = ops.Dedup.d02.run(spark, sf)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

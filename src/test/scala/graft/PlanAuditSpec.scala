@@ -50,6 +50,12 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("d09: production simhash pairs via equi-join, never a nested loop") {
+    val plan = executedPlan("d09_simhash_prod")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(800))
+  }
+
   test("n02: two-phase skip has no single-partition window") {
     // the naive row_number() OVER (ORDER BY doc_id) funnels the table
     // through one task; the two-phase formulation must plan a bounded
