@@ -174,5 +174,43 @@ object EventStreams {
       .orderBy("user_id", "purchase_ts", "click_ts")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05)
+  // --------------------------------------------------------------- st06
+  /** Batch twin of the LEFT OUTER stream-stream interval join (again the
+    * SAME function the stream runs): purchases with no preceding click
+    * survive with null click columns. In the stream those null rows only
+    * emit after the watermark passes the join window (spec-pinned); the
+    * batch twin checks the join semantics themselves cross-engine. */
+  val st06 = Q("st06_interval_join_outer",
+    """SELECT p.user_id, p.ts AS purchase_ts,
+      |  coalesce(c.ts, TIMESTAMP '9999-12-31 00:00:00') AS click_ts,
+      |  p.value AS purchase_value,
+      |  coalesce(c.value, 0.0) AS click_value,
+      |  c.user_id IS NOT NULL AS matched
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def side(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.UserEvent]
+    // null click columns take the st04 open-interval sentinel so every
+    // output column stays orderable/comparable (NaT breaks row sorting)
+    graft.streaming.StreamOps
+      .clicksBeforePurchaseOuter(side("click"), side("purchase"))
+      .select(col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        coalesce(col("click_ts").cast("timestamp_ntz"),
+          lit("9999-12-31 00:00:00")
+            .cast(org.apache.spark.sql.types.TimestampNTZType)).as("click_ts"),
+        col("purchase_value"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"),
+        col("click_ts").isNotNull.as("matched"))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06)
 }

@@ -136,5 +136,87 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02)
+  // ---------------------------------------------------------------- s03
+  /** IVF-style ANN — the coarse-quantiser upgrade SCALE.md names for
+    * s02: vectors are assigned to their nearest of C=16 centroid lists
+    * (one broadcast pass + a 16-row-per-key argmax), queries probe their
+    * P=4 nearest lists, candidates come from an equi-join on list id,
+    * and the exact codegen'd cosine re-ranks only candidates.
+    *
+    * Centroids here are the first C corpus vectors (deterministic — what
+    * a k-means|| init samples; production would run Lloyd iterations,
+    * changing only the centroid table's contents, not this dataflow).
+    * Candidate cost ≈ P·n/C per query — C grows with the corpus
+    * (C ≈ √n) so probing stays sublinear; the assignment pass is one
+    * broadcast join. Every arithmetic step is the bit-identical cosine
+    * the other s-queries use → fully oracled, including the probe and
+    * re-rank rankings. */
+  val s03 = Q("s03_ivf_topk",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS prn
+       |    FROM q, c)
+       |  WHERE prn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("q", "e")} AS cos
+       |  FROM probed p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN e ON e.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val assign = e.join(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim(embedding, c_embedding)").as("cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("cid"),
+        expr("cosine_sim(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("query_id", "q_embedding", "cid")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03)
 }

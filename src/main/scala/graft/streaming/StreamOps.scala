@@ -120,6 +120,30 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** LEFT OUTER variant of the interval join: purchases with no click in
+    * the window still emit — but only once the watermark passes the end
+    * of their join window, because until then a matching click could
+    * still arrive. That deferred null-emission is the semantic
+    * difference between batch and stream outer joins, and why both
+    * watermarks are mandatory here (inner-join state bounds aside, the
+    * outer side cannot emit at all without a horizon). */
+  def clicksBeforePurchaseOuter(clicks: Dataset[UserEvent],
+      purchases: Dataset[UserEvent]): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"), col("click_value"))
+  }
+
   case class SessionSummary(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
 

@@ -34,4 +34,29 @@ class StreamJoinSpec extends SparkSpec {
     // user 1's purchase joins the 10:00 and 9:50 clicks only
     assert(rows.toSeq == Seq((1L, 1.0), (1L, 2.0)))
   }
+
+  test("outer interval join: unmatched purchase emits nulls after watermark") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamOps.clicksBeforePurchaseOuter(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("outer_joined")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(UserEvent(1, "click", 1.0, ts(10, 0)))
+    purchases.addData(
+      UserEvent(1, "purchase", 100.0, ts(10, 5)),  // matched
+      UserEvent(2, "purchase", 200.0, ts(10, 5)))  // no click → null row
+    q.processAllAvailable()
+    // the unmatched row cannot emit yet: a click for user 2 might still
+    // arrive. Advance both watermarks well past the join window.
+    clicks.addData(UserEvent(9, "click", 0.0, ts(12, 0)))
+    purchases.addData(UserEvent(9, "purchase", 0.0, ts(12, 0)))
+    q.processAllAvailable()
+    val rows = spark.table("outer_joined")
+      .filter("user_id IN (1, 2)").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(4))))
+      .sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq((1L, Some(1.0)), (2L, None)))
+  }
 }
