@@ -263,5 +263,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  // ---------------------------------------------------------------- t08
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else. The synthetic docs carry no PII, so a deterministic
+    * email + phone is injected per doc first, then redacted; the output
+    * carries the md5 of the fully-redacted text, so the oracle checks
+    * every byte of the replacement behaviour, not just counts. Patterns
+    * are kept in the RE2 ∩ Java-regex common dialect (no lookaround);
+    * DuckDB needs the 'g' flag to match Spark's replace-all default.
+    * Map-only — pipelines with the scan at any scale. */
+  val t08 = Q("t08_redact_pii",
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |           '@example.com or 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+      |      AS text
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+      |    CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |    regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |                   '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      |  FROM pii)
+      |SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_digest
+      |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withPii = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    withPii.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+@[a-z0-9.]+', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr("regexp_extract_all(text, '555-[0-9]{4}', 0)"))
+        .cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), "[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+        "555-[0-9]{4}", "<PHONE>")).as("redacted_digest"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t09
+  /** Deterministic train/val/test split — hash the stable key, never
+    * `rand()`: re-runs, retried tasks, and late-arriving shards all land
+    * each doc in the same split (the property random sampling loses the
+    * moment a task retries). 80/10/10 by md5-head bucket, same affine
+    * trick as t04's shard. */
+  val t09 = Q("t09_hash_split",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n, min(bucket) AS min_bucket, max(bucket) AS max_bucket
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        min("bucket").as("min_bucket"), max("bucket").as("max_bucket"))
+      .orderBy("split")
+  }
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }
