@@ -407,7 +407,7 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -416,7 +416,7 @@ object Dedup {
       labels = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum("label")).head.getLong(0)
+      val s = labels.agg(sum("label")).head().getLong(0)
       done = s == prevSum
       prevSum = s
       it += 1

@@ -79,7 +79,7 @@ object MLClassify {
     val (model, labels) =
       if (cacheKey == null) fit()
       else cache.computeIfAbsent(cacheKey, _ => fit())
-    val labelExpr = array(labels.map(lit): _*)
+    val labelExpr = array(labels.toIndexedSeq.map(lit): _*)
     model.transform(labelled)
       .withColumn("probs", vector_to_array(col("probability")))
       .select(col("doc_id"),
