@@ -33,9 +33,13 @@ object Ingest {
   }
 
   /** Header-aware CSV scan (ref: a deleted predecessor imported `csv`,
-    * SURVEY.md §2.1 [EXT]). */
+    * SURVEY.md §2.1 [EXT]). `escape = "` switches Spark from its
+    * backslash default to RFC 4180 doubled-quote escaping — without it a
+    * field like `"The ""Quoted"" Gazette"` arrives with its quotes raw
+    * (found by the in02 cross-engine oracle). */
   def csv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("escape", "\"").csv(path)
 
   /** The reference's format projection over the raw article shape
     * (`raw_news_to_telegram.py:58-69`): per-field empty-string defaults,
@@ -90,5 +94,25 @@ object Ingest {
       .orderBy("value")
   }
 
-  def all: Seq[Q] = Seq(in01)
+  /** Committed CSV fixture exercising quoting (embedded comma, escaped
+    * quote) and a NULL numeric field. */
+  val csvFixturePath = "/root/repo/fixtures/sources.csv"
+
+  /** Oracled CSV front door: header + quote/escape handling + NULL
+    * parsing must agree between Spark's CSV reader and DuckDB's. Types
+    * are pinned by explicit casts on the Spark side and an explicit
+    * column spec in the oracle, so schema inference can't drift. */
+  val in02 = Q("in02_csv_scan",
+    s"""SELECT source_id, name, reliability, region
+       |FROM read_csv('$csvFixturePath', header=true,
+       |  columns={source_id: 'BIGINT', name: 'VARCHAR',
+       |           reliability: 'DOUBLE', region: 'VARCHAR'})
+       |ORDER BY source_id""".stripMargin) { (s, _) =>
+    csv(s, csvFixturePath)
+      .select(col("source_id").cast("long"), col("name"),
+        col("reliability").cast("double"), col("region"))
+      .orderBy("source_id")
+  }
+
+  def all: Seq[Q] = Seq(in01, in02)
 }
