@@ -62,5 +62,48 @@ object CleanCorpus {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01)
+  /** Token budget per packed training sequence. */
+  val PackBudget = 2048L
+  val PackShards = 8L
+
+  /** Sequence packing — the pre-tokenization step that concatenates
+    * short documents into fixed-budget training sequences. Greedy
+    * sequential fill per SHARD: exclusive running token count within the
+    * shard, bin = floor(cum/budget) — a doc opens a new bin when the
+    * running total crosses the budget. Packing per shard (not globally)
+    * is the scale-correct form: each shard's cumsum is an independent
+    * partitioned window (contrast n02's single-partition trap), shards
+    * pack in parallel, and the global bin id is (shard, bin). Oracled
+    * end-to-end: shard hash, cumsum, and bin arithmetic are exact
+    * integers in both engines. */
+  val p02 = Q("p02_pack_sequences",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % $PackShards AS shard,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+       |  FROM t)
+       |SELECT doc_id, shard, cum // $PackBudget AS bin,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % PackShards
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), shard.as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        floor(col("cum") / PackBudget).as("bin"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02)
 }
