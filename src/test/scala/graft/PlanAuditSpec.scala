@@ -78,6 +78,26 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("q27/p02: windows are key-partitioned, never single-partition") {
+    val latest = executedPlan("q27_latest_per_key")
+    assert(latest.contains("hashpartitioning(o_custkey"), latest.take(1200))
+    val pack = executedPlan("p02_pack_sequences")
+    assert(pack.contains("hashpartitioning(shard"), pack.take(1200))
+  }
+
+  test("q28: upsert plans a full outer join on the key") {
+    val plan = executedPlan("q28_upsert_merge")
+    assert(plan.contains("FullOuter"), plan.take(1200))
+  }
+
+  test("s03: centroid argmax is a broadcast pass over the tiny centroid table") {
+    // the |corpus| × 16 comparison is INTENTIONALLY a broadcast
+    // nested-loop: the build side is C centroids, not a fact table
+    val plan = executedPlan("s03_ivf_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may
