@@ -803,7 +803,39 @@ object Relational {
       .orderBy("custkey")
   }
 
+  // ---------------------------------------------------------------- q29
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (min / difference of counts), a distinct semantic
+    * from q11's distinct variants. Operands are segment-filtered
+    * customer nation keys, which repeat heavily, so multiplicities are
+    * load-bearing: a distinct implementation returns different counts.
+    * Spark lowers both to aggregate+generate — no new shuffle shape. */
+  val q29 = Q("q29_multiset_ops",
+    """SELECT 'intersect_all' AS op, count(*) AS n,
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) AS total
+      |FROM (SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |      INTERSECT ALL
+      |      SELECT c_nationkey FROM customer WHERE c_acctbal > 0)
+      |UNION ALL
+      |SELECT 'except_all', count(*), CAST(coalesce(sum(k), 0) AS BIGINT)
+      |FROM (SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |      EXCEPT ALL
+      |      SELECT c_nationkey FROM customer WHERE c_acctbal > 0)
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey").as("k"))
+    val b = c.filter(col("c_acctbal") > 0).select(col("c_nationkey").as("k"))
+    val ia = a.intersectAll(b)
+      .agg(count(lit(1)).as("n"), coalesce(sum("k"), lit(0L)).as("total"))
+      .select(lit("intersect_all").as("op"), col("n"), col("total"))
+    val ea = a.exceptAll(b)
+      .agg(count(lit(1)).as("n"), coalesce(sum("k"), lit(0L)).as("total"))
+      .select(lit("except_all").as("op"), col("n"), col("total"))
+    ia.unionByName(ea).orderBy("op")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }

@@ -333,5 +333,39 @@ object TextAnalysis {
       .orderBy("split")
   }
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // ---------------------------------------------------------------- t10
+  /** Repetition signal (the Gopher-rules "duplicate n-gram fraction"
+    * quality filter): share of 2-gram occurrences that are repeats
+    * within the document — high values flag boilerplate/spam. One
+    * let-bound shingle pass (the t02 struct trick), map-only. */
+  val t10 = Q("t10_repetition",
+    """SELECT doc_id, n_bigrams, n_distinct,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams AS dup_fraction
+      |FROM (
+      |  SELECT doc_id,
+      |    len(g) AS n_bigrams, len(list_distinct(g)) AS n_distinct
+      |  FROM (
+      |    SELECT doc_id, list_transform(generate_series(1, len(w) - 1),
+      |           i -> concat_ws(' ', w[i], w[i+1])) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 2))
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val statsExpr =
+      """element_at(transform(array(word_shingles(split(text, ' '), 2)),
+        |  g -> named_struct(
+        |    'n_bigrams', CAST(size(g) AS BIGINT),
+        |    'n_distinct', CAST(size(array_distinct(g)) AS BIGINT))), 1)""".stripMargin
+    Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), expr(statsExpr).as("__t"))
+      .select(col("doc_id"),
+        col("__t.n_bigrams").as("n_bigrams"),
+        col("__t.n_distinct").as("n_distinct"))
+      .withColumn("dup_fraction",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

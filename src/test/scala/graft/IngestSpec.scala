@@ -58,6 +58,30 @@ class IngestSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("CSV scan honours RFC 4180 doubled-quote escaping") {
+    val path = write("q.csv",
+      "id,name\n1,\"plain\"\n2,\"with, comma\"\n3,\"the \"\"quoted\"\" one\"\n")
+    val names = Ingest.csv(spark, path).orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(names == Seq("plain", "with, comma", "the \"quoted\" one"))
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    import spark.implicits._
+    // an old shard (no `lang`) and a new shard (adds `lang`) — the
+    // additive-column evolution a long-lived 100 TB table accumulates
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/part=old")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/part=new")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("doc_id", "text", "lang", "part"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("lang") == null) // old shard backfills null
+    assert(rows(1).getAs[String]("lang") == "en")
+  }
+
   test("extractive summary: budget law and sentence selection") {
     // 10 sentences x 10 words = 100 words, budget = 33. The two "alpha"
     // sentences dominate the frequency score (20/100 per word) and must
