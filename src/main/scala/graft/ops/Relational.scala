@@ -835,7 +835,88 @@ object Relational {
     ia.unionByName(ea).orderBy("op")
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Funnel analysis: users who progressed view → click → purchase in
+    * temporal order. One aggregation computes each user's FIRST
+    * occurrence of every stage (conditional min — map-side combined),
+    * then the ordering predicate checks stage-by-stage progression;
+    * counts per reached stage come from one conditional projection. No
+    * window needed at all: first-occurrence semantics make the funnel a
+    * plain groupBy, the cheapest possible shape at 100 TB. Timestamps
+    * compare as raw nanos longs — full precision. */
+  val q30 = Q("q30_funnel",
+    """WITH stages AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  count(*) AS n_users,
+      |  count(*) FILTER (WHERE t_view IS NOT NULL) AS reached_view,
+      |  count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+      |    AS reached_click,
+      |  count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+      |                     AND t_purchase > t_click) AS reached_purchase
+      |FROM stages""".stripMargin) { (s, d) =>
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val stages = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+    val viewed = col("t_view").isNotNull
+    val clicked = viewed && col("t_click") > col("t_view")
+    val purchased = clicked && col("t_purchase") > col("t_click")
+    stages.agg(
+      count(lit(1)).as("n_users"),
+      count(when(viewed, 1)).as("reached_view"),
+      count(when(clicked, 1)).as("reached_click"),
+      count(when(purchased, 1)).as("reached_purchase"))
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Time-series gap fill: a generated hourly timeline per event_type
+    * left-joins observed counts so silent hours surface as explicit
+    * zeros (dashboards/anomaly detection need the zero rows). The
+    * timeline comes from `sequence()` over the global [min, max] hour
+    * span — a 1-row aggregate exploded per type, NOT a driver loop; at
+    * any scale the timeline side is |types| × hours, trivially
+    * broadcast into the join. */
+  val q31 = Q("q31_gap_fill",
+    """WITH hourly AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+      |timeline AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM hourly) t,
+      |       (SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+      |        FROM span) g)
+      |SELECT tl.event_type, tl.h AS hour, coalesce(hy.n, 0) AS n
+      |FROM timeline tl LEFT JOIN hourly hy
+      |  ON hy.event_type = tl.event_type AND hy.h = tl.h
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .withColumn("ts", EventStreams.tsFromNanos)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+    val timeline = hourly.select("event_type").distinct()
+      .join(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    timeline.as("tl")
+      .join(hourly.as("hy"),
+        col("hy.event_type") === col("tl.event_type") &&
+          col("hy.h") === col("tl.h"), "left_outer")
+      .select(col("tl.event_type"), col("tl.h").as("hour"),
+        coalesce(col("hy.n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }
