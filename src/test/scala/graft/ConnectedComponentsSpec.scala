@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property check for the iterative min-label propagation in
+  * [[graft.ops.Dedup.connectedComponents]]: on seeded random graphs the
+  * result must equal an independent union-find's components (labelled by
+  * min member). Random shapes exercise chains, cliques, singletons, and
+  * multi-hop label funnels that the fixture corpus can't. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label per component: roots are minimal after min-directed unions
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("random graphs: propagation equals union-find components") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(20)
+      val nEdges = rnd.nextInt(25)
+      val edges = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val expected = unionFind(n, edges)
+      val nodes = (0 until n).map(_.toLong).toDF("node")
+      val edgeDf = edges.toDF("i", "j")
+      val got = ops.Dedup.connectedComponents(nodes, edgeDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"trial $trial (n=$n, edges=${edges.size}): " +
+          s"diff=${(got.toSet diff expected.toSet).take(5)}")
+    }
+  }
+
+  test("edge cases: empty edge set and a full chain") {
+    val nodes = (0L until 10L).toDF("node")
+    val none = ops.Dedup.connectedComponents(nodes, Seq.empty[(Long, Long)].toDF("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == (0L until 10L).map(i => i -> i).toMap)
+    // 0-1-2-...-9 chain: 9 hops must all funnel to label 0
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = ops.Dedup.connectedComponents(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 10L).map(i => i -> 0L).toMap)
+  }
+}
