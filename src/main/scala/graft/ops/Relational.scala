@@ -916,7 +916,45 @@ object Relational {
       .orderBy("event_type", "hour")
   }
 
+  // ---------------------------------------------------------------- q32
+  /** Higher-order array function pack: per-order quantity vectors built
+    * DETERMINISTICALLY (collect_list is partition-order-lucky, so the
+    * array is assembled as sort_array(collect(struct(linenumber, qty)))
+    * → transform — the only safe way to aggregate into an ordered array
+    * on a distributed engine), then filter / fold / max / slice over it.
+    * The synthetic lineitem has DUPLICATE (orderkey, linenumber) rows,
+    * so the sort key includes the quantity tiebreak (sort_array gives it
+    * for free via the struct; the oracle must spell it out — found by
+    * the hash gate). Quantities are integer-valued → sums exact. */
+  val q32 = Q("q32_hof_pack",
+    """SELECT l_orderkey,
+      |  CAST(len(list_filter(qs, q -> q > 25)) AS BIGINT) AS n_big,
+      |  CAST(list_sum(qs) AS BIGINT) AS total_qty,
+      |  list_max(qs) AS max_qty,
+      |  array_to_string(qs[1:3], ',') AS head3
+      |FROM (
+      |  SELECT l_orderkey,
+      |    list_transform(list(l_quantity ORDER BY l_linenumber, l_quantity),
+      |                   x -> CAST(x AS BIGINT)) AS qs
+      |  FROM lineitem
+      |  WHERE l_orderkey % 100 = 1
+      |  GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 1)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_linenumber"),
+        col("l_quantity").cast("long").as("q")))).as("qs0"))
+      .select(col("l_orderkey"), expr("transform(qs0, x -> x.q)").as("qs"))
+      .select(col("l_orderkey"),
+        size(expr("filter(qs, q -> q > 25)")).cast("long").as("n_big"),
+        expr("aggregate(qs, 0L, (a, x) -> a + x)").as("total_qty"),
+        array_max(col("qs")).as("max_qty"),
+        array_join(slice(col("qs"), 1, 3), ",").as("head3"))
+      .orderBy("l_orderkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

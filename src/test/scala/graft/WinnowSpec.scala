@@ -35,6 +35,29 @@ class WinnowSpec extends SparkSpec {
     assert(TextFunctions.winnow("tiny", 8, 4).isEmpty)
   }
 
+  test("winnowing guarantee holds on random documents (seeded property)") {
+    // Schleimer et al.'s theorem: any shared run of ≥ w+k−1 bytes forces
+    // a shared print (the window over the run picks the same minimum).
+    // Random vocab docs with a random injected shared run exercise far
+    // more window/boundary alignments than the fixed fixtures above.
+    val rnd = new scala.util.Random(816L)
+    val vocabA = Vector("kestrel", "lattice", "orchid", "pumice", "raven")
+    val vocabB = Vector("zephyr", "quartz", "willow", "ember", "flint")
+    for (trial <- 1 to 20) {
+      // shared run strictly longer than w+k-1 = 11 bytes
+      val runWords = 2 + rnd.nextInt(4)
+      val shared = Seq.fill(runWords)(vocabA(rnd.nextInt(vocabA.size)) +
+        vocabB(rnd.nextInt(vocabB.size))).mkString(" ")
+      def doc(v: Vector[String]) =
+        Seq.fill(3 + rnd.nextInt(10))(v(rnd.nextInt(v.size))).mkString(" ")
+      val a = doc(vocabA) + " " + shared + " " + doc(vocabA)
+      val b = doc(vocabB) + " " + shared + " " + doc(vocabB)
+      val common = TextFunctions.winnow(a).intersect(TextFunctions.winnow(b))
+      assert(common.nonEmpty,
+        s"trial $trial: shared ${shared.length}-byte run produced no shared print")
+    }
+  }
+
   test("frame sampling: 1->N shape, deterministic frames") {
     val media = Multimodal.mediaFrame(model.Tables.documents(spark, sf))
       .as[Multimodal.MediaRow]
