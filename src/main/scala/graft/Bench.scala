@@ -42,10 +42,27 @@ object Bench {
       }
       q.name -> math.min(once(), once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail first (may exceed harness tail windows)...
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ...then a compact headline line LAST, kept under ~1500 chars so it
+    // survives a last-2000-chars output tail intact: slowest queries
+    // individually, the rest summed under "_rest".
+    val budget = 1300
+    val bySlowest = results.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var len = 0
+    bySlowest.foreach { case (k, v) =>
+      val entryLen = k.length + fmt(v).length + 4
+      if (len + entryLen <= budget) { picked += (k -> v); len += entryLen }
+    }
+    val rest = total - picked.map(_._2).sum
+    val compactQs = (picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } :+
+      ("\"_rest\":" + fmt(math.max(rest, 0.0)))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,10 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * join. At scale: one map pass to fingerprint, then candidate pairing by
   * rotating-prefix buckets (sort by rotated fingerprint), never O(n²).
   *
-  * Token hash is a 64-bit FNV-1a over the token's UTF-8 bytes —
-  * dependency-free, stable across JVMs, and cheap enough to codegen. The
-  * hash family is not available in DuckDB, so queries built on this are
-  * rows-only checks; the ScalaTest spec pins exact values instead.
+  * Token hash is md5-derived (the repo's portable-hash convention): the
+  * first 8 digest bytes big-endian, rotated so the low 60 bits and top
+  * 4 bits are exactly DuckDB's `CAST('0x'||substr(md5(t),1,15) AS
+  * BIGINT)` / 16th hex char — both engines recompute identical 64-bit
+  * token hashes without overflowing DuckDB's non-wrapping BIGINT, which
+  * is what lets d05/d07/d09 carry full DuckDB oracles (an FNV-1a
+  * variant was dependency-free but not expressible there, leaving the
+  * simhash family rows-only).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -40,18 +44,22 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
-  def fnv1a64(bytes: Array[Byte]): Long = {
-    var h = FnvOffset
+  /** 64-bit token hash from the md5 digest: v = first 8 bytes
+    * big-endian; bits laid out as (v & 0xf) << 60 | v >>> 4 so that bit
+    * b (b < 60) is bit b of DuckDB's 15-hex-char BIGINT cast and bits
+    * 60..63 come from the 16th hex char — the exact values the oracle
+    * SQL recomputes. */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
     var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= FnvPrime
-      i += 1
-    }
-    h
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v >>> 4) | ((v & 0xfL) << 60)
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
@@ -61,7 +69,7 @@ object SimHash64 {
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val h = fnv1a64(tokens.getUTF8String(t).getBytes)
+        val h = md5Hash64(tokens.getUTF8String(t).getBytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -88,7 +88,7 @@ object CleanCorpus {
        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
        |  FROM t)
-       |SELECT doc_id, shard, cum // $PackBudget AS bin,
+       |SELECT doc_id, shard, CAST(cum // $PackBudget AS BIGINT) AS bin,
        |  CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window

@@ -78,6 +78,47 @@ object Dedup {
       |clusters AS (
       |  SELECT node AS doc_id, min(label) AS cluster FROM reach GROUP BY node)""".stripMargin
 
+  /** DuckDB recomputation of [[graft.functions.SimHash64]]: per token the
+    * md5-derived 64-bit hash is read as (low 60 bits = first 15 hex chars,
+    * top 4 bits = 16th hex char) so no intermediate ever exceeds DuckDB's
+    * non-wrapping BIGINT; per bit the signed votes are summed and the
+    * fingerprint is reassembled bit-by-bit (bit 63 added as -2^63 to stay
+    * in signed 64-bit). Shared by the d05/d07/d09 oracles. */
+  private[ops] val simhashSql =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS lo60,
+      |    CAST('0x' || substr(md5(t), 16, 1) AS BIGINT) AS hi4
+      |  FROM toks),
+      |votes AS (
+      |  SELECT doc_id, bb.b AS b,
+      |    sum(CASE WHEN CASE WHEN bb.b < 60 THEN (lo60 >> bb.b) & 1
+      |                       ELSE (hi4 >> (bb.b - 60)) & 1 END = 1
+      |             THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 AND b < 63
+      |                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+      |      + CASE WHEN max(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+      |             THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS h
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
+  /** All-pairs Hamming oracle over [[simhashSql]] fingerprints — DuckDB
+    * can afford O(n²) at validation scale, and d07/d09's bucketed plans
+    * are provably output-identical to it (pigeonhole superset + exact
+    * verifier), so one oracle shape serves all three queries. */
+  private def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH $simhashSql
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- d01
   /** Exact dedup by content digest. The corpus is unioned with itself so
     * the operator demonstrably removes something (the synthetic docs have
@@ -238,10 +279,11 @@ object Dedup {
     * Hamming distance ≤ 8 via `bit_count(xor)`. The pairwise comparison
     * here is the O(n²) validation harness; the production candidate
     * generation is [[d07]]'s block bucketing, which provably returns the
-    * identical pair set through a linear equi-join. FNV-1a hashing is
-    * not available in DuckDB → rows-only check; the spec pins exact
-    * fingerprints and the containment of d02's high-Jaccard pairs. */
-  val d05 = Q.noOracle("d05_simhash") { (s, d) =>
+    * identical pair set through a linear equi-join. The md5-derived token
+    * hash is recomputed verbatim by the DuckDB oracle ([[simhashSql]]),
+    * so the whole family carries full value/hash checks; the spec
+    * additionally pins containment of d02's high-Jaccard pairs. */
+  val d05 = Q("d05_simhash", simhashPairsSql(8)) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val h = Tables.documents(s, d)
       .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
@@ -325,7 +367,7 @@ object Dedup {
     * 16-bit blocks, where the same join shape measures 24× under
     * all-pairs even here. The spec asserts pair-set equality with d05;
     * PlanAuditSpec asserts no nested-loop join in the physical plan. */
-  val d07 = Q.noOracle("d07_simhash_bucketed") { (s, d) =>
+  val d07 = Q("d07_simhash_bucketed", simhashPairsSql(8)) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val h = Tables.documents(s, d)
       .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
@@ -357,7 +399,7 @@ object Dedup {
     * all-pairs (24×; max bucket 189 docs) — where d07's recall-first
     * 7-bit blocks degenerate, this keying does not. 4 index rows per
     * doc, then the exact bit_count verifier on candidates only. */
-  val d09 = Q.noOracle("d09_simhash_prod") { (s, d) =>
+  val d09 = Q("d09_simhash_prod", simhashPairsSql(3)) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val h = Tables.documents(s, d)
       .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
@@ -390,9 +432,10 @@ object Dedup {
     * (shuffle on node); `localCheckpoint` cuts the lineage so round N's
     * plan doesn't replay rounds 1..N-1. Rounds needed = component
     * diameter (dup clusters are shallow; the driver loop exits on a
-    * fixpoint detected by the monotone label sum — labels only ever
-    * decrease, so an unchanged sum IS convergence, one scalar action per
-    * round, no row-level collect). At 100 TB the same loop runs with the
+    * fixpoint detected by counting changed labels — one scalar action
+    * per round, short-circuited by limit(1), no row-level collect, and
+    * immune to the Long-overflow aliasing a label-sum check has at
+    * ~10^9 nodes). At 100 TB the same loop runs with the
     * alternating large-star/small-star optimisation; the dataflow shape
     * per round is identical. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
@@ -407,18 +450,26 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
       val prop = und.join(labels, und("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      labels = labels.union(prop)
+      val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      val s = labels.agg(sum("label")).head().getLong(0)
-      done = s == prevSum
-      prevSum = s
+      // Fixpoint = no label changed this round, detected by a
+      // join-and-count of differing labels: overflow-free at any node
+      // count / label range (a label SUM wraps Long at ~10^9 nodes ×
+      // ~10^12 labels and a wrapped delta can alias to "unchanged"),
+      // `limit(1)` short-circuits on the first difference, and an empty
+      // node set yields 0 and terminates (sum() was NULL there → NPE).
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label"))
+        .limit(1).count()
+      labels = next
+      done = changed == 0L
       it += 1
     }
     labels
