@@ -12,18 +12,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * small Hamming distance, so near-dup detection becomes
   * `bit_count(h1 # h2) <= t` — a cheap 64-bit op instead of a shingle
   * join. At scale: one map pass to fingerprint, then candidate pairing by
-  * rotating-prefix buckets (sort by rotated fingerprint), never O(n²).
+  * block bucketing ([[graft.ops.Dedup]] d07/d09), never O(n²).
   *
-  * Token hash is md5-derived (the repo's portable-hash convention): the
-  * first 8 digest bytes big-endian, rotated so the low 60 bits and top
-  * 4 bits are exactly DuckDB's `CAST('0x'||substr(md5(t),1,15) AS
-  * BIGINT)` / 16th hex char — both engines recompute identical 64-bit
-  * token hashes without overflowing DuckDB's non-wrapping BIGINT, which
-  * is what lets d05/d07/d09 carry full DuckDB oracles (an FNV-1a
-  * variant was dependency-free but not expressible there, leaving the
-  * simhash family rows-only).
+  * Two token-hash families behind one expression (`md5Mode`):
+  *
+  *  - '''production (default)''': FNV-1a 64 — 3 ops per byte, no digest
+  *    allocation; this is the family the fingerprint pass runs at corpus
+  *    scale, where the hash is the hot loop (cost ∝ corpus bytes).
+  *  - '''oracle (`simhash64(toks, 'md5')`)''': first 8 md5 digest bytes
+  *    big-endian, rotated so the low 60 bits and top 4 bits are exactly
+  *    DuckDB's `CAST('0x'||substr(md5(t),1,15) AS BIGINT)` / 16th hex
+  *    char — both engines recompute identical 64-bit token hashes
+  *    without overflowing DuckDB's non-wrapping BIGINT, which is what
+  *    lets d05/d07/d09 carry full DuckDB value/hash oracles.
+  *
+  * The families differ only in the per-token hash; every structural
+  * property (bag semantics, locality, the d07/d09 pigeonhole bucketing
+  * guarantee) holds identically under both, and DedupSpec runs the
+  * d05↔d07 set-equality law under both.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, md5Mode: Boolean)
     extends UnaryExpression with ExpectsInputTypes {
   import org.apache.spark.sql.types._
 
@@ -33,17 +41,19 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.compute(input.asInstanceOf[ArrayData])
+    SimHash64.compute(input.asInstanceOf[ArrayData], md5Mode)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHash64.compute($c)")
+      s"graft.functions.SimHash64.compute($c, $md5Mode)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHash64 {
+  def apply(child: Expression): SimHash64 = SimHash64(child, md5Mode = false)
+
   private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
@@ -62,14 +72,28 @@ object SimHash64 {
     (v >>> 4) | ((v & 0xfL) << 60)
   }
 
+  /** FNV-1a 64-bit (public-domain parameters): the production token
+    * hash — xor-and-multiply per byte, no allocation, no digest state. */
+  def fnvHash64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
-  def compute(tokens: ArrayData): Long = {
+  def compute(tokens: ArrayData, md5Mode: Boolean): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val h = md5Hash64(tokens.getUTF8String(t).getBytes)
+        val bytes = tokens.getUTF8String(t).getBytes
+        val h = if (md5Mode) md5Hash64(bytes) else fnvHash64(bytes)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -88,9 +112,9 @@ object SimHash64 {
   }
 
   /** Convenience for tests / non-Catalyst callers. */
-  def ofTokens(tokens: Seq[String]): Long = {
+  def ofTokens(tokens: Seq[String], md5Mode: Boolean = false): Long = {
     val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
       tokens.map(UTF8String.fromString).toArray)
-    compute(arr)
+    compute(arr, md5Mode)
   }
 }

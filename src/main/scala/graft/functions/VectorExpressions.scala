@@ -83,11 +83,25 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", exprs => SimHash64(exprs.head, md5Mode = simhashMd5Arg(exprs)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
+
+  /** Optional 2nd arg of `simhash64`: a literal hash-family name —
+    * 'md5' (oracle-recomputable) or 'fnv' (production default). */
+  private[graft] def simhashMd5Arg(exprs: Seq[Expression]): Boolean =
+    if (exprs.length < 2) false
+    else exprs(1).eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String
+          if s.toString == "md5" => true
+      case s: org.apache.spark.unsafe.types.UTF8String
+          if s.toString == "fnv" => false
+      case other => throw new IllegalArgumentException(
+        s"simhash64 mode must be 'md5' or 'fnv', got: $other")
+    }
 
   def cosineSim(spark: SparkSession, a: String, b: String): Column = {
     register(spark)

@@ -85,7 +85,10 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // O(Q·n) brute-force validation twin of s02/s03 — bounded at bench
+    // time by the same deterministic cap as Dedup's quadratic twins.
+    val e = Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
+      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_embedding")

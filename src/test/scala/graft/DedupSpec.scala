@@ -20,43 +20,95 @@ class DedupSpec extends SparkSpec {
     assert(keepers.distinct.length == keepers.length)
   }
 
-  test("simhash near-dup pairs include the Jaccard near-dups") {
+  /** Runs `body` with the engine's token-hash family pinned: fast=true →
+    * production FNV-1a, fast=false → md5 oracle family. */
+  private def withHashFamily[A](fast: Boolean)(body: => A): A =
+    try { spark.conf.set("spark.graft.fasthash", fast.toString); body }
+    finally spark.conf.unset("spark.graft.fasthash")
+
+  private def families = Seq(false -> "md5", true -> "fnv")
+
+  test("simhash recall of the Jaccard near-dups is quantified, both hash families") {
+    // Recall is a STATISTICAL property of the token-hash family, not an
+    // invariant: a planted Jaccard≥0.8 pair can land past the Hamming
+    // threshold for one family and inside it for another (under md5 one
+    // pair sits at Hamming 11 > 8; under FNV all 28 land inside — hash
+    // luck either way). So the assertion is quantified, with every miss
+    // logged alongside its actual Hamming distance.
+    import org.apache.spark.sql.functions._
     val exact = ops.Dedup.d02.run(spark, sf)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = ops.Dedup.d05.run(spark, sf)
-      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(sim))
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    for ((fast, label) <- families) withHashFamily(fast) {
+      val sim = ops.Dedup.d05.run(spark, sf)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val misses = exact.diff(sim)
+      val recall = (exact.size - misses.size).toDouble / exact.size
+      if (misses.nonEmpty) {
+        val mode = if (fast) "" else ", 'md5'"
+        val fp = model.Tables.documents(spark, sf)
+          .select(col("doc_id"), expr(s"simhash64(split(text, ' ')$mode)").as("h"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        misses.foreach { case (i, j) =>
+          info(s"[$label] missed pair ($i,$j) at Hamming " +
+            java.lang.Long.bitCount(fp(i) ^ fp(j)))
+        }
+      }
+      info(f"[$label] recall = $recall%.3f (${exact.size - misses.size}/${exact.size})")
+      assert(recall >= 0.95, s"[$label] recall $recall < 0.95; missed $misses")
+    }
   }
 
-  test("d07 bucketed simhash returns exactly d05's all-pairs result") {
+  test("simhash64 hash families: md5 mode matches ofTokens(md5), fnv is the default") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "spark query engine")).toDF("id", "text")
+    val toks = Seq("spark", "query", "engine")
+    val r = df.selectExpr(
+      "simhash64(split(text, ' ')) AS fnv_default",
+      "simhash64(split(text, ' '), 'fnv') AS fnv_explicit",
+      "simhash64(split(text, ' '), 'md5') AS md5").head()
+    assert(r.getLong(0) == graft.functions.SimHash64.ofTokens(toks))
+    assert(r.getLong(1) == r.getLong(0))
+    assert(r.getLong(2) == graft.functions.SimHash64.ofTokens(toks, md5Mode = true))
+    assert(r.getLong(2) != r.getLong(0), "families should differ on this input")
+  }
+
+  test("d07 bucketed simhash returns exactly d05's all-pairs result, both families") {
     // pigeonhole guarantee: Hamming ≤ 8 over 9 blocks ⇒ ≥1 block equal,
     // so candidates ⊇ true pairs; the exact verifier then makes the two
-    // queries set-identical, not merely overlapping.
-    val allPairs = ops.Dedup.d05.run(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val bucketed = ops.Dedup.d07.run(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(allPairs.nonEmpty, "corpus should contain simhash near-dups")
-    assert(bucketed == allPairs,
-      s"missing=${allPairs.diff(bucketed).take(5)} extra=${bucketed.diff(allPairs).take(5)}")
+    // queries set-identical, not merely overlapping. The law is
+    // structural — it must hold under BOTH token-hash families.
+    for ((fast, label) <- families) withHashFamily(fast) {
+      val allPairs = ops.Dedup.d05.run(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bucketed = ops.Dedup.d07.run(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(allPairs.nonEmpty, s"[$label] corpus should contain simhash near-dups")
+      assert(bucketed == allPairs,
+        s"[$label] missing=${allPairs.diff(bucketed).take(5)} extra=${bucketed.diff(allPairs).take(5)}")
+    }
   }
 
-  test("d09 production simhash equals the all-pairs Hamming<=3 reference") {
+  test("d09 production simhash equals the all-pairs Hamming<=3 reference, both families") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
-    val h = model.Tables.documents(spark, sf)
-      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("h"))
-    val reference = h.as("a")
-      .join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        expr("bit_count(a.h ^ b.h)").cast("long").as("d"))
-      .filter(col("d") <= 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val bucketed = ops.Dedup.d09.run(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(reference.nonEmpty, "corpus should contain Hamming<=3 pairs")
-    assert(bucketed == reference,
-      s"missing=${reference.diff(bucketed).take(5)} extra=${bucketed.diff(reference).take(5)}")
+    for ((fast, label) <- families) withHashFamily(fast) {
+      val mode = if (fast) "" else ", 'md5'"
+      val h = model.Tables.documents(spark, sf)
+        .select(col("doc_id"), expr(s"simhash64(split(text, ' ')$mode)").as("h"))
+      val reference = h.as("a")
+        .join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          expr("bit_count(a.h ^ b.h)").cast("long").as("d"))
+        .filter(col("d") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bucketed = ops.Dedup.d09.run(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(reference.nonEmpty, s"[$label] corpus should contain Hamming<=3 pairs")
+      assert(bucketed == reference,
+        s"[$label] missing=${reference.diff(bucketed).take(5)} extra=${bucketed.diff(reference).take(5)}")
+    }
   }
 
   test("t06 winnow candidates contain the word-level high-Jaccard pairs") {
