@@ -60,12 +60,45 @@ object TextFunctions {
     if (r >= Mod) r - Mod else r
   }
 
+  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Oracle k-gram hash family: 60-bit value from the md5 of each k-char
+    * substring — first 8 digest bytes big-endian, shifted right 4, i.e.
+    * exactly DuckDB's `CAST('0x'||substr(md5(substr(text,i,k)),1,15) AS
+    * BIGINT)` — so the t05/t06 winnowing queries carry full DuckDB
+    * value/hash oracles. O(n·k) with a digest per gram vs the rolling
+    * family's O(n): the oracle tier pays for cross-engine checkability;
+    * production runs [[rollingHashes]] (`spark.graft.fasthash`). Char
+    * indexing == byte indexing requires 1-byte chars; the corpus is
+    * ASCII (multi-byte text would need a byte-substring oracle). */
+  def md5KgramHashes(text: String, k: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    val md = mdPool.get()
+    val out = new Array[Long](text.length - k + 1)
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    out
+  }
+
   /** Winnowing fingerprint (Schleimer et al.): the min hash of each
     * sliding window of `w` consecutive k-gram hashes, deduplicated — a
     * position-robust document signature: guaranteed to share prints with
-    * any document that shares a run of ≥ w+k−1 bytes. */
-  def winnow(text: String, k: Int = 8, w: Int = 4): Set[Long] = {
-    val hs = rollingHashes(text, k)
+    * any document that shares a run of ≥ w+k−1 bytes. The guarantee is
+    * structural (it holds for ANY k-gram hash family); `md5Mode` selects
+    * the DuckDB-recomputable family ([[md5KgramHashes]]) over the
+    * production Rabin–Karp one ([[rollingHashes]]). */
+  def winnow(text: String, k: Int = 8, w: Int = 4,
+      md5Mode: Boolean = false): Set[Long] = {
+    val hs = if (md5Mode) md5KgramHashes(text, k) else rollingHashes(text, k)
     if (hs.isEmpty) return Set.empty
     if (hs.length <= w) return Set(hs.min)
     val out = scala.collection.mutable.Set.empty[Long]

@@ -158,19 +158,58 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- t05
-  /** Winnowing fingerprints (rolling-hash k-grams → per-window minima,
+  /** DuckDB recomputation of the winnowing prints (k=8, w=4, md5 k-gram
+    * family — [[graft.functions.TextFunctions.md5KgramHashes]]): k-gram
+    * hashes as 60-bit md5 heads, per-window minima via a 4-row window
+    * frame, restricted to full windows (or the single all-gram window
+    * when a doc has ≤ w grams, matching the Scala edge case), distinct
+    * per doc. Shared by the t05/t06 oracles. */
+  private[ops] val printsSql =
+    """grams AS (
+      |  SELECT doc_id, i,
+      |    CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 7)) AS i
+      |        FROM documents WHERE len(text) >= 8)),
+      |wins AS (
+      |  SELECT doc_id, i,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+      |    count(*) OVER (PARTITION BY doc_id) AS g
+      |  FROM grams),
+      |prints AS (
+      |  SELECT DISTINCT doc_id, m AS p FROM wins
+      |  WHERE i <= greatest(g - 4, 0) + 1)""".stripMargin
+
+  /** Hash family for the winnowing queries, same switch as the simhash
+    * family: md5 k-gram heads by default (DuckDB-recomputable → full
+    * value/hash oracle), the O(n) Rabin–Karp rolling family under
+    * `spark.graft.fasthash=true` (production / bench — the per-gram
+    * digest is the price of oracle-ability, not part of the design). */
+  private def winnowMd5Mode(s: SparkSession): Boolean =
+    !s.conf.get("spark.graft.fasthash", "false").toBoolean
+
+  /** Winnowing fingerprints (k-gram hashes → per-window minima,
     * [[graft.functions.TextFunctions.winnow]]): position-robust document
     * signatures via `mapPartitions`. Docs sharing any ≥ (w+k−1)-byte run
     * share a print, so near-dup candidates = equi-join on print — the
-    * byte-level analogue of d03's shingle LSH. Rows-only check (the hash
-    * family has no DuckDB equivalent); the spec pins values and the
-    * shared-substring guarantee. */
-  val t05 = Q.noOracle("t05_winnow_fingerprint") { (s, d) =>
+    * byte-level analogue of d03's shingle LSH. Fully oracled under the
+    * md5 k-gram family; the spec additionally pins the shared-substring
+    * guarantee under both families. */
+  val t05 = Q("t05_winnow_fingerprint",
+    s"""WITH $printsSql
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pa.n, 0) AS BIGINT) AS n_prints,
+       |  CAST(coalesce(pa.mn, 0) AS BIGINT) AS min_print
+       |FROM documents d
+       |LEFT JOIN (SELECT doc_id, count(*) AS n, min(p) AS mn
+       |           FROM prints GROUP BY doc_id) pa ON pa.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
+    val md5Mode = winnowMd5Mode(s)
     Tables.documents(s, d)
       .select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val prints = graft.functions.TextFunctions.winnow(text)
+        val prints = graft.functions.TextFunctions.winnow(text, md5Mode = md5Mode)
         (id, prints.size.toLong, if (prints.isEmpty) 0L else prints.min)
       })
       .toDF("doc_id", "n_prints", "min_print")
@@ -185,15 +224,28 @@ object TextAnalysis {
     * print and count shared prints per pair. Same bucketed-join dataflow
     * as d02/d06 with prints instead of shingles — byte-level, so it
     * catches near-dups that word-shingling misses (reflowed whitespace
-    * aside, any shared ≥ w+k−1-byte run surfaces). Rows-only check (the
-    * hash family has no DuckDB equivalent); the spec asserts containment
-    * of d02's word-level high-Jaccard pairs. */
-  val t06 = Q.noOracle("t06_winnow_candidates") { (s, d) =>
+    * aside, any shared ≥ w+k−1-byte run surfaces). Fully oracled under
+    * the md5 k-gram family; the spec asserts containment of d02's
+    * word-level high-Jaccard pairs. */
+  val t06 = Q("t06_winnow_candidates",
+    s"""WITH $printsSql,
+       |kept AS (
+       |  SELECT doc_id, p FROM prints
+       |  WHERE p IN (SELECT p FROM prints GROUP BY p HAVING count(*) <= 50))
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |       CAST(count(*) AS BIGINT) AS shared_prints
+       |FROM kept a JOIN kept b USING (p)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     import s.implicits._
+    val md5Mode = winnowMd5Mode(s)
     val prints = Tables.documents(s, d)
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        graft.functions.TextFunctions.winnow(text).iterator.map(p => (id, p))
+        graft.functions.TextFunctions.winnow(text, md5Mode = md5Mode)
+          .iterator.map(p => (id, p))
       }
       .toDF("doc_id", "p")
     val rare = prints.groupBy("p").agg(count(lit(1)).as("df"))

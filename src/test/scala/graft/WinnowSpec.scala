@@ -18,21 +18,24 @@ class WinnowSpec extends SparkSpec {
     assert(rolled.toSeq == direct)
   }
 
-  test("winnowing: shared long runs produce shared fingerprints") {
-    val shared = "a common run of bytes that is long enough to matter"
-    val a = "prefix one " + shared + " suffix alpha"
-    val b = "totally different start " + shared + " and another end"
-    val c = "no overlap here at all with anything else whatsoever"
-    val pa = TextFunctions.winnow(a)
-    val pb = TextFunctions.winnow(b)
-    val pc = TextFunctions.winnow(c)
-    assert(pa.intersect(pb).nonEmpty, "docs sharing a long run must share prints")
-    assert(pa.intersect(pc).isEmpty)
-    // deterministic
-    assert(pa == TextFunctions.winnow(a))
-    // short/empty inputs are safe
-    assert(TextFunctions.winnow("", 8, 4).isEmpty)
-    assert(TextFunctions.winnow("tiny", 8, 4).isEmpty)
+  test("winnowing: shared long runs produce shared fingerprints, both hash families") {
+    for (md5Mode <- Seq(false, true)) {
+      val shared = "a common run of bytes that is long enough to matter"
+      val a = "prefix one " + shared + " suffix alpha"
+      val b = "totally different start " + shared + " and another end"
+      val c = "no overlap here at all with anything else whatsoever"
+      val pa = TextFunctions.winnow(a, md5Mode = md5Mode)
+      val pb = TextFunctions.winnow(b, md5Mode = md5Mode)
+      val pc = TextFunctions.winnow(c, md5Mode = md5Mode)
+      assert(pa.intersect(pb).nonEmpty,
+        s"md5Mode=$md5Mode: docs sharing a long run must share prints")
+      assert(pa.intersect(pc).isEmpty)
+      // deterministic
+      assert(pa == TextFunctions.winnow(a, md5Mode = md5Mode))
+      // short/empty inputs are safe
+      assert(TextFunctions.winnow("", 8, 4, md5Mode).isEmpty)
+      assert(TextFunctions.winnow("tiny", 8, 4, md5Mode).isEmpty)
+    }
   }
 
   test("winnowing guarantee holds on random documents (seeded property)") {
@@ -43,7 +46,7 @@ class WinnowSpec extends SparkSpec {
     val rnd = new scala.util.Random(816L)
     val vocabA = Vector("kestrel", "lattice", "orchid", "pumice", "raven")
     val vocabB = Vector("zephyr", "quartz", "willow", "ember", "flint")
-    for (trial <- 1 to 20) {
+    for (trial <- 1 to 20; md5Mode <- Seq(false, true)) {
       // shared run strictly longer than w+k-1 = 11 bytes
       val runWords = 2 + rnd.nextInt(4)
       val shared = Seq.fill(runWords)(vocabA(rnd.nextInt(vocabA.size)) +
@@ -52,9 +55,10 @@ class WinnowSpec extends SparkSpec {
         Seq.fill(3 + rnd.nextInt(10))(v(rnd.nextInt(v.size))).mkString(" ")
       val a = doc(vocabA) + " " + shared + " " + doc(vocabA)
       val b = doc(vocabB) + " " + shared + " " + doc(vocabB)
-      val common = TextFunctions.winnow(a).intersect(TextFunctions.winnow(b))
+      val common = TextFunctions.winnow(a, md5Mode = md5Mode)
+        .intersect(TextFunctions.winnow(b, md5Mode = md5Mode))
       assert(common.nonEmpty,
-        s"trial $trial: shared ${shared.length}-byte run produced no shared print")
+        s"trial $trial md5Mode=$md5Mode: shared ${shared.length}-byte run produced no shared print")
     }
   }
 
