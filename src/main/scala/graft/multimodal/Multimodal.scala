@@ -17,17 +17,16 @@ import graft.model.Tables
   * initialisation happens once (where a real decoder would load codecs /
   * a model), then rows stream through.
   *
-  * Two tiers:
-  *  - REAL codecs (mm04–mm06): WAV and PPM need no external library, so
-  *    the engine genuinely decodes them — RIFF/fmt header validation,
-  *    PCM16 peak/RMS, P6 header parse, nearest-neighbour resize with
-  *    actual pixel indexing, per-window signal stats. Synthesis is
-  *    deterministic (`StrictMath`, LCG) so results are reproducible.
-  *  - STUB tier (mm02/mm03): stands in for heavyweight codecs
-  *    (JPEG/MP3) whose libraries don't exist in this container;
-  *    [[decodeStub]] derives deterministic features from the raw bytes.
-  *    The partitioning, schema, signature, and batch shape around it are
-  *    real and spec-pinned.
+  * All four codec paths are REAL, library-free decoders of standard
+  * public formats: PCM16 WAV + binary PPM (mm04–mm06) and 24-bit BMP +
+  * G.711 μ-law WAV (mm02/mm03) — header validation, padded/bottom-up
+  * pixel indexing, logarithmic companding, per-window signal stats.
+  * Synthesis is deterministic (`StrictMath`, LCG) so results are
+  * reproducible. Heavyweight compressed codecs (JPEG/MP3) would slot
+  * into the same mapPartitions shape behind the same `media_type`
+  * dispatch; their libraries don't exist in this container, and the
+  * four real formats already exercise every distinct decode concern
+  * (container parse, row padding, byte-order, companding).
   */
 object Multimodal {
 
@@ -44,68 +43,67 @@ object Multimodal {
       when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
       md5(col("text")).cast("binary").as("content"))
 
-  /** STUB decoder: a real implementation would decode the image/audio and
-    * emit embeddings/frames; this stand-in folds the bytes into 4
-    * deterministic doubles. Same signature, same batch shape. */
-  def decodeStub(content: Array[Byte]): Array[Double] = {
-    val acc = new Array[Double](4)
-    var i = 0
-    while (i < content.length) {
-      acc(i % 4) += (content(i) & 0xff) / 255.0
-      i += 1
+  /** Media table with REAL payloads: image docs carry a valid 24-bit
+    * BMP, audio docs a valid G.711 μ-law WAV — both seed-derived and
+    * deterministic, both decoded for real downstream (mm02/mm03). */
+  def realMediaFrame(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select("doc_id").as[Long].map { id =>
+      if (id % 2 == 0) MediaRow(id, "image", syntheticBmp(id))
+      else MediaRow(id, "audio", syntheticMulawWav(id))
     }
-    acc
   }
 
-  /** Feature extraction as a per-partition iterator transform. */
+  /** Feature extraction as a per-partition iterator transform, with a
+    * REAL decode per modality: BMP header/pixel decode for images
+    * (f0..f3 = width, height, mean red, mean blue), μ-law WAV decode for
+    * audio (f0..f3 = sample rate, sample count, linear peak, linear
+    * RMS). The per-partition closure is the init point where heavyweight
+    * codecs would load once. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // Per-partition init point: real decoders/codecs load once here.
       rows.map { r =>
-        val f = decodeStub(r.content)
-        MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong,
-          f(0), f(1), f(2), f(3))
+        val n = r.content.length.toLong
+        if (r.media_type == "image") {
+          val info = decodeBmp(r.content)
+          MediaFeatures(r.doc_id, r.media_type, n,
+            info.width, info.height, info.mean_r, info.mean_b)
+        } else {
+          val info = decodeMulawWav(r.content)
+          MediaFeatures(r.doc_id, r.media_type, n,
+            info.sample_rate, info.n_samples, info.peak, info.rms)
+        }
       }
     }
   }
 
   case class Frame(doc_id: Long, frame_no: Int, n_bytes: Long, f0: Double)
 
-  /** STUB resize: a real implementation would decode, scale to (w, h),
-    * re-encode; the stand-in deterministically folds the bytes to the
-    * target "pixel count". Same signature and per-row shape. */
-  def resizeStub(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](math.min(w * h, 64))
-    var i = 0
-    while (i < out.length) {
-      out(i) = content(i % content.length)
-      i += 1
-    }
-    out
-  }
-
   /** Frame sampling as the 1→N iterator transform (the reference's UDTF
-    * shape generalised): each media row yields `n` evenly-spaced
-    * "frames". A real decoder would seek keyframes; the stub derives
-    * each frame's feature from a byte stride. flatMap keeps the operator
+    * shape generalised), decoding for REAL per modality: images split
+    * into `n` horizontal pixel bands (f0 = band mean / 255), audio into
+    * `n` sample windows over the μ-law-decoded linear signal (f0 =
+    * window RMS / 32768) — both in [0, 1]. flatMap keeps the operator
     * streaming — no per-document materialisation. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      (0 until n).iterator.map { k =>
-        val stride = math.max(1, r.content.length / n)
-        val b = r.content(math.min(k * stride, r.content.length - 1)) & 0xff
-        Frame(r.doc_id, k, r.content.length.toLong, b / 255.0)
+      val bytes = r.content.length.toLong
+      val feats =
+        if (r.media_type == "image") bmpBandMeans(r.content, n).map(_ / 255.0)
+        else mulawWindowRms(r.content, n).map(_ / 32768.0)
+      feats.iterator.zipWithIndex.map { case (f, k) =>
+        Frame(r.doc_id, k, bytes, f)
       }
     }
   }
 
   // ------------------------------------------------------ real codecs
-  // The stubs above stand in for heavyweight codecs (JPEG/MP3) whose
-  // libraries don't exist in this container. These two formats, though,
-  // need no library — WAV is a 44-byte header over PCM16LE and PPM (P6)
-  // is an ASCII header over RGB bytes — so the engine decodes them FOR
+  // None of these formats needs a library — WAV is a 44-byte header
+  // over PCM16LE, PPM (P6) an ASCII header over RGB bytes, BMP a
+  // fixed LE header over padded bottom-up BGR rows, μ-law a public
+  // 8-bit companding table — so the engine decodes all of them FOR
   // REAL: header validation, sample/pixel math, resize, frame windows.
 
   /** Valid mono PCM16LE WAV: RIFF/fmt/data chunks + a seed-derived tone.
@@ -269,6 +267,203 @@ object Multimodal {
     out
   }
 
+  // ---- BMP (Windows 3.x, 24-bit BI_RGB) ------------------------------
+  // 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows
+  // padded to 4 bytes — the standard public layout, no library needed.
+
+  /** Valid 24-bit uncompressed BMP: seed-derived pixels (same LCG as
+    * [[syntheticPpm]]), rows bottom-up and 4-byte padded per spec. */
+  def syntheticBmp(seed: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0) // BI_RGB
+      .putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var state = seed * 6364136223846793005L + 1442695040888963407L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w * 3) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        buf.put(54 + y * rowSize + x, (state >>> 56).toByte)
+        x += 1
+      }
+      y += 1 // padding bytes stay zero
+    }
+    buf.array()
+  }
+
+  case class BmpInfo(width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Real BMP decode: magic/header/compression validation, bottom-up
+    * padded-row indexing, exact per-channel means (BGR byte order). */
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP")
+    require(buf.getInt(14) == 40, "expected BITMAPINFOHEADER")
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(h > 0, "top-down BMP unsupported")
+    require(buf.getShort(28) == 24, "expected 24-bit pixels")
+    require(buf.getInt(30) == 0, "expected uncompressed BI_RGB")
+    val off = buf.getInt(10)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val sums = new Array[Long](3) // B, G, R — file byte order
+    var y = 0
+    while (y < h) {
+      val row = off + (h - 1 - y) * rowSize // file rows are bottom-up
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          sums(c) += bytes(row + x * 3 + c) & 0xff
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    BmpInfo(w, h, sums(2).toDouble / n, sums(1).toDouble / n,
+      sums(0).toDouble / n)
+  }
+
+  /** Horizontal band means over a decoded BMP (mm03's image frames):
+    * `n` top-down row bands, all-channel mean per band in [0, 255]. */
+  def bmpBandMeans(bytes: Array[Byte], n: Int): Seq[Double] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val off = buf.getInt(10)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val per = math.max(h / n, 1)
+    (0 until n).map { k =>
+      val from = k * per
+      val until = if (k == n - 1) h else math.min((k + 1) * per, h)
+      var sum = 0L
+      var y = from
+      while (y < until) {
+        val row = off + (h - 1 - y) * rowSize
+        var x = 0
+        while (x < w * 3) { sum += bytes(row + x) & 0xff; x += 1 }
+        y += 1
+      }
+      sum.toDouble / math.max((until - from).toLong * w * 3, 1L)
+    }
+  }
+
+  // ---- G.711 μ-law audio ---------------------------------------------
+  // The other standard library-free codec: logarithmic 8-bit companding
+  // of 16-bit PCM (ITU-T G.711), carried in a WAV container with format
+  // code 7 and 8 bits per sample.
+
+  private val MuBias = 0x84 // 132
+  private val MuClip = 32635
+
+  /** G.711 μ-law encode of a 16-bit linear sample (truncating variant —
+    * the classic segment/mantissa construction, bit-inverted on wire). */
+  def mulawEncode(pcm: Int): Byte = {
+    var s = pcm
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > MuClip) s = MuClip
+    s += MuBias
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (s & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (s >> (exponent + 3)) & 0x0f
+    (~(sign | (exponent << 4) | mantissa)).toByte
+  }
+
+  /** G.711 μ-law decode back to 16-bit linear. */
+  def mulawDecode(mu: Byte): Short = {
+    val u = (~mu) & 0xff
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    val s = (((mantissa << 3) + MuBias) << exponent) - MuBias
+    (if ((u & 0x80) != 0) -s else s).toShort
+  }
+
+  /** Valid μ-law WAV: RIFF/fmt(format=7, 8-bit)/data chunks over a
+    * seed-derived tone, companded sample by sample. */
+  def syntheticMulawWav(seed: Long, nSamples: Int = 800,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7) // μ-law
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate: 1 byte/sample
+      .putShort(1)        // block align
+      .putShort(8)        // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(nSamples)
+    val amp = 4000.0 + (seed % 8000).abs
+    val freq = 100.0 + (seed % 400).abs
+    var i = 0
+    while (i < nSamples) {
+      buf.put(mulawEncode((amp * StrictMath.sin(
+        2.0 * StrictMath.PI * freq * i / sampleRate)).toInt))
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real μ-law WAV decode: container validation (format code 7, 8-bit),
+    * per-byte expansion to linear PCM, peak + RMS over the LINEAR
+    * signal — the decode step is load-bearing, not pass-through. */
+  def decodeMulawWav(bytes: Array[Byte]): WavInfo = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE", "not a WAV")
+    require(ascii(12, 4) == "fmt " && buf.getShort(20) == 7, "not mu-law")
+    require(buf.getShort(34) == 8, "mu-law must be 8-bit")
+    require(ascii(36, 4) == "data", "missing data chunk")
+    val sampleRate = buf.getInt(24)
+    val n = buf.getInt(40)
+    var peak = 0
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val s = mulawDecode(bytes(44 + i)).toInt
+      if (math.abs(s) > peak) peak = math.abs(s)
+      sumSq += s.toDouble * s
+      i += 1
+    }
+    WavInfo(sampleRate, n, peak, math.sqrt(sumSq / math.max(n, 1)))
+  }
+
+  /** Per-window RMS over the μ-law-decoded linear signal (mm03's audio
+    * frames). */
+  def mulawWindowRms(bytes: Array[Byte], n: Int): Seq[Double] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val total = buf.getInt(40)
+    val per = math.max(total / n, 1)
+    (0 until n).map { k =>
+      val from = k * per
+      val until = if (k == n - 1) total else math.min((k + 1) * per, total)
+      var sumSq = 0.0
+      var i = from
+      while (i < until) {
+        val s = mulawDecode(bytes(44 + i)).toDouble
+        sumSq += s * s
+        i += 1
+      }
+      math.sqrt(sumSq / math.max(until - from, 1))
+    }
+  }
+
   /** Schema/plumbing query — the oracle checks modality split and byte
     * lengths of the identically-constructed BLOBs. */
   val mm01 = Q("mm01_media_schema",
@@ -287,20 +482,20 @@ object Multimodal {
       .orderBy("media_type")
   }
 
-  /** Decode + feature-extract through the mapPartitions path (stubbed
-    * decode → rows-only check; the spec pins exact feature values). */
+  /** Decode + feature-extract through the mapPartitions path — REAL
+    * decodes on both modalities (BMP pixels / μ-law samples). Rows-only
+    * driver check (binary payload features aren't SQL-expressible); the
+    * spec pins dimensions, ranges, and determinism. */
   val mm02 = Q.noOracle("mm02_decode_features") { (s, d) =>
-    import s.implicits._
-    val media = mediaFrame(Tables.documents(s, d)).as[MediaRow]
-    extractFeatures(media).toDF().orderBy("doc_id")
+    extractFeatures(realMediaFrame(Tables.documents(s, d)))
+      .toDF().orderBy("doc_id")
   }
 
-  /** Frame sampling over the media table: 1→N flatMap, rows-only check
-    * (the spec pins exact frames). */
+  /** Frame sampling over the media table: 1→N flatMap with real
+    * per-band / per-window signal math. Rows-only check; spec-pinned. */
   val mm03 = Q.noOracle("mm03_frame_sample") { (s, d) =>
-    import s.implicits._
-    val media = mediaFrame(Tables.documents(s, d)).as[MediaRow]
-    sampleFrames(media, 4).toDF().orderBy("doc_id", "frame_no")
+    sampleFrames(realMediaFrame(Tables.documents(s, d)), 4)
+      .toDF().orderBy("doc_id", "frame_no")
   }
 
   /** REAL audio decode path: a valid WAV per audio doc (deterministic

@@ -56,6 +56,28 @@ object MLClassify {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (PipelineModel, Array[String])]
 
+  /** Test seam: the keys currently memoised (distinct keys ⇒ distinct
+    * fits — the staleness spec asserts a rewrite forces a second key). */
+  private[graft] def cachedKeys: Set[String] =
+    scala.jdk.CollectionConverters.SetHasAsScala(cache.keySet).asScala.toSet
+
+  /** Corpus fingerprint folded into the model cache key: every file's
+    * name, size, and mtime under `<dir>/documents.parquet`. A dir-string
+    * key alone silently serves a stale model if the parquet is
+    * regenerated in place; the fingerprint makes the cache
+    * content-addressed at file-metadata granularity (cheap driver-side
+    * stat walk — no data read). */
+  private[graft] def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val files = walk(new java.io.File(s"$dir/documents.parquet"))
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    s"$dir#${java.lang.Integer.toHexString(sig.hashCode)}"
+  }
+
   /** Train on keyword-labelled docs (memoised per `cacheKey`), serve over
     * the same frame. Returns doc_id, category (model prediction mapped
     * back to string labels), confidence (top class probability). */
@@ -90,7 +112,8 @@ object MLClassify {
 
   /** Rows-only driver check (model outputs aren't SQL-expressible). */
   val ml01 = Q.noOracle("ml01_mllib_classify") { (s, d) =>
-    classifyWithModel(Tables.documents(s, d), cacheKey = d).orderBy("doc_id")
+    classifyWithModel(Tables.documents(s, d),
+      cacheKey = corpusFingerprint(d)).orderBy("doc_id")
   }
 
   def all: Seq[Q] = Seq(ml01)

@@ -58,6 +58,75 @@ class CodecSpec extends SparkSpec {
         img(headerIn + (2 * y * 16 + 2 * x) * 3 + c))
   }
 
+  test("BMP: synth → decode round-trips header + pixel laws") {
+    val img = syntheticBmp(6L)
+    // 16 px × 3 B = 48 B rows — already 4-byte aligned; 54-byte header
+    assert(img.length == 54 + 48 * 12)
+    val info = decodeBmp(img)
+    assert(info.width == 16 && info.height == 12)
+    assert(Seq(info.mean_r, info.mean_g, info.mean_b)
+      .forall(m => m >= 0 && m <= 255))
+    assert(java.util.Arrays.equals(img, syntheticBmp(6L)))
+    // band additivity: the n-band means weighted by band height recompose
+    // the whole-image mean ((r+g+b)/3 of the channel means)
+    val bands = bmpBandMeans(img, 4)
+    assert(bands.length == 4)
+    val whole = (info.mean_r + info.mean_g + info.mean_b) / 3.0
+    assert(math.abs(bands.sum / 4 - whole) < 1e-9)
+    // row padding exercised: a 3-px-wide BMP has 9-byte rows padded to 12
+    val odd = syntheticBmp(9L, w = 3, h = 2)
+    assert(odd.length == 54 + 12 * 2)
+    assert(decodeBmp(odd).width == 3)
+  }
+
+  test("BMP: garbage and unsupported variants are rejected") {
+    intercept[IllegalArgumentException](decodeBmp(
+      "definitely not a bitmap".getBytes ++ new Array[Byte](40)))
+    val bad = syntheticBmp(1L)
+    bad(28) = 8 // bit count 8 (paletted) — unsupported
+    intercept[IllegalArgumentException](decodeBmp(bad))
+    val rle = syntheticBmp(2L)
+    rle(30) = 1 // BI_RLE8 compression
+    intercept[IllegalArgumentException](decodeBmp(rle))
+  }
+
+  test("mu-law: companding law, zero fixpoint, container validation") {
+    // decode(encode(x)) quantization error is bounded by the segment
+    // step (2^(exp+3) ≤ 1024), symmetric in sign, exact at silence
+    assert(mulawDecode(mulawEncode(0)) == 0)
+    for (x <- Seq(1, 7, 33, 500, 4004, -4004, 17000, -17000, 32000)) {
+      val rt = mulawDecode(mulawEncode(x)).toInt
+      assert(math.abs(rt - x) <= 1024, s"x=$x rt=$rt")
+      // near-silence values may quantize to exactly 0 (x=1 → step 8)
+      assert(rt == 0 || rt.sign == x.sign)
+    }
+    // monotone on the positive axis (companding preserves order)
+    val xs = Seq(0, 10, 100, 1000, 10000, 30000)
+    val ys = xs.map(x => mulawDecode(mulawEncode(x)).toInt)
+    assert(ys == ys.sorted)
+    val wav = syntheticMulawWav(5L)
+    assert(wav.length == 44 + 800) // 1 byte per sample
+    val info = decodeMulawWav(wav)
+    assert(info.sample_rate == 8000 && info.n_samples == 800)
+    // amp(5) = 4005; companding error can overshoot the peak by ≤ 1 step
+    assert(info.peak > 3000 && info.peak <= 4005 + 1024)
+    assert(info.rms > 0 && info.rms < info.peak)
+    // a PCM16 WAV must not decode through the μ-law path
+    intercept[IllegalArgumentException](decodeMulawWav(syntheticWav(5L)))
+    // and a μ-law WAV must not decode through the PCM16 path
+    intercept[IllegalArgumentException](decodeWav(wav))
+  }
+
+  test("mu-law frames: windows recompose the clip energy") {
+    val wav = syntheticMulawWav(11L)
+    val whole = decodeMulawWav(wav)
+    val rms = mulawWindowRms(wav, 4)
+    assert(rms.length == 4)
+    val lhs = rms.map(r => 200 * r * r).sum // 800 samples / 4 windows
+    val rhs = whole.n_samples * whole.rms * whole.rms
+    assert(math.abs(lhs - rhs) / rhs < 1e-9)
+  }
+
   test("mm04/mm05 run distributed and deterministically") {
     val a1 = graft.multimodal.Multimodal.mm04.run(spark, sf).collect()
     val a2 = graft.multimodal.Multimodal.mm04.run(spark, sf).collect()

@@ -37,14 +37,50 @@ class TypedAndMLSpec extends SparkSpec {
     assert(agree > 0.9, s"agreement $agree")
   }
 
-  test("multimodal decode stub: pinned features, mapPartitions shape") {
-    val f = Multimodal.decodeStub("abcd".getBytes("UTF-8"))
-    assert(f.toSeq == Seq(97 / 255.0, 98 / 255.0, 99 / 255.0, 100 / 255.0))
-    val media = Multimodal.mediaFrame(model.Tables.documents(spark, sf))
-      .as[Multimodal.MediaRow]
-    val feats = Multimodal.extractFeatures(media)
-    assert(feats.count() == 500)
-    // md5 hex = 32 bytes of utf8
-    assert(feats.filter(col("n_bytes") =!= 32).isEmpty)
+  test("model cache: regenerating the corpus under the same path retrains") {
+    // The cache is keyed by corpusFingerprint(dir), not the dir string:
+    // rewriting documents.parquet in place must produce a NEW key (→ a
+    // second fit), never silently serve the model of the old data.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ml_cache").toFile
+    try {
+      val dir = tmp.getAbsolutePath
+      model.Tables.documents(spark, sf).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val fp1 = ops.MLClassify.corpusFingerprint(dir)
+      ops.MLClassify.classifyWithModel(
+        model.Tables.documents(spark, dir), cacheKey = fp1).head()
+      assert(ops.MLClassify.cachedKeys.contains(fp1))
+      // regenerate in place with different content (size changes too)
+      model.Tables.documents(spark, sf).limit(400).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val fp2 = ops.MLClassify.corpusFingerprint(dir)
+      assert(fp2 != fp1, "fingerprint must change when the parquet is rewritten")
+      val out = ops.MLClassify.classifyWithModel(
+        model.Tables.documents(spark, dir), cacheKey = fp2)
+      assert(out.count() <= 400)
+      assert(ops.MLClassify.cachedKeys.contains(fp2), "second fit not memoised")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("multimodal decode: real codecs per modality through mapPartitions") {
+    val media = Multimodal.realMediaFrame(model.Tables.documents(spark, sf))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      if (f.media_type == "image") {
+        // BMP decode: f0/f1 = dimensions, f2/f3 = channel means
+        assert(f.f0 == 16.0 && f.f1 == 12.0)
+        assert(f.f2 >= 0 && f.f2 <= 255 && f.f3 >= 0 && f.f3 <= 255)
+      } else {
+        // μ-law decode: f0/f1 = rate/samples, f2/f3 = linear peak/RMS
+        assert(f.f0 == 8000.0 && f.f1 == 800.0)
+        assert(f.f2 > 0 && f.f3 > 0 && f.f3 < f.f2)
+      }
+    }
   }
 }
