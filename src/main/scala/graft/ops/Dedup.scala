@@ -511,23 +511,102 @@ object Dedup {
     labels
   }
 
-  /** Duplicate-cluster resolution over the d02 edge set: every document
-    * gets its cluster id (min doc_id of its component) and a keeper
-    * flag. The oracle computes the same transitive closure with a
-    * recursive CTE over the identical edge definition — so the
-    * ITERATION, not just the pair generation, is cross-engine checked. */
-  val d08 = Q("d08_dup_clusters",
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond") — the
+    * web-scale variant of [[connectedComponents]]: label propagation
+    * needs O(component diameter) rounds and funnels every hop through
+    * the min node, while star contraction converges in O(log n) rounds
+    * and rewires edges toward per-neighborhood minima, so no single
+    * node's neighborhood has to absorb a long chain hop by hop.
+    *
+    * Per round, over a symmetric self-loop-free edge list:
+    *  - '''large-star''': per node u, m = min(N(u) ∪ {u}); every
+    *    strictly-greater neighbor v > u is rewired to (v, m);
+    *  - '''small-star''': per node u over its smaller neighbors
+    *    N⁻(u) = {v ∈ N(u) : v < u}, m = min(N⁻(u)); each v ∈ N⁻(u)
+    *    rewires to (v, m) and u itself attaches as (u, m).
+    *
+    * Both steps are plain groupBy-min + equi-join dataflow — no
+    * neighborhood collect_list, so a 10⁸-degree hub costs a shuffle,
+    * not executor memory. Fixpoint = the edge set is unchanged across
+    * a full round, detected by a (count, hash-sum) checksum — one tiny
+    * action per round (the hashes fold with `bit_xor` — overflow-free
+    * under ANSI mode and order-independent; the edge set is distinct,
+    * so aliasing would need a hash collision AND an equal count on a
+    * CHANGED set within one round — not the monotone-counter aliasing
+    * a label sum has). At
+    * the fixpoint the graph is a disjoint union of stars centered at
+    * component minima, so label(v) = min(v, min neighbor). */
+  def connectedComponentsStars(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val toSym = (e: DataFrame) =>
+      e.union(e.select(col("v").as("u"), col("u").as("v"))
+          .select(col("u"), col("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    var e = toSym(edges.select(col("i").as("u"), col("j").as("v")))
+      .localCheckpoint()
+    var prev: Option[(Long, Long)] = None
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // large-star over the full neighborhood
+      val minsFull = e.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = e.filter(col("v") > col("u")).join(minsFull, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      e = toSym(ls).localCheckpoint()
+      // small-star over the strictly-smaller neighborhood
+      val smaller = e.filter(col("v") < col("u"))
+      val minsS = smaller.groupBy("u").agg(min("v").as("m"))
+      val ss = smaller.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+      e = toSym(ss).localCheckpoint()
+      val check = e.agg(count(lit(1)).cast("long"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      val sig = (check.getLong(0), check.getLong(1))
+      done = prev.contains(sig)
+      prev = Some(sig)
+      it += 1
+    }
+    val lbl = e.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("node"), least(col("u"), col("mv")).as("label"))
+    nodes.join(lbl, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
+  /** d08/d10 shared oracle: the same transitive closure as a recursive
+    * CTE over the identical edge definition — so the ITERATION (both
+    * iteration STRATEGIES), not just the pair generation, is
+    * cross-engine checked. */
+  private val clustersOracleSql =
     s"""WITH RECURSIVE $shinglesSql,
        |$clustersSql
        |SELECT doc_id, cluster, doc_id = cluster AS is_keeper
-       |FROM clusters ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM clusters ORDER BY doc_id""".stripMargin
+
+  private def clusterQuery(cc: (DataFrame, DataFrame) => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
     val pairs = d02.run(s, d).select("i", "j")
-    connectedComponents(docs, pairs)
+    cc(docs, pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster"),
         (col("node") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
+  /** Duplicate-cluster resolution over the d02 edge set: every document
+    * gets its cluster id (min doc_id of its component) and a keeper
+    * flag, via min-label propagation. */
+  val d08 = Q("d08_dup_clusters", clustersOracleSql)(
+    clusterQuery(connectedComponents(_, _)))
+
+  /** The same cluster resolution via large-star/small-star contraction
+    * ([[connectedComponentsStars]]) — the O(log n)-round algorithm a
+    * 100 TB dedup would run; identical output, same DuckDB oracle, plus
+    * a union-find property spec on random graphs. */
+  val d10 = Q("d10_dup_clusters_stars", clustersOracleSql)(
+    clusterQuery(connectedComponentsStars(_, _)))
+
+  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
 }

@@ -27,7 +27,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  test("random graphs: propagation equals union-find components") {
+  private val implementations = Seq[
+      (String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame)](
+    "propagation" -> (ops.Dedup.connectedComponents(_, _)),
+    "large/small-star" -> (ops.Dedup.connectedComponentsStars(_, _)))
+
+  test("random graphs: both implementations equal union-find components") {
     val rnd = new scala.util.Random(20260812L)
     for (trial <- 1 to 5) {
       val n = 20 + rnd.nextInt(20)
@@ -39,23 +45,44 @@ class ConnectedComponentsSpec extends SparkSpec {
       val expected = unionFind(n, edges)
       val nodes = (0 until n).map(_.toLong).toDF("node")
       val edgeDf = edges.toDF("i", "j")
-      val got = ops.Dedup.connectedComponents(nodes, edgeDf)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == expected,
-        s"trial $trial (n=$n, edges=${edges.size}): " +
-          s"diff=${(got.toSet diff expected.toSet).take(5)}")
+      for ((name, cc) <- implementations) {
+        val got = cc(nodes, edgeDf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"[$name] trial $trial (n=$n, edges=${edges.size}): " +
+            s"diff=${(got.toSet diff expected.toSet).take(5)}")
+      }
     }
   }
 
-  test("edge cases: empty edge set and a full chain") {
+  test("edge cases: empty edge set and a full chain, both implementations") {
     val nodes = (0L until 10L).toDF("node")
-    val none = ops.Dedup.connectedComponents(nodes, Seq.empty[(Long, Long)].toDF("i", "j"))
+    for ((name, cc) <- implementations) {
+      val none = cc(nodes, Seq.empty[(Long, Long)].toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(none == (0L until 10L).map(i => i -> i).toMap, s"[$name]")
+      // 0-1-2-...-9 chain: 9 hops must all funnel to label 0 — the shape
+      // where star contraction's O(log n) rounds beat propagation's O(n)
+      val chain = (0L until 9L).map(i => (i, i + 1)).toDF("i", "j")
+      val got = cc(nodes, chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L until 10L).map(i => i -> 0L).toMap, s"[$name]")
+    }
+  }
+
+  test("long chain: star contraction converges in far fewer than diameter rounds") {
+    // 120-node path graph, diameter 119: propagation at default maxIter
+    // (20) must NOT have converged; star contraction must be exact.
+    val n = 120
+    val nodes = (0L until n.toLong).toDF("node")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("i", "j")
+    val stars = ops.Dedup.connectedComponentsStars(nodes, chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(none == (0L until 10L).map(i => i -> i).toMap)
-    // 0-1-2-...-9 chain: 9 hops must all funnel to label 0
-    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("i", "j")
-    val got = ops.Dedup.connectedComponents(nodes, chain)
+    assert(stars == (0L until n.toLong).map(i => i -> 0L).toMap)
+    val prop = ops.Dedup.connectedComponents(nodes, chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == (0L until 10L).map(i => i -> 0L).toMap)
+    assert(prop.values.exists(_ != 0L),
+      "propagation should still be mid-funnel at maxIter=20 on diameter 119 " +
+        "(if this starts passing, maxIter changed — update the comparison)")
   }
 }
