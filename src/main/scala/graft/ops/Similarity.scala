@@ -221,5 +221,128 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03)
+  // ---------------------------------------------------------------- s04
+  /** Squared-L2 between the m-th 8-dim subvectors of `$a` and `$b`
+    * (Spark SQL form): ascending-index zip_with fold in double — the
+    * bit-identical accumulation the DuckDB oracle recomputes. The
+    * (CAST−CAST)·(CAST−CAST) shape deliberately does NOT match
+    * [[graft.plans.RewriteDotProducts]]'s dot-product pattern. */
+  private def subD2Spark(a: String, b: String): String =
+    s"""aggregate(zip_with(slice($a, m*8+1, 8), slice($b, m*8+1, 8),
+       |  (p, q) -> (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
+       |          * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))),
+       |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+
+  /** Same value in DuckDB (1-based indices, list_sum ascending). */
+  private def subD2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 8),
+       |  k -> (CAST($a.embedding[m*8+k] AS DOUBLE) - CAST($b.embedding[m*8+k] AS DOUBLE))
+       |     * (CAST($a.embedding[m*8+k] AS DOUBLE) - CAST($b.embedding[m*8+k] AS DOUBLE))))""".stripMargin
+
+  /** Product-quantisation ANN — the memory-compression tier a 100 TB
+    * vector corpus runs (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): each 64-dim vector is encoded as M=8
+    * one-byte codes (argmin sub-centroid per 8-dim subspace, K=16
+    * codebook entries from the first-16 vectors' slices — the same
+    * deterministic data-derived codebook scheme as s03's centroids), so
+    * the resident index is 8 bytes/vector instead of 256. Queries score
+    * by asymmetric distance (ADC): per-subspace squared-L2 from the
+    * query to each codebook entry (a 128-row broadcast lookup), summed
+    * over the M codes; the PQ shortlist (top-50 by ADC) is then
+    * re-ranked by the exact codegen'd cosine — the shortlist+rerank
+    * split production PQ uses.
+    *
+    * Scale shape: encoding is one map pass over a broadcast codebook
+    * (128 rows); ADC is an equi-join of the 8-rows-per-vector code
+    * table against a 1280-row broadcast query-distance table, one
+    * map-side-combinable sum — never a vector×vector join. Subspace
+    * distances are bit-identical doubles in both engines (ascending
+    * fold) and are summed as DECIMAL(24,12) so the 8-way ADC sum is
+    * exact and associative — the groupBy order can't wobble a rank. */
+  val s04 = Q("s04_pq_topk",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |ms AS (SELECT unnest(range(8)) AS m),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT e.vec_id, ms.m, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id, ms.m
+       |                              ORDER BY ${subD2Sql("e", "c")} ASC, c.cid) AS rn
+       |    FROM e CROSS JOIN ms CROSS JOIN c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+       |qd AS (
+       |  SELECT q.query_id, ms.m, c.cid,
+       |         CAST(${subD2Sql("q", "c")} AS DECIMAL(24,12)) AS d2
+       |  FROM q CROSS JOIN ms CROSS JOIN c),
+       |adc AS (
+       |  SELECT qd.query_id, codes.vec_id, sum(qd.d2) AS dist
+       |  FROM codes JOIN qd ON qd.m = codes.m AND qd.cid = codes.code
+       |  WHERE codes.vec_id <> qd.query_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY dist ASC, vec_id) AS srn
+       |    FROM adc)
+       |  WHERE srn <= 50),
+       |scored AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id, ${cosSql("q", "e")} AS cos
+       |  FROM short s
+       |  JOIN q ON q.query_id = s.query_id
+       |  JOIN e ON e.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+    val withM = e.select(col("vec_id"), col("embedding"),
+      explode(sequence(lit(0), lit(7))).as("m"))
+    val wCode = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("cid"))
+    val codes = withM.join(broadcast(c))
+      .select(col("vec_id"), col("m"), col("cid"),
+        expr(subD2Spark("embedding", "c_embedding")).as("d2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val qd = q.select(col("query_id"), col("q_embedding"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .join(broadcast(c))
+      .select(col("query_id"), col("m"), col("cid"),
+        expr(subD2Spark("q_embedding", "c_embedding"))
+          .cast("decimal(24,12)").as("d2"))
+    val adc = codes.join(broadcast(qd),
+        qd("m") === codes("m") && qd("cid") === codes("code") &&
+          qd("query_id") =!= codes("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("dist"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vec_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= 50)
+      .select("query_id", "vec_id")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(q, "query_id")
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04)
 }
