@@ -212,5 +212,32 @@ object EventStreams {
       .orderBy("user_id", "purchase_ts", "click_ts")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06)
+  // --------------------------------------------------------------- st07
+  /** Batch twin of the stream–static enrichment join (the SAME
+    * [[graft.streaming.StreamOps.enrichEvents]] the stream runs): each
+    * event left-joins the broadcast tier dimension; `error` events are
+    * deliberately unmapped and surface as `untiered` with weight 0.
+    * The weighted value is exact decimal arithmetic in both engines
+    * (DECIMAL(18,2) × DECIMAL(4,2)), cast to DOUBLE only at the end.
+    * PlanAuditSpec pins the broadcast; StreamingSpec drives the same
+    * function from MemoryStream micro-batches. */
+  val st07 = Q("st07_enrich_dim",
+    """WITH dim(event_type, tier, weight) AS (VALUES
+      |  ('click', 'engagement', CAST(1.50 AS DECIMAL(4,2))),
+      |  ('view', 'engagement', CAST(0.25 AS DECIMAL(4,2))),
+      |  ('purchase', 'revenue', CAST(3.00 AS DECIMAL(4,2))),
+      |  ('signup', 'growth', CAST(2.00 AS DECIMAL(4,2))))
+      |SELECT e.event_id, e.event_type,
+      |  coalesce(d.tier, 'untiered') AS tier,
+      |  CAST(CAST(e.value AS DECIMAL(18,2))
+      |       * coalesce(d.weight, CAST(0 AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS weighted_value
+      |FROM events e LEFT JOIN dim d USING (event_type)
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps
+      .enrichEvents(Tables.events(s, d), graft.streaming.StreamOps.tierDim(s))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07)
 }

@@ -45,6 +45,36 @@ object StreamOps {
     NewsPipeline.classify(
       raw.selectExpr("CAST(value AS STRING) AS message"), textCol = "message")
 
+  /** The static tier dimension for [[enrichEvents]] — the
+    * enrichment-side table a deployment would load from a catalog.
+    * `error` is deliberately unmapped so the left join's miss path is
+    * always exercised. Weights are DECIMAL(4,2) so the enriched value
+    * arithmetic is exact in both engines. */
+  def tierDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("click", "engagement", "1.50"), ("view", "engagement", "0.25"),
+      ("purchase", "revenue", "3.00"), ("signup", "growth", "2.00"))
+      .toDF("event_type", "tier", "w")
+      .select(col("event_type"), col("tier"),
+        col("w").cast("decimal(4,2)").as("weight"))
+  }
+
+  /** Stream–static enrichment join: each micro-batch of the stream
+    * left-joins the small static dimension, which Spark broadcasts —
+    * the fact stream never shuffles, misses surface as `untiered` /
+    * weight 0. This is THE standard streaming lookup pattern (the
+    * reference's category→channel routing map is its batch ancestor);
+    * at scale the dim is re-broadcast per restart, not per record, and
+    * a slowly-changing dim swaps in via checkpoint restart. Works
+    * identically on a batch frame — st07 is the oracled twin. */
+  def enrichEvents(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        coalesce(col("tier"), lit("untiered")).as("tier"),
+        (col("value").cast("decimal(18,2)") *
+          coalesce(col("weight"), lit(0).cast("decimal(4,2)")))
+          .cast("double").as("weighted_value"))
+
   /** Watermarked tumbling-window aggregation over a user-event stream:
     * append-mode output as windows finalise; state bounded by watermark. */
   def windowedCounts(events: Dataset[UserEvent]): DataFrame =

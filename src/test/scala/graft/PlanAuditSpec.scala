@@ -85,6 +85,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(pack.contains("hashpartitioning(shard"), pack.take(1200))
   }
 
+  test("st07: enrichment dim broadcasts; the event stream never shuffles") {
+    val plan = executedPlan("st07_enrich_dim")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("q28: upsert plans a full outer join on the key") {
     val plan = executedPlan("q28_upsert_merge")
     assert(plan.contains("FullOuter"), plan.take(1200))

@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(out("no keywords here at all zzz") == (("unknown", 0.0)))
   }
 
+  test("stream-static enrichment: broadcast dim joins each micro-batch") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val q = StreamOps.enrichEvents(
+        in.toDF().toDF("event_id", "event_type", "value"),
+        StreamOps.tierDim(spark))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, "click", 10.0), (2L, "error", 5.0))
+    q.processAllAvailable()
+    in.addData((3L, "purchase", 2.0)) // second batch re-probes the dim
+    q.processAllAvailable()
+    val out = spark.table("enriched")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(2), r.getDouble(3)))).toMap
+    q.stop()
+    assert(out(1L) == (("engagement", 15.0)))
+    assert(out(2L) == (("untiered", 0.0))) // unmapped type → miss path
+    assert(out(3L) == (("revenue", 6.0)))
+  }
+
   test("dedupWithinWatermark drops repeats, keeps state bounded by horizon") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Message]
