@@ -105,5 +105,40 @@ object CleanCorpus {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02)
+  /** Per-class sample quota for [[p03]]. */
+  val SampleQuota = 30L
+
+  /** Balanced class-quota subsampling — the downsampling step a
+    * class-imbalanced training corpus needs: classify (n03's exact
+    * operator), then keep at most [[SampleQuota]] docs per category,
+    * chosen by ranking on a deterministic content-free hash of the id.
+    * Hash ranking instead of `rand(seed)` is the scale-correct choice:
+    * the sample is a pure function of the data — identical across
+    * engines, reruns, partition counts, and cluster sizes — where
+    * seeded RNG sampling depends on partitioning and cannot be
+    * oracled. The window is key-partitioned by category (strata rank
+    * in parallel; no single-partition funnel), and at 100 TB the same
+    * query runs unchanged: quota selection shuffles only (category,
+    * hash) pairs. */
+  val p03 = Q("p03_balanced_sample",
+    s"""${NewsPipeline.classifiedCte},
+       |ranked AS (
+       |  SELECT doc_id, category,
+       |         row_number() OVER (PARTITION BY category
+       |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM classified)
+       |SELECT doc_id, category, CAST(rn AS BIGINT) AS sample_rank
+       |FROM ranked WHERE rn <= $SampleQuota
+       |ORDER BY category, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("category")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    NewsPipeline.classify(Tables.documents(s, d))
+      .select(col("doc_id"), col("category"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= SampleQuota)
+      .orderBy("category", "doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03)
 }

@@ -121,8 +121,9 @@ object NewsPipeline {
   private val confSql =
     s"CASE WHEN $maxSql = 0 THEN 0.0 ELSE CAST($maxSql AS DOUBLE) / CAST($totalSql AS DOUBLE) END"
 
-  /** CTE prefix used by every oracle below: documents → scores → classified. */
-  private val classifiedCte =
+  /** CTE prefix used by every oracle below (and by CleanCorpus's
+    * balanced-sample composition): documents → scores → classified. */
+  private[ops] val classifiedCte =
     s"""WITH scored AS (
        |  SELECT doc_id, text, lang, source, $scoreCols FROM documents),
        |classified AS (
