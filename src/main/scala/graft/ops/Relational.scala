@@ -954,7 +954,73 @@ object Relational {
       .orderBy("l_orderkey")
   }
 
+  // ---------------------------------------------------------------- q33
+  /** RANGE-interval window frame — the value-based frame ROWS frames
+    * can't express: each order sees the count/sum of the SAME
+    * customer's orders in the trailing 90 days, peers (same-day orders)
+    * included by definition. The frame is defined on an integer day
+    * ordinal so both engines bound it identically; money sums go
+    * through DECIMAL so frame-internal addition order can't wobble the
+    * double. Partitioned by customer — parallel at any scale. */
+  val q33 = Q("q33_range_window",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_90d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_90d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-90, org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+        col("o_totalprice"))
+      .withColumn("n_90d", count(lit(1)).over(w).cast("long"))
+      .withColumn("value_90d",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "day", "n_90d", "value_90d")
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Conditional aggregation (the FILTER clause): several differently-
+    * filtered aggregates in ONE scan-and-shuffle pass — the idiom that
+    * replaces N self-joining subqueries. Spark expresses FILTER as
+    * `agg(when(cond, x))`; the plan is a single hash aggregate either
+    * way. Counts stay integral; the filtered money sum goes through
+    * DECIMAL; the share divides longs cast to double (one division,
+    * bit-identical). */
+  val q34 = Q("q34_filtered_agg",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+      |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |                FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS finished_value,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS open_share
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val nOpen = count(when(col("o_orderstatus") === "O", 1))
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        count(when(col("o_orderstatus") === "F", 1)).cast("long").as("n_finished"),
+        nOpen.cast("long").as("n_open"),
+        coalesce(sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast("decimal(18,2)"))), lit(0))
+          .cast("double").as("finished_value"),
+        (nOpen.cast("double") / count(lit(1)).cast("double")).as("open_share"))
+      .orderBy("o_orderpriority")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
 }
