@@ -212,6 +212,48 @@ object EventStreams {
       .orderBy("user_id", "purchase_ts", "click_ts")
   }
 
+  // --------------------------------------------------------------- st08
+  /** Batch twin of the FULL OUTER stream-stream interval join (the SAME
+    * function the stream runs): unmatched purchases AND unmatched
+    * clicks both survive with the other side nulled. Null timestamps
+    * take the st04/st06 open-interval sentinel so rows stay orderable;
+    * `has_purchase`/`has_click` make the three row classes explicit. */
+  val st08 = Q("st08_interval_join_full",
+    """SELECT coalesce(p.user_id, c.user_id) AS user_id,
+      |  coalesce(p.ts, TIMESTAMP '9999-12-31 00:00:00') AS purchase_ts,
+      |  coalesce(c.ts, TIMESTAMP '9999-12-31 00:00:00') AS click_ts,
+      |  coalesce(p.value, 0.0) AS purchase_value,
+      |  coalesce(c.value, 0.0) AS click_value,
+      |  p.user_id IS NOT NULL AS has_purchase,
+      |  c.user_id IS NOT NULL AS has_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def side(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.UserEvent]
+    val sentinel = lit("9999-12-31 00:00:00")
+      .cast(org.apache.spark.sql.types.TimestampNTZType)
+    graft.streaming.StreamOps
+      .clicksPurchasesFullOuter(side("click"), side("purchase"))
+      .select(col("user_id"),
+        coalesce(col("purchase_ts").cast("timestamp_ntz"), sentinel)
+          .as("purchase_ts"),
+        coalesce(col("click_ts").cast("timestamp_ntz"), sentinel)
+          .as("click_ts"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"),
+        coalesce(col("click_value"), lit(0.0)).as("click_value"),
+        col("purchase_ts").isNotNull.as("has_purchase"),
+        col("click_ts").isNotNull.as("has_click"))
+      .orderBy("user_id", "purchase_ts", "click_ts", "purchase_value",
+        "click_value")
+  }
+
   // --------------------------------------------------------------- st07
   /** Batch twin of the stream–static enrichment join (the SAME
     * [[graft.streaming.StreamOps.enrichEvents]] the stream runs): each
@@ -239,5 +281,5 @@ object EventStreams {
       .orderBy("event_id")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07)
+  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
 }

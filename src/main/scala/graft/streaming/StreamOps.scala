@@ -174,6 +174,31 @@ object StreamOps {
         col("click_ts"), col("purchase_value"), col("click_value"))
   }
 
+  /** FULL OUTER stream-stream interval join — both unmatched purchases
+    * AND unmatched clicks survive (a left-outer keeps only the former,
+    * silently dropping click-without-purchase activity). Null rows for
+    * EITHER side emit only once the watermark passes that side's join
+    * window; state is bounded on both sides by watermark + interval.
+    * The join condition must reference both event times or Spark
+    * rejects the outer stream-stream join at analysis. */
+  def clicksPurchasesFullOuter(clicks: Dataset[UserEvent],
+      purchases: Dataset[UserEvent]): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+      "full_outer")
+      .select(coalesce(col("p_user"), col("c_user")).as("user_id"),
+        col("purchase_ts"), col("click_ts"),
+        col("purchase_value"), col("click_value"))
+  }
+
   case class SessionSummary(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
 

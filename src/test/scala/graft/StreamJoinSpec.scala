@@ -59,4 +59,32 @@ class StreamJoinSpec extends SparkSpec {
     q.stop()
     assert(rows.toSeq == Seq((1L, Some(1.0)), (2L, None)))
   }
+
+  test("full outer interval join: unmatched rows on BOTH sides emit after watermark") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamOps.clicksPurchasesFullOuter(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("full_joined")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      UserEvent(1, "click", 1.0, ts(10, 0)),   // matched by user 1's purchase
+      UserEvent(3, "click", 7.0, ts(10, 0)))   // no purchase → click-only row
+    purchases.addData(
+      UserEvent(1, "purchase", 100.0, ts(10, 5)),  // matched
+      UserEvent(2, "purchase", 200.0, ts(10, 5)))  // no click → purchase-only
+    q.processAllAvailable()
+    // neither unmatched row may emit until the watermark clears its window
+    clicks.addData(UserEvent(9, "click", 0.0, ts(12, 0)))
+    purchases.addData(UserEvent(9, "purchase", 0.0, ts(12, 0)))
+    q.processAllAvailable()
+    val rows = spark.table("full_joined")
+      .filter("user_id IN (1, 2, 3)").collect()
+      .map(r => (r.getLong(0), !r.isNullAt(1), !r.isNullAt(2)))
+      .sortBy(_._1)
+    q.stop()
+    // (user, has_purchase, has_click): matched, purchase-only, click-only
+    assert(rows.toSeq == Seq((1L, true, true), (2L, true, false),
+      (3L, false, true)))
+  }
 }
