@@ -85,6 +85,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(pack.contains("hashpartitioning(shard"), pack.take(1200))
   }
 
+  test("q33: RANGE-frame window is customer-partitioned, never single-partition") {
+    val plan = executedPlan("q33_range_window")
+    assert(plan.contains("hashpartitioning(o_custkey"), plan.take(1200))
+  }
+
+  test("q34: all filtered aggregates evaluate in ONE aggregation pass") {
+    val plan = executedPlan("q34_filtered_agg")
+    // one partial+final pair over a single scan — no Expand (the
+    // rollup/cube shape) and no self-join of the orders table
+    assert(!plan.contains("Expand"), plan.take(1200))
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs == 2, s"expected partial+final HashAggregate, got $aggs")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single orders scan, got $scans")
+  }
+
+  test("s04: PQ cross-products only against broadcast codebooks; ADC is an equi-join") {
+    val plan = executedPlan("s04_pq_topk")
+    // vector × codebook expansion is a cross join BY DESIGN — but only
+    // ever against the broadcast 16-row codebook / 1280-row qdist side,
+    // never a partitioned cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the ADC lookup (m, code) and the re-rank joins hash on their keys
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("st07: enrichment dim broadcasts; the event stream never shuffles") {
     val plan = executedPlan("st07_enrich_dim")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
