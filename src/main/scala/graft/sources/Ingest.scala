@@ -114,5 +114,37 @@ object Ingest {
       .orderBy("source_id")
   }
 
-  def all: Seq[Q] = Seq(in01, in02)
+  /** Quarantine ingestion — the production counterpart of in01's
+    * drop-malformed scan: instead of silently dropping bad lines, every
+    * input line gets a verdict so the bad ones can be routed to a
+    * quarantine sink for inspection (text scan → per-line `from_json`
+    * probe; map-only, no shuffle, scale-free). `is_good` = the line
+    * yields at least one known field — which on any line set without
+    * legitimately-empty records coincides with JSON validity, the
+    * definition the DuckDB oracle evaluates via `json_valid` (the
+    * committed fixture pins the equivalence; a valid `{}` line would
+    * need the schema-probe definition on both sides). */
+  val in03 = Q("in03_quarantine",
+    s"""SELECT substr(line, 1, 30) AS line_head,
+       |  json_valid(line) AS is_good,
+       |  coalesce(CASE WHEN json_valid(line)
+       |                THEN json_extract_string(line, '$$.headline') END,
+       |           '') AS headline
+       |FROM (SELECT unnest(string_split(content, chr(10))) AS line
+       |      FROM read_text('$fixturePath'))
+       |WHERE line <> ''
+       |ORDER BY line_head""".stripMargin) { (s, _) =>
+    val p = from_json(col("line"), articleSchema)
+    val anyField = coalesce(p.getField("headline"), p.getField("short_description"),
+      p.getField("link"), p.getField("category"),
+      array_join(p.getField("authors"), ","))
+    s.read.text(fixturePath)
+      .select(col("value").as("line"))
+      .select(substring(col("line"), 1, 30).as("line_head"),
+        anyField.isNotNull.as("is_good"),
+        coalesce(p.getField("headline"), lit("")).as("headline"))
+      .orderBy("line_head")
+  }
+
+  def all: Seq[Q] = Seq(in01, in02, in03)
 }
