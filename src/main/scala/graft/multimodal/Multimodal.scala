@@ -517,8 +517,42 @@ object Multimodal {
   }
 
   /** REAL image pipeline: PPM synth → nearest-neighbour resize (actual
-    * pixel indexing) → decode of the RESIZED bytes → channel means. */
-  val mm05 = Q.noOracle("mm05_ppm_resize") { (s, d) =>
+    * pixel indexing) → decode of the RESIZED bytes → channel means.
+    *
+    * FULLY ORACLED: the synthesis LCG is pure integer arithmetic, so
+    * DuckDB recomputes the identical pixels with wrap-around 64-bit
+    * state in HUGEINT (`(state·A + C) mod 2⁶⁴`; products stay under
+    * 2¹²⁷) via a recursive CTE, applies the same nearest-neighbour
+    * index map `in((2y·16+2x)·3+c)`, and divides the integer channel
+    * sums once — pixel generation, resize indexing, and mean
+    * arithmetic are all cross-engine checked bit-exactly. */
+  val mm05 = Q("mm05_ppm_resize", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M * $A + $C) % $M
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $A + $C) % $M FROM lcg WHERE i < 575),
+       |grid AS (
+       |  SELECT x, y, c FROM (SELECT unnest(range(8)) AS x),
+       |       (SELECT unnest(range(6)) AS y), (SELECT unnest(range(3)) AS c)),
+       |sel AS (
+       |  SELECT l.doc_id, g.c,
+       |         CAST(l.state // 72057594037927936 AS BIGINT) AS b
+       |  FROM grid g JOIN lcg l ON l.i = (2*g.y*16 + 2*g.x)*3 + g.c),
+       |means AS (
+       |  SELECT doc_id, c, CAST(sum(b) AS DOUBLE) / 48 AS m
+       |  FROM sel GROUP BY doc_id, c)
+       |SELECT r.doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       |       r.m AS mean_r, g.m AS mean_g, b.m AS mean_b
+       |FROM (SELECT doc_id, m FROM means WHERE c = 0) r
+       |JOIN (SELECT doc_id, m FROM means WHERE c = 1) g ON g.doc_id = r.doc_id
+       |JOIN (SELECT doc_id, m FROM means WHERE c = 2) b ON b.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
       .select("doc_id").as[Long]
