@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   *    md5-recomputable oracle family Verify uses — the bench measures
   *    what a deployment pays (structure of every plan is identical in
   *    both modes; DedupSpec pins d05↔d07 set equality under both);
-  *  - the O(n²)/O(Q·n) validation twins (d02, d04, d05, s01) are bounded
+  *  - the O(n²)/O(Q·n) validation twins (d02, d04, d05, s01 — and d07,
+  *    whose k=8 recall-first threshold makes its OUTPUT quadratic on
+  *    duplicate-heavy corpora) are bounded
   *    by `spark.graft.validation.cap.*` pinned to the sf0.1 table sizes:
   *    a no-op at the driver's bench SF (numbers stay round-comparable),
   *    a hard deterministic bound at sf ≥ 1.0 so a scale-up bench is

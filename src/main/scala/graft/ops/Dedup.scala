@@ -406,7 +406,12 @@ object Dedup {
     * all-pairs even here. The spec asserts pair-set equality with d05;
     * PlanAuditSpec asserts no nested-loop join in the physical plan. */
   val d07 = Q("d07_simhash_bucketed", simhashPairsSql(8)) { (s, d) =>
-    val h = Tables.documents(s, d)
+    // k=8 is the recall-first VALIDATION threshold (it exists to prove
+    // pigeonhole equality with d05, which is capped at bench time) — its
+    // output pair set is inherently huge and its 7-bit buckets degenerate
+    // on duplicate-heavy corpora (measured 33× at 4× docs), so it shares
+    // d05's bench cap; d09's production threshold runs uncapped.
+    val h = cappedDocs(s, d)
       .select(col("doc_id"), simhashCol(s).as("h"))
     val blockKeys = (0 until 9).map { b =>
       val width = if (b == 8) 255L else 127L
