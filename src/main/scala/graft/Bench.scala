@@ -27,8 +27,8 @@ import org.apache.spark.sql.SparkSession
   *    by `spark.graft.validation.cap.*` pinned to the sf0.1 table sizes:
   *    a no-op at the driver's bench SF (numbers stay round-comparable),
   *    a hard deterministic bound at sf ≥ 1.0 so a scale-up bench is
-  *    measured by the production variants (d06, d07/d09, s02/s03), not
-  *    by the quadratic queries that exist to validate them;
+  *    measured by the production variants (d06, d09, s02/s03), not by
+  *    the quadratic queries that exist to validate them;
   *  - all numbers are formatted under Locale.ROOT — the f-interpolator
   *    follows the JVM default locale, and a comma-decimal locale would
   *    emit invalid JSON.

@@ -54,8 +54,11 @@ case class SimHash64(child: Expression, md5Mode: Boolean)
 object SimHash64 {
   def apply(child: Expression): SimHash64 = SimHash64(child, md5Mode = false)
 
-  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
+  /** Per-thread MD5 instance, shared by every md5-family hash in this
+    * package (simhash tokens, winnowing k-grams). */
+  private[functions] val mdPool =
+    ThreadLocal.withInitial[java.security.MessageDigest](
+      () => java.security.MessageDigest.getInstance("MD5"))
 
   /** 64-bit token hash from the md5 digest: v = first 8 bytes
     * big-endian; bits laid out as (v & 0xf) << 60 | v >>> 4 so that bit

@@ -60,9 +60,6 @@ object TextFunctions {
     if (r >= Mod) r - Mod else r
   }
 
-  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
-    () => java.security.MessageDigest.getInstance("MD5"))
-
   /** Oracle k-gram hash family: 60-bit value from the md5 of each k-char
     * substring — first 8 digest bytes big-endian, shifted right 4, i.e.
     * exactly DuckDB's `CAST('0x'||substr(md5(substr(text,i,k)),1,15) AS
@@ -74,7 +71,7 @@ object TextFunctions {
     * ASCII (multi-byte text would need a byte-substring oracle). */
   def md5KgramHashes(text: String, k: Int): Array[Long] = {
     if (text.length < k) return Array.empty
-    val md = mdPool.get()
+    val md = SimHash64.mdPool.get()
     val out = new Array[Long](text.length - k + 1)
     var i = 0
     while (i < out.length) {

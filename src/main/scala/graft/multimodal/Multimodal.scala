@@ -342,6 +342,9 @@ object Multimodal {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val w = buf.getInt(18)
     val h = buf.getInt(22)
+    // more bands than rows would fabricate 0.0 ("black") frames for the
+    // empty tail bands — indistinguishable from real black content
+    require(n >= 1 && n <= h, s"band count $n outside 1..$h rows")
     val off = buf.getInt(10)
     val rowSize = (w * 3 + 3) / 4 * 4
     val per = math.max(h / n, 1)
@@ -449,6 +452,8 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val total = buf.getInt(40)
+    // more windows than samples would fabricate 0.0 ("silent") frames
+    require(n >= 1 && n <= total, s"window count $n outside 1..$total samples")
     val per = math.max(total / n, 1)
     (0 until n).map { k =>
       val from = k * per

@@ -513,6 +513,12 @@ object Dedup {
       done = changed == 0L
       it += 1
     }
+    // Silent truncation would emit split clusters (multiple keepers per
+    // true cluster) that only an oracle run could notice — fail loudly
+    // instead; components deeper than the budget need [[connectedComponentsStars]].
+    if (!done) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIter rounds " +
+        "(component diameter exceeds the budget); use connectedComponentsStars")
     labels
   }
 

@@ -66,7 +66,9 @@ object MLClassify {
     * key alone silently serves a stale model if the parquet is
     * regenerated in place; the fingerprint makes the cache
     * content-addressed at file-metadata granularity (cheap driver-side
-    * stat walk — no data read). */
+    * stat walk — no data read). The signature folds through md5 (full
+    * 128 bits — a 32-bit hashCode would make a silent stale-model
+    * collision merely unlikely instead of negligible). */
   private[graft] def corpusFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -75,7 +77,10 @@ object MLClassify {
     val files = walk(new java.io.File(s"$dir/documents.parquet"))
     val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .mkString("|")
-    s"$dir#${java.lang.Integer.toHexString(sig.hashCode)}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(sig.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    s"$dir#$hex"
   }
 
   /** Train on keyword-labelled docs (memoised per `cacheKey`), serve over
@@ -100,7 +105,15 @@ object MLClassify {
     }
     val (model, labels) =
       if (cacheKey == null) fit()
-      else cache.computeIfAbsent(cacheKey, _ => fit())
+      else {
+        // one live model per corpus dir: a regenerated corpus produces a
+        // NEW fingerprint key, so evict the dir's prior entries first —
+        // without this the map grows one dead PipelineModel per
+        // regeneration for the life of the process
+        val dirPrefix = cacheKey.takeWhile(_ != '#') + "#"
+        cache.keySet.removeIf(k => k.startsWith(dirPrefix) && k != cacheKey)
+        cache.computeIfAbsent(cacheKey, _ => fit())
+      }
     val labelExpr = array(labels.toIndexedSeq.map(lit): _*)
     model.transform(labelled)
       .withColumn("probs", vector_to_array(col("probability")))

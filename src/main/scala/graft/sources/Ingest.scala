@@ -122,8 +122,11 @@ object Ingest {
     * yields at least one known field — which on any line set without
     * legitimately-empty records coincides with JSON validity, the
     * definition the DuckDB oracle evaluates via `json_valid` (the
-    * committed fixture pins the equivalence; a valid `{}` line would
-    * need the schema-probe definition on both sides). */
+    * committed fixture pins the equivalence; a valid `{}` line — or a
+    * valid non-object scalar like `[]`/`123`, which json_valid accepts
+    * but the struct probe rejects — would need the schema-probe
+    * definition on both sides). Blank lines are filtered identically
+    * on both sides. */
   val in03 = Q("in03_quarantine",
     s"""SELECT substr(line, 1, 30) AS line_head,
        |  json_valid(line) AS is_good,
@@ -140,6 +143,7 @@ object Ingest {
       array_join(p.getField("authors"), ","))
     s.read.text(fixturePath)
       .select(col("value").as("line"))
+      .filter(col("line") =!= "") // the oracle's WHERE line <> ''
       .select(substring(col("line"), 1, 30).as("line_head"),
         anyField.isNotNull.as("is_good"),
         coalesce(p.getField("headline"), lit("")).as("headline"))

@@ -70,19 +70,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
-  test("long chain: star contraction converges in far fewer than diameter rounds") {
-    // 120-node path graph, diameter 119: propagation at default maxIter
-    // (20) must NOT have converged; star contraction must be exact.
+  test("long chain: star contraction converges where propagation fails loudly") {
+    // 120-node path graph, diameter 119: star contraction must be exact
+    // in its O(log n) rounds; propagation's default round budget (20)
+    // cannot reach the far end — and must THROW rather than silently
+    // return split clusters.
     val n = 120
     val nodes = (0L until n.toLong).toDF("node")
     val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("i", "j")
     val stars = ops.Dedup.connectedComponentsStars(nodes, chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars == (0L until n.toLong).map(i => i -> 0L).toMap)
-    val prop = ops.Dedup.connectedComponents(nodes, chain)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(prop.values.exists(_ != 0L),
-      "propagation should still be mid-funnel at maxIter=20 on diameter 119 " +
-        "(if this starts passing, maxIter changed — update the comparison)")
+    val ex = intercept[IllegalStateException](
+      ops.Dedup.connectedComponents(nodes, chain).collect())
+    assert(ex.getMessage.contains("did not converge"))
   }
 }

@@ -59,6 +59,8 @@ class TypedAndMLSpec extends SparkSpec {
         model.Tables.documents(spark, dir), cacheKey = fp2)
       assert(out.count() <= 400)
       assert(ops.MLClassify.cachedKeys.contains(fp2), "second fit not memoised")
+      assert(!ops.MLClassify.cachedKeys.contains(fp1),
+        "stale model for the same dir must be evicted, not accumulated")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
