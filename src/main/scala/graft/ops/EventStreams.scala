@@ -281,5 +281,36 @@ object EventStreams {
       .orderBy("event_id")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08)
+  // --------------------------------------------------------------- st09
+  /** Batch twin of the CDC changelog apply (the SAME
+    * [[graft.streaming.StreamOps.applyChangelog]] `mapGroupsWithState`
+    * code path — Spark runs it on batch datasets with whole-group
+    * calls): per user, the last event by (ts, event_id) wins;
+    * `event_type = 'error'` is the delete op. Ordering compares
+    * MICROS-truncated timestamps on both sides (the ns→µs cast), so a
+    * sub-microsecond tie cannot order differently cross-engine. The
+    * streaming spec covers what batch can't: state carry-over across
+    * micro-batches and the stale-event guard. */
+  val st09 = Q("st09_cdc_apply",
+    """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |  value, event_type = 'error' AS deleted
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val changes = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.ChangeEvent]
+    graft.streaming.StreamOps.applyChangelog(changes)
+      .toDF()
+      .select(col("user_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("event_id"), col("value"), col("deleted"))
+      .orderBy("user_id")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
 }

@@ -199,6 +199,48 @@ object StreamOps {
         col("purchase_value"), col("click_value"))
   }
 
+  case class ChangeEvent(user_id: Long, event_id: Long, event_type: String,
+      value: Double, ts: Timestamp)
+  case class KeyState(user_id: Long, ts: Timestamp, event_id: Long,
+      value: Double, deleted: Boolean)
+
+  /** CDC changelog apply — the "materialise a change stream into a keyed
+    * state store" pattern (q27/q28's streaming ancestor): per key, apply
+    * upserts/deletes in (ts, event_id) order with LAST-WRITER-WINS and a
+    * monotonic out-of-order guard — an event older than the state's
+    * high-water mark is IGNORED, never applied (exactly how a CDC sink
+    * must behave under replay/reorder). `event_type = 'error'` models
+    * the delete op; everything else upserts `value`.
+    *
+    * Built on `mapGroupsWithState`, which runs in BOTH batch (whole
+    * group, one call, empty initial state) and streaming (incremental
+    * state across micro-batches) — so st09's oracled batch twin executes
+    * the SAME code path the stream runs, and the streaming spec covers
+    * what batch can't: state carry-over and the cross-batch stale-event
+    * guard. Emits the current state per key per batch (Update mode);
+    * state is one row per live key. */
+  def applyChangelog(changes: Dataset[ChangeEvent]): Dataset[KeyState] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .mapGroupsWithState[KeyState, KeyState](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[KeyState]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption.getOrElse(
+            KeyState(uid, new Timestamp(Long.MinValue), Long.MinValue,
+              0.0, deleted = true))
+          ordered.foreach { e =>
+            val newer = e.ts.getTime > cur.ts.getTime ||
+              (e.ts.getTime == cur.ts.getTime && e.event_id > cur.event_id)
+            if (newer) // stale events lose to the high-water mark
+              cur = KeyState(uid, e.ts, e.event_id, e.value,
+                deleted = e.event_type == "error")
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   case class SessionSummary(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
 

@@ -52,6 +52,37 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L) == (("revenue", 6.0)))
   }
 
+  test("CDC apply: upsert/delete state across batches, stale events ignored") {
+    import graft.streaming.StreamOps.ChangeEvent
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[ChangeEvent]
+    val q = StreamOps.applyChangelog(in.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(
+      ChangeEvent(1, 10, "click", 5.0, ts(0)),
+      ChangeEvent(1, 11, "click", 7.0, ts(2)),  // later → wins batch 1
+      ChangeEvent(2, 20, "click", 9.0, ts(1)))
+    q.processAllAvailable()
+    in.addData(
+      ChangeEvent(1, 12, "click", 1.0, ts(1)),  // STALE (< hwm ts(2)) → ignored
+      ChangeEvent(2, 21, "error", 0.0, ts(3)))  // delete op
+    q.processAllAvailable()
+    val state = spark.table("cdc")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct("event_id", "value", "deleted"),
+        org.apache.spark.sql.functions.col("event_id")).as("s"))
+      .select("user_id", "s.event_id", "s.value", "s.deleted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    q.stop()
+    // user 1: the stale batch-2 event did NOT overwrite the ts(2) upsert
+    assert(state(1L) == ((11L, 7.0, false)))
+    // user 2: tombstoned by the delete op
+    assert(state(2L) == ((21L, 0.0, true)))
+  }
+
   test("dedupWithinWatermark drops repeats, keeps state bounded by horizon") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Message]
