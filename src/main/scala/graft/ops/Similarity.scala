@@ -139,6 +139,26 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The first-C-vectors centroid table shared by s03/s05 (what a
+    * k-means|| init samples; Lloyd iterations — s05 — replace only its
+    * CONTENTS, never this dataflow). */
+  private def centroidTable(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+
+  /** Nearest-centroid assignment (broadcast pass + 16-row-per-key
+    * argmax), shared by s03's probe path and s05's Lloyd step. */
+  private def assignToCentroids(e: DataFrame, c: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid"))
+    e.join(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim(embedding, c_embedding)").as("cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
   // ---------------------------------------------------------------- s03
   /** IVF-style ANN — the coarse-quantiser upgrade SCALE.md names for
     * s02: vectors are assigned to their nearest of C=16 centroid lists
@@ -188,16 +208,8 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val c = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cid"))
-    val assign = e.join(broadcast(c))
-      .select(col("vec_id"), col("cid"),
-        expr("cosine_sim(embedding, c_embedding)").as("cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid")
+    val c = centroidTable(e)
+    val assign = assignToCentroids(e, c)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
     val wProbe = Window.partitionBy("query_id")
@@ -344,5 +356,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04)
+  // ---------------------------------------------------------------- s05
+  /** One Lloyd iteration of k-means over the embedding corpus — the
+    * centroid-refinement step s03's docstring promises ("production IVF
+    * would Lloyd-iterate the centroid table"), implemented and oracled:
+    * assign every vector to its nearest centroid (the SAME broadcast
+    * argmax s03 uses), then recompute each centroid as the element-wise
+    * mean of its members. Emitted in long form (cid, pos, c_mean) —
+    * 16 × 64 rows — the shape the next iteration's centroid table
+    * pivots from.
+    *
+    * Exactness: elements are quantised to a 1e-7 grid as BIGINT
+    * (round(v·1e7)) before summing — integer sums are exact and
+    * order-free at any parallelism, which is the property a Lloyd step
+    * on 10⁹-member clusters needs (an ordered-fold double sum would
+    * need a per-cluster collect). Decimal casts were tried and FAIL
+    * cross-engine: DuckDB converts FLOAT/DOUBLE→DECIMAL from the
+    * value's shortest decimal string while Spark rounds via
+    * BigDecimal.valueOf — ≈1e-9 divergences the gate caught. The
+    * round() itself is safe: both engines round half away from zero,
+    * and a product can only land exactly on .5 when both see the same
+    * representable double; the final two divisions are performed in
+    * the same order on the same operands. Scale
+    * shape: one broadcast assignment pass + one shuffle on (cid, pos) —
+    * Lloyd at 100 TB is exactly this plan per iteration. */
+  val s05 = Q("s05_kmeans_step",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1)
+       |SELECT a.cid, CAST(k - 1 AS BIGINT) AS pos,
+       |  CAST(sum(CAST(round(CAST(e.embedding[k] AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+       |    / 10000000.0 / count(*) AS c_mean
+       |FROM assign a
+       |JOIN e ON e.vec_id = a.vec_id
+       |CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val assign = assignToCentroids(e, centroidTable(e))
+    e.join(assign, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")))
+      .toDF("cid", "pos", "v")
+      .groupBy("cid", "pos")
+      .agg((sum(round(col("v").cast("double") * 10000000).cast("long"))
+        .cast("double") / lit(10000000.0) / count(lit(1))).as("c_mean"))
+      .select(col("cid"), col("pos").cast("long").as("pos"), col("c_mean"))
+      .orderBy("cid", "pos")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
 }

@@ -419,5 +419,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  // ---------------------------------------------------------------- t11
+  /** Vocabulary construction — the corpus pass that seeds a tokenizer
+    * (BPE init, stopword mining, OOV budgeting): global token counts,
+    * top-500 by (count desc, token asc). Plan shape at 100 TB: scan →
+    * explode → partial count (map-side combine: the shuffle carries one
+    * row per distinct token per partition, not per occurrence) → final
+    * count → TakeOrderedAndProject for the top-k cut (k rows per
+    * partition cross the wire, no global sort); the rank window runs
+    * over the k survivors only, never the full vocabulary. */
+  val t11 = Q("t11_vocab",
+    """SELECT token, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS rank
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |QUALIFY rank <= 500
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(500)
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token")))
+          .cast("long"))
+      .orderBy("rank")
+  }
+
+  def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    t11)
 }
