@@ -149,6 +149,8 @@ object Multimodal {
     require(bits == 16, s"expected PCM16, got $bits-bit")
     require(ascii(36, 4) == "data", "missing data chunk")
     val dataLen = buf.getInt(40)
+    require(dataLen >= 0 && 44L + dataLen <= bytes.length,
+      "truncated PCM payload")
     val n = dataLen / 2
     var peak = 0
     var sumSq = 0.0
@@ -172,6 +174,7 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val total = buf.getInt(40) / 2
+    require(44L + 2L * total <= bytes.length, "truncated PCM payload")
     val per = math.max(total / n, 1)
     (0 until n).map { k =>
       val from = k * per
@@ -314,7 +317,12 @@ object Multimodal {
     require(buf.getShort(28) == 24, "expected 24-bit pixels")
     require(buf.getInt(30) == 0, "expected uncompressed BI_RGB")
     val off = buf.getInt(10)
+    require(w > 0, "non-positive width")
     val rowSize = (w * 3 + 3) / 4 * 4
+    // header-declared geometry must fit the actual payload — a truncated
+    // blob should fail validation, not AIOOBE mid-decode
+    require(off >= 54 && off.toLong + rowSize.toLong * h <= bytes.length,
+      "truncated BMP payload")
     val sums = new Array[Long](3) // B, G, R — file byte order
     var y = 0
     while (y < h) {
@@ -346,7 +354,10 @@ object Multimodal {
     // empty tail bands — indistinguishable from real black content
     require(n >= 1 && n <= h, s"band count $n outside 1..$h rows")
     val off = buf.getInt(10)
+    require(w > 0, "non-positive width")
     val rowSize = (w * 3 + 3) / 4 * 4
+    require(off >= 54 && off.toLong + rowSize.toLong * h <= bytes.length,
+      "truncated BMP payload")
     val per = math.max(h / n, 1)
     (0 until n).map { k =>
       val from = k * per
@@ -434,6 +445,7 @@ object Multimodal {
     require(ascii(36, 4) == "data", "missing data chunk")
     val sampleRate = buf.getInt(24)
     val n = buf.getInt(40)
+    require(n >= 0 && 44L + n <= bytes.length, "truncated mu-law payload")
     var peak = 0
     var sumSq = 0.0
     var i = 0
@@ -454,6 +466,7 @@ object Multimodal {
     val total = buf.getInt(40)
     // more windows than samples would fabricate 0.0 ("silent") frames
     require(n >= 1 && n <= total, s"window count $n outside 1..$total samples")
+    require(44L + total <= bytes.length, "truncated mu-law payload")
     val per = math.max(total / n, 1)
     (0 until n).map { k =>
       val from = k * per

@@ -580,6 +580,10 @@ object Dedup {
       prev = Some(sig)
       it += 1
     }
+    // Mirror the label-propagation guard: labels from a non-fixpoint
+    // edge set would silently split clusters.
+    if (!done) throw new IllegalStateException(
+      s"star contraction did not converge in $maxIter rounds")
     val lbl = e.groupBy("u").agg(min("v").as("mv"))
       .select(col("u").as("node"), least(col("u"), col("mv")).as("label"))
     nodes.join(lbl, Seq("node"), "left")

@@ -109,9 +109,15 @@ object MLClassify {
         // one live model per corpus dir: a regenerated corpus produces a
         // NEW fingerprint key, so evict the dir's prior entries first —
         // without this the map grows one dead PipelineModel per
-        // regeneration for the life of the process
-        val dirPrefix = cacheKey.takeWhile(_ != '#') + "#"
-        cache.keySet.removeIf(k => k.startsWith(dirPrefix) && k != cacheKey)
+        // regeneration for the life of the process. The fingerprint
+        // separator is the FINAL '#' (corpusFingerprint appends it), so
+        // split there — a '#' inside the dir path must not truncate the
+        // prefix early and evict other dirs' entries.
+        val sep = cacheKey.lastIndexOf('#')
+        if (sep >= 0) {
+          val dirPrefix = cacheKey.substring(0, sep + 1)
+          cache.keySet.removeIf(k => k.startsWith(dirPrefix) && k != cacheKey)
+        }
         cache.computeIfAbsent(cacheKey, _ => fit())
       }
     val labelExpr = array(labels.toIndexedSeq.map(lit): _*)

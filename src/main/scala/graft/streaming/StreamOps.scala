@@ -218,20 +218,35 @@ object StreamOps {
     * the SAME code path the stream runs, and the streaming spec covers
     * what batch can't: state carry-over and the cross-batch stale-event
     * guard. Emits the current state per key per batch (Update mode);
-    * state is one row per live key. */
+    * state is one row per live key.
+    *
+    * Scale note: in batch mode each key's FULL changelog is buffered in
+    * one executor call (`rows.toSeq`) — fine for CDC state (streaming
+    * groups are per-micro-batch small), but a pure-batch changelog
+    * COMPACTION over a 100 TB history should use the window form
+    * ([[graft.ops.Relational]] q27 latest-per-key), which never
+    * materialises a key's history. This operator's batch mode exists to
+    * oracle the streaming path, not to replace q27. */
   def applyChangelog(changes: Dataset[ChangeEvent]): Dataset[KeyState] = {
     import changes.sparkSession.implicits._
     changes.groupByKey(_.user_id)
       .mapGroupsWithState[KeyState, KeyState](
         GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[KeyState]) =>
-          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // Timestamp.compareTo is nanosecond-precise; getTime is only
+          // millisecond-granular and would tie two same-ms events that
+          // differ in microseconds, diverging from the oracle's full-µs
+          // ordering (event timestamps carry sub-ms components).
+          val ordered = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && a.event_id < b.event_id)
+          }
           var cur = state.getOption.getOrElse(
             KeyState(uid, new Timestamp(Long.MinValue), Long.MinValue,
               0.0, deleted = true))
           ordered.foreach { e =>
-            val newer = e.ts.getTime > cur.ts.getTime ||
-              (e.ts.getTime == cur.ts.getTime && e.event_id > cur.event_id)
+            val c = e.ts.compareTo(cur.ts)
+            val newer = c > 0 || (c == 0 && e.event_id > cur.event_id)
             if (newer) // stale events lose to the high-water mark
               cur = KeyState(uid, e.ts, e.event_id, e.value,
                 deleted = e.event_type == "error")
