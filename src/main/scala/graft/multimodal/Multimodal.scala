@@ -21,8 +21,11 @@ import graft.model.Tables
   * public formats: PCM16 WAV + binary PPM (mm04–mm06) and 24-bit BMP +
   * G.711 μ-law WAV (mm02/mm03) — header validation, padded/bottom-up
   * pixel indexing, logarithmic companding, per-window signal stats.
-  * Synthesis is deterministic (`StrictMath`, LCG) so results are
-  * reproducible. Heavyweight compressed codecs (JPEG/MP3) would slot
+  * Synthesis is deterministic pure-integer LCG arithmetic, so every
+  * payload is recomputable bit-exactly in DuckDB (HUGEINT wrap-around)
+  * and ALL multimodal queries are full-oracle — pixels, PCM samples,
+  * and the μ-law companding roundtrip alike.
+  * Heavyweight compressed codecs (JPEG/MP3) would slot
   * into the same mapPartitions shape behind the same `media_type`
   * dispatch; their libraries don't exist in this container, and the
   * four real formats already exercise every distinct decode concern
@@ -106,8 +109,11 @@ object Multimodal {
   // 8-bit companding table — so the engine decodes all of them FOR
   // REAL: header validation, sample/pixel math, resize, frame windows.
 
-  /** Valid mono PCM16LE WAV: RIFF/fmt/data chunks + a seed-derived tone.
-    * `StrictMath.sin` keeps the samples bit-identical across JVMs. */
+  /** Valid mono PCM16LE WAV: RIFF/fmt/data chunks over seed-derived LCG
+    * samples (bits 48..63 of the same 64-bit LCG [[syntheticPpm]] uses,
+    * reinterpreted signed). Pure integer arithmetic — unlike a trig
+    * tone, a DuckDB oracle recomputes the identical signal bit-exactly
+    * in HUGEINT (mm04/mm06), the scheme mm05 proved out for pixels. */
   def syntheticWav(seed: Long, nSamples: Int = 800,
       sampleRate: Int = 8000): Array[Byte] = {
     val dataLen = nSamples * 2
@@ -123,12 +129,11 @@ object Multimodal {
       .putShort(2)            // block align
       .putShort(16)           // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    val amp = 4000.0 + (seed % 8000).abs
-    val freq = 100.0 + (seed % 400).abs
+    var state = seed * 6364136223846793005L + 1442695040888963407L
     var i = 0
     while (i < nSamples) {
-      buf.putShort((amp * StrictMath.sin(
-        2.0 * StrictMath.PI * freq * i / sampleRate)).toShort)
+      state = state * 6364136223846793005L + 1442695040888963407L
+      buf.putShort((state >>> 48).toShort)
       i += 1
     }
     buf.array()
@@ -405,8 +410,10 @@ object Multimodal {
     (if ((u & 0x80) != 0) -s else s).toShort
   }
 
-  /** Valid μ-law WAV: RIFF/fmt(format=7, 8-bit)/data chunks over a
-    * seed-derived tone, companded sample by sample. */
+  /** Valid μ-law WAV: RIFF/fmt(format=7, 8-bit)/data chunks over the
+    * same seed-derived LCG signal [[syntheticWav]] carries, companded
+    * sample by sample — so the encode∘decode roundtrip is integer
+    * arithmetic a DuckDB oracle replays exactly (mm02/mm03). */
   def syntheticMulawWav(seed: Long, nSamples: Int = 800,
       sampleRate: Int = 8000): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(44 + nSamples)
@@ -421,12 +428,11 @@ object Multimodal {
       .putShort(1)        // block align
       .putShort(8)        // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(nSamples)
-    val amp = 4000.0 + (seed % 8000).abs
-    val freq = 100.0 + (seed % 400).abs
+    var state = seed * 6364136223846793005L + 1442695040888963407L
     var i = 0
     while (i < nSamples) {
-      buf.put(mulawEncode((amp * StrictMath.sin(
-        2.0 * StrictMath.PI * freq * i / sampleRate)).toInt))
+      state = state * 6364136223846793005L + 1442695040888963407L
+      buf.put(mulawEncode((state >>> 48).toShort.toInt))
       i += 1
     }
     buf.array()
@@ -482,6 +488,70 @@ object Multimodal {
     }
   }
 
+  // ---- shared DuckDB oracle fragments -------------------------------
+  // Recompute the LCG synthesis cross-engine: 64-bit wrap-around state
+  // in HUGEINT (`(state·A + C) mod 2^64`, products < 2^127), exactly the
+  // scheme mm05 proved for pixels — extended here to PCM samples (bits
+  // 48..63, signed) and the μ-law encode∘decode roundtrip (pure integer
+  // segment/mantissa quantisation, expressible with >>/&/CASE).
+
+  private val LcgA = "6364136223846793005"
+  private val LcgC = "1442695040888963407"
+  private val LcgM = "18446744073709551616" // 2^64
+
+  /** `pcm(doc_id, i, s)`: the signed 16-bit LCG samples of
+    * [[syntheticWav]]/[[syntheticMulawWav]] for audio docs
+    * (odd doc_id), via recursive CTE. */
+  private def pcmCte(nSamples: Int): String =
+    s"""alcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM alcg WHERE i < ${nSamples - 1}),
+       |pcm AS (
+       |  SELECT doc_id, i,
+       |    CAST(CASE WHEN b >= 32768 THEN b - 65536 ELSE b END AS BIGINT) AS s
+       |  FROM (SELECT doc_id, i, state // 281474976710656 AS b FROM alcg))"""
+      .stripMargin
+
+  /** `mulaw(doc_id, i, d)`: the G.711 encode∘decode roundtrip of `pcm.s`
+    * — segment exponent by range CASE, mantissa by shift/mask, exactly
+    * [[mulawEncode]]/[[mulawDecode]]'s integer math. */
+  private val mulawCte: String =
+    """mulaw AS (
+      |  SELECT doc_id, i,
+      |    CAST(CASE WHEN s < 0 THEN -dec0 ELSE dec0 END AS BIGINT) AS d
+      |  FROM (
+      |    SELECT doc_id, i, s,
+      |      (((((a >> (e + 3)) & 15) * 8) + 132) * (1 << e)) - 132 AS dec0
+      |    FROM (
+      |      SELECT doc_id, i, s, a,
+      |        CASE WHEN a >= 16384 THEN 7 WHEN a >= 8192 THEN 6
+      |             WHEN a >= 4096 THEN 5 WHEN a >= 2048 THEN 4
+      |             WHEN a >= 1024 THEN 3 WHEN a >= 512 THEN 2
+      |             WHEN a >= 256 THEN 1 ELSE 0 END AS e
+      |      FROM (SELECT doc_id, i, s,
+      |              least(abs(s), 32635) + 132 AS a FROM pcm))))""".stripMargin
+
+  /** `bmpb(doc_id, i, b)`: the 576 LCG pixel bytes of [[syntheticBmp]]
+    * (16×12, rows already 4-byte aligned) for image docs (even doc_id);
+    * generation index i has channel i%3 (BGR) and buffer row i/48. */
+  private val bmpCte: String =
+    s"""ilcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM ilcg WHERE i < 575),
+       |bmpb AS (
+       |  SELECT doc_id, i, CAST(state // 72057594037927936 AS BIGINT) AS b
+       |  FROM ilcg)""".stripMargin
+
   /** Schema/plumbing query — the oracle checks modality split and byte
     * lengths of the identically-constructed BLOBs. */
   val mm01 = Q("mm01_media_schema",
@@ -501,25 +571,74 @@ object Multimodal {
   }
 
   /** Decode + feature-extract through the mapPartitions path — REAL
-    * decodes on both modalities (BMP pixels / μ-law samples). Rows-only
-    * driver check (binary payload features aren't SQL-expressible); the
-    * spec pins dimensions, ranges, and determinism. */
-  val mm02 = Q.noOracle("mm02_decode_features") { (s, d) =>
+    * decodes on both modalities (BMP pixels / μ-law samples). FULLY
+    * ORACLED: DuckDB recomputes the BMP channel means from the pixel
+    * LCG and the audio peak/RMS through the μ-law roundtrip CTE —
+    * synthesis, companding, and feature arithmetic all cross-engine
+    * bit-exact. */
+  val mm02 = Q("mm02_decode_features",
+    s"""WITH RECURSIVE $bmpCte,
+       |${pcmCte(800)},
+       |$mulawCte,
+       |img AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN i % 3 = 2 THEN b END) AS DOUBLE) / 192 AS mr,
+       |    CAST(sum(CASE WHEN i % 3 = 0 THEN b END) AS DOUBLE) / 192 AS mb
+       |  FROM bmpb GROUP BY doc_id),
+       |aud AS (
+       |  SELECT doc_id, CAST(max(abs(d)) AS DOUBLE) AS peak,
+       |    sqrt(CAST(sum(d * d) AS DOUBLE) / 800) AS rms
+       |  FROM mulaw GROUP BY doc_id)
+       |SELECT doc_id, 'image' AS media_type, CAST(630 AS BIGINT) AS n_bytes,
+       |  CAST(16 AS DOUBLE) AS f0, CAST(12 AS DOUBLE) AS f1,
+       |  mr AS f2, mb AS f3
+       |FROM img
+       |UNION ALL
+       |SELECT doc_id, 'audio', CAST(844 AS BIGINT),
+       |  CAST(8000 AS DOUBLE), CAST(800 AS DOUBLE), peak, rms
+       |FROM aud
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     extractFeatures(realMediaFrame(Tables.documents(s, d)))
       .toDF().orderBy("doc_id")
   }
 
   /** Frame sampling over the media table: 1→N flatMap with real
-    * per-band / per-window signal math. Rows-only check; spec-pinned. */
-  val mm03 = Q.noOracle("mm03_frame_sample") { (s, d) =>
+    * per-band / per-window signal math. FULLY ORACLED: image bands are
+    * contiguous pixel-LCG blocks (display band k = generation rows
+    * 3-k·3.. — the bottom-up row flip folded into the band index);
+    * audio windows are μ-law-roundtrip RMS over sample blocks. */
+  val mm03 = Q("mm03_frame_sample",
+    s"""WITH RECURSIVE $bmpCte,
+       |${pcmCte(800)},
+       |$mulawCte
+       |SELECT doc_id, frame_no, n_bytes, f0 FROM (
+       |  SELECT doc_id, CAST(band AS INTEGER) AS frame_no,
+       |    CAST(630 AS BIGINT) AS n_bytes,
+       |    (CAST(sum(b) AS DOUBLE) / 144) / 255.0 AS f0
+       |  FROM (SELECT doc_id, 3 - (i // 144) AS band, b FROM bmpb)
+       |  GROUP BY doc_id, band
+       |  UNION ALL
+       |  SELECT doc_id, CAST(w AS INTEGER), CAST(844 AS BIGINT),
+       |    sqrt(CAST(sum(d * d) AS DOUBLE) / 200) / 32768.0 AS f0
+       |  FROM (SELECT doc_id, i // 200 AS w, d FROM mulaw)
+       |  GROUP BY doc_id, w)
+       |ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
     sampleFrames(realMediaFrame(Tables.documents(s, d)), 4)
       .toDF().orderBy("doc_id", "frame_no")
   }
 
   /** REAL audio decode path: a valid WAV per audio doc (deterministic
-    * tone), decoded — header validation + peak/RMS — in the same
-    * mapPartitions shape mm02 uses for the stubbed codecs. */
-  val mm04 = Q.noOracle("mm04_wav_decode") { (s, d) =>
+    * LCG signal), decoded — header validation + peak/RMS — through
+    * mapPartitions. FULLY ORACLED: DuckDB replays the sample LCG; the
+    * RMS is sqrt of an exact-integer double (Σs² < 2^53), so the double
+    * math is bit-identical cross-engine. */
+  val mm04 = Q("mm04_wav_decode",
+    s"""WITH RECURSIVE ${pcmCte(800)}
+       |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+       |  CAST(800 AS INTEGER) AS n_samples,
+       |  CAST(max(abs(s)) AS INTEGER) AS peak,
+       |  sqrt(CAST(sum(s * s) AS DOUBLE) / 800) AS rms
+       |FROM pcm GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)
       .select("doc_id").as[Long]
@@ -583,8 +702,16 @@ object Multimodal {
   }
 
   /** REAL frame sampling: PCM payload split into 4 windows, per-window
-    * peak + RMS — the 1→N flatMap with actual signal math. */
-  val mm06 = Q.noOracle("mm06_wav_frames") { (s, d) =>
+    * peak + RMS — the 1→N flatMap with actual signal math. FULLY
+    * ORACLED via the same sample-LCG CTE as mm04, grouped by window. */
+  val mm06 = Q("mm06_wav_frames",
+    s"""WITH RECURSIVE ${pcmCte(800)}
+       |SELECT doc_id, CAST(w AS INTEGER) AS frame_no,
+       |  CAST(count(*) AS INTEGER) AS n_samples,
+       |  CAST(max(abs(s)) AS INTEGER) AS peak,
+       |  sqrt(CAST(sum(s * s) AS DOUBLE) / 200) AS rms
+       |FROM (SELECT doc_id, i // 200 AS w, s FROM pcm)
+       |GROUP BY doc_id, w ORDER BY doc_id, frame_no""".stripMargin) { (s, d) =>
     import s.implicits._
     Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)
       .select("doc_id").as[Long]

@@ -13,10 +13,10 @@ class CodecSpec extends SparkSpec {
     val info = decodeWav(bytes)
     assert(info.sample_rate == 8000)
     assert(info.n_samples == 800)
-    // amplitude law: amp(seed) = 4000 + |seed % 8000| bounds the peak
-    assert(info.peak > 0 && info.peak <= 4007)
+    // LCG samples span the full signed-16-bit range
+    assert(info.peak > 0 && info.peak <= 32768)
     assert(info.rms > 0 && info.rms < info.peak)
-    // bit-determinism (StrictMath): a second synthesis is identical
+    // bit-determinism (pure integer LCG): a second synthesis is identical
     assert(java.util.Arrays.equals(bytes, syntheticWav(7L)))
   }
 
@@ -108,8 +108,8 @@ class CodecSpec extends SparkSpec {
     assert(wav.length == 44 + 800) // 1 byte per sample
     val info = decodeMulawWav(wav)
     assert(info.sample_rate == 8000 && info.n_samples == 800)
-    // amp(5) = 4005; companding error can overshoot the peak by ≤ 1 step
-    assert(info.peak > 3000 && info.peak <= 4005 + 1024)
+    // full-scale LCG signal; companding overshoots by ≤ 1 segment step
+    assert(info.peak > 3000 && info.peak <= 32768 + 1024)
     assert(info.rms > 0 && info.rms < info.peak)
     // a PCM16 WAV must not decode through the μ-law path
     intercept[IllegalArgumentException](decodeMulawWav(syntheticWav(5L)))
