@@ -411,5 +411,131 @@ object Similarity {
       .orderBy("cid", "pos")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05)
+  // ---------------------------------------------------------------- s06
+  /** Corpus in double precision: float→double widening is exact in both
+    * engines, so every later product/sum matches the oracle bit-for-bit
+    * (a double→float narrowing would NOT be — see s05's decimal note). */
+  private[graft] def doubleVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+
+  /** Nearest-centroid assignment over double vectors — the
+    * [[assignToCentroids]] dataflow with the double-element codegen
+    * expression; also emits the winning cosine (the spherical-k-means
+    * objective the convergence spec tracks). */
+  private[graft] def assignD(e: DataFrame, c: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    e.join(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim_d(embedding, c_embedding)").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "cos")
+  }
+
+  /** s05's exact quantised-mean step in long form (cid, pos, c_mean):
+    * integer sums on the 1e-7 grid — order-free at any parallelism. */
+  private[graft] def lloydMeansLong(e: DataFrame, assign: DataFrame): DataFrame =
+    e.join(assign.select("vec_id", "cid"), "vec_id")
+      .select(col("cid"), posexplode(col("embedding")))
+      .toDF("cid", "pos", "v")
+      .groupBy("cid", "pos")
+      .agg((sum(round(col("v") * 10000000).cast("long"))
+        .cast("double") / lit(10000000.0) / count(lit(1))).as("c_mean"))
+
+  /** Long-form means → centroid table for the next round (deterministic
+    * pivot: struct sort on the unique pos key). */
+  private[graft] def pivotCentroids(meansLong: DataFrame): DataFrame =
+    meansLong.groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c_mean")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, x -> x.c_mean)").as("c_embedding"))
+
+  /** Iterated Lloyd k-means — the multi-round driver s05's docstring
+    * promises, with a d08-style loud fixpoint: per round, one broadcast
+    * assignment pass + one (cid, pos) shuffle for the means; convergence
+    * is detected by an order-free assignment checksum
+    * (count + bit_xor(xxhash64)) — if no vector changed cluster, the
+    * means are definitionally unchanged, so the loop stops WITHOUT
+    * recomputing them. Returns (final-round means in long form, rounds
+    * executed, converged-before-budget). Clusters that lose every member
+    * drop out (standard Lloyd; k can only shrink). `localCheckpoint`
+    * truncates the per-round lineage exactly as d08/d10 do — at cluster
+    * scale this is persist-per-round, same dataflow. */
+  def kmeansLloyd(e0: DataFrame, maxIters: Int, k: Int = 16)
+      : (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    GraftFunctions.register(e0.sparkSession)
+    val e = doubleVecs(e0).localCheckpoint()
+    var c = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+    var means: DataFrame = null
+    var prevSig: Option[(Long, Long)] = None
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val assign = assignD(e, c).localCheckpoint()
+      val chk = assign.agg(count(lit(1)).cast("long"),
+        coalesce(expr("bit_xor(xxhash64(vec_id, cid))"), lit(0L))).head()
+      val sig = (chk.getLong(0), chk.getLong(1))
+      if (prevSig.contains(sig)) converged = true
+      else {
+        prevSig = Some(sig)
+        means = lloydMeansLong(e, assign).localCheckpoint()
+        c = pivotCentroids(means)
+        it += 1
+      }
+    }
+    (means, it, converged)
+  }
+
+  /** Two full Lloyd rounds over the embedding corpus, fully oracled the
+    * way d08 oracles the whole closure: DuckDB chains assign→mean→
+    * assign→mean CTEs — the round-2 assignment runs against the
+    * round-1 DOUBLE means (bit-identical in both engines via the
+    * quantised-integer mean), so the ITERATION, not just one step, is
+    * cross-engine checked. */
+  val s06 = Q("s06_kmeans_lloyd",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c0 c)
+       |  WHERE rn = 1),
+       |m1 AS (
+       |  SELECT a.cid, k - 1 AS pos,
+       |    CAST(sum(CAST(round(CAST(e.embedding[k] AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / count(*) AS c_mean
+       |  FROM a1 a JOIN e ON e.vec_id = a.vec_id
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT cid, list(c_mean ORDER BY pos) AS embedding
+       |  FROM m1 GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c1 c)
+       |  WHERE rn = 1),
+       |m2 AS (
+       |  SELECT a.cid, k - 1 AS pos,
+       |    CAST(sum(CAST(round(CAST(e.embedding[k] AS DOUBLE) * 10000000) AS BIGINT)) AS DOUBLE)
+       |      / 10000000.0 / count(*) AS c_mean
+       |  FROM a2 a JOIN e ON e.vec_id = a.vec_id
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
+       |  GROUP BY 1, 2)
+       |SELECT cid, CAST(pos AS BIGINT) AS pos, c_mean
+       |FROM m2 ORDER BY cid, pos""".stripMargin) { (s, d) =>
+    val (means, _, _) = kmeansLloyd(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      maxIters = 2)
+    means.select(col("cid"), col("pos").cast("long").as("pos"), col("c_mean"))
+      .orderBy("cid", "pos")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
 }

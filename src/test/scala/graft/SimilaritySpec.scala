@@ -29,6 +29,48 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, f"PQ mean recall $mean%.2f < 0.6")
   }
 
+  test("s06 Lloyd loop: objective monotone over rounds on the corpus") {
+    import org.apache.spark.sql.functions._
+    functions.GraftFunctions.register(spark)
+    val e = ops.Similarity.doubleVecs(
+      model.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))).localCheckpoint()
+    var c = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
+    val objs = (1 to 3).map { _ =>
+      val a = ops.Similarity.assignD(e, c).localCheckpoint()
+      val obj = a.agg(avg("cos")).head().getDouble(0)
+      c = ops.Similarity.pivotCentroids(ops.Similarity.lloydMeansLong(e, a))
+      obj
+    }
+    info(s"spherical k-means objective per round: ${objs.mkString(", ")}")
+    // raw-mean spherical Lloyd is monotone on this corpus — pinned as a
+    // regression floor (1e-12 guards accumulation-order noise only)
+    objs.sliding(2).foreach { case Seq(x, y) =>
+      assert(y >= x - 1e-12, s"objective regressed: $x -> $y")
+    }
+  }
+
+  test("s06 Lloyd loop: assignment fixpoint stops before the budget") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two perfectly separable direction clusters (cosine is scale-
+    // invariant, so all +v vectors tie at cos=1 with the +v archetype):
+    // the assignment is stable after round 1 and the checksum fixpoint
+    // must stop the loop well before maxIters
+    val rows = (0L until 20L).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(64)(sign * (1.0f + (i / 2).toFloat * 1e-3f)))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (means, iters, converged) =
+      ops.Similarity.kmeansLloyd(e, maxIters = 5, k = 2)
+    assert(converged, "separable corpus must reach the fixpoint")
+    assert(iters < 5, s"fixpoint should stop early, ran $iters rounds")
+    val got = means.collect()
+    assert(got.length == 2 * 64, s"2 clusters x 64 dims, got ${got.length}")
+  }
+
   test("IVF top-5 recall vs exact brute force is quantified") {
     val exact = topk(ops.Similarity.s01)
     val ivf = topk(ops.Similarity.s03)
