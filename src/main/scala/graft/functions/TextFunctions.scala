@@ -8,8 +8,13 @@ package graft.functions
   * sentences.
   *
   * Algorithm: split into sentences; score each sentence by the sum of
-  * its words' corpus-free normalised frequencies within the document;
-  * greedily take the highest-scoring sentences (original order
+  * its words' in-document frequencies. The score is kept as the INTEGER
+  * Σ count(lower(word)) — dividing each count by the document length N
+  * (the textbook normalised form) rescales every sentence of a document
+  * by the same 1/N and cannot change the ranking, while integer sums
+  * are exact in any engine (the double form's accumulation order is
+  * not, which would leave the n10 oracle one ULP from a tie-break
+  * flip). Greedily take the highest-scoring sentences (original order
   * preserved) until the word budget is met. Deterministic by
   * construction: ties break on sentence position.
   *
@@ -118,7 +123,7 @@ object TextFunctions {
     val budget = math.min(100, math.max(20, words.length / 3))
 
     val freq = words.groupBy(_.toLowerCase).map { case (w, ws) =>
-      w -> ws.length.toDouble / words.length
+      w -> ws.length.toLong
     }
     val sentences = sentencesOf(text)
     if (sentences.length <= 1) {
@@ -128,7 +133,7 @@ object TextFunctions {
     }
     val scored = sentences.zipWithIndex.map { case (s, i) =>
       val ws = s.split("\\s+").filter(_.nonEmpty)
-      val score = ws.map(w => freq.getOrElse(w.toLowerCase, 0.0)).sum
+      val score = ws.map(w => freq.getOrElse(w.toLowerCase, 0L)).sum
       (i, s, ws.length, score)
     }
     val picked = scala.collection.mutable.ArrayBuffer.empty[Int]

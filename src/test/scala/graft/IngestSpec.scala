@@ -103,4 +103,34 @@ class IngestSpec extends SparkSpec {
     assert(TextFunctions.extractiveSummary("") == "")
     assert(TextFunctions.extractiveSummary(null) == "")
   }
+
+  test("n10 relational selection assembles to extractiveSummary exactly") {
+    // ties n09's per-row Scala function to n10's fully-oracled
+    // relational scoring: for every fixture doc with sentence
+    // structure, joining n10's selected sentence indices back to the
+    // sentence list must reproduce extractiveSummary verbatim; the
+    // no-structure docs degrade to the head path (single selected row)
+    val scores = ops.NewsPipeline.summaryScores(spark).collect()
+      .groupBy(_.getLong(0))
+    val docs = spark.read.schema("doc_id LONG, text STRING")
+      .json(ops.NewsPipeline.summaryFixturePath)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.nonEmpty && scores.keySet == docs.keySet)
+    var multi = 0
+    for ((id, text) <- docs) {
+      val sentences = TextFunctions.sentencesOf(text.take(5000))
+      val expected = TextFunctions.extractiveSummary(text)
+      if (sentences.length > 1) {
+        multi += 1
+        val picked = scores(id).filter(_.getBoolean(4))
+          .map(_.getLong(1).toInt).sorted
+        val assembled = picked.map(sentences(_)).mkString(" ")
+        assert(assembled == expected, s"doc $id: selection mismatch")
+      } else {
+        assert(scores(id).length == 1 && scores(id).head.getBoolean(4),
+          s"doc $id: head-path doc must have its one sentence selected")
+      }
+    }
+    assert(multi >= 8, s"fixture must exercise the sentence tier, got $multi")
+  }
 }
