@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.feature.{HashingTF, IDF, StringIndexer, Tokenizer}
+import org.apache.spark.ml.feature.{HashingTF, IDF, StringIndexer, StringIndexerModel, Tokenizer}
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -83,26 +83,65 @@ object MLClassify {
     s"$dir#$hex"
   }
 
+  /** Teacher-labelled training/serving frame: keyword-classified docs
+    * with the sentinel class removed. */
+  private def labelledFrame(docs: DataFrame): DataFrame =
+    NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .withColumnRenamed("category", "label_str")
+
+  /** The index→label mapping IS the fitted StringIndexerModel's — reading
+    * it off the model (instead of re-deriving via a distinct() job) keeps
+    * a save/load round-trip self-contained: the labels travel inside the
+    * persisted pipeline. */
+  private[graft] def labelsOf(model: PipelineModel): Array[String] =
+    model.stages.collectFirst { case s: StringIndexerModel => s.labelsArray(0) }
+      .getOrElse(sys.error("pipeline has no StringIndexerModel stage"))
+
+  /** Fit the distillation pipeline on `docs`' teacher labels.
+    * Training parallelism note: at cluster scale the training frame
+    * would be repartitioned so each LBFGS treeAggregate spreads; at this
+    * corpus size that was measured 2× SLOWER (32 × ~160-row tasks per
+    * iteration = pure scheduling overhead), so the single input
+    * partition stands. */
+  def fitModel(docs: DataFrame): (PipelineModel, Array[String]) = {
+    val model = pipeline().fit(labelledFrame(docs))
+    (model, labelsOf(model))
+  }
+
+  /** Serving pass: one map over the frame, no lexicon scan. `labels`
+    * maps StringIndexer indices back to category strings (alphabetAsc:
+    * index i ↔ i-th sorted training label). */
+  def serveModel(model: PipelineModel, labels: Array[String],
+      docs: DataFrame): DataFrame = {
+    val labelExpr = array(labels.toIndexedSeq.map(lit): _*)
+    model.transform(labelledFrame(docs))
+      .withColumn("probs", vector_to_array(col("probability")))
+      .select(col("doc_id"),
+        element_at(labelExpr, col("prediction").cast("int") + 1).as("category"),
+        array_max(col("probs")).as("confidence"),
+        col("label_str").as("teacher_category"))
+  }
+
+  /** Persist / restore a fitted model so serving survives a process
+    * restart (the [[cache]] is per-JVM). MLlib's native writer stores
+    * every stage (including the StringIndexerModel the label mapping
+    * lives in), so `loadModel` needs nothing but the path; the
+    * round-trip is bit-exact (spec-pinned: reloaded predictions AND
+    * probabilities equal the live model's). */
+  def saveModel(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadModel(path: String): (PipelineModel, Array[String]) = {
+    val model = PipelineModel.load(path)
+    (model, labelsOf(model))
+  }
+
   /** Train on keyword-labelled docs (memoised per `cacheKey`), serve over
     * the same frame. Returns doc_id, category (model prediction mapped
     * back to string labels), confidence (top class probability). */
   def classifyWithModel(docs: DataFrame, cacheKey: String = null): DataFrame = {
-    val labelled = NewsPipeline.classify(docs)
-      .filter(col("category") =!= "unknown")
-      .withColumnRenamed("category", "label_str")
-    // Training parallelism note: at cluster scale the training frame
-    // would be repartitioned so each LBFGS treeAggregate spreads; at this
-    // corpus size that was measured 2× SLOWER (32 × ~160-row tasks per
-    // iteration = pure scheduling overhead), so the single input
-    // partition stands.
-    def fit(): (PipelineModel, Array[String]) = {
-      val model = pipeline().fit(labelled)
-      // StringIndexer with alphabetAsc: index i ↔ i-th sorted label — must
-      // be derived from the TRAINING sample's label set (the indexer's).
-      val labels = labelled.select("label_str").distinct()
-        .orderBy("label_str").collect().map(_.getString(0))
-      (model, labels)
-    }
+    def fit(): (PipelineModel, Array[String]) = fitModel(docs)
     val (model, labels) =
       if (cacheKey == null) fit()
       else {
@@ -120,13 +159,7 @@ object MLClassify {
         }
         cache.computeIfAbsent(cacheKey, _ => fit())
       }
-    val labelExpr = array(labels.toIndexedSeq.map(lit): _*)
-    model.transform(labelled)
-      .withColumn("probs", vector_to_array(col("probability")))
-      .select(col("doc_id"),
-        element_at(labelExpr, col("prediction").cast("int") + 1).as("category"),
-        array_max(col("probs")).as("confidence"),
-        col("label_str").as("teacher_category"))
+    serveModel(model, labels, docs)
   }
 
   /** Rows-only driver check (model outputs aren't SQL-expressible). */

@@ -69,6 +69,38 @@ class TypedAndMLSpec extends SparkSpec {
     }
   }
 
+  test("model persistence: reloaded model serves bit-identical predictions") {
+    // the cache is per-JVM; a deployment restart serves from disk — the
+    // round-trip must preserve predictions AND probabilities exactly
+    // (labels travel inside the persisted StringIndexerModel stage)
+    val docs = model.Tables.documents(spark, sf)
+    val (m, labels) = ops.MLClassify.fitModel(docs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ml_model").toFile
+    try {
+      val path = new java.io.File(tmp, "m").getAbsolutePath
+      ops.MLClassify.saveModel(m, path)
+      val (m2, labels2) = ops.MLClassify.loadModel(path)
+      assert(labels2.sameElements(labels), "label mapping must survive the round-trip")
+      val live = ops.MLClassify.serveModel(m, labels, docs)
+        .orderBy("doc_id").collect()
+      val reloaded = ops.MLClassify.serveModel(m2, labels2, docs)
+        .orderBy("doc_id").collect()
+      assert(live.length == reloaded.length && live.nonEmpty)
+      live.zip(reloaded).foreach { case (a, b) =>
+        assert(a.getLong(0) == b.getLong(0))
+        assert(a.getString(1) == b.getString(1), s"doc ${a.getLong(0)}: category")
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(2)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(2)),
+          s"doc ${a.getLong(0)}: confidence must be bit-identical")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("multimodal decode: real codecs per modality through mapPartitions") {
     val media = Multimodal.realMediaFrame(model.Tables.documents(spark, sf))
     val feats = Multimodal.extractFeatures(media).collect()
