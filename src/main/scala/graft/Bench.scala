@@ -31,7 +31,17 @@ import org.apache.spark.sql.SparkSession
   *    the quadratic queries that exist to validate them;
   *  - all numbers are formatted under Locale.ROOT — the f-interpolator
   *    follows the JVM default locale, and a comma-decimal locale would
-  *    emit invalid JSON.
+  *    emit invalid JSON;
+  *  - the detail line reports the per-query MEDIAN of the 3 reps next
+  *    to the min: a min that holds while the median balloons is
+  *    scheduler/GC noise, a min that moves with the median is a plan
+  *    change — the r4 d06/p01 "regressions" (host-level drift, every
+  *    query's numbers up a median 1.26×) were undiagnosable from mins
+  *    alone;
+  *  - `SPARK_GRAFT_BENCH_ONLY=name,name` filters the catalog for
+  *    isolated single-query reruns under the exact bench conditions
+  *    (same master/caps/fasthash/warmup) — for pinning swings without
+  *    the other 90+ queries' shared-JVM pressure in frame.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,7 +61,11 @@ object Bench {
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.catalog.map { q =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked0 = SparkEntry.catalog
+      .filter(q => only.forall(_.contains(q.name)))
+    val reps = picked0.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -60,15 +74,18 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      q.name -> Seq(once(), once(), once()).min
+      q.name -> Seq(once(), once(), once()).sorted
     }
+    val results = reps.map { case (k, rs) => k -> rs.head }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val meds = reps.map { case (k, rs) => "\"" + k + "\":" + fmt(rs(1)) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Full per-query detail first (may exceed harness tail windows)...
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,"sf":"$sfDir"}""")
     // ...then a compact headline line LAST, kept under ~1500 chars so it
     // survives a last-2000-chars output tail intact: slowest queries
     // individually, the rest summed under "_rest".
