@@ -140,5 +140,57 @@ object CleanCorpus {
       .orderBy("category", "doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03)
+  /** Per-source token budget tiers for [[p04]] (tokens; source number
+    * mod 3 picks the tier — a stand-in for a real mixing-weight table). */
+  val MixBudgetUnit = 250L
+
+  /** Data mixing under per-source token budgets — the step that turns
+    * mixing WEIGHTS ("webtext 50%, wiki 30%, ...") into an actual
+    * training subset: per source, take docs in deterministic-hash order
+    * until that source's token budget is filled. Same prefix-closed
+    * greedy as n10's sentence fill: "take while used < budget" ≡ a
+    * strictly-preceding running token sum under the budget, so the
+    * whole selection is one source-partitioned window — no driver loop,
+    * rerun/partition-count stable (hash order, not `rand()`), and the
+    * final doc that crosses the budget is included, matching how token
+    * budgets are filled in practice (truncate at the sequence level,
+    * not the document level). At 100 TB: one (source, hash) shuffle;
+    * sources fill in parallel. */
+  val p04 = Q("p04_token_budget_mix",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num,
+       |         len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    (src_num % 3 + 1) * $MixBudgetUnit AS budget,
+       |    row_number() OVER win AS pick_rank,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM t
+       |  WINDOW win AS (PARTITION BY source
+       |                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(budget AS BIGINT) AS budget, CAST(pick_rank AS BIGINT) AS pick_rank
+       |FROM r WHERE prior < budget
+       |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("budget",
+        (expr("CAST(substr(source, 4) AS INT)") % 3 + 1) * MixBudgetUnit)
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .withColumn("prior", coalesce(
+        sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("prior") < col("budget"))
+      .select("doc_id", "source", "n_tokens", "budget", "pick_rank")
+      .orderBy("source", "doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04)
 }

@@ -447,6 +447,138 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- t12
+  /** Chunk size / overlap for [[t12]] (tokens). */
+  val ChunkSize = 64L
+  val ChunkOverlap = 16L
+  private val ChunkStride = ChunkSize - ChunkOverlap
+
+  /** Overlapping-window chunking — the context-window prep step for
+    * retrieval/training over long documents: fixed-size token chunks at
+    * a fixed stride, last chunk truncated at the document end, short
+    * docs emit exactly one chunk. Pure integer arithmetic end to end
+    * (chunk count, boundaries, sizes) plus an md5 of each chunk's
+    * joined tokens, so the content of every chunk — not just its
+    * geometry — is cross-engine checked. Map-only (explode of a
+    * per-doc integer sequence): no shuffle, no state; at 100 TB chunking
+    * rides the scan. */
+  val t12 = Q("t12_chunk_overlap",
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, w, n,
+       |    CASE WHEN n <= $ChunkSize THEN 1
+       |         ELSE 1 + (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride
+       |    END AS n_chunks
+       |  FROM w),
+       |c AS (SELECT doc_id, w, n, unnest(range(n_chunks)) AS chunk_idx FROM m)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least(chunk_idx * $ChunkStride + $ChunkSize, n) AS BIGINT) AS end_tok,
+       |  md5(array_to_string(list_slice(w, chunk_idx * $ChunkStride + 1,
+       |    least(chunk_idx * $ChunkStride + $ChunkSize, n)), ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkSize, lit(1)).otherwise(
+          lit(1) + expr(s"(n - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride")
+            .cast("int")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * ChunkStride)
+      .withColumn("end_tok", least(col("start_tok") + ChunkSize, col("n")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        col("end_tok").cast("long").as("end_tok"),
+        md5(concat_ws(" ", slice(col("w"), col("start_tok").cast("int") + 1,
+          (col("end_tok") - col("start_tok")).cast("int")))).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // ---------------------------------------------------------------- t13
+  /** Fixed retrieval query for [[t13]] (terms present in the corpus). */
+  val Bm25Terms = Seq("table", "spark", "fast", "key", "row")
+  val Bm25TopK = 20L
+
+  /** BM25 top-k retrieval — the lexical scorer behind corpus search and
+    * retrieval-based quality filters (Robertson–Spärck Jones; k1=1.2,
+    * b=0.75, the Lucene-default operating point). The float tier is made
+    * cross-engine exact the s04/ s05 way: every (doc, term) contribution
+    * is quantised to integer micros IMMEDIATELY (round(x·1e6)) and the
+    * per-doc score is an order-free integer sum — ln/÷ are evaluated in
+    * one fixed expression shape on both engines, so the only
+    * nondeterminism a double sum would add (accumulation order) never
+    * enters. Plan at 100 TB: token explode → (doc, term) count with
+    * map-side combine, a 5-row df table and a 1-row corpus-stats table
+    * both broadcast, one map pass for contributions, one shuffle for the
+    * doc sum, TakeOrdered for the cut. */
+  val t13 = Q("t13_bm25_topk", {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks
+       |  WHERE token IN ($terms) GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |contrib AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(
+       |      ln(1 + (CAST(s.n_docs - f.df AS DOUBLE) + 0.5)
+       |             / (CAST(f.df AS DOUBLE) + 0.5))
+       |      * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl / s.avgdl))))
+       |      * 1000000.0) AS BIGINT) AS contrib_micro
+       |  FROM tf t JOIN df f ON f.token = t.token
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(contrib_micro) AS BIGINT) AS score_micro
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, score_micro,
+       |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+       |    AS rank
+       |FROM scores
+       |QUALIFY rank <= $Bm25TopK
+       |ORDER BY rank""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfT), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        """CAST(round(
+          |  ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+          |         / (CAST(df AS DOUBLE) + 0.5))
+          |  * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+          |  * 1000000.0) AS BIGINT)""".stripMargin).as("contrib_micro"))
+    val scores = contrib.groupBy("doc_id")
+      .agg(sum("contrib_micro").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(Bm25TopK.toInt)
+    scores
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+        .cast("long"))
+      .orderBy("rank")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11)
+    t11, t12, t13)
 }

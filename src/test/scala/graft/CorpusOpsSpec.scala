@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CleanCorpus, TextAnalysis}
+
+/** Structural laws for the round-5 corpus operators (t12 chunking,
+  * t13 BM25, p04 token-budget mixing) — values are pinned cross-engine
+  * by their DuckDB oracles; these specs pin the LAWS the oracles can't
+  * state (tiling geometry, budget minimality, retrieval sanity). */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("t12 chunks tile every document: stride, truncation, full coverage") {
+    val rows = TextAnalysis.t12.run(spark, sf)
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok")
+      .collect().groupBy(_.getLong(0))
+    val nTokens = model.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == nTokens.keySet, "every doc must chunk")
+    val stride = TextAnalysis.ChunkSize - TextAnalysis.ChunkOverlap
+    rows.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getLong(1) == i, s"doc $id: contiguous chunk indices")
+        assert(c.getLong(2) == i * stride, s"doc $id: stride law")
+        assert(c.getLong(3) ==
+          math.min(i * stride + TextAnalysis.ChunkSize, nTokens(id)),
+          s"doc $id: end = min(start+C, n)")
+      }
+      assert(sorted.last.getLong(3) == nTokens(id),
+        s"doc $id: last chunk must reach the document end")
+      // every chunk (except possibly the last) is full-size, so any
+      // token index < n falls inside at least one chunk
+      sorted.init.foreach { c =>
+        assert(c.getLong(3) - c.getLong(2) == TextAnalysis.ChunkSize,
+          s"doc $id: only the last chunk may truncate")
+      }
+    }
+  }
+
+  test("p04 budget law: prefix-minimal fill per source") {
+    val picked = CleanCorpus.p04.run(spark, sf).collect()
+      .groupBy(_.getString(1))
+    val perSource = model.Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(picked.keySet == perSource.keySet, "every source contributes")
+    picked.foreach { case (src, rows) =>
+      val budget = rows.head.getLong(3)
+      assert(rows.forall(_.getLong(3) == budget))
+      val total = rows.map(_.getLong(2)).sum
+      // the selection either fills the budget or exhausts the source
+      assert(total >= budget || rows.length == perSource(src),
+        s"$src: underfilled budget without exhausting the source")
+      // prefix-minimality: dropping the LAST pick (highest rank) must
+      // fall below the budget — nothing superfluous was selected
+      val lastTokens =
+        rows.maxBy(_.getLong(4)).getLong(2)
+      assert(total - lastTokens < budget,
+        s"$src: selection keeps a doc the budget did not need")
+    }
+  }
+
+  test("t13 BM25 top-k: distinct docs, positive scores, terms present") {
+    val rows = TextAnalysis.t13.run(spark, sf).collect()
+    assert(rows.length == TextAnalysis.Bm25TopK)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to TextAnalysis.Bm25TopK))
+    // scores are positive (BM25+ idf form) and non-increasing in rank
+    val scores = rows.sortBy(_.getLong(2)).map(_.getLong(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    // every retrieved doc actually contains a query term
+    val ids = rows.map(_.getLong(0)).toSet
+    val texts = model.Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("doc_id", "text").collect()
+    texts.foreach { r =>
+      val toks = r.getString(1).split(" ").toSet
+      assert(TextAnalysis.Bm25Terms.exists(toks.contains),
+        s"doc ${r.getLong(0)} retrieved without any query term")
+    }
+  }
+}
