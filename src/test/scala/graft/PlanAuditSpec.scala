@@ -130,6 +130,28 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
 
+  test("t12: chunking is map-only — no join, no window, no hash shuffle") {
+    val plan = executedPlan("t12_chunk_overlap")
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    // the only Exchange allowed is the presentation ORDER BY's range
+    // partitioning; chunk derivation itself must ride the scan
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+  }
+
+  test("t13: BM25 broadcasts df/stats; no partitioned cartesian") {
+    val plan = executedPlan("t13_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the 1-row corpus-stats join may plan as a broadcast nested loop —
+    // that is the intended scalar broadcast, never a partitioned product
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("p04: budget-fill window is source-partitioned, never single-partition") {
+    val plan = executedPlan("p04_token_budget_mix")
+    assert(plan.contains("hashpartitioning(source"), plan.take(1200))
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may
