@@ -623,5 +623,59 @@ object Dedup {
   val d10 = Q("d10_dup_clusters_stars", clustersOracleSql)(
     clusterQuery(connectedComponentsStars(_, _)))
 
-  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+  /** Shifted-copy corpus for [[d11]]: every doc gets one exact duplicate
+    * under a distinct id — the input condition the cascade exists for. */
+  private def withExactCopies(base: DataFrame): DataFrame =
+    base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+
+  // ---------------------------------------------------------------- d11
+  /** Dedup CASCADE — exact-collapse before near-dup, the composition a
+    * 100 TB pipeline actually runs, and the engineering answer to the
+    * 16× scale-up's d09/s02 signature (SCALE.md "scale-up №2"): on a
+    * duplicate-heavy corpus the near-dup PAIR OUTPUT is quadratic in
+    * exact-duplicate group size — no candidate scheme can shrink an
+    * answer. The cascade makes that blowup unreachable: (1) group by
+    * content digest, keeper = min id (d01's operator); (2) run shingle
+    * near-dup + star-contraction clustering over UNIQUE REPRESENTATIVES
+    * only, so the pair join never sees a duplicate group; (3) rejoin
+    * members to their rep's cluster — one linear equi-join, group size
+    * k costs k rows, not k². Edge endpoints are semi-joined to the rep
+    * set, so the restriction is structural, not assumed. The oracle
+    * replays the whole cascade: digest groups, the SAME shared
+    * shingle/closure CTEs as d08/d10 at the rep tier, and the member
+    * expansion. */
+  val d11 = Q("d11_dedup_cascade",
+    s"""WITH RECURSIVE $shinglesSql,
+       |$clustersSql,
+       |all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+       |grp AS (
+       |  SELECT md5(text) AS digest, min(doc_id) AS rep
+       |  FROM all_docs GROUP BY 1),
+       |members AS (
+       |  SELECT a.doc_id, g.rep FROM all_docs a
+       |  JOIN grp g ON md5(a.text) = g.digest)
+       |SELECT m.doc_id, m.rep, c.cluster
+       |FROM members m JOIN clusters c ON c.doc_id = m.rep
+       |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val all = withExactCopies(base)
+    val grp = all.groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("rep"))
+    val members = all.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(grp, "digest").select("doc_id", "rep")
+    val reps = grp.select(col("rep").as("node")).distinct().localCheckpoint()
+    val edges = d02.run(s, d).select("i", "j")
+      .join(reps.select(col("node").as("i")), Seq("i"), "left_semi")
+      .join(reps.select(col("node").as("j")), Seq("j"), "left_semi")
+      .select("i", "j")
+    val clusters = connectedComponentsStars(reps, edges)
+    members.join(clusters, members("rep") === clusters("node"))
+      .select(col("doc_id"), col("rep"), col("label").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d11)
 }

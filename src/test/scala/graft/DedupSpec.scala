@@ -119,4 +119,29 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)
     assert(exact.subsetOf(winnowed), s"missing: ${exact.diff(winnowed).take(5)}")
   }
+
+  test("d11 cascade: members inherit their representative's cluster") {
+    // the cascade law the oracle can't state structurally: every exact
+    // copy lands in the SAME cluster as its base doc (pair generation
+    // never saw the copy), reps are the min id of their digest group,
+    // and the output covers the doubled corpus exactly once
+    val rows = ops.Dedup.d11.run(spark, sf).collect()
+    val n = model.Tables.documents(spark, sf).count()
+    assert(rows.length == 2 * n, "one row per member of the doubled corpus")
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    byDoc.foreach { case (id, (rep, cluster)) =>
+      if (id < 10000) {
+        assert(rep == id, s"original $id must be its own representative")
+        val (repShift, clShift) = byDoc(id + 10000)
+        assert(repShift == id && clShift == cluster,
+          s"copy of $id must inherit rep and cluster")
+      }
+    }
+    // rep-tier clustering matches d08's direct clustering of the base corpus
+    val direct = ops.Dedup.d08.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.filter(_._1 < 10000).foreach { case (id, (_, cluster)) =>
+      assert(direct(id) == cluster, s"doc $id: cascade vs direct cluster")
+    }
+  }
 }
