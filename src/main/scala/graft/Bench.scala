@@ -63,6 +63,14 @@ object Bench {
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on unknown names: a typo would otherwise bench an empty
+    // set and print total 0.000 — the opposite of an isolated rerun
+    only.foreach { names =>
+      val known = SparkEntry.catalog.map(_.name).toSet
+      val bad = names.diff(known)
+      require(bad.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the catalog: ${bad.toSeq.sorted.mkString(", ")}")
+    }
     val picked0 = SparkEntry.catalog
       .filter(q => only.forall(_.contains(q.name)))
     val reps = picked0.map { q =>

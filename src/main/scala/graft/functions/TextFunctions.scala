@@ -122,9 +122,11 @@ object TextFunctions {
     if (words.isEmpty) return ""
     val budget = math.min(100, math.max(20, words.length / 3))
 
-    val freq = words.groupBy(_.toLowerCase).map { case (w, ws) =>
-      w -> ws.length.toLong
-    }
+    // Locale.ROOT: the n10 oracle/parity pin this against Spark/DuckDB
+    // lower(), which are locale-invariant — a tr-TR default locale would
+    // fold I to dotless ı and silently diverge the freq keys
+    val freq = words.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+      .map { case (w, ws) => w -> ws.length.toLong }
     val sentences = sentencesOf(text)
     if (sentences.length <= 1) {
       // no sentence structure (the synthetic corpus) → word-budget head,
@@ -133,7 +135,8 @@ object TextFunctions {
     }
     val scored = sentences.zipWithIndex.map { case (s, i) =>
       val ws = s.split("\\s+").filter(_.nonEmpty)
-      val score = ws.map(w => freq.getOrElse(w.toLowerCase, 0L)).sum
+      val score =
+        ws.map(w => freq.getOrElse(w.toLowerCase(java.util.Locale.ROOT), 0L)).sum
       (i, s, ws.length, score)
     }
     val picked = scala.collection.mutable.ArrayBuffer.empty[Int]

@@ -179,7 +179,11 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val total = buf.getInt(40) / 2
-    require(44L + 2L * total <= bytes.length, "truncated PCM payload")
+    // total >= 0 mirrors decodeWav's dataLen guard: a negative declared
+    // length would otherwise pass the truncation check and emit
+    // fabricated silent frames instead of failing validation
+    require(total >= 0 && 44L + 2L * total <= bytes.length,
+      "truncated PCM payload")
     val per = math.max(total / n, 1)
     (0 until n).map { k =>
       val from = k * per

@@ -624,9 +624,18 @@ object Dedup {
     clusterQuery(connectedComponentsStars(_, _)))
 
   /** Shifted-copy corpus for [[d11]]: every doc gets one exact duplicate
-    * under a distinct id — the input condition the cascade exists for. */
-  private def withExactCopies(base: DataFrame): DataFrame =
-    base.union(base.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    * under a distinct id — the input condition the cascade exists for.
+    * The shift is max(doc_id)+1, derived from the data on BOTH engine
+    * sides (a hardcoded offset would silently collide with real ids on a
+    * larger corpus, and both engines would replicate the collision
+    * identically — green oracle, corrupt semantics). The driver-side
+    * max is one O(1) scalar action, same budget class as the d08/d10
+    * fixpoint checks. */
+  private[graft] def copyShift(base: DataFrame): Long =
+    base.agg(max("doc_id")).head().getLong(0) + 1
+
+  private def withExactCopies(base: DataFrame, shift: Long): DataFrame =
+    base.union(base.select((col("doc_id") + shift).as("doc_id"), col("text")))
 
   // ---------------------------------------------------------------- d11
   /** Dedup CASCADE — exact-collapse before near-dup, the composition a
@@ -649,7 +658,10 @@ object Dedup {
        |$clustersSql,
        |all_docs AS (
        |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents),
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+       |         text
+       |  FROM documents),
        |grp AS (
        |  SELECT md5(text) AS digest, min(doc_id) AS rep
        |  FROM all_docs GROUP BY 1),
@@ -660,7 +672,7 @@ object Dedup {
        |FROM members m JOIN clusters c ON c.doc_id = m.rep
        |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
     val base = Tables.documents(s, d).select("doc_id", "text")
-    val all = withExactCopies(base)
+    val all = withExactCopies(base, copyShift(base))
     val grp = all.groupBy(md5(col("text")).as("digest"))
       .agg(min("doc_id").as("rep"))
     val members = all.select(col("doc_id"), md5(col("text")).as("digest"))

@@ -109,8 +109,14 @@ object MLClassify {
     (model, labelsOf(model))
   }
 
-  /** Serving pass: one map over the frame, no lexicon scan. `labels`
-    * maps StringIndexer indices back to category strings (alphabetAsc:
+  /** Serving pass over the teacher-labelled frame. The MODEL's inference
+    * is one map (HashingTF/IDF/LR — no lexicon), but this serving shape
+    * re-runs [[labelledFrame]]'s keyword scan because its contract
+    * includes `teacher_category` (the agreement column ml01 and the
+    * specs compare against) and the teacher's `unknown` filter; a
+    * teacher-free deployment would transform a bare (doc_id, text)
+    * frame through the non-indexer stages instead. `labels` maps
+    * StringIndexer indices back to category strings (alphabetAsc:
     * index i ↔ i-th sorted training label). */
   def serveModel(model: PipelineModel, labels: Array[String],
       docs: DataFrame): DataFrame = {

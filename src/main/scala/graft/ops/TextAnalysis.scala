@@ -504,6 +504,28 @@ object TextAnalysis {
   val Bm25Terms = Seq("table", "spark", "fast", "key", "row")
   val Bm25TopK = 20L
 
+  /** Raw per-(doc, term) BM25 contribution as a DOUBLE — split out so
+    * the guard-band spec can measure every value's distance from a
+    * rounding boundary (see [[t13]]'s quantisation note). */
+  private[graft] def bm25Raw(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        """ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+          |       / (CAST(df AS DOUBLE) + 0.5))
+          |* ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"""
+          .stripMargin).as("contrib"))
+  }
+
   /** BM25 top-k retrieval — the lexical scorer behind corpus search and
     * retrieval-based quality filters (Robertson–Spärck Jones; k1=1.2,
     * b=0.75, the Lucene-default operating point). The float tier is made
@@ -512,10 +534,15 @@ object TextAnalysis {
     * per-doc score is an order-free integer sum — ln/÷ are evaluated in
     * one fixed expression shape on both engines, so the only
     * nondeterminism a double sum would add (accumulation order) never
-    * enters. Plan at 100 TB: token explode → (doc, term) count with
-    * map-side combine, a 5-row df table and a 1-row corpus-stats table
-    * both broadcast, one map pass for contributions, one shuffle for the
-    * doc sum, TakeOrdered for the cut. */
+    * enters. `ln` is the one op without a bit-exactness guarantee
+    * across libms (JVM intrinsic vs DuckDB's libm, ≤1 ulp apart); the
+    * guard-band spec proves no contribution on this corpus sits within
+    * 1e-4 micros of a rounding boundary, 10⁵× the worst 1-ulp drift —
+    * so the quantised values cannot flip between engines. Plan at
+    * 100 TB: token explode → (doc, term) count with map-side combine, a
+    * 5-row df table and a 1-row corpus-stats table both broadcast, one
+    * map pass for contributions, one shuffle for the doc sum,
+    * TakeOrdered for the cut. */
   val t13 = Q("t13_bm25_topk", {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH toks AS (
@@ -550,24 +577,8 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("token").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val contrib = tf
-      .join(broadcast(dfT), "token")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), expr(
-        """CAST(round(
-          |  ln(1 + (CAST(n_docs - df AS DOUBLE) + 0.5)
-          |         / (CAST(df AS DOUBLE) + 0.5))
-          |  * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
-          |  * 1000000.0) AS BIGINT)""".stripMargin).as("contrib_micro"))
+    val contrib = bm25Raw(s, d).select(col("doc_id"),
+      expr("CAST(round(contrib * 1000000.0) AS BIGINT)").as("contrib_micro"))
     val scores = contrib.groupBy("doc_id")
       .agg(sum("contrib_micro").as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))

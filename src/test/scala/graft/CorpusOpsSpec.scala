@@ -62,6 +62,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t13 guard band: no contribution near a micro rounding boundary") {
+    // ln carries no cross-libm bit-exactness guarantee (<= 1 ulp drift,
+    // ~2e-9 micros at these magnitudes); the quantised oracle is safe
+    // iff no contribution sits near a .5 micro boundary — proven here
+    // with a 10^5x margin over the worst drift
+    val raw = ops.TextAnalysis.bm25Raw(spark, sf).collect()
+      .map(_.getDouble(1))
+    assert(raw.nonEmpty)
+    val minDist = raw.map { v =>
+      val x = v * 1000000.0
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    info(f"min distance to a rounding boundary: $minDist%.6f micros")
+    assert(minDist > 1e-4,
+      f"a 1-ulp ln divergence could flip quantisation: $minDist%.2e")
+  }
+
   test("t13 BM25 top-k: distinct docs, positive scores, terms present") {
     val rows = TextAnalysis.t13.run(spark, sf).collect()
     assert(rows.length == TextAnalysis.Bm25TopK)

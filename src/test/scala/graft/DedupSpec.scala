@@ -126,13 +126,15 @@ class DedupSpec extends SparkSpec {
     // never saw the copy), reps are the min id of their digest group,
     // and the output covers the doubled corpus exactly once
     val rows = ops.Dedup.d11.run(spark, sf).collect()
-    val n = model.Tables.documents(spark, sf).count()
+    val base = model.Tables.documents(spark, sf).select("doc_id", "text")
+    val n = base.count()
+    val shift = ops.Dedup.copyShift(base)
     assert(rows.length == 2 * n, "one row per member of the doubled corpus")
     val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     byDoc.foreach { case (id, (rep, cluster)) =>
-      if (id < 10000) {
+      if (id < shift) {
         assert(rep == id, s"original $id must be its own representative")
-        val (repShift, clShift) = byDoc(id + 10000)
+        val (repShift, clShift) = byDoc(id + shift)
         assert(repShift == id && clShift == cluster,
           s"copy of $id must inherit rep and cluster")
       }
@@ -140,7 +142,7 @@ class DedupSpec extends SparkSpec {
     // rep-tier clustering matches d08's direct clustering of the base corpus
     val direct = ops.Dedup.d08.run(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    byDoc.filter(_._1 < 10000).foreach { case (id, (_, cluster)) =>
+    byDoc.filter(_._1 < shift).foreach { case (id, (_, cluster)) =>
       assert(direct(id) == cluster, s"doc $id: cascade vs direct cluster")
     }
   }
