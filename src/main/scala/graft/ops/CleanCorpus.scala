@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -66,6 +67,37 @@ object CleanCorpus {
   val PackBudget = 2048L
   val PackShards = 8L
 
+  /** Shared packing CTEs over any `(doc_id, n_tokens)` source — `pt`
+    * assigns the md5-head shard, `pc` the exclusive running token count.
+    * One definition serves [[p02]] and the [[p05]] composition (the
+    * p01/shinglesSql no-drift pattern). */
+  private[ops] def packCtes(src: String): String =
+    s"""pt AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % $PackShards AS shard
+       |  FROM $src),
+       |pc AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
+       |  FROM pt)""".stripMargin
+
+  /** [[p02]]'s dataflow over any `(doc_id, n_tokens)` frame — exposed as
+    * a library function so compositions reuse the operator, not a copy. */
+  def packSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % PackShards
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shard.as("shard"), col("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        floor(col("cum") / PackBudget).as("bin"), col("n_tokens"))
+  }
+
   /** Sequence packing — the pre-tokenization step that concatenates
     * short documents into fixed-budget training sequences. Greedy
     * sequential fill per SHARD: exclusive running token count within the
@@ -77,31 +109,16 @@ object CleanCorpus {
     * end-to-end: shard hash, cumsum, and bin arithmetic are exact
     * integers in both engines. */
   val p02 = Q("p02_pack_sequences",
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-       |      % $PackShards AS shard,
-       |    len(string_split(text, ' ')) AS n_tokens
+    s"""WITH t0 AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
        |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, shard, n_tokens,
-       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum
-       |  FROM t)
+       |${packCtes("t0")}
        |SELECT doc_id, shard, CAST(cum // $PackBudget AS BIGINT) AS bin,
        |  CAST(n_tokens AS BIGINT) AS n_tokens
-       |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % PackShards
-    val w = Window.partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), shard.as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w) - col("n_tokens"))
-      .select(col("doc_id"), col("shard"),
-        floor(col("cum") / PackBudget).as("bin"), col("n_tokens"))
+       |FROM pc ORDER BY doc_id""".stripMargin) { (s, d) =>
+    packSequences(Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
       .orderBy("doc_id")
   }
 
@@ -156,31 +173,31 @@ object CleanCorpus {
     * budgets are filled in practice (truncate at the sequence level,
     * not the document level). At 100 TB: one (source, hash) shuffle;
     * sources fill in parallel. */
-  val p04 = Q("p04_token_budget_mix",
-    s"""WITH t AS (
-       |  SELECT doc_id, source, CAST(substr(source, 4) AS INT) AS src_num,
-       |         len(string_split(text, ' ')) AS n_tokens
-       |  FROM documents),
-       |r AS (
+  /** Shared mixing CTEs over any `(doc_id, source, n_tokens)` source —
+    * `mr` ranks docs per source by deterministic hash with the
+    * strictly-preceding token sum, `msel` keeps the budget-filling
+    * prefix. One definition serves [[p04]] and [[p05]]. */
+  private[ops] def mixCtes(src: String): String =
+    s"""mr AS (
        |  SELECT doc_id, source, n_tokens,
-       |    (src_num % 3 + 1) * $MixBudgetUnit AS budget,
-       |    row_number() OVER win AS pick_rank,
+       |    (CAST(substr(source, 4) AS INT) % 3 + 1) * $MixBudgetUnit AS budget,
+       |    row_number() OVER mwin AS pick_rank,
        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-       |  FROM t
-       |  WINDOW win AS (PARTITION BY source
-       |                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id))
-       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  CAST(budget AS BIGINT) AS budget, CAST(pick_rank AS BIGINT) AS pick_rank
-       |FROM r WHERE prior < budget
-       |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+       |  FROM $src
+       |  WINDOW mwin AS (PARTITION BY source
+       |                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)),
+       |msel AS (
+       |  SELECT doc_id, source, n_tokens, budget, pick_rank
+       |  FROM mr WHERE prior < budget)""".stripMargin
+
+  /** [[p04]]'s dataflow over any `(doc_id, source, n_tokens)` frame. */
+  def budgetMix(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docs
       .withColumn("budget",
         (expr("CAST(substr(source, 4) AS INT)") % 3 + 1) * MixBudgetUnit)
       .withColumn("pick_rank", row_number().over(w).cast("long"))
@@ -189,8 +206,62 @@ object CleanCorpus {
         lit(0L)))
       .filter(col("prior") < col("budget"))
       .select("doc_id", "source", "n_tokens", "budget", "pick_rank")
+  }
+
+  val p04 = Q("p04_token_budget_mix",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |${mixCtes("t")}
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(budget AS BIGINT) AS budget, CAST(pick_rank AS BIGINT) AS pick_rank
+       |FROM msel
+       |ORDER BY source, doc_id""".stripMargin) { (s, d) =>
+    budgetMix(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")))
       .orderBy("source", "doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04)
+  /** The training-data ASSEMBLY composition — the downstream half of the
+    * pipeline ([[p01]] is the cleaning half): deterministic train split
+    * (t09's md5 bucket) → per-source token-budget mixing ([[budgetMix]])
+    * → sequence packing ([[packSequences]]), one Catalyst plan end to
+    * end. Each stage is individually oracled (t09/p04/p02); the
+    * composition reuses the SAME functions and CTE fragments, so it
+    * cannot drift from its parts. Stage keys differ (source → shard), so
+    * the plan is: one scan, the mix window's (source, hash) shuffle, the
+    * pack window's shard shuffle, a broadcast-size rejoin for `source` —
+    * nothing quadratic, nothing single-partition, at any corpus size. */
+  val p05 = Q("p05_training_mix",
+    s"""WITH sb AS (
+       |  SELECT doc_id, source,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % 100 AS bucket,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents),
+       |train AS (SELECT doc_id, source, n_tokens FROM sb WHERE bucket < 80),
+       |${mixCtes("train")},
+       |${packCtes("msel")}
+       |SELECT p.doc_id, m.source, p.shard,
+       |  CAST(p.cum // $PackBudget AS BIGINT) AS bin,
+       |  CAST(p.n_tokens AS BIGINT) AS n_tokens
+       |FROM pc p JOIN msel m ON m.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val train = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        bucket.as("bucket"))
+      .filter(col("bucket") < 80).drop("bucket")
+    val mixed = budgetMix(train)
+    val packed = packSequences(mixed.select("doc_id", "n_tokens"))
+    packed.join(mixed.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("shard"), col("bin"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05)
 }

@@ -62,6 +62,39 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("p05 composition laws: split membership, budget fill, dense bins") {
+    val rows = CleanCorpus.p05.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every packed doc is in t09's train split (bucket < 80)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val ids = model.Tables.documents(spark, sf)
+      .select(col("doc_id"), bucket.as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(ids(r.getLong(0)) < 80, s"doc ${r.getLong(0)} not in train split")
+    }
+    // per source: the selection fills the budget or exhausts the
+    // source's train docs (same law as p04, here post-split)
+    val bySource = rows.groupBy(_.getString(1))
+    val trainPerSource = ids.filter(_._2 < 80).keySet
+    bySource.foreach { case (src, rs) =>
+      val total = rs.map(_.getLong(4)).sum
+      val budget = (src.drop(3).toInt % 3 + 1) * CleanCorpus.MixBudgetUnit
+      val srcTrainCount = model.Tables.documents(spark, sf)
+        .filter(col("source") === src)
+        .collect().count(r => trainPerSource.contains(r.getLong(0)))
+      assert(total >= budget || rs.length == srcTrainCount,
+        s"$src: underfilled without exhausting the split")
+    }
+    // bins are dense per shard: 0..max with no gaps
+    rows.groupBy(_.getLong(2)).foreach { case (shard, rs) =>
+      val bins = rs.map(_.getLong(3)).distinct.sorted
+      assert(bins.head == 0 && bins.toSeq == (0L to bins.last).toSeq,
+        s"shard $shard: bins not dense: ${bins.take(10)}")
+    }
+  }
+
   test("t13 guard band: no contribution near a micro rounding boundary") {
     // ln carries no cross-libm bit-exactness guarantee (<= 1 ulp drift,
     // ~2e-9 micros at these magnitudes); the quantised oracle is safe
