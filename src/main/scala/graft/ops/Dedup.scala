@@ -116,29 +116,35 @@ object Dedup {
     * top 4 bits = 16th hex char) so no intermediate ever exceeds DuckDB's
     * non-wrapping BIGINT; per bit the signed votes are summed and the
     * fingerprint is reassembled bit-by-bit (bit 63 added as -2^63 to stay
-    * in signed 64-bit). Shared by the d05/d07/d09 oracles. */
-  private[ops] val simhashSql =
-    """toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-      |th AS (
-      |  SELECT doc_id,
-      |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS lo60,
-      |    CAST('0x' || substr(md5(t), 16, 1) AS BIGINT) AS hi4
-      |  FROM toks),
-      |votes AS (
-      |  SELECT doc_id, bb.b AS b,
-      |    sum(CASE WHEN CASE WHEN bb.b < 60 THEN (lo60 >> bb.b) & 1
-      |                       ELSE (hi4 >> (bb.b - 60)) & 1 END = 1
-      |             THEN 1 ELSE -1 END) AS v
-      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
-      |  GROUP BY 1, 2),
-      |fp AS (
-      |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN v > 0 AND b < 63
-      |                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
-      |      + CASE WHEN max(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
-      |             THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS h
-      |  FROM votes GROUP BY doc_id)""".stripMargin
+    * in signed 64-bit). Parameterized over the source CTE/table and a
+    * name prefix so one definition serves the corpus side AND a second
+    * document set in the same query (st10's incoming stream twin); the
+    * unprefixed `documents` instantiation below is shared by the
+    * d05/d07/d09 oracles. */
+  private[ops] def simhashSqlFor(src: String, p: String): String =
+    s"""${p}toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM $src),
+       |${p}th AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS lo60,
+       |    CAST('0x' || substr(md5(t), 16, 1) AS BIGINT) AS hi4
+       |  FROM ${p}toks),
+       |${p}votes AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    sum(CASE WHEN CASE WHEN bb.b < 60 THEN (lo60 >> bb.b) & 1
+       |                       ELSE (hi4 >> (bb.b - 60)) & 1 END = 1
+       |             THEN 1 ELSE -1 END) AS v
+       |  FROM ${p}th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+       |  GROUP BY 1, 2),
+       |${p}fp AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN v > 0 AND b < 63
+       |                  THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+       |      + CASE WHEN max(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+       |             THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS h
+       |  FROM ${p}votes GROUP BY doc_id)""".stripMargin
+
+  private[ops] val simhashSql = simhashSqlFor("documents", "")
 
   /** All-pairs Hamming oracle over [[simhashSql]] fingerprints — DuckDB
     * can afford O(n²) at validation scale, and d07/d09's bucketed plans
@@ -441,17 +447,52 @@ object Dedup {
     * all-pairs (24×; max bucket 189 docs) — where d07's recall-first
     * 7-bit blocks degenerate, this keying does not. 4 index rows per
     * doc, then the exact bit_count verifier on candidates only. */
-  val d09 = Q("d09_simhash_prod", simhashPairsSql(3)) { (s, d) =>
-    val h = Tables.documents(s, d)
-      .select(col("doc_id"), simhashCol(s).as("h"))
+  /** Manku 16-bit block keys over a `(doc_id, h)` fingerprint frame —
+    * 4 index rows per doc; shared by [[d09]] and [[nearDupAdmission]]. */
+  private[graft] def simhash16Keys(h: DataFrame): DataFrame = {
     val blockKeys = (0 until 4).map { b =>
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(65535L)).as("key"))
     }
-    val keyed = h
-      .select(col("doc_id"), col("h"), explode(array(blockKeys: _*)).as("bk"))
+    h.select(col("doc_id"), col("h"), explode(array(blockKeys: _*)).as("bk"))
       .select(col("doc_id"), col("h"),
         col("bk.blk").as("blk"), col("bk.key").as("key"))
+  }
+
+  /** Near-dup ADMISSION — the live-ingestion form of d09: which incoming
+    * docs are near-duplicates (Hamming ≤ 3) of an already-indexed
+    * corpus, and their best match. Runs identically on a batch frame
+    * and on a STREAM of incoming docs (st10 is the oracled batch twin;
+    * the streaming spec drives the same function from MemoryStream):
+    * fingerprints are map-only per micro-batch, candidates come from a
+    * stream–static equi-join on the (blk, key) index, the exact
+    * verifier runs on candidates only, and best-match selection is a
+    * lexicographic struct-min — a supported streaming aggregation,
+    * where the row_number form would not be. At 100 TB the index is
+    * 4 rows/doc and the stream never joins more than its bucket
+    * collisions. */
+  def nearDupAdmission(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
+    val qk = simhash16Keys(incoming.select(col("doc_id"), simhashCol(s).as("h")))
+      .select(col("doc_id").as("new_id"), col("h").as("qh"),
+        col("blk"), col("key"))
+    val ik = simhash16Keys(corpus.select(col("doc_id"), simhashCol(s).as("h")))
+      .select(col("doc_id").as("corpus_id"), col("h").as("ch"),
+        col("blk"), col("key"))
+    qk.join(ik, Seq("blk", "key"))
+      .select(col("new_id"), col("corpus_id"),
+        expr("bit_count(qh ^ ch)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .groupBy("new_id")
+      .agg(min(struct(col("hamming"), col("corpus_id"))).as("best"))
+      .select(col("new_id"), col("best.hamming").as("best_hamming"),
+        col("best.corpus_id").as("best_match"))
+  }
+
+  val d09 = Q("d09_simhash_prod", simhashPairsSql(3)) { (s, d) =>
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), simhashCol(s).as("h"))
+    val keyed = simhash16Keys(h)
     keyed.as("a").join(keyed.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -312,5 +312,42 @@ object EventStreams {
       .orderBy("user_id")
   }
 
-  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09)
+  // --------------------------------------------------------------- st10
+  /** Batch twin of streaming near-dup ADMISSION (the SAME
+    * [[Dedup.nearDupAdmission]] the stream runs — StreamingSpec drives
+    * it from MemoryStream): incoming docs (a deterministic mutated
+    * slice of the corpus: every 5th doc with one appended token, ids
+    * shifted past max(doc_id)) are checked against the static corpus
+    * fingerprint index; output is each matched doc's best corpus match
+    * by (hamming, corpus_id). The oracle recomputes BOTH simhash sets
+    * via the shared parameterized CTE and joins all-pairs — the
+    * bucketed plan is a pigeonhole superset + exact filter of it, the
+    * same d07/d09 equivalence. */
+  val st10 = Q("st10_neardup_admission",
+    s"""WITH ${Dedup.simhashSqlFor("documents", "")},
+       |mdocs AS (
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+       |         text || ' graftnew' AS text
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |${Dedup.simhashSqlFor("mdocs", "m")},
+       |cand AS (
+       |  SELECT m.doc_id AS new_id, c.doc_id AS corpus_id,
+       |         CAST(bit_count(xor(m.h, c.h)) AS BIGINT) AS hamming
+       |  FROM mfp m JOIN fp c ON bit_count(xor(m.h, c.h)) <= 3)
+       |SELECT new_id, hamming AS best_hamming, corpus_id AS best_match
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY new_id
+       |    ORDER BY hamming, corpus_id) AS rn
+       |  FROM cand)
+       |WHERE rn = 1 ORDER BY new_id""".stripMargin) { (s, d) =>
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val shift = Dedup.copyShift(base)
+    val incoming = base.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + shift).as("doc_id"),
+        concat(col("text"), lit(" graftnew")).as("text"))
+    Dedup.nearDupAdmission(incoming, base).orderBy("new_id")
+  }
+
+  def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
+    st10)
 }

@@ -52,6 +52,46 @@ class StreamingSpec extends SparkSpec {
     assert(out(3L) == (("revenue", 6.0)))
   }
 
+  test("streaming near-dup admission: static index probed per micro-batch") {
+    // the SAME Dedup.nearDupAdmission st10 oracles in batch, driven from
+    // MemoryStream: fingerprints are map-only per batch, candidates come
+    // from the stream-static (blk, key) join, best-match is a streaming
+    // struct-min aggregation (update mode). The stream's final state
+    // must equal the batch twin on the same incoming rows.
+    implicit val sql = spark.sqlContext
+    val corpus = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").localCheckpoint()
+    val src = corpus.orderBy("doc_id").limit(2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val incoming = Seq(
+      (9001L, src(0)._2),                 // exact copy → hamming 0
+      (9002L, src(1)._2 + " graftnew"),   // mutated copy
+      (9003L, "zz qq unrelated wholly"))  // likely no match
+    val expected = ops.Dedup.nearDupAdmission(
+        incoming.toDF("doc_id", "text"), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = ops.Dedup.nearDupAdmission(
+        in.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("admitted")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(incoming(0), incoming(2))
+    q.processAllAvailable()
+    in.addData(incoming(1)) // second batch re-probes the static index
+    q.processAllAvailable()
+    val got = spark.table("admitted").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => // update mode: latest state = min struct
+        val best = rs.map(r => (r.getLong(1), r.getLong(2))).min
+        (id, best._1, best._2)
+      }.toSet
+    q.stop()
+    assert(got == expected, s"stream $got vs batch $expected")
+    assert(expected.exists { case (id, h, m) =>
+      id == 9001L && h == 0L && m == src(0)._1
+    }, s"exact copy must match its source at hamming 0: $expected")
+  }
+
   test("CDC apply: upsert/delete state across batches, stale events ignored") {
     import graft.streaming.StreamOps.ChangeEvent
     implicit val sql = spark.sqlContext
