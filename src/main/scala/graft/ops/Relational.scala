@@ -1020,7 +1020,39 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Last-observation-carried-forward backfill (LOCF) — the sensor/event
+    * gap-repair pattern behind feature pipelines: `error` events carry
+    * no reading (NULL), and each row's `filled` value is the latest
+    * non-null reading at-or-before it within the user's timeline —
+    * `last(..., ignoreNulls)` over a running frame, the IGNORE NULLS
+    * window tier q07/q21 don't cover. Ordering runs on the raw nanos
+    * LONG (exact, pre-conversion) with the event_id tiebreak; readings
+    * pass through untouched (no arithmetic → bit-exact cross-engine);
+    * rows before a user's first reading stay NULL. Key-partitioned
+    * window — users backfill in parallel at any scale. */
+  val q35 = Q("q35_locf_backfill",
+    """SELECT user_id, event_id,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,
+      |  last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+      |             IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val reading =
+      when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("reading", reading)
+      .select(col("user_id"), col("event_id"), col("reading"),
+        last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33, q34)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
+    q34, q35)
 }
