@@ -237,18 +237,27 @@ object Dedup {
     * Probability a pair with Jaccard t collides: 1-(1-t^R)^B; with R=2,
     * B=4 the curve crosses ~0.55, so every d02 pair (t ≥ 0.8) should
     * surface — the spec asserts that containment. */
-  val d03 = Q("d03_minhash_lsh",
-    s"""WITH $shinglesSql,
-       |sigs AS (
+  /** d03's signature→band→candidate CTE chain (`lshcand(i, j)`), shared
+    * with [[d12]]'s edit-distance verification so the candidate
+    * definition cannot drift between the two. Requires [[shinglesSql]]
+    * before it. */
+  private[ops] val lshCandSql: String =
+    s"""sigs AS (
        |  SELECT doc_id, ${(0 until K).map(j => s"min(${minhash64Sql(j)}) AS h$j").mkString(", ")}
        |  FROM shingles GROUP BY doc_id),
        |bands AS (
        |  ${(0 until B).map(b =>
       s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until R).map(r => s"h${b * R + r}").mkString(", ")}) AS sig FROM sigs")
-      .mkString("\n  UNION ALL\n  ")})
-       |SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-       |  AND a.doc_id < b.doc_id
+      .mkString("\n  UNION ALL\n  ")}),
+       |lshcand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+
+  val d03 = Q("d03_minhash_lsh",
+    s"""WITH $shinglesSql,
+       |$lshCandSql
+       |SELECT i, j FROM lshcand
        |ORDER BY i, j""".stripMargin) { (s, d) =>
     // Signatures in one fused pass: scan → explode → hash → map-side
     // partial min per doc → tiny shuffle (K longs per doc). min over the
@@ -729,6 +738,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d12
+  /** Edit-distance verification of LSH candidates — the precision stage
+    * after d03's recall stage: MinHash bands surface shingle-overlap
+    * candidates cheaply; character-level Levenshtein then verifies them
+    * exactly (catching the false band collisions shingle hashing lets
+    * through). Both engines ship the classic DP `levenshtein` built-in
+    * with identical integer semantics, and the expensive O(len²)
+    * comparison runs ONLY on the candidate set — never all pairs — so
+    * the composition stays linear-plus-candidates at any corpus size
+    * (the measured-threshold verification pattern d09 uses for Hamming,
+    * here for edit distance). */
+  val EditDistThreshold = 40L
+
+  val d12 = Q("d12_lsh_editdist",
+    s"""WITH $shinglesSql,
+       |$lshCandSql
+       |SELECT c.i, c.j,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       |FROM lshcand c
+       |JOIN documents da ON da.doc_id = c.i
+       |JOIN documents db ON db.doc_id = c.j
+       |WHERE levenshtein(da.text, db.text) <= $EditDistThreshold
+       |ORDER BY c.i, c.j""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    d03.run(s, d)
+      .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+      .select(col("i"), col("j"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= EditDistThreshold)
+      .orderBy("i", "j")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11)
+    d11, d12)
 }
