@@ -488,14 +488,11 @@ object Similarity {
     (means, it, converged)
   }
 
-  /** Two full Lloyd rounds over the embedding corpus, fully oracled the
-    * way d08 oracles the whole closure: DuckDB chains assign→mean→
-    * assign→mean CTEs — the round-2 assignment runs against the
-    * round-1 DOUBLE means (bit-identical in both engines via the
-    * quantised-integer mean), so the ITERATION, not just one step, is
-    * cross-engine checked. */
-  val s06 = Q("s06_kmeans_lloyd",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** s06's two-round assign→mean→assign→mean CTE chain ending at `m2`
+    * (round-2 means in long form) — shared with [[s07]]'s retrained-IVF
+    * oracle so the iteration definition cannot drift. */
+  private val lloyd2Ctes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
        |a1 AS (
        |  SELECT vec_id, cid FROM (
@@ -527,7 +524,16 @@ object Similarity {
        |      / 10000000.0 / count(*) AS c_mean
        |  FROM a2 a JOIN e ON e.vec_id = a.vec_id
        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS k)
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Two full Lloyd rounds over the embedding corpus, fully oracled the
+    * way d08 oracles the whole closure: DuckDB chains assign→mean→
+    * assign→mean CTEs — the round-2 assignment runs against the
+    * round-1 DOUBLE means (bit-identical in both engines via the
+    * quantised-integer mean), so the ITERATION, not just one step, is
+    * cross-engine checked. */
+  val s06 = Q("s06_kmeans_lloyd",
+    s"""WITH $lloyd2Ctes
        |SELECT cid, CAST(pos AS BIGINT) AS pos, c_mean
        |FROM m2 ORDER BY cid, pos""".stripMargin) { (s, d) =>
     val (means, _, _) = kmeansLloyd(
@@ -537,5 +543,78 @@ object Similarity {
       .orderBy("cid", "pos")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  // ---------------------------------------------------------------- s07
+  /** IVF retrieval over RETRAINED centroids — the capstone s03's
+    * docstring promises ("production would run Lloyd iterations,
+    * changing only the centroid table's contents, not this dataflow"):
+    * [[kmeansLloyd]] trains the centroid table for two rounds, then the
+    * SAME IVF probe shape as s03 runs against it — assignment, P=4
+    * probe, exact re-rank, all in the double-precision cosine so the
+    * trained DOUBLE centroids stay bit-identical cross-engine. The
+    * oracle chains s06's shared two-round CTEs into s03's probe CTEs:
+    * training AND retrieval are one cross-engine-checked statement. */
+  val s07 = Q("s07_ivf_retrained",
+    s"""WITH $lloyd2Ctes,
+       |c2 AS (
+       |  SELECT cid, list(c_mean ORDER BY pos) AS embedding
+       |  FROM m2 GROUP BY cid),
+       |assign2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c2 c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS prn
+       |    FROM q, c2 c)
+       |  WHERE prn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("q", "e")} AS cos
+       |  FROM probed p
+       |  JOIN assign2 a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN e ON e.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (means, _, _) = kmeansLloyd(e0, maxIters = 2)
+    val c = pivotCentroids(means).localCheckpoint()
+    val e = doubleVecs(e0).localCheckpoint()
+    val assign = assignD(e, c).select("vec_id", "cid")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("cid"),
+        expr("cosine_sim_d(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("query_id", "q_embedding", "cid")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probed.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim_d(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

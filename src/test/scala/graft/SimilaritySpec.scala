@@ -81,4 +81,21 @@ class SimilaritySpec extends SparkSpec {
     info(f"mean recall = $mean%.2f (P=4 probes of C=16 lists)")
     assert(mean >= 0.5, f"IVF mean recall $mean%.2f < 0.5")
   }
+
+  test("s07 retrained-IVF top-5 recall is quantified vs seeded s03") {
+    val exact = topk(ops.Similarity.s01)
+    def meanRecall(m: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, ex) =>
+        m.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      rs.sum / rs.size
+    }
+    val seeded = meanRecall(topk(ops.Similarity.s03))
+    val retrained = meanRecall(topk(ops.Similarity.s07))
+    info(f"mean recall: seeded=$seeded%.2f retrained=$retrained%.2f")
+    // same floor as s03 — retraining changes list QUALITY, not the probe
+    // contract; the improvement itself is corpus-statistical, so it is
+    // logged, not pinned
+    assert(retrained >= 0.5, f"retrained-IVF recall $retrained%.2f < 0.5")
+  }
 }
