@@ -771,6 +771,58 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  // ---------------------------------------------------------------- d13
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space, then pruning
+    * near-duplicate pairs WITHIN clusters only. This is the linear-cost
+    * production sibling of [[d04]]'s global O(n²) validation twin: the
+    * pair comparison is an equi-join on the trained cluster id, so its
+    * cost is Σ|cluster|² — at 100 TB, k scales with the corpus
+    * (k ≈ n/10⁴ keeps clusters bounded), the centroid table stays
+    * broadcast-size per Lloyd round, and no vector is ever compared
+    * across clusters. Training reuses [[Similarity.kmeansLloyd]] (two
+    * rounds, same as s06/s07); the keep rule is deterministic — a vector
+    * is pruned iff a SMALLER-id co-clustered vector sits at cosine
+    * ≥ 0.4 (d04's threshold, double-precision arithmetic, so a last-ulp
+    * wobble can't flip a row unless a cosine sits exactly on the
+    * threshold). The oracle chains s06's two-round training CTEs and
+    * s07's shared trained-assignment CTEs into the pruning predicate:
+    * training, assignment, and pruning are one cross-engine statement.
+    * DedupSpec pins the containment law (pruned ⊆ d04's global
+    * greater-id near-dup set) and logs the co-cluster recall. */
+  val d13 = Q("d13_semdedup",
+    s"""WITH ${Similarity.lloyd2Ctes},
+       |${Similarity.retrainedAssignCtes},
+       |m AS (
+       |  SELECT a.vec_id, a.cid, e.embedding
+       |  FROM assign2 a JOIN e ON e.vec_id = a.vec_id),
+       |rem AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${Similarity.cosSql("a", "b")} >= 0.4)
+       |SELECT m.vec_id, m.cid, rem.vec_id IS NULL AS kept
+       |FROM m LEFT JOIN rem ON rem.vec_id = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (means, _, _) = Similarity.kmeansLloyd(e0, maxIters = 2)
+    val c = Similarity.pivotCentroids(means).localCheckpoint()
+    val e = Similarity.doubleVecs(e0).localCheckpoint()
+    // checkpointed: m feeds both sides of the pair join AND the final
+    // left join — without it the broadcast-assignment window runs 3×
+    val m = Similarity.assignD(e, c).select("vec_id", "cid")
+      .join(e, "vec_id").localCheckpoint()
+    val rem = m.as("a")
+      .join(m.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("cosine_sim_d(a.embedding, b.embedding)") >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    m.select("vec_id", "cid")
+      .join(rem.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("pruned").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12)
+    d11, d12, d13)
 }

@@ -61,7 +61,7 @@ object Similarity {
 
   /** Cosine in DuckDB matching [[graft.functions.CosineSimilarity]]'s
     * accumulation order (ascending index, double precision). */
-  private def cosSql(a: String, b: String): String = {
+  private[ops] def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, $Dims), k -> CAST($x.embedding[k] AS DOUBLE) * CAST($y.embedding[k] AS DOUBLE)))"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
@@ -491,7 +491,7 @@ object Similarity {
   /** s06's two-round assign→mean→assign→mean CTE chain ending at `m2`
     * (round-2 means in long form) — shared with [[s07]]'s retrained-IVF
     * oracle so the iteration definition cannot drift. */
-  private val lloyd2Ctes: String =
+  private[ops] val lloyd2Ctes: String =
     s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
        |a1 AS (
@@ -543,6 +543,22 @@ object Similarity {
       .orderBy("cid", "pos")
   }
 
+  /** Trained-centroid table (`c2`) + final assignment (`assign2`) over
+    * [[lloyd2Ctes]]'s round-2 means — shared by [[s07]] (IVF retrieval)
+    * and [[Dedup.d13]] (SemDeDup within-cluster pruning) so the
+    * trained-assignment definition cannot drift between them. */
+  private[ops] val retrainedAssignCtes: String =
+    s"""c2 AS (
+       |  SELECT cid, list(c_mean ORDER BY pos) AS embedding
+       |  FROM m2 GROUP BY cid),
+       |assign2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c2 c)
+       |  WHERE rn = 1)""".stripMargin
+
   // ---------------------------------------------------------------- s07
   /** IVF retrieval over RETRAINED centroids — the capstone s03's
     * docstring promises ("production would run Lloyd iterations,
@@ -555,16 +571,7 @@ object Similarity {
     * training AND retrieval are one cross-engine-checked statement. */
   val s07 = Q("s07_ivf_retrained",
     s"""WITH $lloyd2Ctes,
-       |c2 AS (
-       |  SELECT cid, list(c_mean ORDER BY pos) AS embedding
-       |  FROM m2 GROUP BY cid),
-       |assign2 AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
-       |    FROM e, c2 c)
-       |  WHERE rn = 1),
+       |$retrainedAssignCtes,
        |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
        |probed AS (
        |  SELECT query_id, cid FROM (

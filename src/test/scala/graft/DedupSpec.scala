@@ -146,4 +146,22 @@ class DedupSpec extends SparkSpec {
       assert(direct(id) == cluster, s"doc $id: cascade vs direct cluster")
     }
   }
+
+  test("d13 SemDeDup: pruned set is contained in d04's global near-dups") {
+    // containment is an INVARIANT (within-cluster pairs ⊆ all pairs at
+    // the same threshold and id order); the co-cluster recall of d04's
+    // pair set is a statistical property of the clustering — logged,
+    // floored loosely
+    val globalJ = ops.Dedup.d04.run(spark, sf)
+      .select("j").collect().map(_.getLong(0)).toSet
+    val rows = ops.Dedup.d13.run(spark, sf).collect()
+    val pruned = rows.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(pruned.nonEmpty, "corpus plants embedding near-dups")
+    assert(pruned.subsetOf(globalJ),
+      s"pruned outside global near-dup set: ${pruned.diff(globalJ).take(5)}")
+    val recall = pruned.size.toDouble / globalJ.size
+    info(f"co-cluster recall of d04 greater-id set: $recall%.2f " +
+      s"(${pruned.size}/${globalJ.size})")
+    assert(recall >= 0.2, f"co-cluster recall $recall%.2f collapsed")
+  }
 }
