@@ -298,15 +298,24 @@ object TextAnalysis {
       |      len(list_distinct(string_split(text, ' '))) AS n_distinct
       |    FROM documents))""".stripMargin
 
-  val t07 = Q("t07_decontaminate",
-    s"""WITH $contaminationSql
-       |SELECT doc_id, n_shared FROM contaminated ORDER BY doc_id""".stripMargin) { (s, d) =>
+  /** Distinct (doc_id, 8-gram shingle) pairs — t07/t14's shared input. */
+  private[graft] def shingles8(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sh = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 8)
       .select(col("doc_id"), explode(expr("word_shingles(w, 8)")).as("s"))
       .distinct()
+  }
+
+  /** t07/t14 shared oracle — both produce the decontamination verdict;
+    * t14 only changes HOW candidates are found (d08/d10 convention). */
+  private val decontOracleSql =
+    s"""WITH $contaminationSql
+       |SELECT doc_id, n_shared FROM contaminated ORDER BY doc_id""".stripMargin
+
+  val t07 = Q("t07_decontaminate", decontOracleSql) { (s, d) =>
+    val sh = shingles8(s, d)
     val evalSh = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
     sh.filter(col("doc_id") % 10 =!= 0)
       .join(broadcast(evalSh), "s")
@@ -590,6 +599,88 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- t14
+  /** Bloom probes per shingle: K positions by double hashing —
+    * `p_i = (h1 + i·h2) mod m` with both hashes pre-masked to `[0, m)`
+    * so the affine step can't overflow a Long under ANSI mode. `m` must
+    * be a power of two (masking = mod). */
+  val BloomK = 5
+  val BloomBitsPerElem = 16L
+
+  private def bloomPositions(s: Column, mBits: Long): Seq[Column] = {
+    require((mBits & (mBits - 1)) == 0, s"mBits must be a power of 2: $mBits")
+    val mask = lit(mBits - 1)
+    val h1 = xxhash64(s).bitwiseAND(mask)
+    val h2 = xxhash64(s, lit(1)).bitwiseAND(mask)
+    (0 until BloomK).map(i => (h1 + lit(i.toLong) * h2).bitwiseAND(mask))
+  }
+
+  /** Builds the bloom bit array over a (small) shingle column,
+    * DISTRIBUTED: explode the K positions, partial-combine `bit_or`
+    * masks per 64-bit word, then collect only the m/64 non-zero words —
+    * the same build-side-aggregate-then-broadcast shape Spark's own
+    * runtime bloom filters (InjectRuntimeFilter) use. The collect is
+    * O(m/64) = O(build side), never O(corpus). */
+  private[graft] def bloomBitsOf(evalSh: DataFrame, mBits: Long): Array[Long] = {
+    val words = evalSh
+      .select(explode(array(bloomPositions(col("s"), mBits): _*)).as("p"))
+      .select(shiftright(col("p"), 6).as("w"),
+        call_function("shiftleft", lit(1L),
+          col("p").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val arr = new Array[Long]((mBits / 64).toInt)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe — pure built-ins (xxhash64, shifts, element_at on
+    * a broadcast array literal), so it whole-stage-codegens inside the
+    * corpus scan. No false negatives; false positives are removed by the
+    * exact confirm join that follows. */
+  private[graft] def bloomHit(bits: Array[Long], s: Column): Column = {
+    val mBits = bits.length.toLong * 64
+    val arr = lit(bits)
+    bloomPositions(s, mBits).map { p =>
+      val word = element_at(arr, shiftright(p, 6).cast("int") + lit(1))
+      call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  private def nextPow2(n: Long): Long =
+    java.lang.Long.highestOneBit(math.max(1L, 2 * n - 1))
+
+  /** Bloom filter sized from the build-side count at ~16 bits/element
+    * (K=5 → FPP ≈ 0.1%), floored so tiny eval sets don't degenerate. */
+  private[graft] def bloomFor(evalSh: DataFrame): Array[Long] =
+    bloomBitsOf(evalSh, math.max(1L << 13, nextPow2(BloomBitsPerElem * evalSh.count())))
+
+  /** Decontamination with a bloom-prefiltered corpus side — what [[t07]]
+    * becomes when the eval set outgrows a broadcast hash relation. The
+    * eval shingles fold into a bits-array bloom (16 bits/element — ~100×
+    * smaller than broadcasting the strings); the corpus probes it INSIDE
+    * the scan's codegen stage and sheds ~every clean shingle before any
+    * join; only the surviving candidates (true matches + measured <5%
+    * false positives) reach the exact confirm join, which restores
+    * exactness — output and oracle are exactly t07's, the d08/d10
+    * same-oracle convention for alternate strategies. At 100 TB this is
+    * the explicit form of Spark's InjectRuntimeFilter: build-side
+    * aggregate → broadcast literal → map-side prune. CorpusOpsSpec pins
+    * t14 ≡ t07 row-for-row and quantifies the FP rate and shed factor. */
+  val t14 = Q("t14_decontaminate_bloom", decontOracleSql) { (s, d) =>
+    val sh = shingles8(s, d)
+    val evalSh = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
+      .localCheckpoint() // feeds count, bloom build, AND confirm join
+    val bits = bloomFor(evalSh)
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .filter(bloomHit(bits, col("s")))
+      .join(broadcast(evalSh), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13)
+    t11, t12, t13, t14)
 }

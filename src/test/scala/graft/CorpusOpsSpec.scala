@@ -132,4 +132,28 @@ class CorpusOpsSpec extends SparkSpec {
         s"doc ${r.getLong(0)} retrieved without any query term")
     }
   }
+
+  test("t14 bloom decontamination equals t07 exactly; FP rate quantified") {
+    // exact equality is the operator's contract (the confirm join removes
+    // every bloom false positive); the prefilter's FP rate and shed
+    // factor are the quantified properties the shared oracle can't see
+    def rows(q: Q) = q.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows(TextAnalysis.t14) == rows(TextAnalysis.t07))
+
+    val sh = TextAnalysis.shingles8(spark, sf)
+    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+      .select("s").distinct().localCheckpoint()
+    val corpus = sh.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+    val bits = TextAnalysis.bloomFor(evalSh)
+    val total = corpus.count()
+    val passed = corpus.filter(TextAnalysis.bloomHit(bits, col("s"))).count()
+    val hits = corpus.join(evalSh, Seq("s"), "left_semi").count()
+    assert(passed >= hits, "bloom must never drop a true match")
+    val fp = (passed - hits).toDouble / math.max(1L, total - hits)
+    info(f"shingles=$total passed=$passed true=$hits " +
+      f"fp=$fp%.5f shed=${total.toDouble / math.max(1L, passed)}%.0fx " +
+      f"(m=${bits.length * 64} bits)")
+    assert(fp <= 0.05, f"bloom FP rate $fp%.4f above the 16-bits/elem bound")
+  }
 }
