@@ -263,5 +263,110 @@ object CleanCorpus {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05)
+  // ---------------------------------------------------------------- p06
+  val DsirBuckets = 4096
+  val DsirTopK = 100L
+
+  /** Shared log-ratio expression — ONE string, spliced verbatim into both
+    * engines so the double-arithmetic tree is shape-identical (the t13
+    * discipline: quantise to integer micros immediately; ln is the only
+    * op without a cross-libm bit guarantee and the spec proves a guard
+    * band around every rounding boundary). */
+  private val dsirLrExpr =
+    s"""CAST(round((ln(coalesce(cnt_t, 0) + 1.0) - ln(n_t + $DsirBuckets.0)
+       |          - ln(cnt_s + 1.0) + ln(n_s + $DsirBuckets.0))
+       |          * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") over any
+    * `(doc_id, text)` frame. Target distribution = the held-out eval
+    * slice (`doc_id % 10 = 0`, t07's convention); candidates = the rest.
+    * Features are hashed unigram buckets (md5-head mod [[DsirBuckets]] —
+    * the portable-hash family every dedup op uses); a doc's log
+    * importance weight `ln Π p_tgt(b)/p_src(b)` is the order-free
+    * integer sum of per-bucket Laplace-smoothed log-ratio micros.
+    *
+    * 100 TB plan: token explode rides the scan; two 4096-key count
+    * aggregations (map-side combine) produce a bucket table that is
+    * BROADCAST back — the corpus never shuffles for scoring; one doc_id
+    * shuffle for the score sum; TakeOrdered for the cut. */
+  private def dsirTokens(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    .select(col("doc_id"),
+      (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+        % DsirBuckets).as("b"))
+
+  /** Per-bucket smoothed log-ratio table (`b, lr_raw, lr_micro`) —
+    * ≤ [[DsirBuckets]] rows, the broadcast side of the scoring join.
+    * `lr_raw` (the pre-rounding micro value) exists only for the
+    * guard-band spec. */
+  private[graft] def dsirBucketRatios(docs: DataFrame): DataFrame = {
+    val toks = dsirTokens(docs)
+    val tgt = toks.filter(col("doc_id") % 10 === 0)
+      .groupBy("b").agg(count(lit(1)).as("cnt_t"))
+    val srcCnt = toks.filter(col("doc_id") % 10 =!= 0)
+      .groupBy("b").agg(count(lit(1)).as("cnt_s"))
+    val tot = toks.agg(
+      count(when(col("doc_id") % 10 === 0, 1)).as("n_t"),
+      count(when(col("doc_id") % 10 =!= 0, 1)).as("n_s"))
+    srcCnt.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        expr(s"""(ln(coalesce(cnt_t, 0) + 1.0) - ln(n_t + $DsirBuckets.0)
+                |- ln(cnt_s + 1.0) + ln(n_s + $DsirBuckets.0)) * 1000000.0"""
+          .stripMargin).as("lr_raw"),
+        expr(dsirLrExpr).as("lr_micro"))
+  }
+
+  def importanceScores(docs: DataFrame): DataFrame =
+    dsirTokens(docs).filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(dsirBucketRatios(docs).select("b", "lr_micro")), "b")
+      .groupBy("doc_id")
+      .agg(sum("lr_micro").as("score_micro"))
+
+  /** Importance resampling: top-[[DsirTopK]] candidate docs by hashed
+    * n-gram importance weight against the eval-slice target — the data
+    * selection pass that picks which corpus slice most resembles a
+    * target domain before training. */
+  val p06 = Q("p06_importance_resample",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+       |      % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |        FROM documents)),
+       |tgt AS (SELECT b, count(*) AS cnt_t FROM toks
+       |        WHERE doc_id % 10 = 0 GROUP BY b),
+       |srcc AS (SELECT b, count(*) AS cnt_s FROM toks
+       |         WHERE doc_id % 10 <> 0 GROUP BY b),
+       |tot AS (
+       |  SELECT count(*) FILTER (WHERE doc_id % 10 = 0) AS n_t,
+       |         count(*) FILTER (WHERE doc_id % 10 <> 0) AS n_s
+       |  FROM toks),
+       |lr AS (
+       |  SELECT s.b, $dsirLrExpr AS lr_micro
+       |  FROM srcc s LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS score_micro
+       |  FROM toks JOIN lr USING (b)
+       |  WHERE doc_id % 10 <> 0
+       |  GROUP BY doc_id)
+       |SELECT doc_id, score_micro,
+       |  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+       |    AS BIGINT) AS rank
+       |FROM scores QUALIFY rank <= $DsirTopK ORDER BY rank""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scores = importanceScores(
+        Tables.documents(s, d).select("doc_id", "text"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(DsirTopK.toInt)
+      scores
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("score_micro").desc, col("doc_id")))
+          .cast("long"))
+        .orderBy("rank")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06)
 }

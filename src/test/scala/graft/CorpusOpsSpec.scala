@@ -156,4 +156,37 @@ class CorpusOpsSpec extends SparkSpec {
       f"(m=${bits.length * 64} bits)")
     assert(fp <= 0.05, f"bloom FP rate $fp%.4f above the 16-bits/elem bound")
   }
+
+  test("p06 guard band: no bucket log-ratio near a micro rounding boundary") {
+    // same discipline as t13: the oracle is safe iff no pre-rounding
+    // value sits within 1-ulp-of-ln reach of a .5 micro boundary
+    val raw = CleanCorpus.dsirBucketRatios(
+      model.Tables.documents(spark, sf).select("doc_id", "text"))
+      .collect().map(_.getDouble(1))
+    assert(raw.nonEmpty)
+    val minDist = raw.map { x =>
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    info(f"buckets=${raw.length} min boundary distance: $minDist%.6f micros")
+    assert(minDist > 1e-4,
+      f"a 1-ulp ln divergence could flip quantisation: $minDist%.2e")
+  }
+
+  test("p06 selection law: target-vocabulary docs outrank disjoint ones") {
+    import spark.implicits._
+    // target slice (ids % 10 == 0) speaks 'alpha..delta'; candidate 1
+    // shares that vocabulary, candidate 2 is disjoint — with equal
+    // lengths, 1 must outscore 2 (its buckets carry target mass)
+    val docs = Seq(
+      (10L, "alpha beta gamma delta alpha beta"),
+      (20L, "alpha gamma delta beta delta gamma"),
+      (1L, "alpha beta gamma delta beta alpha"),
+      (2L, "zulu yankee xray whiskey victor uniform")
+    ).toDF("doc_id", "text")
+    val scores = CleanCorpus.importanceScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.keySet == Set(1L, 2L), "only candidates are scored")
+    assert(scores(1L) > scores(2L),
+      s"matching-vocab doc must outrank: $scores")
+  }
 }
