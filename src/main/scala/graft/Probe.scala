@@ -19,6 +19,11 @@ object Probe {
       if (mode == "explain") {
         println(s"===== ${q.name}")
         q.run(spark, d).explain("formatted")
+      } else if (mode == "dump") {
+        // single-query verify dump for tools/check.py --no-run iteration
+        q.run(spark, d).coalesce(1).write.mode("overwrite")
+          .parquet(s"/tmp/graft_probe/${q.name}")
+        println(s"[probe] dumped ${q.name} -> /tmp/graft_probe/${q.name}")
       } else {
         val t0 = System.nanoTime()
         q.run(spark, d).write.format("noop").mode("overwrite").save()

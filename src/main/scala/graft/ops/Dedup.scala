@@ -823,6 +823,89 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- d14
+  /** Span width (tokens) for [[d14]]'s duplicate-span excision. */
+  val DupSpanW = 5
+
+  /** Exact duplicate-SPAN removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr idea
+    * at token granularity): instead of dropping whole near-duplicate
+    * documents, excise every W-token span that also appears verbatim in
+    * ANOTHER document, keeping the unique remainder. Complements
+    * d01–d13: those decide per document; this repairs documents that
+    * are mostly unique but share boilerplate spans.
+    *
+    * Dataflow: positioned W-gram explode → one shingle-count shuffle
+    * (map-side combine) finds cross-doc spans (within-doc repeats don't
+    * count — `count(DISTINCT doc_id) > 1`); duplicated occurrences
+    * explode to their covered positions, collected per doc into a
+    * removal-position array that joins back broadcast; the excision
+    * itself is a higher-order `filter(w, (x, i) -> ...)` inside the
+    * corpus scan's stage, so the corpus body is never shuffled — at
+    * 100 TB the cost is the shingle aggregation plus a map pass. (On a
+    * duplicate-SATURATED corpus the removal table grows with dup
+    * volume; the broadcast then becomes a plain doc_id equi-join —
+    * flagged in the docstring rather than hit at bench time: sf0.1
+    * carries ~2k removal rows.) Docs shorter than W tokens emit no
+    * shingles and pass through intact; a fully-duplicated doc collapses
+    * to the empty string — `md5('')` pins that case cross-engine. The
+    * cleaned text is checked by md5, so every kept byte is oracled. */
+  val d14 = Q("d14_dupspan_removal",
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |         len(string_split(text, ' ')) AS n
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, w[i + 1] AS tok
+       |  FROM toks, unnest(range(n)) AS u(i)),
+       |sh AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(list_slice(w, i + 1, i + $DupSpanW), ' ') AS s
+       |  FROM toks, unnest(range(n - $DupSpanW + 1)) AS u(i)
+       |  WHERE n >= $DupSpanW),
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+       |rm AS (
+       |  SELECT DISTINCT sh.doc_id, sh.pos + o AS rm
+       |  FROM sh JOIN dup USING (s), unnest(range($DupSpanW)) AS v(o)),
+       |kept AS (
+       |  SELECT p.doc_id, p.pos, p.tok
+       |  FROM pos p ANTI JOIN rm r ON r.doc_id = p.doc_id AND r.rm = p.pos),
+       |clean AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       |  CAST(t.n - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+       |  coalesce(c.h, md5('')) AS clean_hash
+       |FROM toks t LEFT JOIN clean c USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val W = DupSpanW
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+    val sh = docs.filter(col("n") >= W)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n") - W)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ",
+          slice(col("w"), (col("pos") + 1).cast("int"), lit(W))).as("s"))
+    val dup = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("s")
+    val rmPerDoc = sh.join(broadcast(dup), "s")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (W - 1))).as("rm"))
+      .groupBy("doc_id").agg(collect_set("rm").as("rms"))
+    docs.join(broadcast(rmPerDoc), Seq("doc_id"), "left")
+      .withColumn("rms", coalesce(col("rms"), typedlit(Seq.empty[Long])))
+      .withColumn("kept",
+        expr("filter(w, (x, i) -> NOT array_contains(rms, CAST(i AS BIGINT)))"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("n") - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13)
+    d11, d12, d13, d14)
 }

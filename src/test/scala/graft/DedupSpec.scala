@@ -164,4 +164,53 @@ class DedupSpec extends SparkSpec {
       s"(${pruned.size}/${globalJ.size})")
     assert(recall >= 0.2, f"co-cluster recall $recall%.2f collapsed")
   }
+
+  test("d14 dup-span removal: known spans excised, unique docs intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d14").toString
+    // A and B share exactly one 5-gram ("a b c d e"); C is unique;
+    // D is shorter than W; E1/E2 are full duplicates of each other.
+    Seq(
+      (0L, "a b c d e f g h", "en", "web", 15L),
+      (1L, "x y a b c d e z", "en", "web", 15L),
+      (2L, "p q r s t u v", "en", "web", 13L),
+      (3L, "one two", "en", "web", 7L),
+      (4L, "m n o p2 q2", "en", "web", 11L),
+      (5L, "m n o p2 q2", "en", "web", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Dedup.d14.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def h(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(0L) == ((8L, 5L, h("f g h"))), "A: shared prefix excised")
+    assert(out(1L) == ((8L, 5L, h("x y z"))), "B: shared infix excised")
+    assert(out(2L) == ((7L, 0L, h("p q r s t u v"))), "C: untouched")
+    assert(out(3L) == ((2L, 0L, h("one two"))), "D: shorter than W, intact")
+    assert(out(4L) == ((5L, 5L, h(""))), "E1: fully duplicated, collapses")
+    assert(out(5L) == ((5L, 5L, h(""))), "E2: fully duplicated, collapses")
+  }
+
+  test("d14 on the corpus: removal bounded, exact copies collapse alike") {
+    val rows = ops.Dedup.d14.run(spark, sf).collect()
+    val docs = model.Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "one output row per document")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: removal out of bounds")
+    }
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "corpus plants near-dups; some span must be excised")
+    // exact-duplicate texts (d01's digest groups) must clean identically
+    val textOf = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cleanOf = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    textOf.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      val hashes = grp.keys.map(cleanOf).toSet
+      assert(hashes.size == 1,
+        s"exact copies ${grp.keys.toSeq.sorted} diverged after excision")
+    }
+  }
 }
