@@ -23,6 +23,8 @@ object Probe {
         // single-query verify dump for tools/check.py --no-run iteration
         q.run(spark, d).coalesce(1).write.mode("overwrite")
           .parquet(s"/tmp/graft_probe/${q.name}")
+        q.oracle.foreach(sql => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"/tmp/graft_probe/${q.name}.sql"), sql))
         println(s"[probe] dumped ${q.name} -> /tmp/graft_probe/${q.name}")
       } else {
         val t0 = System.nanoTime()

@@ -681,6 +681,188 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t15
+  /** Gopher word-count bounds for [[t15]] (Rae et al. 2021, §A1.1). */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+
+  /** Gopher-style quality-rule composite (Rae et al. 2021 repetition/
+    * quality filters, the C4 heritage): five document-level gates —
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word fraction, required-stopword hits — each emitted as
+    * its own boolean column plus the AND verdict, so downstream
+    * pipelines can re-weight single rules without recomputing. Every
+    * gate compares in EXACT integer arithmetic (`chars >= 3n` instead
+    * of `chars/n >= 3.0`, `5*alpha >= 4*n` instead of a 0.8 float
+    * threshold), so no engine's rounding can flip a verdict; the
+    * reported ratios are single-division doubles, which both engines
+    * compute identically (t02's convention). The rule *thresholds* are
+    * Gopher's; the stopword lexicon is engine config (t03's note: this
+    * synthetic corpus has no punctuation or symbols, so the symbol gate
+    * trivially passes — the operator, not the lexicon, is the
+    * deliverable). Map-only: one projection pass that pipelines with
+    * the scan at 100 TB. */
+  val t15 = Q("t15_gopher_rules", {
+    val stopArr = stopwords.map("'" + _ + "'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    length(text) - (len(string_split(text, ' ')) - 1) AS n_chars,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |    len(list_intersect(string_split(text, ' '), [$stopArr])) AS n_stop,
+       |    (length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+       |  CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
+       |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+       |  CAST(n_stop AS BIGINT) AS n_stop,
+       |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS keep_wordcount,
+       |  n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS keep_meanlen,
+       |  10 * n_sym <= n_words AS keep_symbol,
+       |  5 * n_alpha >= 4 * n_words AS keep_alpha,
+       |  n_stop >= 2 AS keep_stop,
+       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+       |    AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+       |    AND n_stop >= 2 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val stopArr = stopwords.map("'" + _ + "'").mkString(", ")
+    // one named_struct lambda → the split is tokenised once per row
+    // (t02's trick); every count is integral
+    val statsExpr =
+      s"""element_at(transform(array(split(text, ' ')), w -> named_struct(
+         |  'n_words', CAST(size(w) AS BIGINT),
+         |  'n_alpha', CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT),
+         |  'n_stop', CAST(size(array_intersect(w, array($stopArr))) AS BIGINT))), 1)
+         |""".stripMargin
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), expr(statsExpr).as("__t"),
+        (length(col("text")) -
+          (size(split(col("text"), " ")) - 1)).cast("long").as("n_chars"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long") +
+          expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+          .as("n_sym"))
+      .select(col("doc_id"), col("__t.n_words").as("n_words"),
+        col("__t.n_alpha").as("n_alpha"), col("__t.n_stop").as("n_stop"),
+        col("n_chars"), col("n_sym"))
+    val keepWc = col("n_words").between(GopherMinWords, GopherMaxWords)
+    val keepMl = col("n_chars") >= lit(3) * col("n_words") &&
+      col("n_chars") <= lit(10) * col("n_words")
+    val keepSym = lit(10) * col("n_sym") <= col("n_words")
+    val keepAl = lit(5) * col("n_alpha") >= lit(4) * col("n_words")
+    val keepStop = col("n_stop") >= 2
+    m.select(col("doc_id"), col("n_words"),
+      (col("n_chars").cast("double") / col("n_words")).as("mean_word_len"),
+      (col("n_sym").cast("double") / col("n_words")).as("symbol_ratio"),
+      (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+      col("n_stop"),
+      keepWc.as("keep_wordcount"), keepMl.as("keep_meanlen"),
+      keepSym.as("keep_symbol"), keepAl.as("keep_alpha"),
+      keepStop.as("keep_stop"),
+      (keepWc && keepMl && keepSym && keepAl && keepStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t16
+  /** Raw per-token unigram cost (−ln p, corpus MLE) as a DOUBLE — split
+    * out so the guard-band spec can measure every value's distance from
+    * a micro-rounding boundary (t13's quantisation convention). */
+  private[graft] def unigramCostRaw(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        expr("ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE))").as("cost"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document by its average per-token negative log-likelihood under a
+    * corpus-trained unigram LM, then split the corpus into head/middle/
+    * tail thirds — the classic LM-quality tiering that decides which
+    * slice trains first (or at all). Determinism: per-token cost is
+    * quantised to integer micros the t13 way (the ln expression has one
+    * fixed shape in both engines; the guard-band spec proves no cost
+    * sits near a rounding boundary), per-doc score is an order-free
+    * integer sum followed by integer division by the token count —
+    * doubles never accumulate. Bucketing does NOT use a corpus-wide
+    * ntile (a single-partition window — the n02 rule): the integer
+    * scores aggregate into a histogram (bounded by the number of
+    * DISTINCT quantised scores, ≪ corpus), cumulative counts over that
+    * small table yield the discrete P33/P67 cutoffs, and the cutoffs
+    * broadcast back for a map-side label pass. At 100 TB: one token
+    * shuffle with map-side combine (the vocab — capped at top-V with an
+    * OOV smoothing constant when vocabularies are open), broadcast
+    * vocab join, one doc-sum shuffle, a tiny histogram, a map pass. */
+  val t16 = Q("t16_perplexity_buckets",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |tot AS (SELECT sum(cnt) AS total FROM vocab),
+      |cost AS (
+      |  SELECT token, CAST(round(
+      |    ln(CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1000000.0)
+      |    AS BIGINT) AS cost_micro
+      |  FROM vocab CROSS JOIN tot),
+      |doc AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |    CAST(sum(c.cost_micro) AS BIGINT) // count(*) AS score_micro
+      |  FROM toks t JOIN cost c ON c.token = t.token
+      |  GROUP BY t.doc_id),
+      |hist AS (
+      |  SELECT score_micro, count(*) AS n FROM doc GROUP BY score_micro),
+      |cum AS (
+      |  SELECT score_micro,
+      |    sum(n) OVER (ORDER BY score_micro) AS cum_n
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT
+      |    min(CASE WHEN cum_n >= ((SELECT count(*) FROM doc) + 2) // 3
+      |        THEN score_micro END) AS c1,
+      |    min(CASE WHEN cum_n >= (2 * (SELECT count(*) FROM doc) + 2) // 3
+      |        THEN score_micro END) AS c2
+      |  FROM cum)
+      |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens, d.score_micro,
+      |  CASE WHEN d.score_micro <= c.c1 THEN 'head'
+      |       WHEN d.score_micro <= c.c2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM doc d CROSS JOIN cuts c
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val cost = unigramCostRaw(s, d)
+      .select(col("token"),
+        expr("CAST(round(cost * 1000000.0) AS BIGINT)").as("cost_micro"))
+    val doc = toks.join(broadcast(cost), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("CAST(sum(cost_micro) AS BIGINT) div count(*)").as("score_micro"))
+      .localCheckpoint() // feeds the histogram AND the final label pass
+    val nDocs = doc.count()
+    val hist = doc.groupBy("score_micro").agg(count(lit(1)).as("n"))
+    // window over the HISTOGRAM (distinct quantised scores), not the corpus
+    val cum = hist.withColumn("cum_n",
+      sum("n").over(Window.orderBy("score_micro")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum.agg(
+      min(when(col("cum_n") >= (nDocs + 2) / 3, col("score_micro"))).as("c1"),
+      min(when(col("cum_n") >= (2 * nDocs + 2) / 3, col("score_micro"))).as("c2"))
+    doc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("score_micro"),
+        when(col("score_micro") <= col("c1"), lit("head"))
+          .when(col("score_micro") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14)
+    t11, t12, t13, t14, t15, t16)
 }

@@ -189,4 +189,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores(1L) > scores(2L),
       s"matching-vocab doc must outrank: $scores")
   }
+
+  test("t15 gopher rules: verdict is the AND of its gates, gates match ratios") {
+    val rows = TextAnalysis.t15.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val (nWords, meanLen, alphaFrac, nStop) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getLong(5))
+      val gates = Seq(r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10))
+      assert(r.getBoolean(11) == gates.forall(identity),
+        s"doc ${r.getLong(0)}: keep != AND(gates)")
+      assert(gates(0) == (nWords >= TextAnalysis.GopherMinWords &&
+        nWords <= TextAnalysis.GopherMaxWords))
+      assert(gates(1) == (meanLen >= 3.0 && meanLen <= 10.0),
+        s"doc ${r.getLong(0)}: meanlen gate vs ratio $meanLen")
+      assert(gates(3) == (alphaFrac >= 0.8) ||
+        math.abs(alphaFrac - 0.8) < 1e-12,
+        s"doc ${r.getLong(0)}: alpha gate vs ratio $alphaFrac")
+      assert(gates(4) == (nStop >= 2))
+      if (r.getBoolean(11)) kept += 1
+    }
+    info(s"kept $kept/${rows.length}")
+    assert(kept > 0 && kept < rows.length,
+      "corpus must split non-trivially on the gates")
+  }
+
+  test("t16 guard band: no unigram cost near a micro rounding boundary") {
+    val raw = ops.TextAnalysis.unigramCostRaw(spark, sf).collect()
+      .map(_.getDouble(1))
+    assert(raw.nonEmpty)
+    val minDist = raw.map { v =>
+      val x = v * 1000000.0
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    info(f"min distance to a rounding boundary: $minDist%.6f micros")
+    assert(minDist > 1e-4,
+      f"a 1-ulp ln divergence could flip quantisation: $minDist%.2e")
+  }
+
+  test("t16 buckets: ordered thirds that partition the corpus") {
+    val rows = TextAnalysis.t16.run(spark, sf).collect()
+    val n = model.Tables.documents(spark, sf).count()
+    assert(rows.length == n, "one bucket row per document")
+    val byBucket = rows.groupBy(_.getString(3))
+      .view.mapValues(_.map(_.getLong(2))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min,
+      "head scores must not exceed middle scores")
+    assert(byBucket("middle").max <= byBucket("tail").min,
+      "middle scores must not exceed tail scores")
+    // discrete-cutoff law: every doc at or below the P33 cutoff is head,
+    // so head holds at least ceil(n/3) docs; tail must be non-empty
+    assert(byBucket("head").length >= (n + 2) / 3,
+      s"head underfilled: ${byBucket("head").length}")
+    assert(byBucket("tail").nonEmpty)
+  }
 }
