@@ -1051,8 +1051,72 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  // --------------------------------------------------------------- q36
+  /** Correlation / regression / dispersion pack via EXACT moment sums —
+    * the cross-engine-deterministic form of `corr`, `stddev_samp`,
+    * `regr_slope`, `regr_intercept`. Built-in `corr()` accumulates
+    * doubles in partition order, so two runs (or two engines) can
+    * differ in the last ulps and fail a hash compare; instead the five
+    * moments (Σx, Σy, Σxy, Σx², Σy²) are summed EXACTLY — inputs
+    * quantised to integer cents as DECIMAL(18,0) factors (products stay
+    * inside width 37, which BOTH engines' decimal multiply accept), the
+    * sums widening to 128-bit-backed decimals on each side — and the
+    * statistics are assembled from those exact moments in ONE fixed
+    * double expression per engine. Same single-shuffle hash-agg plan as
+    * any groupBy at 100 TB (partial aggregation works on decimals);
+    * only the handful of final divisions happen in floating point. */
+  val q36 = Q("q36_exact_stats",
+    """WITH m AS (
+      |  SELECT l_returnflag AS flag, count(*) AS n,
+      |    sum(CAST(CAST(round(l_quantity      * 100) AS BIGINT) AS DECIMAL(18,0))) AS sx,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS sy,
+      |    sum(CAST(CAST(round(l_quantity      * 100) AS BIGINT) AS DECIMAL(18,0))
+      |      * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS sxy,
+      |    sum(CAST(CAST(round(l_quantity      * 100) AS BIGINT) AS DECIMAL(18,0))
+      |      * CAST(CAST(round(l_quantity      * 100) AS BIGINT) AS DECIMAL(18,0))) AS sxx,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))
+      |      * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT flag, CAST(n AS BIGINT) AS n,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |     * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price,
+      |  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       / (CAST(n AS DOUBLE) * (n - 1))) / 100 AS stddev_qty,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    AS regr_slope,
+      |  (CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * CAST(sx AS DOUBLE)) / n / 100 AS regr_intercept
+      |FROM m ORDER BY flag""".stripMargin) { (s, d) =>
+    val xc = "CAST(CAST(round(l_quantity      * 100) AS BIGINT) AS DECIMAL(18,0))"
+    val yc = "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(18,0))"
+    val m = Tables.lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr(xc)).as("sx"), sum(expr(yc)).as("sy"),
+        sum(expr(s"$xc * $yc")).as("sxy"),
+        sum(expr(s"$xc * $xc")).as("sxx"),
+        sum(expr(s"$yc * $yc")).as("syy"))
+    m.select(col("flag"), col("n").cast("long").as("n"),
+      expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        | / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+        .stripMargin).as("corr_qty_price"),
+      expr("""sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        | / (CAST(n AS DOUBLE) * (n - 1))) / 100""".stripMargin).as("stddev_qty"),
+      expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        | / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+        .stripMargin).as("regr_slope"),
+      expr("""(CAST(sy AS DOUBLE) - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        | / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        | * CAST(sx AS DOUBLE)) / n / 100""".stripMargin).as("regr_intercept"))
+      .orderBy("flag")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35)
+    q34, q35, q36)
 }
