@@ -348,6 +348,34 @@ object EventStreams {
     Dedup.nearDupAdmission(incoming, base).orderBy("new_id")
   }
 
+  // --------------------------------------------------------------- st11
+  /** Trending top-k per tumbling hour — batch twin of
+    * [[graft.streaming.StreamOps.trendingTopKStream]], calling the SAME
+    * [[graft.streaming.StreamOps.trendingTopK]] ranking stage the
+    * streaming foreachBatch sink runs on each finalised window
+    * (StreamingSpec pins stream output == this twin on shared events).
+    * The rank window is partitioned by window_start, so at 100 TB the
+    * shuffle key is the window, never a global ordering. */
+  val st11 = Q("st11_trending_topk",
+    """WITH counts AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, event_type, n,
+      |  CAST(row_number() OVER (PARTITION BY window_start
+      |       ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |FROM counts
+      |QUALIFY rank <= 3
+      |ORDER BY window_start, rank""".stripMargin) { (s, d) =>
+    val counts = events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    graft.streaming.StreamOps.trendingTopK(counts, 3)
+      .orderBy("window_start", "rank")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10)
+    st10, st11)
 }

@@ -94,6 +94,39 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Per-window top-k ranking stage of the trending operator — shared
+    * VERBATIM by [[trendingTopKStream]]'s foreachBatch sink and the
+    * st11 batch twin. The window is keyed by `window_start` (never
+    * corpus-global), ties break deterministically on event_type. */
+  def trendingTopK(windowCounts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type"))
+    windowCounts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Streaming trending top-k — the dashboard query ("most frequent
+    * event types per hour, live"). Ranking inside a streaming
+    * aggregation is unsupported, so the production shape is: watermarked
+    * tumbling counts finalise in APPEND mode, and each finalised batch
+    * passes through the SAME [[trendingTopK]] stage inside foreachBatch
+    * before an idempotent parquet append. Correct because append mode
+    * emits every (window, type) row of a window in the single
+    * micro-batch whose watermark passes the window end — ranking per
+    * batch IS ranking per window (multiple windows closing together are
+    * separated by the partitionBy). */
+  def trendingTopKStream(events: Dataset[UserEvent], k: Int,
+      outDir: String, ckpt: String): StreamingQuery =
+    windowedCounts(events).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        trendingTopK(df, k).write.mode("append").parquet(outDir): Unit
+      }
+      .start()
+
   /** Custom state: running per-user totals via `mapGroupsWithState` —
     * the engine's `KeyValueGroupedDataset` stateful surface (the [EXT]
     * demo op of SURVEY.md §2.8). State is one struct per user. */

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, window}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.StreamOps
@@ -178,6 +179,47 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(last.getLong(1) == 3L)
     assert(last.getDouble(2) == 7.0)
+  }
+
+  test("trending top-k: stream foreachBatch ranking equals the batch twin") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.trendingTopKStream(in.toDS(), k = 2,
+      s"$dir/out", s"$dir/ckpt")
+    val batch1 = Seq(
+      UserEvent(1, "click", 1.0, ts(0)), UserEvent(2, "click", 1.0, ts(1)),
+      UserEvent(3, "view", 1.0, ts(2)), UserEvent(4, "view", 1.0, ts(3)),
+      UserEvent(5, "purchase", 1.0, ts(4)), UserEvent(6, "click", 1.0, ts(4)))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    // watermark (10 min) + window (5 min) passed → window [0,5) finalises
+    val batch2 = Seq(UserEvent(7, "signup", 1.0, ts(30)))
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("window_start", "event_type", "n", "rank").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the finalised window must hold exactly k=2 rows, ranked
+    // count-desc with the deterministic tiebreak
+    assert(streamed == Set(
+      (ts(0), "click", 3L, 1L),
+      (ts(0), "view", 2L, 2L)))
+    // batch twin over the same events (only the finalised window)
+    import spark.implicits._
+    val counts = (batch1 ++ batch2).toDS().toDF()
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+    val twin = StreamOps.trendingTopK(counts, 2)
+      .filter(col("window_start") === ts(0))
+      .select("window_start", "event_type", "n", "rank").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(twin == streamed, "stream ranking must equal the batch twin")
   }
 
   test("foreachBatch persists classified stream as partitioned parquet") {
