@@ -279,6 +279,59 @@ object Multimodal {
     out
   }
 
+  /** Real horizontal mirror: out(x,y) = in(w−1−x, y), re-encoded as a
+    * valid PPM — the canonical augmentation flip. */
+  def flipPpm(bytes: Array[Byte]): Array[Byte] = {
+    val (w, h, off) = ppmHeader(bytes)
+    require(off + w.toLong * h * 3 <= bytes.length, "truncated PPM payload")
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          out(header.length + (y * w + x) * 3 + c) =
+            bytes(off + (y * w + (w - 1 - x)) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real crop: out(x,y) = in(x0+x, y0+y), bounds-checked against the
+    * header, re-encoded as a valid PPM. */
+  def cropPpm(bytes: Array[Byte], x0: Int, y0: Int,
+      w2: Int, h2: Int): Array[Byte] = {
+    val (w, h, off) = ppmHeader(bytes)
+    require(x0 >= 0 && y0 >= 0 && w2 > 0 && h2 > 0 &&
+      x0 + w2 <= w && y0 + h2 <= h, s"crop ($x0,$y0,$w2,$h2) outside ${w}x$h")
+    require(off + w.toLong * h * 3 <= bytes.length, "truncated PPM payload")
+    val header = s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w2 * h2 * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var c = 0
+        while (c < 3) {
+          out(header.length + (y * w2 + x) * 3 + c) =
+            bytes(off + ((y0 + y) * w + (x0 + x)) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ---- BMP (Windows 3.x, 24-bit BI_RGB) ------------------------------
   // 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows
   // padded to 4 bytes — the standard public layout, no library needed.
@@ -724,5 +777,53 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
-  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06)
+  /** REAL augmentation pipeline: PPM synth → horizontal flip → center
+    * crop (8×6 out of 16×12) → decode of the augmented bytes — the
+    * train-time image augmentations as dataflow, every byte re-encoded
+    * as a valid PPM between stages so each step consumes a real codec
+    * payload. FULLY ORACLED the mm05 way: flip∘crop composes to the
+    * index map `in(((3+y)·16 + (11−x))·3 + c)`, which DuckDB applies to
+    * the identical HUGEINT pixel LCG — synthesis, flip/crop indexing,
+    * and mean arithmetic all cross-engine bit-exact. (CodecSpec pins
+    * the codec laws the oracle can't state: flip is an involution,
+    * crop geometry, header validation.) */
+  val mm07 = Q("mm07_ppm_augment", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M * $A + $C) % $M
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $A + $C) % $M FROM lcg WHERE i < 575),
+       |grid AS (
+       |  SELECT x, y, c FROM (SELECT unnest(range(8)) AS x),
+       |       (SELECT unnest(range(6)) AS y), (SELECT unnest(range(3)) AS c)),
+       |sel AS (
+       |  SELECT l.doc_id, g.c,
+       |         CAST(l.state // 72057594037927936 AS BIGINT) AS b
+       |  FROM grid g JOIN lcg l ON l.i = ((3 + g.y)*16 + (11 - g.x))*3 + g.c),
+       |means AS (
+       |  SELECT doc_id, c, CAST(sum(b) AS DOUBLE) / 48 AS m
+       |  FROM sel GROUP BY doc_id, c)
+       |SELECT r.doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       |       r.m AS mean_r, g.m AS mean_g, b.m AS mean_b
+       |FROM (SELECT doc_id, m FROM means WHERE c = 0) r
+       |JOIN (SELECT doc_id, m FROM means WHERE c = 1) g ON g.doc_id = r.doc_id
+       |JOIN (SELECT doc_id, m FROM means WHERE c = 2) b ON b.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val info = decodePpm(cropPpm(flipPpm(syntheticPpm(id)), 4, 3, 8, 6))
+        (id, info.width, info.height, info.mean_r, info.mean_g, info.mean_b)
+      })
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
 }

@@ -127,6 +127,26 @@ class CodecSpec extends SparkSpec {
     assert(math.abs(lhs - rhs) / rhs < 1e-9)
   }
 
+  test("flip/crop laws: involution, geometry, bounds validation") {
+    val img = syntheticPpm(42L)
+    // flip is an involution on the pixel payload
+    assert(flipPpm(flipPpm(img)).sameElements(img))
+    // crop geometry: decoded dims are the requested window
+    val crop = decodePpm(cropPpm(img, 4, 3, 8, 6))
+    assert(crop.width == 8 && crop.height == 6)
+    // full-frame crop is the identity
+    assert(cropPpm(img, 0, 0, 16, 12).sameElements(img))
+    // flip preserves channel means (same multiset of pixels)
+    val (orig, flip) = (decodePpm(img), decodePpm(flipPpm(img)))
+    assert(orig.mean_r == flip.mean_r && orig.mean_g == flip.mean_g &&
+      orig.mean_b == flip.mean_b)
+    // out-of-bounds and degenerate windows are rejected loudly
+    intercept[IllegalArgumentException](cropPpm(img, 10, 0, 8, 6))
+    intercept[IllegalArgumentException](cropPpm(img, 0, 0, 0, 6))
+    // truncated payload rejected before any index walks off the array
+    intercept[IllegalArgumentException](flipPpm(img.take(img.length - 1)))
+  }
+
   test("mm04/mm05 run distributed and deterministically") {
     val a1 = graft.multimodal.Multimodal.mm04.run(spark, sf).collect()
     val a2 = graft.multimodal.Multimodal.mm04.run(spark, sf).collect()
