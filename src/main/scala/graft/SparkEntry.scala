@@ -15,7 +15,7 @@ object SparkEntry {
     sources.Ingest.all ++ ops.Relational.all ++ ops.NewsPipeline.all ++
       ops.Dedup.all ++ ops.TextAnalysis.all ++ ops.Similarity.all ++
       ops.EventStreams.all ++ ops.TypedOps.all ++ ops.MLClassify.all ++
-      ops.CleanCorpus.all ++ multimodal.Multimodal.all
+      ops.CleanCorpus.all ++ ops.Graph.all ++ multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full news-digest pipeline (classify → summarise → digest → JSON),

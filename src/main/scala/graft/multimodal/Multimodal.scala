@@ -202,6 +202,67 @@ object Multimodal {
     }
   }
 
+  /** Re-encode PCM16 samples as a valid mono WAV — shared by the audio
+    * augmentation stages so every stage consumes a real codec payload
+    * (the audio analogue of [[flipPpm]]/[[cropPpm]] re-encoding PPMs). */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Header-validated PCM16 payload extraction — the decode half the
+    * augmentation stages build on (same guards as [[decodeWav]]). */
+  def wavSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE", "not a WAV")
+    require(ascii(12, 4) == "fmt " && buf.getShort(20) == 1, "not PCM")
+    require(buf.getShort(34) == 16, "expected PCM16")
+    require(ascii(36, 4) == "data", "missing data chunk")
+    val dataLen = buf.getInt(40)
+    require(dataLen >= 0 && 44L + dataLen <= bytes.length,
+      "truncated PCM payload")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = buf.getShort(44 + 2 * i); i += 1 }
+    (buf.getInt(24), out)
+  }
+
+  /** Integer-rational gain (num/den) with clip to the PCM16 range.
+    * Magnitude is scaled sign-split so Java's truncating division and
+    * DuckDB's floor division agree (both see a non-negative dividend). */
+  def gainWav(bytes: Array[Byte], num: Int, den: Int): Array[Byte] = {
+    require(num > 0 && den > 0, "gain must be a positive rational")
+    val (rate, s) = wavSamples(bytes)
+    val out = s.map { v =>
+      val a = math.abs(v.toInt).toLong * num / den
+      (if (v < 0) -math.min(a, 32768L) else math.min(a, 32767L)).toShort
+    }
+    encodeWav(out, rate)
+  }
+
+  /** Keep every k-th sample, dividing the sample rate with it — the
+    * indexing stage of a resampler (no anti-alias filter; that would be
+    * the convolution stage a real DSP chain adds before this one). */
+  def decimateWav(bytes: Array[Byte], k: Int): Array[Byte] = {
+    require(k >= 1, s"decimation factor must be >= 1, got $k")
+    val (rate, s) = wavSamples(bytes)
+    val out = Array.range(0, s.length, k).map(s(_))
+    encodeWav(out, rate / k)
+  }
+
   /** Valid binary PPM (P6): ASCII header + seed-derived RGB bytes (LCG,
     * deterministic). */
   def syntheticPpm(seed: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
@@ -825,5 +886,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07)
+  // --------------------------------------------------------------- mm08
+  /** REAL audio augmentation pipeline: WAV synth → 1.5× gain (integer
+    * rational, clipped to PCM16) → 2× decimation (4000 Hz) → decode of
+    * the augmented bytes — train-time audio augmentations as dataflow,
+    * each stage re-encoding a valid WAV (the mm07 discipline, audio
+    * side). FULLY ORACLED: DuckDB replays the sample LCG, applies the
+    * same sign-split magnitude scaling (floor division on non-negative
+    * dividends == Java truncation) and the i%2 decimation filter;
+    * Σd² < 2^53 keeps the RMS double bit-exact cross-engine. */
+  val mm08 = Q("mm08_wav_augment",
+    s"""WITH RECURSIVE ${pcmCte(800)},
+       |aug AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN s < 0 THEN -least((-s) * 3 // 2, 32768)
+       |         ELSE least(s * 3 // 2, 32767) END AS d
+       |  FROM pcm WHERE i % 2 = 0)
+       |SELECT doc_id, CAST(4000 AS INTEGER) AS sample_rate,
+       |  CAST(400 AS INTEGER) AS n_samples,
+       |  CAST(max(abs(d)) AS INTEGER) AS peak,
+       |  sqrt(CAST(sum(d * d) AS DOUBLE) / 400) AS rms
+       |FROM aug GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val info = decodeWav(decimateWav(gainWav(syntheticWav(id), 3, 2), 2))
+        (id, info.sample_rate, info.n_samples, info.peak, info.rms)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "peak", "rms")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
 }

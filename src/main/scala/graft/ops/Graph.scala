@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+
+/** Graph analytics over relationally-derived edges (north-star [EXT];
+  * ref: absent). Complements the dedup tier's connected components
+  * (`Dedup.scala` label propagation / large-star small-star): PageRank is
+  * the other canonical iterate-until-stable graph dataflow, and at 100 TB
+  * it is exactly the d08 shape — per round one join-shuffle on `src` and
+  * one agg-shuffle on `dst`, lineage truncated per round, no adjacency
+  * materialisation on the driver.
+  */
+object Graph {
+
+  // ---------------------------------------------------------------- g01
+  /** Damped PageRank (d = 0.85, 3 rounds) on the undirected bipartite
+    * part–supplier graph induced by lineitem (edge = "this supplier
+    * shipped this part", deduplicated). Cross-engine determinism: the
+    * per-node neighbour sum is the one float-order hazard, so each
+    * contribution `pr/deg` is quantised to the 1e-12 grid
+    * (`round(x·1e12)` → BIGINT — both engines round half away from zero)
+    * and summed as integers (exact, order-free at any parallelism; the
+    * s05/q36 trick), then the new rank is assembled in ONE fixed double
+    * expression. Ranks are therefore bit-identical in both engines by
+    * induction over rounds. The driver holds only the node count (an
+    * O(1) scalar, like d08's fixpoint checks); iteration count is fixed
+    * at 3 to match the unrolled oracle — the production driver loop with
+    * convergence detection is [[graft.ops.Similarity.kmeansLloyd]]-style
+    * and shares this per-round dataflow. */
+  val g01 = Q("g01_pagerank", {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n2.node,
+         |    0.15 / nn.n + 0.85 * (CAST(coalesce(s.m, 0) AS BIGINT) / 1000000000000.0) AS pr
+         |  FROM nodes n2 CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum(CAST(round(r.pr / d.deg * 1000000000000.0) AS BIGINT)) AS m
+         |    FROM edges e
+         |    JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n2.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT 'p:' || CAST(pk AS VARCHAR) AS src,
+       |         's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's:' || CAST(sk AS VARCHAR),
+       |         'p:' || CAST(pk AS VARCHAR) FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (
+       |  SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pNode = concat(lit("p:"), col("pk").cast("string"))
+    val sNode = concat(lit("s:"), col("sk").cast("string"))
+    val edges = pairs.select(pNode.as("src"), sNode.as("dst"))
+      .union(pairs.select(sNode.as("src"), pNode.as("dst")))
+      .localCheckpoint() // reused every round; truncates the distinct lineage
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count().toDouble // O(1) driver scalar (d08-style)
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    var r = nodes.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("pr") / col("sdeg") * lit(1000000000000.0))
+          .cast("long")).as("m"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) / lit(n) + lit(0.85) *
+            (coalesce(col("m"), lit(0L)).cast("double") / lit(1000000000000.0)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    r.orderBy("node")
+  }
+
+  def all: Seq[Q] = Seq(g01)
+}

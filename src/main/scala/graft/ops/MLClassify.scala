@@ -174,5 +174,77 @@ object MLClassify {
       cacheKey = corpusFingerprint(d)).orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(ml01)
+  // --------------------------------------------------------------- ml02
+  /** Classifier evaluation — confusion counts and precision/recall/F1
+    * per class plus a macro-average row, over the t03 language-ID
+    * predictions against the gold `lang` column. The metric expressions
+    * are shared STRINGS parsed by both engines (same operand order →
+    * bit-identical doubles); F1 uses the 2·tp/(2·tp+fp+fn) identity so
+    * every metric derives from integer counts in one fixed expression.
+    * One hash-agg scan produces all 6×3 counts (map-side partials);
+    * the per-class rows come from `stack` over that single aggregated
+    * row, and the macro row reuses it via a 1-row localCheckpoint — at
+    * 100 TB the corpus is still scanned exactly once. */
+  private val evalClasses: Seq[String] =
+    TextAnalysis.langLexicon.map(_._1) :+ "und"
+
+  private def pExpr(c: String) =
+    s"CASE WHEN tp_$c + fp_$c = 0 THEN 0.0 ELSE " +
+      s"CAST(tp_$c AS DOUBLE) / CAST(tp_$c + fp_$c AS DOUBLE) END"
+  private def rExpr(c: String) =
+    s"CASE WHEN tp_$c + fn_$c = 0 THEN 0.0 ELSE " +
+      s"CAST(tp_$c AS DOUBLE) / CAST(tp_$c + fn_$c AS DOUBLE) END"
+  private def fExpr(c: String) =
+    s"CASE WHEN 2 * tp_$c + fp_$c + fn_$c = 0 THEN 0.0 ELSE " +
+      s"CAST(2 * tp_$c AS DOUBLE) / CAST(2 * tp_$c + fp_$c + fn_$c AS DOUBLE) END"
+  private def macroOf(f: String => String) =
+    "(" + evalClasses.map(f).mkString(" + ") + s") / ${evalClasses.size}.0"
+
+  val ml02 = Q("ml02_eval_metrics",
+    s"""WITH pred AS (${TextAnalysis.langPredSql}),
+       |m AS (SELECT ${evalClasses.map { c =>
+        s"CAST(sum(CASE WHEN lang = '$c' AND predicted = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS tp_$c, " +
+          s"CAST(sum(CASE WHEN predicted = '$c' AND lang <> '$c' THEN 1 ELSE 0 END) AS BIGINT) AS fp_$c, " +
+          s"CAST(sum(CASE WHEN lang = '$c' AND predicted <> '$c' THEN 1 ELSE 0 END) AS BIGINT) AS fn_$c"
+      }.mkString(",\n  ")}
+       |  FROM pred)
+       |${evalClasses.map { c =>
+        s"SELECT '$c' AS label, tp_$c AS tp, fp_$c AS fp, fn_$c AS fn,\n" +
+          s"  ${pExpr(c)} AS prec, ${rExpr(c)} AS rec, ${fExpr(c)} AS f1 FROM m"
+      }.mkString("\nUNION ALL\n")}
+       |UNION ALL
+       |SELECT 'macro' AS label,
+       |  ${evalClasses.map("tp_" + _).mkString(" + ")} AS tp,
+       |  ${evalClasses.map("fp_" + _).mkString(" + ")} AS fp,
+       |  ${evalClasses.map("fn_" + _).mkString(" + ")} AS fn,
+       |  ${macroOf(pExpr)} AS prec,
+       |  ${macroOf(rExpr)} AS rec,
+       |  ${macroOf(fExpr)} AS f1 FROM m
+       |ORDER BY label""".stripMargin) { (s, d) =>
+    val pred = TextAnalysis.langPredictions(s, d)
+    val aggs = evalClasses.flatMap { c =>
+      Seq(
+        sum(when(col("lang") === c && col("predicted") === c, 1L)
+          .otherwise(0L)).as(s"tp_$c"),
+        sum(when(col("predicted") === c && col("lang") =!= c, 1L)
+          .otherwise(0L)).as(s"fp_$c"),
+        sum(when(col("lang") === c && col("predicted") =!= c, 1L)
+          .otherwise(0L)).as(s"fn_$c"))
+    }
+    val one = pred.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val perClass = one.selectExpr(
+      s"stack(${evalClasses.size}, " + evalClasses.map { c =>
+        s"'$c', tp_$c, fp_$c, fn_$c, ${pExpr(c)}, ${rExpr(c)}, ${fExpr(c)}"
+      }.mkString(", ") + ") AS (label, tp, fp, fn, prec, rec, f1)")
+    val macroRow = one.select(lit("macro").as("label"),
+      expr(evalClasses.map("tp_" + _).mkString(" + ")).as("tp"),
+      expr(evalClasses.map("fp_" + _).mkString(" + ")).as("fp"),
+      expr(evalClasses.map("fn_" + _).mkString(" + ")).as("fn"),
+      expr(macroOf(pExpr)).as("prec"),
+      expr(macroOf(rExpr)).as("rec"),
+      expr(macroOf(fExpr)).as("f1"))
+    perClass.union(macroRow).orderBy("label")
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02)
 }

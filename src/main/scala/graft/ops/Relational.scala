@@ -1115,8 +1115,49 @@ object Relational {
       .orderBy("flag")
   }
 
+  // --------------------------------------------------------------- q37
+  /** OHLC resampling — the time-series downsampling operator behind
+    * every metrics/market-data rollup: per (hour, event_type) bar with
+    * open/high/low/close/volume. Open and close are ARG-min/max by time,
+    * not plain min/max, and `ts` alone can tie — so the ordering key is
+    * a zero-padded `(epoch_us, event_id)` string, total and unique,
+    * making `min_by`/`arg_min` deterministic in both engines (DuckDB's
+    * arg_min takes no struct key; the padded string is the portable
+    * composite). Values pass through unchanged (no arithmetic →
+    * bit-exact); one hash-agg shuffle on (bucket, type) with map-side
+    * partials — at 100 TB this is the same single-pass plan, and
+    * `min_by` partials keep each bar O(1) state (vs the
+    * window-row_number formulation, which would sort every event). */
+  val q37 = Q("q37_ohlc_resample",
+    """SELECT date_trunc('hour', ts) AS bucket_h, event_type,
+      |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+      |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+      |  CAST(count(*) AS BIGINT) AS volume
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    // `ts` arrives as raw nanos LONG (see EventStreams); the ordering key
+    // uses the micros integer directly — same value epoch_us() sees.
+    val key = concat(
+      lpad(expr("ts DIV 1000").cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", EventStreams.tsFromNanos).as("bucket_h"),
+        col("event_type"))
+      .agg(min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).cast("long").as("volume"))
+      .orderBy("bucket_h", "event_type")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36)
+    q34, q35, q36, q37)
 }

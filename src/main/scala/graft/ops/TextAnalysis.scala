@@ -117,7 +117,21 @@ object TextAnalysis {
     s"(length($pad) - length(replace($pad, ' $k ', ''))) // ${k.length + 2}"
   }
 
-  val t03 = Q("t03_lang_id",
+  /** (doc_id, lang, predicted) without the presentation sort — shared by
+    * t03 and the ml02 evaluation-metrics op. */
+  private[ops] def langPredictions(s: SparkSession, d: String): DataFrame = {
+    val scores = langLexicon.map { case (l, kws) =>
+      l -> kws.map(k => expr(wordHitsSpark(k))).reduce(_ + _)
+    }
+    val mx = greatest(scores.map(_._2): _*)
+    val predicted = when(mx === 0, lit("und")).otherwise(
+      coalesce(scores.map { case (l, sc) => when(sc === mx, lit(l)) }: _*))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), predicted.as("predicted"))
+  }
+
+  /** t03's oracle SQL sans final ORDER BY — a reusable CTE body. */
+  private[ops] val langPredSql: String =
     s"""WITH scored AS (
        |  SELECT doc_id, lang, ${langLexicon.map { case (l, kws) =>
         kws.map(wordHitsSql).mkString(" + ") + s" AS s_$l"
@@ -128,16 +142,10 @@ object TextAnalysis {
        |       THEN 'und' ELSE coalesce(${langLexicon.map { case (l, _) =>
         s"CASE WHEN s_$l = greatest(${langLexicon.map("s_" + _._1).mkString(", ")}) THEN '$l' END"
       }.mkString(", ")}) END AS predicted
-       |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val scores = langLexicon.map { case (l, kws) =>
-      l -> kws.map(k => expr(wordHitsSpark(k))).reduce(_ + _)
-    }
-    val mx = greatest(scores.map(_._2): _*)
-    val predicted = when(mx === 0, lit("und")).otherwise(
-      coalesce(scores.map { case (l, sc) => when(sc === mx, lit(l)) }: _*))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), predicted.as("predicted"))
-      .orderBy("doc_id")
+       |FROM scored""".stripMargin
+
+  val t03 = Q("t03_lang_id", langPredSql + "\nORDER BY doc_id") { (s, d) =>
+    langPredictions(s, d).orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- t04

@@ -150,5 +150,29 @@ object Ingest {
       .orderBy("line_head")
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03)
+  /** Committed two-generation parquet fixture: v1 carries
+    * (source_id, name); v2 adds (reliability, region) — the
+    * append-only schema widening every long-lived table accumulates. */
+  val evolveFixtureDir = "/root/repo/fixtures/evolving"
+
+  /** Schema-evolution scan (SURVEY.md §2.1 [EXT] — `mergeSchema`): one
+    * read over both file generations yields the union schema, with the
+    * pre-widening files NULL-filled in the added columns. The DuckDB
+    * oracle reads the same two files with `union_by_name` — both engines
+    * must agree on the merged shape AND the NULL fill. At scale,
+    * mergeSchema touches only parquet FOOTERS (not data) and the select
+    * still prunes columns per file — this is the zero-rewrite migration
+    * path for a 100 TB table that gains a column. */
+  val in04 = Q("in04_schema_evolution",
+    s"""SELECT source_id, name, reliability, region
+       |FROM read_parquet(['$evolveFixtureDir/v1.parquet',
+       |                   '$evolveFixtureDir/v2.parquet'],
+       |                  union_by_name=true)
+       |ORDER BY source_id""".stripMargin) { (s, _) =>
+    s.read.option("mergeSchema", "true").parquet(evolveFixtureDir)
+      .select(col("source_id"), col("name"), col("reliability"), col("region"))
+      .orderBy("source_id")
+  }
+
+  def all: Seq[Q] = Seq(in01, in02, in03, in04)
 }

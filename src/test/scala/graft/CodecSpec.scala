@@ -155,4 +155,46 @@ class CodecSpec extends SparkSpec {
     assert(p1.nonEmpty)
     assert(p1.forall(r => r.getInt(1) == 8 && r.getInt(2) == 6))
   }
+
+  test("gain: identity, sign-split scaling, clip law, header integrity") {
+    val pcm = Array[Short](0, 1, -1, 7, -7, 1000, -1000, 32767, -32768)
+    val wav = encodeWav(pcm, 8000)
+    // identity gain re-encodes byte-identically
+    assert(java.util.Arrays.equals(gainWav(wav, 1, 1), wav))
+    val (rate, scaled) = wavSamples(gainWav(wav, 3, 2))
+    assert(rate == 8000)
+    // truncating magnitude scaling: ±7 → ±10 (not -11), ±1 → ±1
+    assert(scaled.toSeq == Seq[Short](0, 1, -1, 10, -10, 1500, -1500,
+      32767, -32768))
+    // hard clip at the PCM16 rails (samples with |s| >= 1000 all saturate)
+    val (_, loud) = wavSamples(gainWav(wav, 100, 1))
+    assert(loud.toSeq.drop(5).forall(s => s == 32767 || s == -32768))
+    intercept[IllegalArgumentException](gainWav(wav, 0, 1))
+  }
+
+  test("decimate: sample indexing law, rate division, validation") {
+    val pcm = Array.tabulate[Short](11)(i => (i * 100).toShort)
+    val wav = encodeWav(pcm, 8000)
+    val (rate, kept) = wavSamples(decimateWav(wav, 2))
+    assert(rate == 4000)
+    assert(kept.toSeq == Seq[Short](0, 200, 400, 600, 800, 1000))
+    // decimated output is itself a valid decodable WAV (re-encode law)
+    val info = decodeWav(decimateWav(wav, 2))
+    assert(info.n_samples == 6 && info.sample_rate == 4000)
+    // truncated payload is rejected, not mis-read
+    intercept[IllegalArgumentException](
+      wavSamples(wav.dropRight(2)))
+    intercept[IllegalArgumentException](decimateWav(wav, 0))
+  }
+
+  test("mm08 runs distributed, deterministic, and matches local pipeline") {
+    val a1 = graft.multimodal.Multimodal.mm08.run(spark, sf).collect()
+    val a2 = graft.multimodal.Multimodal.mm08.run(spark, sf).collect()
+    assert(a1.nonEmpty && a1.sameElements(a2))
+    assert(a1.forall(r => r.getInt(1) == 4000 && r.getInt(2) == 400))
+    // spot-check one doc against the local composition
+    val id = a1.head.getLong(0)
+    val info = decodeWav(decimateWav(gainWav(syntheticWav(id), 3, 2), 2))
+    assert(a1.head.getInt(3) == info.peak && a1.head.getDouble(4) == info.rms)
+  }
 }

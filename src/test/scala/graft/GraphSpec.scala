@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins g01 PageRank: probability-distribution law, bit-determinism, and
+  * exact agreement with an independent driver-side reimplementation of
+  * the quantised iteration (the ConnectedComponentsSpec discipline —
+  * the distributed dataflow vs a sequential reference on the same
+  * graph). */
+class GraphSpec extends SparkSpec {
+
+  test("g01: ranks form a probability distribution, bit-deterministic") {
+    val a = ops.Graph.g01.run(spark, sf).collect()
+    assert(a.nonEmpty)
+    val mass = a.map(_.getDouble(1)).sum
+    // quantisation loses < 0.85 * 0.5e-12 per edge per round
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+    assert(a.forall(_.getDouble(1) > 0))
+    val b = ops.Graph.g01.run(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("g01: distributed ranks equal a sequential quantised PageRank") {
+    import spark.implicits._
+    val pairs = model.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (p, sp) =>
+      Seq((s"p:$p", s"s:$sp"), (s"s:$sp", s"p:$p"))
+    }
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length.toDouble
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val incoming = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    // Spark's Round(DoubleType) = BigDecimal.valueOf(x).setScale(0, HALF_UP)
+    def sparkRound(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      r = nodes.map { v =>
+        val m = incoming.getOrElse(v, Array.empty[String])
+          .map(u => sparkRound(r(u) / deg(u) * 1000000000000.0)).sum
+        v -> (0.15 / n + 0.85 * (m.toDouble / 1000000000000.0))
+      }.toMap
+    }
+    val dist = ops.Graph.g01.run(spark, sf).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(dist.keySet == r.keySet)
+    // identical integer sums + identical double assembly → bit-equal
+    dist.foreach { case (node, pr) =>
+      assert(pr == r(node), s"$node: distributed $pr vs sequential ${r(node)}")
+    }
+  }
+}

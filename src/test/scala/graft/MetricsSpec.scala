@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins ml02 (classifier evaluation) against a driver-side recompute of
+  * the confusion counts, and q37 (OHLC resampling) against an
+  * independent window-function formulation of open/close — two
+  * different dataflows must agree on every bar, including `ts` ties
+  * broken by event_id. */
+class MetricsSpec extends SparkSpec {
+
+  test("ml02: metrics equal a driver-side recompute from t03 predictions") {
+    val preds = ops.TextAnalysis.t03.run(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (gold, predicted)
+    val classes = ops.TextAnalysis.langLexicon.map(_._1) :+ "und"
+    val expected = classes.map { c =>
+      val tp = preds.count { case (g, p) => g == c && p == c }.toLong
+      val fp = preds.count { case (g, p) => p == c && g != c }.toLong
+      val fn = preds.count { case (g, p) => g == c && p != c }.toLong
+      c -> ((tp, fp, fn))
+    }.toMap
+    val rows = ops.MLClassify.ml02.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == classes.toSet + "macro")
+    rows.filter(_.getString(0) != "macro").foreach { r =>
+      val (tp, fp, fn) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((tp, fp, fn)),
+        s"confusion counts for ${r.getString(0)}")
+      val prec = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+      val rec = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+      val f1 = if (2 * tp + fp + fn == 0) 0.0
+        else 2.0 * tp / (2.0 * tp + fp + fn)
+      assert(math.abs(r.getDouble(4) - prec) < 1e-12)
+      assert(math.abs(r.getDouble(5) - rec) < 1e-12)
+      assert(math.abs(r.getDouble(6) - f1) < 1e-12)
+    }
+    val macroRow = rows.find(_.getString(0) == "macro").get
+    val perClass = rows.filter(_.getString(0) != "macro")
+    assert(macroRow.getLong(1) == perClass.map(_.getLong(1)).sum)
+    assert(math.abs(macroRow.getDouble(6) -
+      perClass.map(_.getDouble(6)).sum / classes.size) < 1e-12)
+  }
+
+  test("q37: min_by/max_by bars equal a window row_number formulation") {
+    val ohlc = ops.Relational.q37.run(spark, sf)
+    val ev = model.Tables.events(spark, sf)
+      .select(date_trunc("hour", ops.EventStreams.tsFromNanos).as("bucket_h"),
+        col("event_type"), expr("ts DIV 1000").as("micros"),
+        col("event_id"), col("value"))
+    val asc = Window.partitionBy("bucket_h", "event_type")
+      .orderBy(col("micros"), col("event_id"))
+    val desc = Window.partitionBy("bucket_h", "event_type")
+      .orderBy(col("micros").desc, col("event_id").desc)
+    val viaWindow = ev
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("bucket_h", "event_type")
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).cast("long").as("volume"))
+    assert(ohlc.count() > 0)
+    assert(ohlc.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(ohlc).isEmpty)
+  }
+
+  test("q37: open/close ties on ts are broken by event_id") {
+    // two events in the same hour with IDENTICAL ts — the padded-key
+    // argmin must pick event_id order, not value or arrival order
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 10:15:00")
+    val rows = Seq((10L, ts0, "click", 5.0), (11L, ts0, "click", 2.0),
+      (12L, java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "click", 9.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val key = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val bar = rows.groupBy(date_trunc("hour", col("ts")).as("bucket_h"))
+      .agg(min_by(col("value"), key).as("open"),
+        max_by(col("value"), key).as("close")).collect().head
+    assert(bar.getDouble(1) == 5.0, "open = value of lowest event_id at tied ts")
+    assert(bar.getDouble(2) == 9.0)
+  }
+}
