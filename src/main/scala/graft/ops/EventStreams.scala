@@ -376,6 +376,30 @@ object EventStreams {
       .orderBy("window_start", "rank")
   }
 
+  // --------------------------------------------------------------- st12
+  /** OHLC bars as a STREAMING aggregation — batch twin of
+    * [[graft.streaming.StreamOps.ohlcBarsStream]], calling the SAME
+    * [[graft.streaming.StreamOps.ohlcBars]] stage (q37 is the pure-batch
+    * formulation; this one proves the identical bars emerge from a
+    * watermarked append-mode stream — StreamingSpec pins stream output
+    * == this twin on shared events). Same packed-integer tie-break and
+    * hash-agg shape as q37. */
+  val st12 = Q("st12_ohlc_stream_twin",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+      |                 * 1000000000000000000 + event_id) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+      |                 * 1000000000000000000 + event_id) AS close,
+      |  CAST(count(*) AS BIGINT) AS volume
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.ohlcBars(events(s, d))
+      .orderBy("window_start", "event_type")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11)
+    st10, st11, st12)
 }

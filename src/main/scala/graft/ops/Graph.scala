@@ -77,22 +77,74 @@ object Graph {
       .agg(count(lit(1)).cast("double").as("deg"))
       .localCheckpoint()
     var r = nodes.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
-    for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(round(col("pr") / col("sdeg") * lit(1000000000000.0))
-          .cast("long")).as("m"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(0.15) / lit(n) + lit(0.85) *
-            (coalesce(col("m"), lit(0L)).cast("double") / lit(1000000000000.0)))
-            .as("pr"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to 3)
+      r = pageRankRound(edges, deg, nodes, r, n).localCheckpoint()
     r.orderBy("node")
   }
 
-  def all: Seq[Q] = Seq(g01)
+  /** One PageRank round: quantised contribution agg + rank assembly —
+    * exposed so PlanAuditSpec can audit the un-checkpointed round plan
+    * (g01's own final plan is lineage-truncated per round). */
+  private[graft] def pageRankRound(edges: DataFrame, deg: DataFrame,
+      nodes: DataFrame, r: DataFrame, n: Double): DataFrame = {
+    val contrib = edges
+      .join(r.withColumnRenamed("node", "src"), "src")
+      .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(round(col("pr") / col("sdeg") * lit(1000000000000.0))
+        .cast("long")).as("m"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(0.15) / lit(n) + lit(0.85) *
+          (coalesce(col("m"), lit(0L)).cast("double") / lit(1000000000000.0)))
+          .as("pr"))
+  }
+
+  // ---------------------------------------------------------------- g02
+  /** Hub cap for [[g02]]: parts touched by more than this many suppliers
+    * are excluded from the projection (see docstring). */
+  val ProjDegCap = 64L
+
+  /** Bipartite projection — the co-occurrence graph: suppliers connected
+    * by the parts they both ship, weight = number of shared parts. The
+    * scale hazard is the hub part: projecting part p costs deg(p)²
+    * pairs, so Σdeg² explodes on hot parts exactly like d02's shingle
+    * fanout — the same df-cap discipline applies: parts above
+    * [[ProjDegCap]] suppliers are excluded BEFORE the self-join
+    * (deterministic, degree is data not order; the d06 convention —
+    * documented precision loss, bounded cost). Weight ≥ 2 keeps only
+    * repeated co-occurrence (single shared parts are noise ties at any
+    * scale). Plan: one distinct, one degree agg, an equi-self-join on
+    * pk, one pair agg — every shuffle keyed, nothing quadratic in
+    * |suppliers|. */
+  val g02 = Q("g02_coprojection",
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |pdeg AS (SELECT pk, count(*) AS d FROM ps GROUP BY pk),
+       |kept AS (
+       |  SELECT ps.pk, ps.sk FROM ps JOIN pdeg ON pdeg.pk = ps.pk
+       |  WHERE pdeg.d <= $ProjDegCap),
+       |pairs AS (
+       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+       |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+       |  GROUP BY 1, 2)
+       |SELECT s1, s2, CAST(shared AS BIGINT) AS shared_parts
+       |FROM pairs WHERE shared >= 2
+       |ORDER BY s1, s2""".stripMargin) { (s, d) =>
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
+    val kept = ps.join(pdeg.filter(col("d") <= ProjDegCap), "pk")
+      .select("pk", "sk")
+    val a = kept.select(col("pk"), col("sk").as("s1"))
+    val b = kept.select(col("pk"), col("sk").as("s2"))
+    a.join(b, Seq("pk")).filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).cast("long").as("shared_parts"))
+      .filter(col("shared_parts") >= 2)
+      .orderBy("s1", "s2")
+  }
+
+  def all: Seq[Q] = Seq(g01, g02)
 }

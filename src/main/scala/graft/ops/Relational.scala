@@ -1120,31 +1120,32 @@ object Relational {
     * every metrics/market-data rollup: per (hour, event_type) bar with
     * open/high/low/close/volume. Open and close are ARG-min/max by time,
     * not plain min/max, and `ts` alone can tie — so the ordering key is
-    * a zero-padded `(epoch_us, event_id)` string, total and unique,
-    * making `min_by`/`arg_min` deterministic in both engines (DuckDB's
-    * arg_min takes no struct key; the padded string is the portable
-    * composite). Values pass through unchanged (no arithmetic →
-    * bit-exact); one hash-agg shuffle on (bucket, type) with map-side
-    * partials — at 100 TB this is the same single-pass plan, and
-    * `min_by` partials keep each bar O(1) state (vs the
-    * window-row_number formulation, which would sort every event). */
+    * the exact packed integer `micros·10¹⁸ + event_id` (total, unique;
+    * DECIMAL(38,0) here — 34 digits, no precision loss — HUGEINT in the
+    * oracle; same values, same order). A zero-padded STRING key was
+    * rejected by plan audit: string aggregation buffers aren't
+    * hash-agg-mutable, so Spark planned a SortAggregate — a per-
+    * partition sort of every event; the fixed-width decimal keeps
+    * min_by/max_by inside a true HashAggregate. One shuffle on
+    * (bucket, type) with map-side partials, O(1) state per bar — the
+    * plan a 100 TB rollup needs (the window-row_number formulation
+    * would sort every event too). */
   val q37 = Q("q37_ohlc_resample",
     """SELECT date_trunc('hour', ts) AS bucket_h, event_type,
-      |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-      |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+      |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+      |                 * 1000000000000000000 + event_id) AS open,
       |  max(value) AS high,
       |  min(value) AS low,
-      |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-      |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+      |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+      |                 * 1000000000000000000 + event_id) AS close,
       |  CAST(count(*) AS BIGINT) AS volume
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     // `ts` arrives as raw nanos LONG (see EventStreams); the ordering key
     // uses the micros integer directly — same value epoch_us() sees.
-    val key = concat(
-      lpad(expr("ts DIV 1000").cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 12, "0"))
+    val key = expr(
+      "CAST(ts DIV 1000 AS DECIMAL(38,0)) * 1000000000000000000 + event_id")
     Tables.events(s, d)
       .groupBy(date_trunc("hour", EventStreams.tsFromNanos).as("bucket_h"),
         col("event_type"))

@@ -107,6 +107,41 @@ object StreamOps {
       .filter(col("rank") <= k)
   }
 
+  /** OHLC bar aggregation — shared VERBATIM by the streaming form and
+    * the st12 batch twin (the watermark node is erased in batch mode).
+    * Expects (event_id, ts, event_type, value); open/close tie-break by
+    * the packed integer key `micros·10¹⁸ + event_id` — exact DECIMAL
+    * arithmetic keeps min_by/max_by hash-aggregable (the q37 audit
+    * finding; a string key would force a SortAggregate). In streaming
+    * this is a plain watermarked windowed aggregation: min_by/max_by
+    * partials are O(1) state per open bar, bars emit in APPEND mode as
+    * the watermark finalises them. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val key = expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DECIMAL(38,0))" +
+      " * 1000000000000000000 + event_id")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(col("value"), key).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), key).as("close"),
+        count(lit(1)).cast("long").as("volume"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
+  /** Streaming OHLC resampling: finalised bars append straight to
+    * parquet — no foreachBatch stage needed (unlike trending top-k,
+    * the bar itself is the streaming aggregate). */
+  def ohlcBarsStream(events: DataFrame, outDir: String,
+      ckpt: String): StreamingQuery =
+    ohlcBars(events).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+
   /** Streaming trending top-k — the dashboard query ("most frequent
     * event types per hour, live"). Ranking inside a streaming
     * aggregation is unsupported, so the production shape is: watermarked

@@ -52,4 +52,25 @@ class GraphSpec extends SparkSpec {
       assert(pr == r(node), s"$node: distributed $pr vs sequential ${r(node)}")
     }
   }
+
+  test("g02: projection equals a driver-side recompute; pairs canonical") {
+    import spark.implicits._
+    val pairs = model.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().as[(Long, Long)].collect()
+    val byPart = pairs.groupBy(_._1).map { case (pk, v) => pk -> v.map(_._2) }
+    val expected = byPart.toSeq
+      .filter(_._2.length <= ops.Graph.ProjDegCap) // the hub cap
+      .flatMap { case (_, sks) =>
+        val l = sks.toSeq
+        for (a <- l; b <- l if a < b) yield (a, b)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val got = ops.Graph.g02.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    // canonical orientation: s1 < s2, no self-pairs, no duplicates
+    assert(got.keys.forall { case (a, b) => a < b })
+  }
 }

@@ -72,9 +72,8 @@ class MetricsSpec extends SparkSpec {
     val rows = Seq((10L, ts0, "click", 5.0), (11L, ts0, "click", 2.0),
       (12L, java.sql.Timestamp.valueOf("2026-01-01 10:30:00"), "click", 9.0))
       .toDF("event_id", "ts", "event_type", "value")
-    val key = concat(
-      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-      lpad(col("event_id").cast("string"), 12, "0"))
+    val key = expr(
+      "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000000000000000 + event_id")
     val bar = rows.groupBy(date_trunc("hour", col("ts")).as("bucket_h"))
       .agg(min_by(col("value"), key).as("open"),
         max_by(col("value"), key).as("close")).collect().head

@@ -152,6 +152,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(source"), plan.take(1200))
   }
 
+  test("q37: OHLC bars are one hash-agg pass, no window sort") {
+    // min_by/max_by keep O(1) state per bar; a row_number formulation
+    // would sort every event inside a window exchange
+    val plan = executedPlan("q37_ohlc_resample")
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      plan.take(800))
+  }
+
+  test("ml02: all 18 confusion counts evaluate in ONE aggregation pass") {
+    val q = SparkEntry.catalog.find(_.name == "ml02_eval_metrics").get
+    val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+    // the metrics assemble from localCheckpointed 1-row scans — the
+    // corpus-side aggregation must not reappear per class
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 0, s"corpus re-scanned $scans times after checkpoint:\n${plan.take(800)}")
+  }
+
+  test("g01: a PageRank round plans equi-joins + one agg, never nested loops") {
+    // g01's own final plan is checkpoint-truncated; audit one round's
+    // dataflow directly (the loop body g01 runs three times)
+    import org.apache.spark.sql.functions._
+    val li = model.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val pn = concat(lit("p:"), col("pk").cast("string"))
+    val sn = concat(lit("s:"), col("sk").cast("string"))
+    val edges = li.select(pn.as("src"), sn.as("dst"))
+      .union(li.select(sn.as("src"), pn.as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val r0 = nodes.select(col("node"), (lit(1.0) / lit(100.0)).as("pr"))
+    val plan = ops.Graph.pageRankRound(edges, deg, nodes, r0, 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1200))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1200))
+  }
+
+  test("g02: projection self-join is an equi-join on part, never a cartesian") {
+    val plan = executedPlan("g02_coprojection")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1200))
+  }
+
+  test("st12: streaming-twin bars share q37's hash-agg shape (no sort agg)") {
+    val plan = executedPlan("st12_ohlc_stream_twin")
+    assert(!plan.contains("SortAggregate") && !plan.contains("Window"),
+      plan.take(1000))
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may

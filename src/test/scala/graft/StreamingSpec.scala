@@ -241,4 +241,36 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(cats == Set("technology", "sports"))
   }
+
+  test("streaming OHLC: finalised bars equal the batch twin, ties by event_id") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ohlc").toString
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = StreamOps.ohlcBarsStream(
+      in.toDS().toDF("event_id", "ts", "event_type", "value"),
+      s"$dir/out", s"$dir/ckpt")
+    // two events share ts(0) exactly — open must pick the LOWER event_id
+    val hour1 = Seq((2L, ts(0), "click", 7.0), (1L, ts(0), "click", 3.0),
+      (3L, ts(30), "click", 9.0), (4L, ts(45), "click", 1.0))
+    in.addData(hour1: _*)
+    q.processAllAvailable()
+    // advance the watermark past the [10:00, 11:00) bar
+    val later = Seq((5L, Timestamp.valueOf("2024-01-01 11:30:00"), "click", 2.0))
+    in.addData(later: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(streamed == Set(
+      (ts(0), "click", 3.0, 9.0, 1.0, 1.0, 4L)),
+      s"finalised bar wrong: $streamed")
+    // batch twin over the same events, restricted to the finalised bar
+    val twin = StreamOps.ohlcBars(
+      (hour1 ++ later).toDF("event_id", "ts", "event_type", "value"))
+      .filter(col("window_start") === ts(0)).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(twin == streamed, "stream bars must equal the batch twin")
+  }
 }
