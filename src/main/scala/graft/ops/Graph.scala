@@ -146,5 +146,102 @@ object Graph {
       .orderBy("s1", "s2")
   }
 
-  def all: Seq[Q] = Seq(g01, g02)
+  /** Shared CTE block: g02's capped co-occurrence projection as the edge
+    * set `e (s1 < s2)` — spliced into both g02-adjacent oracles so the
+    * graph under test is definitionally identical cross-engine. */
+  private[graft] val projEdgeCtes =
+    s"""ps AS (
+       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |pdeg AS (SELECT pk, count(*) AS d FROM ps GROUP BY pk),
+       |kept AS (
+       |  SELECT ps.pk, ps.sk FROM ps JOIN pdeg ON pdeg.pk = ps.pk
+       |  WHERE pdeg.d <= $ProjDegCap),
+       |e AS (
+       |  SELECT a.sk AS s1, b.sk AS s2
+       |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  // ---------------------------------------------------------------- g03
+  /** Triangle counting (per-node participation) on the g02 co-occurrence
+    * graph — the canonical clustering/community signal. The scale hazard
+    * is the hub wedge blowup: enumerating open wedges at a degree-D node
+    * costs D², so a celebrity node dominates everything. The fix is the
+    * MapReduce-classic degree orientation (Suri & Vassilvitskii 2011;
+    * Schank 2007): orient every undirected edge from its lower-(deg, id)
+    * endpoint to the higher, enumerate wedges only at each edge's LOW
+    * end, and close them against the undirected edge set. Out-degree
+    * under this orientation is O(√m) on ANY graph (arboricity bound), so
+    * wedge fanout is bounded no matter how skewed the degree
+    * distribution — the same cap discipline d06/g02 apply to fanout,
+    * achieved structurally instead of by threshold. Plan: one degree
+    * agg, one orientation join, one wedge self-equi-join on `u`, one
+    * closing equi-join on (s1, s2) — all keyed shuffles, nothing
+    * quadratic in |V|. Every count is an integer; the tie-break by id
+    * makes the orientation a function of the data, so both engines
+    * enumerate the identical wedge set. */
+  val g03 = Q("g03_triangles",
+    s"""WITH $projEdgeCtes,
+       |vdeg AS (
+       |  SELECT v, count(*) AS d
+       |  FROM (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) u
+       |  GROUP BY v),
+       |o AS (
+       |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+       |              THEN e.s1 ELSE e.s2 END AS u,
+       |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+       |              THEN e.s2 ELSE e.s1 END AS w
+       |  FROM e JOIN vdeg d1 ON d1.v = e.s1 JOIN vdeg d2 ON d2.v = e.s2),
+       |tri AS (
+       |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
+       |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
+       |  JOIN e ON e.s1 = o1.w AND e.s2 = o2.w),
+       |corners AS (
+       |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       |FROM corners GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+    val e = projectionEdges(s, d).localCheckpoint() // reused 3× below
+    val vdeg = e.select(col("s1").as("v")).union(e.select(col("s2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val j = e
+      .join(vdeg.select(col("v").as("s1"), col("d").as("d1")), "s1")
+      .join(vdeg.select(col("v").as("s2"), col("d").as("d2")), "s2")
+    val lower = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("s1") < col("s2"))
+    val o = j.select(
+      when(lower, col("s1")).otherwise(col("s2")).as("u"),
+      when(lower, col("s2")).otherwise(col("s1")).as("w"))
+      .localCheckpoint() // self-joined below
+    val wedges = o.select(col("u"), col("w").as("y"))
+      .join(o.select(col("u"), col("w").as("z")), "u")
+      .filter(col("y") < col("z"))
+    val tri = wedges.join(e,
+      e("s1") === wedges("y") && e("s2") === wedges("z"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    tri.select(col("x").as("node"))
+      .union(tri.select(col("y").as("node")))
+      .union(tri.select(col("z").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
+      .orderBy("node")
+  }
+
+  /** g02's capped projection as a reusable edge set (s1 < s2, weight ≥ 2
+    * applied, weight column dropped) — the DataFrame twin of
+    * [[projEdgeCtes]]. */
+  private[graft] def projectionEdges(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
+    val kept = ps.join(pdeg.filter(col("d") <= ProjDegCap), "pk")
+      .select("pk", "sk")
+    kept.select(col("pk"), col("sk").as("s1"))
+      .join(kept.select(col("pk"), col("sk").as("s2")), Seq("pk"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("s1", "s2")
+  }
+
+  def all: Seq[Q] = Seq(g01, g02, g03)
 }

@@ -1157,8 +1157,123 @@ object Relational {
       .orderBy("bucket_h", "event_type")
   }
 
+  // --------------------------------------------------------------- q38
+  /** Rolling 7-day distinct actives + event volume per day — the DAU/WAU
+    * retention metric. COUNT(DISTINCT) OVER a RANGE frame is unsupported
+    * (Spark) and, where supported, re-scans the frame per row; the
+    * scale-safe formulation inverts it: dedupe to (user, day) once, then
+    * each (user, day) CONTRIBUTES to the ≤7 target days it can affect
+    * (a bounded map-side explode — ×7, not ×frame-rows), and a plain
+    * per-day distinct agg finishes the job. Two keyed shuffles total,
+    * both map-side combined; no window state, no per-day rescan of a
+    * 100 TB event table. The day timeline is generated from the data's
+    * own bounds (q31's gap-fill convention) so empty days surface as
+    * explicit zeros. */
+  val q38 = Q("q38_rolling_distinct",
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+      |bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM bounds),
+      |ud AS (SELECT DISTINCT user_id, d FROM ev),
+      |dc AS (SELECT d, count(*) AS c FROM ev GROUP BY d),
+      |au AS (
+      |  SELECT dy.day, count(DISTINCT u.user_id) AS active_users_7d
+      |  FROM days dy JOIN ud u ON u.d BETWEEN dy.day - 6 AND dy.day
+      |  GROUP BY dy.day),
+      |e7 AS (
+      |  SELECT dy.day, sum(dc.c) AS events_7d
+      |  FROM days dy JOIN dc ON dc.d BETWEEN dy.day - 6 AND dy.day
+      |  GROUP BY dy.day)
+      |SELECT d2.day,
+      |  CAST(coalesce(au.active_users_7d, 0) AS BIGINT) AS active_users_7d,
+      |  CAST(coalesce(e7.events_7d, 0) AS BIGINT) AS events_7d
+      |FROM days d2
+      |LEFT JOIN au ON au.day = d2.day
+      |LEFT JOIN e7 ON e7.day = d2.day
+      |ORDER BY d2.day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(to_date(EventStreams.tsFromNanos).as("d"), col("user_id"))
+    val bounds = ev.agg(min("d").as("lo"), max("d").as("hi"))
+    val days = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val target = explode(sequence(col("d"), date_add(col("d"), 6))).as("day")
+    val au = ev.distinct()
+      .select(col("user_id"), target)
+      .join(days, "day") // clips contributions past the data's horizon
+      .groupBy("day").agg(countDistinct("user_id").as("active_users_7d"))
+    val e7 = ev.groupBy("d").agg(count(lit(1)).as("c"))
+      .select(col("c"), target)
+      .join(days, "day")
+      .groupBy("day").agg(sum("c").as("events_7d"))
+    days.join(au, Seq("day"), "left").join(e7, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("active_users_7d"), lit(0L)).cast("long")
+          .as("active_users_7d"),
+        coalesce(col("events_7d"), lit(0L)).cast("long").as("events_7d"))
+      .orderBy("day")
+  }
+
+  // --------------------------------------------------------------- q39
+  /** Z-order (Morton curve) locality bucketing — the DATA-LAYOUT
+    * operator: a table written in z order of two filter keys gives every
+    * file a tight min/max envelope in BOTH dimensions, so parquet
+    * zone-map skipping prunes on either predicate (the OPTIMIZE ZORDER
+    * pattern; single-key sorting gives this for one dimension only). The
+    * curve math is pure integer arithmetic: each key is affinely mapped
+    * onto the 16-bit grid from the data's own bounds (exact integer
+    * div), the two coordinates bit-interleave into a 32-bit z value (32
+    * codegen'd shift/mask terms, one fixed expression), and the query
+    * aggregates the curve into 256 buckets (top 8 z bits = the file
+    * boundaries a clustered write would draw), reporting each bucket's
+    * envelope. `SketchSpec` pins the locality law the layout exists for:
+    * every bucket envelope is a tile, ≤ 1/8th of the full span per
+    * dimension — the naive row-order layout has full-span envelopes and
+    * skips nothing. At 100 TB the same z column drives the write:
+    * `repartitionByRange(z).sortWithinPartitions(z)` — one range
+    * exchange + local sorts, no global sort. */
+  val q39 = Q("q39_zorder_layout", {
+    val terms = (0 until 16).map(i =>
+      s"(((nx >> $i) & 1) << ${2 * i}) + (((ny >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS pklo, max(l_partkey) AS pkhi,
+       |         min(l_suppkey) AS sklo, max(l_suppkey) AS skhi
+       |  FROM lineitem),
+       |n AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk,
+       |    (l_partkey - pklo) * 65536 // (pkhi - pklo + 1) AS nx,
+       |    (l_suppkey - sklo) * 65536 // (skhi - sklo + 1) AS ny
+       |  FROM lineitem CROSS JOIN b),
+       |z AS (SELECT pk, sk, $terms AS z FROM n)
+       |SELECT z >> 24 AS bucket, CAST(count(*) AS BIGINT) AS n,
+       |  min(pk) AS pk_lo, max(pk) AS pk_hi,
+       |  min(sk) AS sk_lo, max(sk) AS sk_hi
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val b = li.agg(min("pk").as("pklo"), max("pk").as("pkhi"),
+      min("sk").as("sklo"), max("sk").as("skhi"))
+    val terms = (0 until 16).map(i =>
+      s"shiftleft(shiftright(nx, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(ny, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+    li.crossJoin(broadcast(b))
+      .select(col("pk"), col("sk"),
+        expr("(pk - pklo) * 65536 DIV (pkhi - pklo + 1)").as("nx"),
+        expr("(sk - sklo) * 65536 DIV (skhi - sklo + 1)").as("ny"))
+      .select(col("pk"), col("sk"), expr(terms).as("z"))
+      .groupBy(expr("z DIV 16777216").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min("pk").as("pk_lo"), max("pk").as("pk_hi"),
+        min("sk").as("sk_lo"), max("sk").as("sk_hi"))
+      .orderBy("bucket")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37)
+    q34, q35, q36, q37, q38, q39)
 }

@@ -871,6 +871,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t17
+  /** Count-Min sketch depth (independent hash rows) and width (buckets
+    * per row) — 4×256 = a 1024-cell integer table, constant regardless
+    * of corpus size. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan
+    * 2005) — the sketch tier's answer to token frequency when the full
+    * vocabulary groupBy (t11) is itself the bottleneck: the sketch is a
+    * FIXED [[CmsDepth]]×[[CmsWidth]] grid of integer counters, built in
+    * one map-side-combined shuffle of ≤1024 cells (each token occurrence
+    * increments one bucket per row; cells merge by addition, so partial
+    * sketches combine associatively — the mergeability HLL has, but with
+    * counts, and unlike HLL (q10b, rows-only) every counter is exact
+    * integer arithmetic, so the whole sketch is DuckDB-recomputable:
+    * this is the fully-oracled sketch. Point estimates take the MIN over
+    * the token's [[CmsDepth]] buckets — a one-sided overestimate
+    * (est ≥ true always; error ≤ e/w·N with prob 1−e^−d), the law
+    * `SketchSpec` pins row-by-row. Hashes are the portable md5-head
+    * family (t04/t09's convention) so both engines address identical
+    * cells. The exact counts in the output exist to VERIFY the sketch —
+    * a 100 TB deployment keeps only the sketch and probes it; the
+    * heavy-hitter candidate set itself comes from t11's TakeOrdered
+    * pass here. */
+  val t17 = Q("t17_cms_heavy_hitters",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |rows4 AS (SELECT unnest(range($CmsDepth)) AS r),
+       |cells AS (
+       |  SELECT r.r,
+       |    CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
+       |      || ':' || t.token), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+       |  FROM toks t CROSS JOIN rows4 r),
+       |sketch AS (SELECT r, bucket, count(*) AS c FROM cells GROUP BY r, bucket),
+       |exact AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY token),
+       |top20 AS (
+       |  SELECT token, exact_count FROM exact
+       |  ORDER BY exact_count DESC, token LIMIT 20),
+       |probes AS (
+       |  SELECT t.token, t.exact_count, r.r,
+       |    CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
+       |      || ':' || t.token), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+       |  FROM top20 t CROSS JOIN rows4 r)
+       |SELECT p.token, CAST(p.exact_count AS BIGINT) AS exact_count,
+       |  CAST(min(s.c) AS BIGINT) AS cms_count
+       |FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
+       |GROUP BY p.token, p.exact_count
+       |ORDER BY exact_count DESC, token""".stripMargin) { (s, d) =>
+    def bucket(r: Int, tok: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val buckets = array((0 until CmsDepth).map(r => bucket(r, col("token"))): _*)
+    val sketch = toks
+      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
+    val top20 = exact.orderBy(col("exact_count").desc, col("token")).limit(20)
+    top20
+      .select(col("token"), col("exact_count"),
+        posexplode(buckets).as(Seq("r", "bucket")))
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy("token", "exact_count").agg(min("c").as("cms_count"))
+      .select(col("token"), col("exact_count").cast("long").as("exact_count"),
+        col("cms_count").cast("long").as("cms_count"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16)
+    t11, t12, t13, t14, t15, t16, t17)
 }

@@ -174,5 +174,37 @@ object Ingest {
       .orderBy("source_id")
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03, in04)
+  /** Committed hive-partitioned fixture (`event_date=YYYY-MM-DD/data
+    * .parquet`, three partitions) — generated by [[graft.FixtureGen]].
+    * The partition column exists only in directory names. */
+  val hiveFixtureDir = "/root/repo/fixtures/hive"
+
+  /** Partition-pruned scan (SURVEY.md §2.1 [EXT]) — THE scale feature of
+    * a date-partitioned fact table: a predicate on the partition column
+    * is resolved against the file LISTING, so non-matching partitions are
+    * never opened (no footer reads, no I/O — at 100 TB, a one-day query
+    * touches 1/365th of the table). `PlanAuditSpec` asserts
+    * `selectedPartitions == 1` of 3 on the physical scan, i.e. the
+    * pruning actually happened rather than a scan-all + filter. The
+    * DuckDB oracle reads the same directory tree with
+    * `hive_partitioning=true`; both engines must agree on the
+    * directory-derived column AND the data columns. `event_date` is cast
+    * to VARCHAR on both sides — Spark infers a DATE partition column,
+    * DuckDB autocasts too, and the string form pins the value without
+    * trusting either engine's date rendering. */
+  val in05 = Q("in05_partition_pruning",
+    s"""SELECT event_id, etype, value,
+       |  CAST(event_date AS VARCHAR) AS event_date
+       |FROM read_parquet('$hiveFixtureDir/*/*.parquet',
+       |                  hive_partitioning=true)
+       |WHERE CAST(event_date AS VARCHAR) = '2024-01-02'
+       |ORDER BY event_id""".stripMargin) { (s, _) =>
+    s.read.parquet(hiveFixtureDir)
+      .filter(col("event_date") === to_date(lit("2024-01-02")))
+      .select(col("event_id"), col("etype"), col("value"),
+        col("event_date").cast("string").as("event_date"))
+      .orderBy("event_id")
+  }
+
+  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05)
 }

@@ -73,4 +73,38 @@ class GraphSpec extends SparkSpec {
     // canonical orientation: s1 < s2, no self-pairs, no duplicates
     assert(got.keys.forall { case (a, b) => a < b })
   }
+
+  test("g03: per-node triangle counts equal a brute-force driver recompute") {
+    import spark.implicits._
+    // rebuild the projected edge set the way g02's recompute does
+    val pairs = model.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = pairs.groupBy(_._1).toSeq
+      .filter(_._2.length <= ops.Graph.ProjDegCap)
+      .flatMap { case (_, v) =>
+        val l = v.map(_._2).toSeq
+        for (a <- l; b <- l if a < b) yield (a, b)
+      }
+      // NB: .collect{case (k,v) if ... => k} would rebuild a MAP here
+      // (tuple results re-key), silently deduplicating edges by s1
+      .groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // enumerate each triangle once as a < b < c
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      (adj(a) & adj(b)).filter(_ > b).foreach { c =>
+        Seq(a, b, c).foreach(v => triCount(v) += 1)
+      }
+    }
+    val expected = triCount.toMap.filter(_._2 > 0)
+    val got = ops.Graph.g03.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"got ${got.size} nodes, expected ${expected.size}")
+    // every triangle contributes exactly 3 corner participations
+    assert(got.values.sum % 3 == 0)
+  }
 }

@@ -204,6 +204,46 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(1000))
   }
 
+  test("in05: the scan opens only the matching hive partition (1 of 3)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = SparkEntry.catalog.find(_.name == "in05_partition_pruning").get
+    // sparkPlan, not executedPlan: AQE's AdaptiveSparkPlanExec wrapper
+    // exposes no children, so collect() would find nothing
+    val scans = q.run(spark, sf).queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // pruning happens at file-listing time: the non-matching event_date
+    // directories are never opened (no footer reads, no I/O)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scans.head.selectedPartitions.partitionCount}")
+    // and the predicate is a partition filter, not a post-scan Filter
+    assert(scans.head.partitionFilters.nonEmpty)
+  }
+
+  test("g03: wedge and closing joins are equi-joins, never a nested loop") {
+    val plan = executedPlan("g03_triangles")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
+
+  test("q38: rolling distinct plans aggregations, not a window rescan") {
+    val plan = executedPlan("q38_rolling_distinct")
+    // the design point: no Window operator anywhere — the frame is
+    // inverted into a bounded explode + two keyed aggregations
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("q39: the z aggregation stays a HashAggregate over one scan") {
+    val plan = executedPlan("q39_zorder_layout")
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    // lineitem is read twice by design: once for the 1-row bounds agg
+    // (broadcast back), once for the curve itself
+    assert(scans <= 2, s"expected <=2 lineitem scans, got $scans")
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may

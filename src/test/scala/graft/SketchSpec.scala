@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the sketch/layout tier added in round 5: the CMS overestimate
+  * law (t17), the z-order locality law (q39), and the rolling-distinct
+  * recompute (q38) — each against driver-side ground truth at sf0.001,
+  * the GraphSpec discipline. */
+class SketchSpec extends SparkSpec {
+
+  test("t17: CMS point estimates are one-sided overestimates, exact-sized sketch") {
+    val rows = ops.TextAnalysis.t17.run(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"${r.getString(0)}: cms $est < exact $exact")
+    }
+    // heavy hitters come out in exact-count order (ties by token)
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts == counts.sortBy(-_))
+  }
+
+  test("t17: the sketch itself is bounded by depth x width cells") {
+    import spark.implicits._
+    val toks = model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    def bucket(r: Int) =
+      conv(substring(md5(concat(lit(s"cms$r:"), col("token"))), 1, 8), 16, 10)
+        .cast("long") % ops.TextAnalysis.CmsWidth
+    val cells = toks.select(posexplode(
+      array((0 until ops.TextAnalysis.CmsDepth).map(bucket): _*))
+      .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").count()
+    val n = cells.count()
+    assert(n <= ops.TextAnalysis.CmsDepth.toLong * ops.TextAnalysis.CmsWidth,
+      s"$n cells")
+    // every token occurrence lands in exactly one bucket per row: the
+    // per-row cell sums all equal the corpus token count
+    val tokCount = toks.count()
+    val perRow = cells.groupBy("r").agg(sum("count").as("s"))
+      .as[(Int, Long)].collect().toMap
+    assert(perRow.values.forall(_ == tokCount), perRow.toString)
+  }
+
+  test("q39: every z-order bucket envelope is a tile, not the full span") {
+    val li = model.Tables.lineitem(spark, sf)
+      .agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).collect()(0)
+    val (pkSpan, skSpan) =
+      (li.getLong(1) - li.getLong(0), li.getLong(3) - li.getLong(2))
+    val rows = ops.Relational.q39.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 256)
+    rows.foreach { r =>
+      val (pkW, skW) =
+        (r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      // top-8-bit buckets pin 4 high bits per dimension -> 16 tiles/dim;
+      // assert with 2x slack for the integer-grid rounding
+      assert(pkW <= pkSpan / 8 + 1, s"bucket ${r.getLong(0)}: pk width $pkW")
+      assert(skW <= skSpan / 8 + 1, s"bucket ${r.getLong(0)}: sk width $skW")
+    }
+    // the layout covers every row exactly once
+    assert(rows.map(_.getLong(1)).sum ==
+      model.Tables.lineitem(spark, sf).count())
+  }
+
+  test("q38: rolling 7-day metrics equal a driver-side recompute") {
+    import spark.implicits._
+    val ev = model.Tables.events(spark, sf)
+      .select(to_date(ops.EventStreams.tsFromNanos).as("d"), col("user_id"))
+      .as[(java.sql.Date, Long)].collect()
+    val days = ev.map(_._1.toLocalDate.toEpochDay)
+    val (lo, hi) = (days.min, days.max)
+    val expected = (lo to hi).map { day =>
+      val inWin = ev.filter { e =>
+        val d = e._1.toLocalDate.toEpochDay
+        d >= day - 6 && d <= day
+      }
+      (java.time.LocalDate.ofEpochDay(day).toString,
+        inWin.map(_._2).distinct.length.toLong, inWin.length.toLong)
+    }
+    val got = ops.Relational.q38.run(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+}
