@@ -146,9 +146,17 @@ object Graph {
       .orderBy("s1", "s2")
   }
 
-  /** Shared CTE block: g02's capped co-occurrence projection as the edge
-    * set `e (s1 < s2)` — spliced into both g02-adjacent oracles so the
-    * graph under test is definitionally identical cross-engine. */
+  /** Per-node strongest-tie budget for [[g03]]'s mutual top-k
+    * sparsification (see docstring). */
+  val TriTopK = 8
+
+  /** Shared CTE block: g02's capped co-occurrence projection, WITH the
+    * shared-part weight, then sparsified to the mutual top-[[TriTopK]]
+    * graph: each node ranks its neighbours by (weight DESC, id), an edge
+    * survives only if BOTH endpoints rank it inside their budget. The
+    * final `e (s1 < s2)` is spliced verbatim into the g03 oracle so the
+    * graph under test is definitionally identical cross-engine (the
+    * `ps`/`pdeg`/`kept`/`ew` prefix is exactly g02's projection). */
   private[graft] val projEdgeCtes =
     s"""ps AS (
        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
@@ -156,29 +164,50 @@ object Graph {
        |kept AS (
        |  SELECT ps.pk, ps.sk FROM ps JOIN pdeg ON pdeg.pk = ps.pk
        |  WHERE pdeg.d <= $ProjDegCap),
-       |e AS (
-       |  SELECT a.sk AS s1, b.sk AS s2
+       |ew AS (
+       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS w
        |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
-       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |dir AS (
+       |  SELECT s1 AS v, s2 AS nb, w FROM ew
+       |  UNION ALL SELECT s2 AS v, s1 AS nb, w FROM ew),
+       |topk AS (
+       |  SELECT v, nb FROM (
+       |    SELECT v, nb,
+       |      row_number() OVER (PARTITION BY v ORDER BY w DESC, nb) AS rk
+       |    FROM dir) r
+       |  WHERE rk <= $TriTopK),
+       |e AS (
+       |  SELECT t1.v AS s1, t1.nb AS s2
+       |  FROM topk t1 JOIN topk t2 ON t2.v = t1.nb AND t2.nb = t1.v
+       |  WHERE t1.v < t1.nb)""".stripMargin
 
   // ---------------------------------------------------------------- g03
-  /** Triangle counting (per-node participation) on the g02 co-occurrence
-    * graph — the canonical clustering/community signal. The scale hazard
-    * is the hub wedge blowup: enumerating open wedges at a degree-D node
-    * costs D², so a celebrity node dominates everything. The fix is the
-    * MapReduce-classic degree orientation (Suri & Vassilvitskii 2011;
-    * Schank 2007): orient every undirected edge from its lower-(deg, id)
-    * endpoint to the higher, enumerate wedges only at each edge's LOW
-    * end, and close them against the undirected edge set. Out-degree
-    * under this orientation is O(√m) on ANY graph (arboricity bound), so
-    * wedge fanout is bounded no matter how skewed the degree
-    * distribution — the same cap discipline d06/g02 apply to fanout,
-    * achieved structurally instead of by threshold. Plan: one degree
-    * agg, one orientation join, one wedge self-equi-join on `u`, one
-    * closing equi-join on (s1, s2) — all keyed shuffles, nothing
-    * quadratic in |V|. Every count is an integer; the tie-break by id
-    * makes the orientation a function of the data, so both engines
-    * enumerate the identical wedge set. */
+  /** Triangle counting (per-node participation) — the canonical
+    * clustering/community signal — on the MUTUAL TOP-K co-occurrence
+    * graph. Two scale disciplines compose here:
+    *
+    * 1. **Sparsify before counting.** A raw co-occurrence projection
+    *    degenerates toward the complete graph as data grows (at sf0.1
+    *    every supplier pair already shares ≥2 parts: 499,500 edges, all
+    *    degrees 999 — with ~166M triangles the ANSWER is cubic; no
+    *    algorithm outruns its own output). Production co-occurrence
+    *    analytics therefore keep each node's k strongest ties only
+    *    (weight DESC, id tie-break — deterministic), mutual = symmetric:
+    *    max degree ≤ [[TriTopK]], m ≤ k·n, wedge work O(n·k²) — linear
+    *    in nodes at ANY scale. The ranking is a key-partitioned window
+    *    (never single-partition).
+    * 2. **Orient, then enumerate.** Wedges enumerate only at each edge's
+    *    lower-(deg, id) endpoint (Suri & Vassilvitskii 2011; Schank
+    *    2007) and close against the undirected set — out-degree O(√m)
+    *    on any graph, so even without the top-k cap the celebrity-node
+    *    D² blowup cannot concentrate on one task.
+    *
+    * Plan: the shared g02 projection, one keyed window, one degree agg,
+    * one orientation join, a wedge self-equi-join on `u`, a closing
+    * equi-join on (s1, s2) — all keyed shuffles, nothing quadratic in
+    * |V|. Every count is an integer; both engines enumerate the
+    * identical wedge set. */
   val g03 = Q("g03_triangles",
     s"""WITH $projEdgeCtes,
        |vdeg AS (
@@ -225,22 +254,35 @@ object Graph {
       .orderBy("node")
   }
 
-  /** g02's capped projection as a reusable edge set (s1 < s2, weight ≥ 2
-    * applied, weight column dropped) — the DataFrame twin of
-    * [[projEdgeCtes]]. */
+  /** The mutual top-[[TriTopK]] sparsified projection as a reusable edge
+    * set (s1 < s2) — the DataFrame twin of [[projEdgeCtes]]: g02's
+    * weighted pairs, per-node (weight DESC, id) ranking via a
+    * key-partitioned window, and the mutuality self-join. */
   private[graft] def projectionEdges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
     val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
     val kept = ps.join(pdeg.filter(col("d") <= ProjDegCap), "pk")
       .select("pk", "sk")
-    kept.select(col("pk"), col("sk").as("s1"))
+    val ew = kept.select(col("pk"), col("sk").as("s1"))
       .join(kept.select(col("pk"), col("sk").as("s2")), Seq("pk"))
       .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .select("s1", "s2")
+      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val dir = ew.select(col("s1").as("v"), col("s2").as("nb"), col("w"))
+      .union(ew.select(col("s2").as("v"), col("s1").as("nb"), col("w")))
+    val topk = dir
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("v").orderBy(col("w").desc, col("nb"))))
+      .filter(col("rk") <= TriTopK)
+      .select("v", "nb")
+    topk.as("t1")
+      .join(topk.as("t2"),
+        col("t2.v") === col("t1.nb") && col("t2.nb") === col("t1.v"))
+      .filter(col("t1.v") < col("t1.nb"))
+      .select(col("t1.v").as("s1"), col("t1.nb").as("s2"))
   }
 
   def all: Seq[Q] = Seq(g01, g02, g03)

@@ -80,7 +80,7 @@ class GraphSpec extends SparkSpec {
     val pairs = model.Tables.lineitem(spark, sf)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct().as[(Long, Long)].collect()
-    val edges = pairs.groupBy(_._1).toSeq
+    val weighted = pairs.groupBy(_._1).toSeq
       .filter(_._2.length <= ops.Graph.ProjDegCap)
       .flatMap { case (_, v) =>
         val l = v.map(_._2).toSeq
@@ -88,7 +88,18 @@ class GraphSpec extends SparkSpec {
       }
       // NB: .collect{case (k,v) if ... => k} would rebuild a MAP here
       // (tuple results re-key), silently deduplicating edges by s1
-      .groupBy(identity).filter(_._2.size >= 2).keySet
+      .groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 2)
+    // mutual top-k sparsification: neighbour ranked (weight desc, id)
+    val topk = weighted.toSeq
+      .flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }
+      .groupBy(_._1).toSeq // toSeq first: flatMap on a Map would re-key
+      .flatMap { case (v, nbs) =>
+        nbs.sortBy(t => (-t._3, t._2)).take(ops.Graph.TriTopK)
+          .map(t => (v, t._2))
+      }.toSet
+    val edges = weighted.keySet
+      .filter { case (a, b) => topk((a, b)) && topk((b, a)) }
     val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
     // enumerate each triangle once as a < b < c

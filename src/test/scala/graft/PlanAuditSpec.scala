@@ -221,10 +221,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.head.partitionFilters.nonEmpty)
   }
 
-  test("g03: wedge and closing joins are equi-joins, never a nested loop") {
+  test("g03: wedge and closing joins are equi-joins; top-k window is keyed") {
     val plan = executedPlan("g03_triangles")
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1200))
+    // the sparsification ranking partitions by node, never one task —
+    // audited on the edge-set subplan (g03's own plan is truncated by
+    // the localCheckpoint reuse points)
+    val edgePlan = ops.Graph.projectionEdges(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(edgePlan.contains("hashpartitioning(v"), edgePlan.take(1500))
+    assert(!edgePlan.contains("SinglePartition"), edgePlan.take(1500))
   }
 
   test("q38: rolling distinct plans aggregations, not a window rescan") {
