@@ -63,23 +63,42 @@ object Graph {
        |${iter("r2", "r3")}
        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
   }) { (s, d) =>
-    val pairs = Tables.lineitem(s, d)
+    // internal node ids are packed LONGS (part -> 2*pk, supplier ->
+    // 2*sk+1): every per-round shuffle/join/agg keys on an 8-byte
+    // integer instead of a "p:123" string — the display strings exist
+    // only in the final projection, where the oracle's node column is
+    // assembled identically
+    val pr0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
-    val pNode = concat(lit("p:"), col("pk").cast("string"))
-    val sNode = concat(lit("s:"), col("sk").cast("string"))
-    val edges = pairs.select(pNode.as("src"), sNode.as("dst"))
-      .union(pairs.select(sNode.as("src"), pNode.as("dst")))
+    val pNode = col("pk") * 2
+    val sNode = col("sk") * 2 + 1
+    val edges = pr0.select(pNode.as("src"), sNode.as("dst"))
+      .union(pr0.select(sNode.as("src"), pNode.as("dst")))
       .localCheckpoint() // reused every round; truncates the distinct lineage
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
-    val n = nodes.count().toDouble // O(1) driver scalar (d08-style)
+    // every node of the undirected graph has degree >= 1, so the degree
+    // table IS the node set — one aggregation serves both (and is the
+    // only other reuse point worth materialising)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("double").as("deg"))
       .localCheckpoint()
+    val nodes = deg.select("node")
+    val n = deg.count().toDouble // O(1) driver scalar (d08-style)
     var r = nodes.select(col("node"), (lit(1.0) / lit(n)).as("pr"))
+    // 3 fixed rounds = a shallow linear plan chain (each round's plan
+    // embeds the previous exactly once) — no per-round checkpoint
+    // barrier needed; the checkpointed inputs keep it from re-running
+    // the distinct. An open-ended convergence loop would checkpoint
+    // per round (the d08/s06 discipline).
     for (_ <- 1 to 3)
-      r = pageRankRound(edges, deg, nodes, r, n).localCheckpoint()
-    r.orderBy("node")
+      r = pageRankRound(edges, deg, nodes, r, n)
+    r.select(
+      when(col("node") % 2 === 0,
+        concat(lit("p:"), expr("CAST(node DIV 2 AS STRING)")))
+        .otherwise(concat(lit("s:"), expr("CAST(node DIV 2 AS STRING)")))
+        .as("node"),
+      col("pr"))
+      .orderBy("node")
   }
 
   /** One PageRank round: quantised contribution agg + rank assembly —
