@@ -400,6 +400,24 @@ object EventStreams {
       .orderBy("window_start", "event_type")
   }
 
+  // --------------------------------------------------------------- st13
+  /** Daily distinct actives as a chained-stateful STREAM — batch twin of
+    * [[graft.streaming.StreamOps.dailyActivesStream]], calling the SAME
+    * [[graft.streaming.StreamOps.dailyActives]] function (watermark
+    * erased, the within-watermark dedup optimised to a plain distinct in
+    * batch). The streaming form is the layer q38's rolling rollup reads:
+    * dedup state carries the per-(user, day) uniqueness, the tumbling
+    * count finalises each day in append mode. StreamingSpec pins stream
+    * output == this twin on shared events. */
+  val st13 = Q("st13_daily_actives",
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    graft.streaming.StreamOps.dailyActives(
+      events(s, d).select("user_id", "ts"))
+      .orderBy("day")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12)
+    st10, st11, st12, st13)
 }

@@ -142,6 +142,46 @@ object StreamOps {
       .format("parquet").option("path", outDir)
       .start()
 
+  /** Daily distinct actives (DAU) — shared VERBATIM by the streaming
+    * form and the st13 batch twin. The streaming plan CHAINS two
+    * stateful operators in append mode (supported since Spark 3.5's
+    * multi-stateful pipelines): `dropDuplicatesWithinWatermark` holds
+    * one row per (user, day) seen inside the watermark horizon — the
+    * expensive distinct state — and the downstream 1-day tumbling count
+    * then aggregates already-unique rows, O(1) per open day. Batch mode
+    * rejects the within-watermark form outright
+    * (`UnsupportedOperationChecker`), so the one mode branch below picks
+    * the batch-equivalent plain distinct — the "watermark node erased in
+    * batch" contract the other twins rely on, spelled explicitly. The
+    * 7-day ROLLING rollup
+    * deliberately stays out of the stream: it is a trivial batch
+    * rollup over this sink's daily layer — q38's bounded-explode form —
+    * recomputable any time without 7 days of streaming state. Expects
+    * (user_id, ts). */
+  def dailyActives(events: DataFrame): DataFrame = {
+    val dayed = events
+      .withWatermark("ts", "1 day")
+      .withColumn("day_ts", date_trunc("DAY", col("ts")))
+    val deduped =
+      if (events.isStreaming)
+        dayed.dropDuplicatesWithinWatermark("user_id", "day_ts")
+      else dayed.dropDuplicates("user_id", "day_ts")
+    deduped
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).cast("long").as("active_users"))
+      .select(col("window.start").as("day"), col("active_users"))
+  }
+
+  /** Streaming DAU: finalised daily counts append straight to parquet
+    * as the watermark closes each day. */
+  def dailyActivesStream(events: DataFrame, outDir: String,
+      ckpt: String): StreamingQuery =
+    dailyActives(events).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+
   /** Streaming trending top-k — the dashboard query ("most frequent
     * event types per hour, live"). Ranking inside a streaming
     * aggregation is unsupported, so the production shape is: watermarked

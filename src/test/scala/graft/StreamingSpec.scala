@@ -273,4 +273,38 @@ class StreamingSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
     assert(twin == streamed, "stream bars must equal the batch twin")
   }
+
+  test("streaming DAU: chained dedup + count equals the batch twin per finalised day") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dau").toString
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.dailyActivesStream(
+      in.toDS().toDF("user_id", "ts"), s"$dir/out", s"$dir/ckpt")
+    // day 1: user 1 appears 3x (two batches), users 2,3 once — DAU 3
+    val d1 = Timestamp.valueOf("2024-01-01 09:00:00")
+    in.addData((1L, d1), (2L, d1),
+      (1L, Timestamp.valueOf("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    in.addData((1L, Timestamp.valueOf("2024-01-01 22:00:00")),
+      (3L, Timestamp.valueOf("2024-01-01 23:30:00")))
+    q.processAllAvailable()
+    // advance the watermark (1 day) past the end of Jan 1
+    val later = (9L, Timestamp.valueOf("2024-01-03 01:00:00"))
+    in.addData(later)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed ==
+      Map(Timestamp.valueOf("2024-01-01 00:00:00") -> 3L), streamed.toString)
+    // batch twin over the same rows, restricted to the finalised day
+    val all = Seq((1L, d1), (2L, d1),
+      (1L, Timestamp.valueOf("2024-01-01 15:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 22:00:00")),
+      (3L, Timestamp.valueOf("2024-01-01 23:30:00")), later)
+    val twin = StreamOps.dailyActives(all.toDF("user_id", "ts"))
+      .filter(col("day") === Timestamp.valueOf("2024-01-01 00:00:00"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(twin == streamed, "stream DAU must equal the batch twin")
+  }
 }
