@@ -227,28 +227,41 @@ object Graph {
     * equi-join on (s1, s2) — all keyed shuffles, nothing quadratic in
     * |V|. Every count is an integer; both engines enumerate the
     * identical wedge set. */
+  /** Shared CTE block: the oriented-wedge triangle enumeration over `e`,
+    * ending in `tc (node, triangles)` — spliced into the g03 AND g04
+    * oracles after [[projEdgeCtes]]. */
+  private[graft] val triangleCtes =
+    """vdeg AS (
+      |  SELECT v, count(*) AS d
+      |  FROM (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) u
+      |  GROUP BY v),
+      |o AS (
+      |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+      |              THEN e.s1 ELSE e.s2 END AS u,
+      |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
+      |              THEN e.s2 ELSE e.s1 END AS w
+      |  FROM e JOIN vdeg d1 ON d1.v = e.s1 JOIN vdeg d2 ON d2.v = e.s2),
+      |tri AS (
+      |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
+      |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
+      |  JOIN e ON e.s1 = o1.w AND e.s2 = o2.w),
+      |corners AS (
+      |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri),
+      |tc AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+      |  FROM corners GROUP BY node)""".stripMargin
+
   val g03 = Q("g03_triangles",
     s"""WITH $projEdgeCtes,
-       |vdeg AS (
-       |  SELECT v, count(*) AS d
-       |  FROM (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) u
-       |  GROUP BY v),
-       |o AS (
-       |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
-       |              THEN e.s1 ELSE e.s2 END AS u,
-       |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.s1 < e.s2)
-       |              THEN e.s2 ELSE e.s1 END AS w
-       |  FROM e JOIN vdeg d1 ON d1.v = e.s1 JOIN vdeg d2 ON d2.v = e.s2),
-       |tri AS (
-       |  SELECT o1.u AS x, o1.w AS y, o2.w AS z
-       |  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
-       |  JOIN e ON e.s1 = o1.w AND e.s2 = o2.w),
-       |corners AS (
-       |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
-       |  UNION ALL SELECT z FROM tri)
-       |SELECT node, CAST(count(*) AS BIGINT) AS triangles
-       |FROM corners GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-    val e = projectionEdges(s, d).localCheckpoint() // reused 3× below
+       |$triangleCtes
+       |SELECT node, triangles FROM tc ORDER BY node""".stripMargin) { (s, d) =>
+    triangleCounts(projectionEdges(s, d).localCheckpoint()).orderBy("node")
+  }
+
+  /** Per-node triangle counts over a checkpointed edge set (s1 < s2) —
+    * the DataFrame twin of [[triangleCtes]], shared by g03 and g04. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
     val vdeg = e.select(col("s1").as("v")).union(e.select(col("s2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val j = e
@@ -270,6 +283,38 @@ object Graph {
       .union(tri.select(col("y").as("node")))
       .union(tri.select(col("z").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
+  }
+
+  // ---------------------------------------------------------------- g04
+  /** Local clustering coefficient — closes the triangle story: per node,
+    * the fraction of its neighbour pairs that are themselves connected,
+    * `2·t / (d·(d-1))` (0 for degree < 2). The community-structure
+    * metric every graph-quality report carries; composes g03's triangle
+    * counts with the degree table on the SAME sparsified graph (shared
+    * CTEs, no drift). Cross-engine determinism: the coefficient is ONE
+    * fixed double expression over two exact integers — a single IEEE
+    * division, bit-equal in both engines. Cost: g03 + one left join. */
+  val g04 = Q("g04_clustering_coeff",
+    s"""WITH $projEdgeCtes,
+       |$triangleCtes
+       |SELECT v.v AS node, CAST(v.d AS BIGINT) AS degree,
+       |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN v.d >= 2
+       |       THEN 2.0 * coalesce(tc.triangles, 0) / (v.d * (v.d - 1))
+       |       ELSE 0.0 END AS clustering
+       |FROM vdeg v LEFT JOIN tc ON tc.node = v.v
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    val e = projectionEdges(s, d).localCheckpoint() // reused by deg + tc
+    val vdeg = e.select(col("s1").as("v")).union(e.select(col("s2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tc = triangleCounts(e).withColumnRenamed("node", "v")
+    vdeg.join(tc, Seq("v"), "left")
+      .select(col("v").as("node"), col("d").cast("long").as("degree"),
+        coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
       .orderBy("node")
   }
 
@@ -304,5 +349,5 @@ object Graph {
       .select(col("t1.v").as("s1"), col("t1.nb").as("s2"))
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03)
+  def all: Seq[Q] = Seq(g01, g02, g03, g04)
 }

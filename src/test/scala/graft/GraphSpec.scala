@@ -117,5 +117,21 @@ class GraphSpec extends SparkSpec {
       s"got ${got.size} nodes, expected ${expected.size}")
     // every triangle contributes exactly 3 corner participations
     assert(got.values.sum % 3 == 0)
+
+    // g04 on the same graph: degree from the sparsified edge set,
+    // coefficient = the one fixed double expression
+    val deg = edges.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = ops.Graph.g04.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(cc.keySet == deg.keySet)
+    cc.foreach { case (node, (d, t, c)) =>
+      assert(d == deg(node), s"$node degree")
+      assert(t == expected.getOrElse(node, 0L), s"$node triangles")
+      val want = if (d >= 2) 2.0 * t / (d * (d - 1)) else 0.0
+      assert(c == want, s"$node clustering $c vs $want")
+      assert(c >= 0.0 && c <= 1.0)
+    }
   }
 }
