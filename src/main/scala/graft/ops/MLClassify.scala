@@ -246,5 +246,112 @@ object MLClassify {
     perClass.union(macroRow).orderBy("label")
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02)
+  // ---------------------------------------------------------------- ml03
+  /** ROC curve + AUC, the distributed way (what
+    * `BinaryClassificationMetrics` computes, re-expressed exactly): the
+    * scored corpus collapses to a HISTOGRAM of (score, pos, neg) counts
+    * — bounded by the number of DISTINCT quantised scores, ≪ corpus —
+    * and the curve is a cumulative walk over that small table in
+    * descending-score order (the t16 histogram discipline: the only
+    * window runs over the histogram, never the corpus). The trapezoidal
+    * AUC is where float-sum nondeterminism usually creeps in, so the
+    * integral is computed in INTEGERS: each trapezoid contributes
+    * `Δfp · (tp_i + tp_{i-1})` (twice its area — all BIGINTs), the
+    * numerator sums exactly in any order, and AUC emerges from ONE
+    * final double division by `2·P·N` (q36/t13's exactness discipline).
+    * Inputs compose published operators: score = t02's quality
+    * quantised to micros, label = t15's Gopher keep verdict — "how well
+    * does the cheap quality score predict the expensive gate" is itself
+    * the standard eval question, and the composition means the oracle's
+    * re-derivation is hash-checked against the same t02/t15 code paths
+    * every round. At 100 TB: one map pass, one ≤|scores| histogram
+    * shuffle, a tiny window, a broadcast of three scalars. */
+  val ml03 = Q("ml03_roc_auc", {
+    val stopArr = graft.ops.TextAnalysis.stopwords
+      .map("'" + _ + "'").mkString(", ")
+    s"""WITH gm AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    length(text) - (len(string_split(text, ' ')) - 1) AS n_chars,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |    len(list_intersect(string_split(text, ' '), [$stopArr])) AS n_stop,
+       |    (length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (n_words BETWEEN ${graft.ops.TextAnalysis.GopherMinWords}
+       |       AND ${graft.ops.TextAnalysis.GopherMaxWords})
+       |      AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+       |      AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
+       |      AND n_stop >= 2 AS label
+       |  FROM gm),
+       |qs AS (
+       |  SELECT doc_id, CAST(round(
+       |    least(1.0, len(string_split(text, ' ')) / 200.0)
+       |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |         / len(string_split(text, ' '))) * 1000000.0) AS BIGINT)
+       |    AS score_micro
+       |  FROM documents),
+       |d AS (
+       |  SELECT qs.score_micro, lab.label
+       |  FROM qs JOIN lab ON lab.doc_id = qs.doc_id),
+       |hist AS (
+       |  SELECT score_micro,
+       |    count(*) FILTER (WHERE label) AS pos,
+       |    count(*) FILTER (WHERE NOT label) AS neg
+       |  FROM d GROUP BY score_micro),
+       |tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM hist),
+       |cum AS (
+       |  SELECT score_micro,
+       |    sum(pos) OVER (ORDER BY score_micro DESC) AS tp,
+       |    sum(neg) OVER (ORDER BY score_micro DESC) AS fp
+       |  FROM hist),
+       |trap AS (
+       |  SELECT score_micro, tp, fp,
+       |    (fp - coalesce(lag(fp) OVER (ORDER BY score_micro DESC), 0))
+       |      * (tp + coalesce(lag(tp) OVER (ORDER BY score_micro DESC), 0))
+       |      AS a2
+       |  FROM cum),
+       |aucn AS (SELECT sum(a2) AS num FROM trap)
+       |SELECT t.score_micro, CAST(t.tp AS BIGINT) AS tp,
+       |  CAST(t.fp AS BIGINT) AS fp,
+       |  CAST(t.tp AS DOUBLE) / tot.p AS tpr,
+       |  CAST(t.fp AS DOUBLE) / tot.n AS fpr,
+       |  CAST(aucn.num AS DOUBLE) / (2.0 * tot.p * tot.n) AS auc
+       |FROM trap t CROSS JOIN tot CROSS JOIN aucn
+       |ORDER BY score_micro DESC""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lab = graft.ops.TextAnalysis.t15.run(s, d)
+      .select(col("doc_id"), col("keep").as("label"))
+    val qs = graft.ops.TextAnalysis.t02.run(s, d)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("score_micro"))
+    val hist = qs.join(lab, "doc_id")
+      .groupBy("score_micro")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("neg"))
+      .localCheckpoint() // small histogram; feeds totals, window, AUC
+    val tot = hist.agg(sum("pos").as("p"), sum("neg").as("n"))
+    val w = Window.orderBy(col("score_micro").desc)
+    val cum = hist.select(col("score_micro"),
+      sum("pos").over(w).as("tp"), sum("neg").over(w).as("fp"))
+    val trap = cum.select(col("score_micro"), col("tp"), col("fp"),
+      ((col("fp") - coalesce(lag(col("fp"), 1).over(w), lit(0L))) *
+        (col("tp") + coalesce(lag(col("tp"), 1).over(w), lit(0L)))).as("a2"))
+      .localCheckpoint() // reused by the AUC scalar and the output rows
+    val aucn = trap.agg(sum("a2").as("num"))
+    trap.crossJoin(broadcast(tot)).crossJoin(broadcast(aucn))
+      .select(col("score_micro"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        (col("tp").cast("double") / col("p")).as("tpr"),
+        (col("fp").cast("double") / col("n")).as("fpr"),
+        (col("num").cast("double") / (lit(2.0) * col("p") * col("n")))
+          .as("auc"))
+      .orderBy(col("score_micro").desc)
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03)
 }

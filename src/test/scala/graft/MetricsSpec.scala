@@ -80,4 +80,39 @@ class MetricsSpec extends SparkSpec {
     assert(bar.getDouble(1) == 5.0, "open = value of lowest event_id at tied ts")
     assert(bar.getDouble(2) == 9.0)
   }
+
+  test("ml03: ROC laws hold and AUC equals a driver-side recompute") {
+    val rows = ops.MLClassify.ml03.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // descending score; tp/fp cumulative therefore nondecreasing
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3)
+    case _ => }
+    // the walk ends at (P, N); both classes must be populated for the
+    // curve to mean anything
+    val (p, n) = (rows.last._2, rows.last._3)
+    assert(p > 0 && n > 0, s"degenerate label split P=$p N=$n")
+    assert(rows.last._4 == 1.0 && rows.last._5 == 1.0)
+    val auc = rows.head._6
+    assert(rows.forall(_._6 == auc), "auc constant across curve rows")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // independent recompute: probability a random (pos, neg) pair is
+    // ranked correctly, ties at half (the Mann-Whitney identity)
+    val lab = ops.TextAnalysis.t15.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val q = ops.TextAnalysis.t02.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> math.round(r.getAs[Double]("quality") * 1e6))
+      .toMap
+    // toSeq BEFORE map: mapping a key Set to scores would dedup ties
+    val pos = q.toSeq.collect { case (id, s) if lab(id) => s }
+    val neg = q.toSeq.collect { case (id, s) if !lab(id) => s }
+    val wins = (for (a <- pos; b <- neg)
+      yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+    val want = wins / (pos.size.toLong * neg.size)
+    assert(math.abs(auc - want) < 1e-12,
+      s"auc $auc vs Mann-Whitney $want")
+  }
 }
