@@ -1272,8 +1272,62 @@ object Relational {
       .orderBy("bucket")
   }
 
+  // --------------------------------------------------------------- q40
+  /** Robust anomaly gate (median / MAD) — the data-quality pass a
+    * training pipeline runs over every numeric column before ingestion:
+    * mean/stddev outlier rules are themselves corrupted by the outliers
+    * they hunt, so the robust form flags `|x − median| > 3 · 1.4826 ·
+    * MAD` (1.4826·MAD estimates σ under normality; the threshold is the
+    * robust 3σ). Exact percentiles make it cross-engine checkable
+    * (q19's proven `percentile` ↔ `quantile_cont` parity); the one-pass
+    * 100 TB variant swaps in the mergeable `approx_percentile` sketch
+    * exactly as q19b does for q19. Determinism: the threshold compares
+    * doubles built by ONE shared expression shape (`3 * 1.4826 * mad`,
+    * constant-folded identically in both engines), so no boundary value
+    * can flip. Plan: three pruned columnar scans of (type, value) — the
+    * med pass, the deviation/MAD pass, the flag count — each a keyed
+    * hash agg; the per-type stat tables broadcast. */
+  val q40 = Q("q40_anomaly_mad",
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(med) AS med,
+      |    quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY 1),
+      |outs AS (
+      |  SELECT d.event_type, count(*) AS n_out
+      |  FROM dev d JOIN stats st USING (event_type)
+      |  WHERE d.adev > 3 * 1.4826 * st.mad
+      |  GROUP BY 1)
+      |SELECT s.event_type, s.n, s.med, s.mad,
+      |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_outliers
+      |FROM stats s LEFT JOIN outs o USING (event_type)
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val stats = dev.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"), max("med").as("med"),
+        expr("percentile(adev, 0.5)").as("mad"))
+    val outs = dev
+      .join(broadcast(stats.select("event_type", "mad")), "event_type")
+      .filter(col("adev") > expr("3 * 1.4826 * mad"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_out"))
+    stats.join(outs, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        coalesce(col("n_out"), lit(0L)).cast("long").as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39)
+    q34, q35, q36, q37, q38, q39, q40)
 }

@@ -63,6 +63,34 @@ class SketchSpec extends SparkSpec {
       model.Tables.lineitem(spark, sf).count())
   }
 
+  test("q40: median/MAD anomaly counts equal a driver-side recompute") {
+    import spark.implicits._
+    // Spark's exact percentile: rank = p·(n−1), linear interpolation
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val (lo, hi) = (math.floor(rank).toInt, math.ceil(rank).toInt)
+      s(lo) + (s(hi) - s(lo)) * (rank - lo)
+    }
+    val ev = model.Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)].collect()
+    val expected = ev.groupBy(_._1).toSeq.map { case (t, vs) =>
+      val values = vs.map(_._2).toSeq
+      val med = pct(values, 0.5)
+      val adev = values.map(v => math.abs(v - med))
+      val mad = pct(adev, 0.5)
+      val nOut = adev.count(_ > 3 * 1.4826 * mad).toLong
+      t -> ((values.length.toLong, med, mad, nOut))
+    }.toMap
+    val got = ops.Relational.q40.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // sanity: outliers are a strict minority for every type
+    got.values.foreach { case (n, _, _, o) => assert(o * 5 < n) }
+  }
+
   test("q38: rolling 7-day metrics equal a driver-side recompute") {
     import spark.implicits._
     val ev = model.Tables.events(spark, sf)
