@@ -25,7 +25,35 @@ object FixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     writeHiveFixture(spark)
+    writeCorruptFixture(spark)
     spark.stop()
+  }
+
+  val corruptFixtureDir = "/root/repo/fixtures/corrupt"
+
+  /** One valid parquet file + one garbage `.parquet` (deterministic
+    * bytes, not parquet at all) in the same directory — the in06
+    * corrupt-file-tolerance input. */
+  def writeCorruptFixture(spark: SparkSession): Unit = {
+    val dest = Paths.get(corruptFixtureDir)
+    if (Files.exists(dest)) { println(s"$corruptFixtureDir exists; skipping"); return }
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-corrupt-fixture").toString
+    Seq((1L, "alpha", 10L), (2L, "beta", 20L), (3L, "gamma", 30L))
+      .toDF("id", "name", "score")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    Files.createDirectories(dest)
+    val parts = Files.list(Paths.get(tmp)).iterator()
+    while (parts.hasNext) {
+      val p: Path = parts.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        Files.copy(p, dest.resolve("good.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(dest.resolve("bad.parquet"),
+      "this is not a parquet file and never will be\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $corruptFixtureDir")
   }
 
   /** (event_id, etype, value, event_date): BIGINTs + VARCHARs only, so no

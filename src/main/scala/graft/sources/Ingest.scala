@@ -206,5 +206,36 @@ object Ingest {
       .orderBy("event_id")
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05)
+  /** Committed fixture: one valid parquet + one garbage `.parquet`
+    * (generated by [[graft.FixtureGen]]). */
+  val corruptFixtureDir = "/root/repo/fixtures/corrupt"
+
+  /** Corrupt-file-tolerant scan (SURVEY.md §2.1 [EXT]) — at 100 TB a
+    * table has millions of files and eventually one arrives truncated
+    * or overwritten; the default read fails the whole job on the first
+    * bad footer (correct for correctness-critical reads, and
+    * `IngestSpec` pins that loud default), while
+    * `ignoreCorruptFiles=true` turns the bad file into a skip and the
+    * scan survives — in01/in03's tolerant-vs-quarantine trade-off at
+    * FILE granularity instead of line granularity. The DuckDB oracle
+    * reads the one valid file directly: both engines must agree the
+    * good rows survive intact. The schema is explicit — inference picks
+    * one footer (here the corrupt one, which the skip option then
+    * blanks into UNABLE_TO_INFER_SCHEMA), and a 100 TB table declares
+    * its schema rather than re-deriving it per job anyway. */
+  val in06 = Q("in06_corrupt_tolerant",
+    s"""SELECT id, name, score
+       |FROM read_parquet('$corruptFixtureDir/good.parquet')
+       |ORDER BY id""".stripMargin) { (s, _) =>
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("name", StringType),
+      StructField("score", org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).option("ignoreCorruptFiles", "true")
+      .parquet(corruptFixtureDir)
+      .select(col("id"), col("name"), col("score"))
+      .orderBy("id")
+  }
+
+  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06)
 }

@@ -133,4 +133,18 @@ class IngestSpec extends SparkSpec {
     }
     assert(multi >= 8, s"fixture must exercise the sentence tier, got $multi")
   }
+
+  test("in06: corrupt file skipped under the option, loud failure by default") {
+    val tolerant = sources.Ingest.in06.run(spark, sf).collect()
+    assert(tolerant.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // the DEFAULT read must fail the job on the bad footer, not skip it
+    val schema = tolerant.head.schema
+    val strict = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.fields))
+      .parquet(sources.Ingest.corruptFixtureDir)
+    val e = intercept[org.apache.spark.SparkException] {
+      strict.collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
