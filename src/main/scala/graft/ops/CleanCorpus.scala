@@ -368,5 +368,57 @@ object CleanCorpus {
         .orderBy("rank")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06)
+  // ---------------------------------------------------------------- p07
+  /** Worker-shard count for [[p07]]'s stratified curriculum. */
+  val CurriculumShards = 8
+
+  /** Curriculum ordering — the training-schedule operator (Bengio et
+    * al. 2009's easy→hard regime, as production pipelines run it):
+    * documents phase by t16's LM-perplexity tiers (head = most
+    * predictable = phase 1, then middle, tail), and WITHIN each phase
+    * stratify into [[CurriculumShards]] worker shards by a portable
+    * md5-head hash, each shard ordered by the same hash — so every
+    * worker's stream is an unbiased deterministic sample of its phase,
+    * and epoch order survives retries/re-runs the way t09's split does
+    * (`rand()` would not). The ranking window keys on (phase, shard) —
+    * per-stratum state, never corpus-global (the n02 rule; compare t16
+    * itself, which bucketes without any corpus window). Composes
+    * t16.run, so the oracle's re-derivation is hash-checked against
+    * the real bucketing code each round; the oracle embeds t16's own
+    * SQL verbatim as a CTE — zero drift by construction. */
+  val p07 = Q("p07_curriculum_order", {
+    val t16Sql = TextAnalysis.t16.oracle.get
+    s"""WITH t16o AS ($t16Sql),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    CASE bucket WHEN 'head' THEN 1 WHEN 'middle' THEN 2
+       |         ELSE 3 END AS phase,
+       |    CAST(concat('0x', substr(md5('cur' || CAST(doc_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) AS h
+       |  FROM t16o)
+       |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+       |  CAST(h % $CurriculumShards AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY phase, h % $CurriculumShards
+       |       ORDER BY h, doc_id) AS BIGINT) AS rk
+       |FROM ranked ORDER BY phase, shard, rk""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("cur"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val ranked = TextAnalysis.t16.run(s, d)
+      .select(col("doc_id"),
+        when(col("bucket") === "head", 1L)
+          .when(col("bucket") === "middle", 2L)
+          .otherwise(3L).as("phase"),
+        h.as("h"))
+      .withColumn("shard", (col("h") % CurriculumShards).cast("long"))
+    val w = Window.partitionBy("phase", "shard")
+      .orderBy(col("h"), col("doc_id"))
+    ranked
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("phase"), col("shard"), col("rk"))
+      .orderBy("phase", "shard", "rk")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07)
 }

@@ -246,4 +246,27 @@ class CorpusOpsSpec extends SparkSpec {
       s"head underfilled: ${byBucket("head").length}")
     assert(byBucket("tail").nonEmpty)
   }
+
+  test("p07: curriculum strata are dense, partition the corpus, phases track tiers") {
+    val rows = ops.CleanCorpus.p07.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc appears exactly once
+    val total = model.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == total)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // each (phase, shard) stratum carries a dense 1..n rank sequence
+    rows.groupBy(r => (r._2, r._3)).foreach { case ((p, sh), g) =>
+      assert(p >= 1 && p <= 3 && sh >= 0 &&
+        sh < ops.CleanCorpus.CurriculumShards)
+      assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq,
+        s"stratum ($p, $sh) ranks not dense")
+    }
+    // phases reproduce t16's tiers exactly
+    val tiers = ops.TextAnalysis.t16.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    val phaseOf = Map("head" -> 1L, "middle" -> 2L, "tail" -> 3L)
+    rows.foreach { case (id, p, _, _) =>
+      assert(p == phaseOf(tiers(id)), s"doc $id phase")
+    }
+  }
 }
