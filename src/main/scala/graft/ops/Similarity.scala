@@ -623,5 +623,82 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  // ---------------------------------------------------------------- s08
+  /** kNN-GRAPH join — every vector's top-3 neighbours, not a query
+    * set's (s01/s03 answer "top-k for these queries"; SemDeDup-style
+    * clustering, graph-based ANN indexes, and label-propagation over
+    * embeddings all start from the all-vectors kNN graph instead). The
+    * all-pairs formulation is O(n²) at any scale, so the graph runs
+    * s03's probe contract with EVERY vector as a query: one broadcast
+    * assignment pass hard-assigns the corpus (s03's shared machinery),
+    * every vector probes its P=4 closest cells, and candidates are the
+    * hard members of probed cells — per-vector cost P·n/C, total
+    * P·n²/C, sub-quadratic with the C ≈ √n centroid rule. Each (x, y)
+    * pair arises at most once (y's hard cell is unique), so no dedup
+    * stage. The per-vector top-k window keys on vec_id. Neighbours
+    * outside the probed cells are missed by design — `SimilaritySpec`
+    * quantifies recall vs the true all-pairs graph (s03's trade-off
+    * made explicit for the graph case). Fully oracled: the DuckDB
+    * oracle replays assignment, probing, and ranking with the
+    * bit-identical cosine. */
+  val s08 = Q("s08_knn_graph",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS prn
+       |    FROM e, c)
+       |  WHERE prn <= 4),
+       |pairs AS (
+       |  SELECT p.vec_id, a.vec_id AS neighbor_id, ${cosSql("x", "y")} AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+       |  JOIN e x ON x.vec_id = p.vec_id
+       |  JOIN e y ON y.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c = centroidTable(e)
+    val assign = assignToCentroids(e, c)
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probes = e.join(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        expr("cosine_sim(embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("vec_id", "cid")
+    val wRank = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes
+      .join(assign.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("b_emb")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        expr("cosine_sim(a_emb, b_emb)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "neighbor_id", "rank")
+      .orderBy("vec_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

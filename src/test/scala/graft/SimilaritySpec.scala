@@ -98,4 +98,41 @@ class SimilaritySpec extends SparkSpec {
     // logged, not pinned
     assert(retrained >= 0.5, f"retrained-IVF recall $retrained%.2f < 0.5")
   }
+
+  test("s08 kNN-graph recall vs the true all-pairs graph is quantified") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // true top-3 graph: all-pairs cosine, every vector a query
+    functions.GraftFunctions.register(spark)
+    val e = model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("nb"), col("embedding").as("b_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nb"))
+    val truth = a.crossJoin(b).filter(col("vec_id") =!= col("nb"))
+      .select(col("vec_id"), col("nb"),
+        expr("cosine_sim(a_emb, b_emb)").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = ops.Similarity.s08.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // structural laws: every vector has ≤3 neighbours, none itself
+    got.foreach { case (v, nbs) =>
+      assert(nbs.size <= 3 && !nbs.contains(v))
+    }
+    val recalls = truth.map { case (v, t) =>
+      got.getOrElse(v, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"kNN-graph mean recall = $mean%.2f (P=4 probes of C=16 cells)")
+    // edges outside the probed cells are missed by design. The mean is
+    // lower than s03's 10-query figure because those queries ARE
+    // centroid seeds (vec_id < 10 ⊂ vec_id < 16) and probe their own
+    // neighbourhoods unusually well; over EVERY vector the corpus-
+    // statistical value is what's logged here, floored with margin
+    assert(mean >= 0.4, f"kNN-graph recall $mean%.2f < 0.4")
+  }
 }
