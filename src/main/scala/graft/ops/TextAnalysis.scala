@@ -941,6 +941,42 @@ object TextAnalysis {
       .orderBy(col("exact_count").desc, col("token"))
   }
 
+  // ---------------------------------------------------------------- t18
+  /** Corpus frequency spectrum — the count-of-counts diagnostic behind
+    * tokenizer/vocabulary decisions: how many types occur exactly k
+    * times (Zipf validation, hapax mass, vocabulary-growth estimates à
+    * la Good–Turing all read straight off this table). Two hash aggs —
+    * type counts (map-side combined), then counts-of-counts over the
+    * ≤|distinct frequencies| rows — nothing else; the spectrum is
+    * orders of magnitude smaller than the vocabulary, which is itself
+    * smaller than the corpus. `type_frac`/`token_mass` are single
+    * divisions of exact integers (t02's convention). */
+  val t18 = Q("t18_freq_spectrum",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |vocab AS (SELECT token, count(*) AS k FROM toks GROUP BY token),
+      |tot AS (
+      |  SELECT count(*) AS n_types, sum(k) AS n_tokens FROM vocab),
+      |spec AS (
+      |  SELECT k, count(*) AS n_types_k FROM vocab GROUP BY k)
+      |SELECT s.k, CAST(s.n_types_k AS BIGINT) AS n_types,
+      |  CAST(s.n_types_k AS DOUBLE) / t.n_types AS type_frac,
+      |  CAST(s.k * s.n_types_k AS DOUBLE) / t.n_tokens AS token_mass
+      |FROM spec s CROSS JOIN tot t
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("k"))
+    val tot = vocab.agg(count(lit(1)).as("n_types"), sum("k").as("n_tokens"))
+    vocab.groupBy("k").agg(count(lit(1)).as("n_types_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_types_k").cast("long").as("n_types"),
+        (col("n_types_k").cast("double") / col("n_types")).as("type_frac"),
+        ((col("k") * col("n_types_k")).cast("double") / col("n_tokens"))
+          .as("token_mass"))
+      .orderBy("k")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17)
+    t11, t12, t13, t14, t15, t16, t17, t18)
 }

@@ -63,6 +63,23 @@ class SketchSpec extends SparkSpec {
       model.Tables.lineitem(spark, sf).count())
   }
 
+  test("t18: the frequency spectrum partitions the vocabulary and the token mass") {
+    import spark.implicits._
+    val toks = model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).as[String].collect()
+    val vocab = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = vocab.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rows = ops.TextAnalysis.t18.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+    // every type and every token occurrence is accounted for exactly once
+    assert(rows.map(_._2).sum == vocab.size.toLong)
+    assert(rows.map(r => r._1 * r._2).sum == toks.length.toLong)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+  }
+
   test("q40: median/MAD anomaly counts equal a driver-side recompute") {
     import spark.implicits._
     // Spark's exact percentile: rank = p·(n−1), linear interpolation
