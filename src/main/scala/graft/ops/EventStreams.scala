@@ -418,6 +418,37 @@ object EventStreams {
       .orderBy("day")
   }
 
+  // --------------------------------------------------------------- st14
+  /** The CMS sketch as a STREAMING aggregation — batch twin of
+    * [[graft.streaming.StreamOps.cmsCellsStream]], calling the SAME
+    * [[graft.ops.TextAnalysis.cmsCells]] function over the document
+    * token stream. Unlike every other streaming aggregate here the
+    * state is structurally bounded (depth×width cells, merged by
+    * addition) rather than watermark-bounded — the sketch shape that
+    * makes a live heavy-hitters dashboard possible without a
+    * vocabulary-sized store. Oracle shares t17's cells derivation.
+    * StreamingSpec pins stream sketch == this twin on shared tokens. */
+  val st14 = Q("st14_cms_stream_twin",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |rows4 AS (SELECT unnest(range(${graft.ops.TextAnalysis.CmsDepth})) AS r),
+       |cells AS (
+       |  SELECT r.r,
+       |    CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
+       |      || ':' || t.token), 1, 8)) AS BIGINT)
+       |      % ${graft.ops.TextAnalysis.CmsWidth} AS bucket
+       |  FROM toks t CROSS JOIN rows4 r)
+       |SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+       |FROM cells GROUP BY r, bucket
+       |ORDER BY r, bucket""".stripMargin) { (s, d) =>
+    graft.ops.TextAnalysis.cmsCells(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token")))
+      .select(col("r").cast("long").as("r"), col("bucket"),
+        col("c").cast("long").as("c"))
+      .orderBy("r", "bucket")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13)
+    st10, st11, st12, st13, st14)
 }

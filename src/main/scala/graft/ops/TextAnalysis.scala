@@ -896,6 +896,21 @@ object TextAnalysis {
     * a 100 TB deployment keeps only the sketch and probes it; the
     * heavy-hitter candidate set itself comes from t11's TakeOrdered
     * pass here. */
+  /** The CMS cell table (r, bucket, c) over a `token` column — shared
+    * VERBATIM by t17's sketch stage, the st14 batch twin, and the
+    * streaming sketch maintainer ([[graft.streaming.StreamOps
+    * .cmsCellsStream]]): ≤ depth×width cells, merged by addition, so in
+    * streaming the STATE is exactly the sketch. */
+  private[graft] def cmsCells(tokens: DataFrame): DataFrame = {
+    def bucket(r: Int, tok: Column): Column =
+      conv(substring(md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    val buckets = array((0 until CmsDepth).map(r => bucket(r, col("token"))): _*)
+    tokens
+      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+  }
+
   val t17 = Q("t17_cms_heavy_hitters",
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -926,9 +941,7 @@ object TextAnalysis {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
     val buckets = array((0 until CmsDepth).map(r => bucket(r, col("token"))): _*)
-    val sketch = toks
-      .select(posexplode(buckets).as(Seq("r", "bucket")))
-      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val sketch = cmsCells(toks)
     val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
     val top20 = exact.orderBy(col("exact_count").desc, col("token")).limit(20)
     top20

@@ -182,6 +182,23 @@ object StreamOps {
       .format("parquet").option("path", outDir)
       .start()
 
+  /** Streaming Count-Min sketch maintenance — a different streaming
+    * shape from every windowed/keyed aggregation above: a GLOBAL
+    * aggregation whose state cardinality is structurally bounded at
+    * depth×width cells no matter how much data flows (the sketch IS the
+    * state — no watermark needed, nothing ever expires), so COMPLETE
+    * output mode is safe and every trigger emits the whole
+    * current sketch. This is how a live heavy-hitters dashboard keeps
+    * its estimate without a vocabulary-sized state store; the batch
+    * twin (st14) and t17's sketch stage run the SAME
+    * [[graft.ops.TextAnalysis.cmsCells]] function. Expects a `token`
+    * column. */
+  def cmsCellsStream(tokens: DataFrame, queryName: String): StreamingQuery =
+    graft.ops.TextAnalysis.cmsCells(tokens).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+
   /** Streaming trending top-k — the dashboard query ("most frequent
     * event types per hour, live"). Ranking inside a streaming
     * aggregation is unsupported, so the production shape is: watermarked

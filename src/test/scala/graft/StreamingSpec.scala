@@ -307,4 +307,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(twin == streamed, "stream DAU must equal the batch twin")
   }
+
+  test("streaming CMS: complete-mode sketch equals the batch twin across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = StreamOps.cmsCellsStream(in.toDS().toDF("token"), "cms_sketch")
+    val batch1 = Seq("spark", "spark", "scala", "data")
+    val batch2 = Seq("spark", "data", "graft", "graft", "graft")
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_sketch").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val twin = ops.TextAnalysis.cmsCells(
+      (batch1 ++ batch2).toDF("token")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == twin, "stream sketch must equal the batch twin")
+    // the state bound: never more than depth x width cells
+    assert(streamed.size <=
+      ops.TextAnalysis.CmsDepth * ops.TextAnalysis.CmsWidth)
+    // all cells in every row sum to the total token count
+    (0 until ops.TextAnalysis.CmsDepth).foreach { r =>
+      val rowSum = streamed.collect { case ((`r`, _), c) => c }.sum
+      assert(rowSum == (batch1 ++ batch2).length.toLong, s"row $r")
+    }
+  }
 }
