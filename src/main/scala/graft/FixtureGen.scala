@@ -18,6 +18,18 @@ import org.apache.spark.sql.SparkSession
 object FixtureGen {
   val hiveFixtureDir = "/root/repo/fixtures/hive"
 
+  /** Files.list with the underlying DirectoryStream closed (the raw
+    * stream leaks an fd until GC). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.configure(SparkSession.builder()
       .master("local[2]")
@@ -43,9 +55,7 @@ object FixtureGen {
       .toDF("id", "name", "score")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     Files.createDirectories(dest)
-    val parts = Files.list(Paths.get(tmp)).iterator()
-    while (parts.hasNext) {
-      val p: Path = parts.next()
+    listDir(Paths.get(tmp)).foreach { p =>
       if (p.getFileName.toString.endsWith(".parquet"))
         Files.copy(p, dest.resolve("good.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
@@ -74,15 +84,11 @@ object FixtureGen {
       .coalesce(1)
       .write.partitionBy("event_date").mode("overwrite").parquet(tmp)
     // stable file names (data.parquet) instead of Spark's uuid part files
-    val dirs = Files.list(Paths.get(tmp)).iterator()
-    while (dirs.hasNext) {
-      val d = dirs.next()
+    listDir(Paths.get(tmp)).foreach { d =>
       if (Files.isDirectory(d) && d.getFileName.toString.startsWith("event_date=")) {
         val out = dest.resolve(d.getFileName.toString)
         Files.createDirectories(out)
-        val parts = Files.list(d).iterator()
-        while (parts.hasNext) {
-          val p: Path = parts.next()
+        listDir(d).foreach { p =>
           if (p.getFileName.toString.endsWith(".parquet"))
             Files.copy(p, out.resolve("data.parquet"), StandardCopyOption.REPLACE_EXISTING)
         }

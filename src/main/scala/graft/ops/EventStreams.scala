@@ -429,15 +429,7 @@ object EventStreams {
     * vocabulary-sized store. Oracle shares t17's cells derivation.
     * StreamingSpec pins stream sketch == this twin on shared tokens. */
   val st14 = Q("st14_cms_stream_twin",
-    s"""WITH toks AS (
-       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-       |rows4 AS (SELECT unnest(range(${graft.ops.TextAnalysis.CmsDepth})) AS r),
-       |cells AS (
-       |  SELECT r.r,
-       |    CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
-       |      || ':' || t.token), 1, 8)) AS BIGINT)
-       |      % ${graft.ops.TextAnalysis.CmsWidth} AS bucket
-       |  FROM toks t CROSS JOIN rows4 r)
+    s"""WITH ${graft.ops.TextAnalysis.cmsCellCtes}
        |SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
        |FROM cells GROUP BY r, bucket
        |ORDER BY r, bucket""".stripMargin) { (s, d) =>

@@ -256,14 +256,22 @@ object Graph {
     s"""WITH $projEdgeCtes,
        |$triangleCtes
        |SELECT node, triangles FROM tc ORDER BY node""".stripMargin) { (s, d) =>
-    triangleCounts(projectionEdges(s, d).localCheckpoint()).orderBy("node")
+    val e = projectionEdges(s, d).localCheckpoint()
+    triangleCounts(e, degreesOf(e)).orderBy("node")
   }
 
-  /** Per-node triangle counts over a checkpointed edge set (s1 < s2) —
-    * the DataFrame twin of [[triangleCtes]], shared by g03 and g04. */
-  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
-    val vdeg = e.select(col("s1").as("v")).union(e.select(col("s2").as("v")))
+  /** Undirected degree table (v, d) of an (s1, s2) edge set — the one
+    * definition both the orientation and g04's coefficient use. */
+  private[graft] def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("s1").as("v")).union(e.select(col("s2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Per-node triangle counts over a checkpointed edge set (s1 < s2) —
+    * the DataFrame twin of [[triangleCtes]], shared by g03 and g04. The
+    * caller supplies the [[degreesOf]] table so g04 reuses ONE degree
+    * aggregation for both the orientation and the coefficient (review
+    * finding: two independent builds could silently diverge). */
+  private[graft] def triangleCounts(e: DataFrame, vdeg: DataFrame): DataFrame = {
     val j = e
       .join(vdeg.select(col("v").as("s1"), col("d").as("d1")), "s1")
       .join(vdeg.select(col("v").as("s2"), col("d").as("d2")), "s2")
@@ -305,9 +313,8 @@ object Graph {
        |FROM vdeg v LEFT JOIN tc ON tc.node = v.v
        |ORDER BY node""".stripMargin) { (s, d) =>
     val e = projectionEdges(s, d).localCheckpoint() // reused by deg + tc
-    val vdeg = e.select(col("s1").as("v")).union(e.select(col("s2").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val tc = triangleCounts(e).withColumnRenamed("node", "v")
+    val vdeg = degreesOf(e).localCheckpoint() // reused by tc AND the join
+    val tc = triangleCounts(e, vdeg).withColumnRenamed("node", "v")
     vdeg.join(tc, Seq("v"), "left")
       .select(col("v").as("node"), col("d").cast("long").as("degree"),
         coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"),

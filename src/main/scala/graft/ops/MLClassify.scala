@@ -267,33 +267,18 @@ object MLClassify {
     * every round. At 100 TB: one map pass, one ≤|scores| histogram
     * shuffle, a tiny window, a broadcast of three scalars. */
   val ml03 = Q("ml03_roc_auc", {
-    val stopArr = graft.ops.TextAnalysis.stopwords
-      .map("'" + _ + "'").mkString(", ")
-    s"""WITH gm AS (
-       |  SELECT doc_id,
-       |    len(string_split(text, ' ')) AS n_words,
-       |    length(text) - (len(string_split(text, ' ')) - 1) AS n_chars,
-       |    len(list_filter(string_split(text, ' '),
-       |        x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-       |    len(list_intersect(string_split(text, ' '), [$stopArr])) AS n_stop,
-       |    (length(text) - length(replace(text, '#', '')))
-       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
-       |  FROM documents),
-       |lab AS (
-       |  SELECT doc_id,
-       |    (n_words BETWEEN ${graft.ops.TextAnalysis.GopherMinWords}
-       |       AND ${graft.ops.TextAnalysis.GopherMaxWords})
-       |      AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
-       |      AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
-       |      AND n_stop >= 2 AS label
-       |  FROM gm),
+    // t15/t02's own oracle SQL embedded verbatim as CTEs (p07's
+    // zero-drift technique): the label and score DEFINITIONS cannot
+    // diverge from the operators they compose
+    val t15Sql = graft.ops.TextAnalysis.t15.oracle.get
+    val t02Sql = graft.ops.TextAnalysis.t02.oracle.get
+    s"""WITH t15o AS ($t15Sql),
+       |t02o AS ($t02Sql),
+       |lab AS (SELECT doc_id, keep AS label FROM t15o),
        |qs AS (
-       |  SELECT doc_id, CAST(round(
-       |    least(1.0, len(string_split(text, ' ')) / 200.0)
-       |      * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |         / len(string_split(text, ' '))) * 1000000.0) AS BIGINT)
-       |    AS score_micro
-       |  FROM documents),
+       |  SELECT doc_id,
+       |    CAST(round(quality * 1000000.0) AS BIGINT) AS score_micro
+       |  FROM t02o),
        |d AS (
        |  SELECT qs.score_micro, lab.label
        |  FROM qs JOIN lab ON lab.doc_id = qs.doc_id),

@@ -644,20 +644,13 @@ object Similarity {
   val s08 = Q("s08_knn_graph",
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
-       |assign AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
-       |    FROM e, c)
-       |  WHERE rn = 1),
-       |probes AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS prn
-       |    FROM e, c)
-       |  WHERE prn <= 4),
+       |cellrank AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |  FROM e, c),
+       |assign AS (SELECT vec_id, cid FROM cellrank WHERE rn = 1),
+       |probes AS (SELECT vec_id, cid FROM cellrank WHERE rn <= 4),
        |pairs AS (
        |  SELECT p.vec_id, a.vec_id AS neighbor_id, ${cosSql("x", "y")} AS cos
        |  FROM probes p
@@ -675,15 +668,19 @@ object Similarity {
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val c = centroidTable(e)
-    val assign = assignToCentroids(e, c)
+    // ONE broadcast cosine pass + ranking window serves both roles:
+    // assign = rn 1, probes = rn <= 4 (review finding: the earlier form
+    // ran the n×C pass twice via assignToCentroids + a probe rebuild)
     val wProbe = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cid"))
-    val probes = e.join(broadcast(c))
+    val cellrank = e.join(broadcast(c))
       .select(col("vec_id"), col("cid"),
         expr("cosine_sim(embedding, c_embedding)").as("cos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 4)
-      .select("vec_id", "cid")
+      .withColumn("rn", row_number().over(wProbe))
+      .select("vec_id", "cid", "rn")
+      .localCheckpoint() // reused by assign AND probes
+    val assign = cellrank.filter(col("rn") === 1).select("vec_id", "cid")
+    val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
     val wRank = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes

@@ -896,30 +896,44 @@ object TextAnalysis {
     * a 100 TB deployment keeps only the sketch and probes it; the
     * heavy-hitter candidate set itself comes from t11's TakeOrdered
     * pass here. */
+  /** The per-token CMS bucket array — ONE definition of the md5-head
+    * hash family, used by the sketch build ([[cmsCells]]) and t17's
+    * probe stage: both must address identical cells for min-over-rows
+    * to be a valid estimate. */
+  private[graft] def cmsBuckets(tok: Column): Column =
+    array((0 until CmsDepth).map { r =>
+      conv(substring(md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
+        .cast("long") % CmsWidth
+    }: _*)
+
+  /** Shared CTE block (toks → rows4 → cells) deriving every token
+    * occurrence's (r, bucket) cell over `documents` — spliced into both
+    * the t17 and st14 oracles so the two engines AND the two queries
+    * share one cell definition. NB: no continuation line here may BEGIN
+    * with `||` — the host template's stripMargin would eat the first
+    * pipe as a margin marker. */
+  private[graft] val cmsCellCtes: String =
+    s"""toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |rows4 AS (SELECT unnest(range($CmsDepth)) AS r),
+       |cells AS (
+       |  SELECT r.r,
+       |    CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR) ||
+       |      ':' || t.token), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
+       |  FROM toks t CROSS JOIN rows4 r)""".stripMargin
+
   /** The CMS cell table (r, bucket, c) over a `token` column — shared
     * VERBATIM by t17's sketch stage, the st14 batch twin, and the
     * streaming sketch maintainer ([[graft.streaming.StreamOps
     * .cmsCellsStream]]): ≤ depth×width cells, merged by addition, so in
     * streaming the STATE is exactly the sketch. */
-  private[graft] def cmsCells(tokens: DataFrame): DataFrame = {
-    def bucket(r: Int, tok: Column): Column =
-      conv(substring(md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
-        .cast("long") % CmsWidth
-    val buckets = array((0 until CmsDepth).map(r => bucket(r, col("token"))): _*)
+  private[graft] def cmsCells(tokens: DataFrame): DataFrame =
     tokens
-      .select(posexplode(buckets).as(Seq("r", "bucket")))
+      .select(posexplode(cmsBuckets(col("token"))).as(Seq("r", "bucket")))
       .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-  }
 
   val t17 = Q("t17_cms_heavy_hitters",
-    s"""WITH toks AS (
-       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-       |rows4 AS (SELECT unnest(range($CmsDepth)) AS r),
-       |cells AS (
-       |  SELECT r.r,
-       |    CAST(concat('0x', substr(md5('cms' || CAST(r.r AS VARCHAR)
-       |      || ':' || t.token), 1, 8)) AS BIGINT) % $CmsWidth AS bucket
-       |  FROM toks t CROSS JOIN rows4 r),
+    s"""WITH $cmsCellCtes,
        |sketch AS (SELECT r, bucket, count(*) AS c FROM cells GROUP BY r, bucket),
        |exact AS (SELECT token, count(*) AS exact_count FROM toks GROUP BY token),
        |top20 AS (
@@ -935,18 +949,14 @@ object TextAnalysis {
        |FROM probes p JOIN sketch s ON s.r = p.r AND s.bucket = p.bucket
        |GROUP BY p.token, p.exact_count
        |ORDER BY exact_count DESC, token""".stripMargin) { (s, d) =>
-    def bucket(r: Int, tok: Column): Column =
-      conv(substring(md5(concat(lit(s"cms$r:"), tok)), 1, 8), 16, 10)
-        .cast("long") % CmsWidth
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("token"))
-    val buckets = array((0 until CmsDepth).map(r => bucket(r, col("token"))): _*)
     val sketch = cmsCells(toks)
     val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_count"))
     val top20 = exact.orderBy(col("exact_count").desc, col("token")).limit(20)
     top20
       .select(col("token"), col("exact_count"),
-        posexplode(buckets).as(Seq("r", "bucket")))
+        posexplode(cmsBuckets(col("token"))).as(Seq("r", "bucket")))
       .join(sketch, Seq("r", "bucket"))
       .groupBy("token", "exact_count").agg(min("c").as("cms_count"))
       .select(col("token"), col("exact_count").cast("long").as("exact_count"),
