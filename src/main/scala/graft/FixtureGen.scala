@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * 100 TB fact table is laid out.
   */
 object FixtureGen {
-  val hiveFixtureDir = "/root/repo/fixtures/hive"
+  val hiveFixtureDir = sources.Ingest.hiveFixtureDir
 
   /** Files.list with the underlying DirectoryStream closed (the raw
     * stream leaks an fd until GC). */
@@ -38,10 +38,93 @@ object FixtureGen {
     spark.sparkContext.setLogLevel("WARN")
     writeHiveFixture(spark)
     writeCorruptFixture(spark)
+    writeMlFixture(spark)
     spark.stop()
   }
 
-  val corruptFixtureDir = "/root/repo/fixtures/corrupt"
+  /** Copies the single part-file of a freshly-written one-partition
+    * parquet dir to a stable standalone file name (Spark part-file names
+    * embed UUIDs — unstable bytes for a committed fixture). */
+  private def copySingleParquet(tmpDir: String, dest: Path): Unit = {
+    listDir(Paths.get(tmpDir)).find(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING))
+      .getOrElse(sys.error(s"no parquet part file under $tmpDir"))
+  }
+
+  /** The ml04 frozen-model fixture (r05 verdict #3): the LR distillation
+    * model trained on the sf0.01 corpus — bit-deterministic, so this is
+    * reproducible — flattened into four relational tables that make the
+    * serving pass `argmax(W·x + b)` expressible in BOTH engines:
+    *
+    *   - `term_index.parquet` (term, idx): every distinct Tokenizer token
+    *     across ALL testdata scale factors, mapped through the model's
+    *     own HashingTF bucket function. The corpus vocabulary is a fixed
+    *     31-word list, so the table is complete for any serving dir —
+    *     `MLFrozenSpec` asserts coverage rather than trusting it.
+    *   - `idf.parquet` (idx, idf): the fitted IDFModel vector.
+    *   - `coef.parquet` (cls, label, idx, w): the multinomial coefficient
+    *     matrix, one row per (class, feature).
+    *   - `intercept.parquet` (cls, label, b): the intercept vector.
+    *
+    * Training stays rows-only (ml01); what this freezes is the SERVING
+    * artifact, the piece that is pure linear algebra. */
+  def writeMlFixture(spark: SparkSession): Unit = {
+    val dest = Paths.get(ops.MLClassify.mlFixtureDir)
+    if (Files.exists(dest)) { println(s"$dest exists; skipping"); return }
+    import spark.implicits._
+    import org.apache.spark.ml.classification.LogisticRegressionModel
+    import org.apache.spark.ml.feature.{HashingTF, IDFModel, Tokenizer}
+    import org.apache.spark.sql.functions.{col, explode}
+
+    val trainDir = "/root/testdata/sf0.01"
+    val (model, labels) =
+      ops.MLClassify.fitModel(graft.model.Tables.documents(spark, trainDir))
+    val hashing = model.stages.collectFirst { case h: HashingTF => h }
+      .getOrElse(sys.error("no HashingTF stage"))
+    val idfModel = model.stages.collectFirst { case m: IDFModel => m }
+      .getOrElse(sys.error("no IDFModel stage"))
+    val lr = model.stages.collectFirst { case m: LogisticRegressionModel => m }
+      .getOrElse(sys.error("no LogisticRegressionModel stage"))
+    require(lr.coefficientMatrix.numRows == labels.length,
+      s"expected a multinomial coefficient matrix (${labels.length} rows), " +
+        s"got ${lr.coefficientMatrix.numRows} — binomial collapse would need a 2-row expansion")
+
+    // vocabulary: the EXACT Tokenizer tokens (not a re-implementation)
+    // over every scale factor's corpus, so serving at any tested dir
+    // finds all its terms
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("tokens")
+    val terms = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(sf => tok.transform(
+        graft.model.Tables.documents(spark, s"/root/testdata/$sf")
+          .select(col("text")))
+        .select(explode(col("tokens")).as("term")))
+      .reduce(_ union _)
+      .distinct().as[String].collect().sorted
+    println(s"ml fixture: ${terms.length} vocab terms, ${labels.length} classes")
+
+    Files.createDirectories(dest)
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-ml-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      copySingleParquet(tmp, dest.resolve(s"$name.parquet"))
+    }
+    write("term_index",
+      terms.toSeq.map(t => (t, hashing.indexOf(t))).toDF("term", "idx"))
+    write("idf",
+      idfModel.idf.toArray.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("idx", "idf"))
+    write("coef", {
+      val m = lr.coefficientMatrix
+      (for { c <- 0 until m.numRows; j <- 0 until m.numCols }
+        yield (c, labels(c), j, m(c, j))).toDF("cls", "label", "idx", "w")
+    })
+    write("intercept",
+      lr.interceptVector.toArray.zipWithIndex
+        .map { case (b, c) => (c, labels(c), b) }.toSeq.toDF("cls", "label", "b"))
+    println(s"wrote $dest")
+  }
+
+  val corruptFixtureDir = sources.Ingest.corruptFixtureDir
 
   /** One valid parquet file + one garbage `.parquet` (deterministic
     * bytes, not parquet at all) in the same directory — the in06

@@ -338,5 +338,102 @@ object MLClassify {
       .orderBy(col("score_micro").desc)
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03)
+  // ---------------------------------------------------------------- ml04
+  /** Frozen-model serving, fully oracled (r05 verdict #3: "the serving
+    * pass IS SQL-expressible with frozen coefficients"). The committed
+    * `fixtures/ml/` tables (see [[graft.FixtureGen.writeMlFixture]])
+    * flatten the sf0.01-trained distillation model into relations, and
+    * serving becomes pure dataflow both engines can run:
+    *
+    *   tokens ⋈ term_index → tf per (doc, feature-idx)
+    *   tf · idf            → tf-idf feature value
+    *   feature ⋈ coef      → per-class contributions
+    *   Σ + intercept       → class scores; argmax → category
+    *
+    * The dot product uses the repo's integer-quantisation discipline
+    * (g01/ml03): each term's contribution `w · f` is quantised to nanos
+    * (`CAST(round(w * f * 1e9) AS BIGINT)`) BEFORE summing, so the sum is
+    * order-free and bit-identical cross-engine; argmax ties break on
+    * label order. `MLFrozenSpec` pins the quantised argmax equal to the
+    * live MLlib model's float argmax, and the committed weights equal a
+    * fresh deterministic refit (stale-fixture guard).
+    *
+    * Docs with no indexed tokens still score (intercept-only) via the
+    * docs × classes frame — classes is a 7-row broadcast, not a real
+    * cartesian.
+    *
+    * Scale: this is the deployment path ml01's scaladoc promises — no
+    * lexicon, no teacher. One token explode, a broadcast join to the
+    * term index (vocab-sized; at a real vocab it becomes a shuffle join
+    * on term), map-side partial tf aggregation, broadcast idf + coef
+    * (numClasses × 1024 doubles), one doc_id-partitioned argmax window.
+    * The corpus shuffles once, on doc_id. */
+  val mlFixtureDir: String = graft.Fixtures.path("ml")
+
+  val ml04 = Q("ml04_frozen_serving",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                       t -> t <> '')) AS term
+       |  FROM documents),
+       |ti AS (SELECT term, idx FROM read_parquet('$mlFixtureDir/term_index.parquet')),
+       |idfs AS (SELECT idx, idf FROM read_parquet('$mlFixtureDir/idf.parquet')),
+       |coef AS (SELECT cls, label, idx, w FROM read_parquet('$mlFixtureDir/coef.parquet')),
+       |icept AS (SELECT cls, label, b FROM read_parquet('$mlFixtureDir/intercept.parquet')),
+       |tf AS (
+       |  SELECT t.doc_id, ti.idx, count(*) AS tf
+       |  FROM toks t JOIN ti ON ti.term = t.term
+       |  GROUP BY 1, 2),
+       |feat AS (
+       |  SELECT tf.doc_id, tf.idx, tf.tf * idfs.idf AS f
+       |  FROM tf JOIN idfs ON idfs.idx = tf.idx),
+       |contrib AS (
+       |  SELECT f.doc_id, c.cls,
+       |    CAST(sum(CAST(round(c.w * f.f * 1000000000.0) AS BIGINT)) AS BIGINT) AS dot_q
+       |  FROM feat f JOIN coef c ON c.idx = f.idx
+       |  GROUP BY 1, 2),
+       |scores AS (
+       |  SELECT d.doc_id, i.label,
+       |    coalesce(ct.dot_q, 0) + CAST(round(i.b * 1000000000.0) AS BIGINT)
+       |      AS score_q
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN icept i
+       |  LEFT JOIN contrib ct ON ct.doc_id = d.doc_id AND ct.cls = i.cls)
+       |SELECT doc_id, label AS category, score_q FROM (
+       |  SELECT doc_id, label, score_q,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score_q DESC, label) AS rn
+       |  FROM scores)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+        .as("term"))
+    val ti = s.read.parquet(s"$mlFixtureDir/term_index.parquet")
+    val idfs = s.read.parquet(s"$mlFixtureDir/idf.parquet")
+    val coefs = s.read.parquet(s"$mlFixtureDir/coef.parquet")
+    val icept = s.read.parquet(s"$mlFixtureDir/intercept.parquet")
+    val tf = toks.join(broadcast(ti), "term")
+      .groupBy("doc_id", "idx").agg(count(lit(1)).as("tf"))
+    val feat = tf.join(broadcast(idfs), "idx")
+      .select(col("doc_id"), col("idx"), (col("tf") * col("idf")).as("f"))
+    val contrib = feat.join(broadcast(coefs), "idx")
+      .groupBy("doc_id", "cls")
+      .agg(sum(expr("CAST(round(w * f * 1000000000.0) AS BIGINT)")).as("dot_q"))
+    val scores = docs.select("doc_id").crossJoin(broadcast(icept))
+      .join(contrib, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("label"),
+        (coalesce(col("dot_q"), lit(0L)) +
+          expr("CAST(round(b * 1000000000.0) AS BIGINT)")).as("score_q"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("label"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("category"), col("score_q"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04)
 }

@@ -66,7 +66,7 @@ object Ingest {
 
   /** Committed JSONL fixture with structurally-broken lines mixed in —
     * the reference front door's actual input condition. */
-  val fixturePath = "/root/repo/fixtures/news_articles.jsonl"
+  val fixturePath = graft.Fixtures.path("news_articles.jsonl")
 
   /** End-to-end oracled ingestion: tolerant JSONL scan (malformed lines
     * dropped in-scan) → format projection. The DuckDB oracle reads the
@@ -96,7 +96,7 @@ object Ingest {
 
   /** Committed CSV fixture exercising quoting (embedded comma, escaped
     * quote) and a NULL numeric field. */
-  val csvFixturePath = "/root/repo/fixtures/sources.csv"
+  val csvFixturePath = graft.Fixtures.path("sources.csv")
 
   /** Oracled CSV front door: header + quote/escape handling + NULL
     * parsing must agree between Spark's CSV reader and DuckDB's. Types
@@ -153,7 +153,7 @@ object Ingest {
   /** Committed two-generation parquet fixture: v1 carries
     * (source_id, name); v2 adds (reliability, region) — the
     * append-only schema widening every long-lived table accumulates. */
-  val evolveFixtureDir = "/root/repo/fixtures/evolving"
+  val evolveFixtureDir = graft.Fixtures.path("evolving")
 
   /** Schema-evolution scan (SURVEY.md §2.1 [EXT] — `mergeSchema`): one
     * read over both file generations yields the union schema, with the
@@ -177,7 +177,7 @@ object Ingest {
   /** Committed hive-partitioned fixture (`event_date=YYYY-MM-DD/data
     * .parquet`, three partitions) — generated by [[graft.FixtureGen]].
     * The partition column exists only in directory names. */
-  val hiveFixtureDir = "/root/repo/fixtures/hive"
+  val hiveFixtureDir = graft.Fixtures.path("hive")
 
   /** Partition-pruned scan (SURVEY.md §2.1 [EXT]) — THE scale feature of
     * a date-partitioned fact table: a predicate on the partition column
@@ -208,7 +208,7 @@ object Ingest {
 
   /** Committed fixture: one valid parquet + one garbage `.parquet`
     * (generated by [[graft.FixtureGen]]). */
-  val corruptFixtureDir = "/root/repo/fixtures/corrupt"
+  val corruptFixtureDir = graft.Fixtures.path("corrupt")
 
   /** Corrupt-file-tolerant scan (SURVEY.md §2.1 [EXT]) — at 100 TB a
     * table has millions of files and eventually one arrives truncated

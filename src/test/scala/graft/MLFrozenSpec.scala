@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.ml.classification.LogisticRegressionModel
+import org.apache.spark.ml.feature.{HashingTF, IDFModel}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.ops.MLClassify
+
+/** Pins the ml04 frozen-serving path (r05 verdict #3) against the live
+  * MLlib model from three directions:
+  *
+  *  1. staleness — a fresh deterministic refit on the fixture's training
+  *     corpus must reproduce the committed weight tables bit-for-bit; if
+  *     the pipeline definition drifts (NumFeatures, regParam, teacher
+  *     lexicon), this fails loudly with "regenerate fixtures/ml" instead
+  *     of ml04 silently serving a stale model;
+  *  2. coverage — every serving-time token must appear in the committed
+  *     term index, or the tf join silently drops features the live
+  *     HashingTF would count;
+  *  3. fidelity — the integer-quantised relational argmax must equal the
+  *     live model's float argmax doc-for-doc.
+  */
+class MLFrozenSpec extends SparkSpec {
+
+  private val trainDir = "/root/testdata/sf0.01"
+
+  private lazy val refit = MLClassify.fitModel(Tables.documents(spark, trainDir))
+
+  test("committed fixture weights equal a fresh deterministic refit (stale guard)") {
+    val (model, labels) = refit
+    val lr = model.stages.collectFirst { case m: LogisticRegressionModel => m }.get
+    val idfModel = model.stages.collectFirst { case m: IDFModel => m }.get
+    val hashing = model.stages.collectFirst { case h: HashingTF => h }.get
+
+    val coef = spark.read.parquet(s"${MLClassify.mlFixtureDir}/coef.parquet")
+      .collect().map(r => ((r.getInt(0), r.getInt(2)), (r.getString(1), r.getDouble(3)))).toMap
+    assert(coef.size == labels.length * MLClassify.NumFeatures)
+    for (c <- labels.indices; j <- 0 until MLClassify.NumFeatures) {
+      val (label, w) = coef((c, j))
+      assert(label == labels(c))
+      assert(w == lr.coefficientMatrix(c, j),
+        s"coef ($c,$j) drifted — regenerate fixtures/ml (rm -r && sbt runMain graft.FixtureGen)")
+    }
+    val icept = spark.read.parquet(s"${MLClassify.mlFixtureDir}/intercept.parquet")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    labels.indices.foreach { c =>
+      assert(icept(c) == lr.interceptVector(c), s"intercept $c drifted — regenerate fixtures/ml")
+    }
+    val idf = spark.read.parquet(s"${MLClassify.mlFixtureDir}/idf.parquet")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (0 until MLClassify.NumFeatures).foreach { j =>
+      assert(idf(j) == idfModel.idf(j), s"idf $j drifted — regenerate fixtures/ml")
+    }
+    // term index buckets must be the model's own hash function
+    spark.read.parquet(s"${MLClassify.mlFixtureDir}/term_index.parquet")
+      .collect().foreach { r =>
+        assert(r.getInt(1) == hashing.indexOf(r.getString(0)))
+      }
+  }
+
+  test("term index covers every serving-time token at all tested scale factors") {
+    val indexed = spark.read.parquet(s"${MLClassify.mlFixtureDir}/term_index.parquet")
+      .select("term")
+    Seq(sf, trainDir, "/root/testdata/sf0.1").foreach { dir =>
+      val missing = Tables.documents(spark, dir)
+        .select(explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("term"))
+        .distinct()
+        .join(indexed, Seq("term"), "left_anti")
+        .collect().map(_.getString(0))
+      assert(missing.isEmpty, s"$dir has tokens outside the committed term index: ${missing.toSeq.sorted}")
+    }
+  }
+
+  test("quantised relational argmax equals the live model's argmax, doc for doc") {
+    val (model, labels) = refit
+    Seq(sf, trainDir).foreach { dir =>
+      val docs = Tables.documents(spark, dir)
+      // bare serving: the pipeline's StringIndexer stage needs label_str
+      // to exist, but its output is unused by the LR transform
+      val live = model.transform(
+        docs.select(col("doc_id"), col("text"), lit(labels(0)).as("label_str")))
+        .select(col("doc_id"),
+          element_at(array(labels.toIndexedSeq.map(lit): _*),
+            col("prediction").cast("int") + 1).as("live_category"))
+      val frozen = MLClassify.ml04.run(spark, dir)
+      val diff = frozen.join(live, "doc_id")
+        .filter(col("category") =!= col("live_category"))
+        .count()
+      assert(diff == 0L, s"$dir: $diff docs disagree between frozen and live serving")
+      assert(frozen.count() == docs.count())
+    }
+  }
+
+  test("intercept-only path: a doc with no indexed tokens still gets the argmax-intercept class") {
+    // the winning label under zero features is the max quantised intercept
+    val icept = spark.read.parquet(s"${MLClassify.mlFixtureDir}/intercept.parquet")
+      .collect().map(r => (r.getString(1), math.round(r.getDouble(2) * 1e9)))
+    val expected = icept.minBy { case (l, b) => (-b, l) }._1
+    // run the ml04 dataflow over a 1-doc frame whose token joins nothing:
+    // simplest route is asserting the scores frame logic via the fixture
+    // directly — an unindexable token string
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ml04-icept").toString
+    Seq((1L, "zzzz_not_in_vocab qqqq_not_in_vocab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = MLClassify.ml04.run(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == expected)
+    assert(out(0).getLong(2) == icept.map(_._2).max)
+  }
+}
