@@ -145,6 +145,15 @@ class IngestSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException] {
       strict.collect()
     }
-    assert(e.getMessage != null)
+    // pin the FAILURE MODE, not just the exception type (r05 ADVICE: a
+    // null-check would pass for any SparkException): the cause chain must
+    // name the corrupt file or the parquet footer/magic-bytes check
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      .toLowerCase(java.util.Locale.ROOT)
+    assert(msgs.contains("bad.parquet") || msgs.contains("footer") ||
+      msgs.contains("magic"),
+      s"expected a corrupt-footer failure naming the bad file, got: ${msgs.take(600)}")
   }
 }
