@@ -906,6 +906,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d15
+  /** Best-of-cluster representative selection: each duplicate cluster
+    * (d08's min-label components) keeps its HIGHEST-QUALITY member
+    * (t02's score), not its lowest doc_id. Production dedup pipelines
+    * select representatives this way — "first seen" is an accident of
+    * crawl order, and keeping the best-scoring duplicate measurably
+    * improves the retained corpus. Ties break on doc_id so selection is
+    * deterministic.
+    *
+    * The oracle composes d08's recursive-CTE closure and t02's quality
+    * SQL verbatim (the p07/ml03 zero-drift technique): the cluster and
+    * score DEFINITIONS cannot diverge from the operators they compose,
+    * so this query re-checks both every round.
+    *
+    * Scale: rides d08's O(log n)-round clustering; the selection itself
+    * is one cluster-keyed window + member count — no corpus-global
+    * ordering, no driver state. At 100 TB the cluster table is the
+    * already-computed dedup artifact; this pass adds one keyed shuffle. */
+  val d15 = Q("d15_best_of_cluster",
+    s"""WITH RECURSIVE $shinglesSql,
+       |$clustersSql,
+       |t02o AS (${graft.ops.TextAnalysis.t02.oracle.get}),
+       |joined AS (
+       |  SELECT c.cluster, c.doc_id, q.quality
+       |  FROM clusters c JOIN t02o q USING (doc_id))
+       |SELECT cluster, doc_id AS best_doc, quality AS best_quality,
+       |  n_members
+       |FROM (
+       |  SELECT cluster, doc_id, quality,
+       |    row_number() OVER (PARTITION BY cluster
+       |                       ORDER BY quality DESC, doc_id) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members
+       |  FROM joined)
+       |WHERE rn = 1
+       |ORDER BY cluster""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val clusters = d08.run(s, d).select("doc_id", "cluster")
+    val quality = graft.ops.TextAnalysis.t02.run(s, d)
+      .select("doc_id", "quality")
+    val byCluster = Window.partitionBy("cluster")
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("quality").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("best_doc"),
+        col("quality").as("best_quality"), col("n_members"))
+      .orderBy("cluster")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14)
+    d11, d12, d13, d14, d15)
 }

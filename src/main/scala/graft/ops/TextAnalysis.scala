@@ -1000,6 +1000,80 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  // ---------------------------------------------------------------- t19
+  /** Corpus-level duplicate-sentence removal — the C4/CCNet/RefinedWeb
+    * line-dedup pass: a sentence occurring anywhere else in the corpus is
+    * kept ONLY at its first occurrence in global (doc_id, position)
+    * order; every later occurrence is excised and the document is
+    * reassembled from its surviving sentences in position order. This is
+    * the boilerplate killer ("subscribe to our newsletter…") that exact
+    * doc-dedup (d01) and span excision (d14) both miss: the duplicated
+    * unit is a LINE inside otherwise-unique documents. Runs over the
+    * sentence fixture (the synthetic corpus has no sentence structure —
+    * the n10 convention).
+    *
+    * Scale shape: occurrence ranking shuffles ONLY a narrow
+    * (digest, doc_id, idx) projection — the window partitions by the
+    * sentence's md5 digest, never the sentence text, so the wide corpus
+    * body crosses the wire once, on doc_id, for reassembly (the d14
+    * discipline). Digest keying is in BOTH engines, so a collision —
+    * negligible at 128 bits — would be replicated, not diverged.
+    * At 100 TB: one narrow hash shuffle + one doc-keyed assembly
+    * shuffle; no corpus-global window (the global (doc_id, idx) order is
+    * per-digest, bounded by each sentence's occurrence count). */
+  val t19 = Q("t19_line_dedup",
+    s"""WITH docs AS (
+       |  SELECT doc_id, substr(coalesce(text, ''), 1, 5000) AS text
+       |  FROM read_json('${graft.ops.NewsPipeline.summaryFixturePath}',
+       |                 format='newline_delimited',
+       |                 columns={doc_id: 'BIGINT', text: 'VARCHAR'})),
+       |sents AS (
+       |  SELECT doc_id,
+       |    generate_subscripts(sl, 1) - 1 AS idx, unnest(sl) AS sent
+       |  FROM (SELECT doc_id, list_filter(string_split(
+       |      regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+       |      chr(1)), x -> x <> '') AS sl FROM docs)),
+       |marked AS (
+       |  SELECT doc_id, idx, sent,
+       |    row_number() OVER (PARTITION BY md5(sent)
+       |                       ORDER BY doc_id, idx) AS occ
+       |  FROM sents)
+       |SELECT doc_id,
+       |  coalesce(string_agg(CASE WHEN occ = 1 THEN sent END, ' '
+       |                      ORDER BY idx), '') AS clean_text,
+       |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM marked
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = s.read.schema("doc_id LONG, text STRING")
+      .json(graft.ops.NewsPipeline.summaryFixturePath)
+      .select(col("doc_id"),
+        substring(coalesce(col("text"), lit("")), 1, 5000).as("text"))
+    val sents = docs.select(col("doc_id"),
+      posexplode(filter(split(col("text"), "(?<=[.!?])\\s+"), x => x =!= ""))
+        .as(Seq("idx", "sent")))
+    // narrow projection for the global occurrence ranking: the window
+    // never sees the sentence text, only its digest
+    val occ = sents.select(col("doc_id"), col("idx"),
+        md5(col("sent")).as("dg"))
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("dg").orderBy("doc_id", "idx")))
+      .select("doc_id", "idx", "occ")
+    sents.join(occ, Seq("doc_id", "idx"))
+      .groupBy("doc_id")
+      .agg(
+        // ordered assembly via the n05 sorted-collect convention:
+        // collect_list drops the nulls the occ>1 rows produce
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(col("occ") === 1,
+            struct(col("idx"), col("sent"))))),
+          x => x("sent")), " "), lit("")).as("clean_text"),
+        sum(when(col("occ") === 1, 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("occ") > 1, 1).otherwise(0)).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }

@@ -213,4 +213,31 @@ class DedupSpec extends SparkSpec {
         s"exact copies ${grp.keys.toSeq.sorted} diverged after excision")
     }
   }
+
+  test("d15: every cluster keeps its max-quality member, ties to min doc_id") {
+    val members = ops.Dedup.d08.run(spark, sf)
+      .select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val quality = ops.TextAnalysis.t02.run(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = ops.Dedup.d15.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    val grouped = members.groupBy(_._2)
+    assert(best.keySet == grouped.keySet, "one row per cluster, no extras")
+    grouped.foreach { case (cluster, ms) =>
+      val ids = ms.map(_._1)
+      val expected = ids.minBy(id => (-quality(id), id))
+      val (gotDoc, gotQ, gotN) = best(cluster)
+      assert(gotDoc == expected,
+        s"cluster $cluster: kept $gotDoc, expected $expected")
+      assert(gotQ == quality(expected) && gotN == ids.length.toLong)
+    }
+    // the selection must actually differ from min-id keeping somewhere,
+    // or the operator demonstrates nothing beyond d08
+    assert(grouped.exists { case (cluster, ms) =>
+      ms.size > 1 && best(cluster)._1 != ms.map(_._1).min
+    }, "corpus must contain a cluster whose best member is not the min id")
+  }
 }
