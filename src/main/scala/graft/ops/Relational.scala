@@ -1326,8 +1326,55 @@ object Relational {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Incremental aggregate maintenance — the nightly-pipeline pattern
+    * that makes 100 TB aggregation sustainable: yesterday's aggregate
+    * STATE (group-sized, not corpus-sized) merges with a re-aggregation
+    * of only the DELTA, and the merge must equal a full recompute. The
+    * snapshot CTE here stands for the stored state table; at scale only
+    * the delta's parquet is scanned (the cutoff predicate pushes down)
+    * and history is never re-read. The demo keeps only MERGEABLE
+    * partials (sum/count/min/max — DECIMAL sums per the money
+    * discipline); avg is derived AFTER the merge from sum/count, the
+    * "store sums, not averages" rule that makes state composable.
+    * `DeterminismSpec` pins merge == full recompute (associativity), the
+    * property the pattern rests on. */
+  val q41 = Q("q41_incremental_agg",
+    """WITH partials AS (
+      |  SELECT l_returnflag,
+      |    CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 'snap'
+      |         ELSE 'delta' END AS src,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  CAST(sum(sum_qty) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(n) AS BIGINT) AS n,
+      |  CAST(sum(sum_qty) AS DOUBLE) / sum(n) AS avg_qty,
+      |  min(min_ship) AS min_ship, max(max_ship) AS max_ship
+      |FROM partials GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val cutoff = tsNtz("1997-01-01")
+    def partial(df: DataFrame): DataFrame = df.groupBy("l_returnflag")
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).cast("long").as("n"),
+        min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
+    // snapshot state (stored in a real deployment) + delta-only rescan
+    val snap = partial(li.filter(col("l_shipdate") < cutoff))
+    val delta = partial(li.filter(col("l_shipdate") >= cutoff))
+    snap.union(delta).groupBy("l_returnflag")
+      .agg(sum("sum_qty").as("sum_qty_d"), sum("n").cast("long").as("n"),
+        min("min_ship").as("min_ship"), max("max_ship").as("max_ship"))
+      .select(col("l_returnflag"),
+        col("sum_qty_d").cast("double").as("sum_qty"), col("n"),
+        (col("sum_qty_d").cast("double") / col("n")).as("avg_qty"),
+        col("min_ship"), col("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40)
+    q34, q35, q36, q37, q38, q39, q40, q41)
 }

@@ -45,4 +45,35 @@ class DeterminismSpec extends SparkSpec {
       close(r.getDouble(5), ic, "intercept")
     }
   }
+
+  test("q41 snapshot+delta merge equals a full recompute exactly") {
+    // the mergeability law incremental maintenance rests on: aggregating
+    // partials must be indistinguishable from aggregating the raw rows —
+    // exact (DECIMAL sums, integer counts, min/max), not approximate
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val merged = ops.Relational.q41.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.get(4), r.get(5)))).toMap
+    val full = model.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sq"),
+        count(lit(1)).cast("long").as("n"),
+        min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+      .select(col("l_returnflag"), col("sq").cast("double").as("sum_qty"),
+        col("n"), (col("sq").cast("double") / col("n")).as("avg_qty"),
+        col("mn"), col("mx"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.get(4), r.get(5)))).toMap
+    assert(merged == full, "partial-merge must equal the one-shot aggregate")
+    // the construction must actually split: both sides of the cutoff
+    // need rows, or the test degenerates to recompute == recompute
+    val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val before = model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") < lit(cut)).count()
+    val after = model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit(cut)).count()
+    assert(before > 0 && after > 0, s"degenerate split: before=$before after=$after")
+  }
 }
