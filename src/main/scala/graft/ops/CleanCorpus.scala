@@ -420,5 +420,49 @@ object CleanCorpus {
       .orderBy("phase", "shard", "rk")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07)
+  // ---------------------------------------------------------------- p08
+  /** Deterministic corpus shuffle — the step between cleaning and
+    * packing: training examples must be decorrelated from crawl/source
+    * order, reproducibly (same seed ⇒ same permutation, restarts and
+    * reruns included). The permutation is materialised the only way a
+    * 100 TB corpus can be: as SHARDS — shard = first hex digit of the
+    * doc's salted md5 (16-way), position = rank of the salted key WITHIN
+    * the shard. Every window is shard-keyed; a single global row_number
+    * would be a corpus-global sort through one task (the n02 ban). At
+    * cluster scale this is `repartitionByRange(shard, key)` + local
+    * sort — shards write in parallel and a reader streaming shard 0..15
+    * sees a fixed pseudorandom order. Salting the hash with a seed
+    * string makes epochs cheap: a new seed is a brand-new permutation,
+    * no state. Both engines compute the identical md5, so the
+    * permutation is cross-engine pinned — the reproducibility claim IS
+    * the oracle. */
+  val ShuffleSeed = "epoch-0"
+
+  val p08 = Q("p08_corpus_shuffle",
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT doc_id, k,
+       |    CAST(instr('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT)
+       |      AS shard
+       |  FROM keyed)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM sharded ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d).select(col("doc_id"),
+      md5(concat(lit(s"$ShuffleSeed:"), col("doc_id").cast("string"))).as("k"))
+    val sharded = keyed.withColumn("shard",
+      expr("instr('0123456789abcdef', substr(k, 1, 1)) - 1").cast("long"))
+    sharded
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy("k", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -269,4 +269,35 @@ class CorpusOpsSpec extends SparkSpec {
       assert(p == phaseOf(tiers(id)), s"doc $id phase")
     }
   }
+
+  test("p08: a seeded permutation — total, deterministic, and actually shuffled") {
+    val out = ops.CleanCorpus.p08.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = model.Tables.documents(spark, sf).count()
+    // totality: every doc exactly once, (shard, pos) is a bijection
+    assert(out.length.toLong == docs)
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.map(t => (t._2, t._3)).distinct.length == out.length)
+    // positions are contiguous 1..|shard| within each shard
+    out.groupBy(_._2).foreach { case (shard, ms) =>
+      assert(ms.map(_._3).sorted.toSeq == (1L to ms.length.toLong),
+        s"shard $shard positions not contiguous")
+      assert(shard >= 0 && shard < 16)
+    }
+    // determinism: a second run is byte-identical (same seed, same permutation)
+    val again = ops.CleanCorpus.p08.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+    // shuffledness: reading shards in order must not reproduce doc_id
+    // order — adjacent ids land apart (md5 decorrelates); count how many
+    // consecutive-id pairs stay adjacent in the shuffled order
+    val rank = out.map(t => t._1 -> (t._2 * 1000000L + t._3)).toMap
+    val ids = out.map(_._1).sorted
+    val adjacentKept = ids.sliding(2).count {
+      case Array(a, b) => math.abs(rank(a) - rank(b)) == 1L
+      case _ => false
+    }
+    assert(adjacentKept <= ids.length / 20,
+      s"$adjacentKept of ${ids.length} consecutive-id pairs stayed adjacent")
+  }
 }
