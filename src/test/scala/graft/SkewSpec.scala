@@ -36,4 +36,43 @@ class SkewSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // Salting (above) is the MANUAL skew tool; the other half of the
+    // engine's skew story — "AQE for runtime re-plan" (SCALE.md config
+    // surface) — is pinned here: a join whose left side piles 95% of its
+    // rows on one key must come out of adaptive execution with the skew
+    // split actually ENGAGED, not just enabled in config. Thresholds are
+    // lowered to test scale; the mechanism is identical at 100 TB.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 64
+      val left = (1 to 40000).map(i =>
+        (if (i % 20 == 0) (i % 7).toLong + 1 else 0L, pad)).toDF("k", "pad")
+      val right = (0L to 7L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() executes THIS dataset's queryExecution (count() would
+      // build and execute a different aggregate plan, leaving this one
+      // un-run and its adaptive plan non-final)
+      assert(joined.collect().length == 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
