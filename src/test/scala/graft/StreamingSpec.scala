@@ -335,6 +335,43 @@ class StreamingSpec extends SparkSpec {
       "kill + resume must equal the uninterrupted run")
   }
 
+  test("checkpoint recovery: CHAINED stateful DAU resumes both state stores correctly") {
+    // Harder than the OHLC case: dailyActives chains TWO stateful
+    // operators (dropDuplicatesWithinWatermark + windowed count), so a
+    // correct resume must restore the dedup set AND the open window
+    // counts together — a user seen before the kill must still be
+    // deduplicated after it, or the resumed day over-counts.
+    def mkEvents(rows: Seq[(Long, String)]) =
+      rows.map { case (u, t) => (u, Timestamp.valueOf(t)) }
+        .toDF("user_id", "ts")
+    // half A: users 1,2 active on Jan 1 (user 1 twice)
+    val halfA = Seq((1L, "2024-01-01 09:00:00"), (2L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-01 15:00:00"))
+    // half B: user 1 AGAIN (must still dedup against pre-kill state),
+    // user 3 new; then a late event closes Jan 1 → DAU 3, not 4
+    val halfB = Seq((1L, "2024-01-01 22:00:00"), (3L, "2024-01-01 23:00:00"),
+      (9L, "2024-01-03 06:00:00"))
+    val schema = "user_id LONG, ts TIMESTAMP"
+    val root = java.nio.file.Files.createTempDirectory("graft-dau-recovery").toString
+    mkEvents(halfA).write.mode("append").parquet(s"$root/in")
+    val q1 = StreamOps.dailyActivesStream(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable()
+    q1.stop() // Jan 1 still open: dedup set {1,2}, count state live
+    mkEvents(halfB).write.mode("append").parquet(s"$root/in")
+    val q2 = StreamOps.dailyActivesStream(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val resumed = spark.read.parquet(s"$root/out").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1))
+    assert(resumed.toSeq == Seq(
+      Timestamp.valueOf("2024-01-01 00:00:00") -> 3L),
+      s"resumed DAU wrong (4 would mean the dedup state was lost): ${resumed.toSeq}")
+  }
+
   test("streaming DAU: chained dedup + count equals the batch twin per finalised day") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-dau").toString
