@@ -94,6 +94,38 @@ object Ingest {
       .orderBy("value")
   }
 
+  /** The same broken-lines fixture, gzip-compressed (`gzip -n`:
+    * deterministic bytes, no embedded mtime). */
+  val gzFixturePath = graft.Fixtures.path("news_articles.jsonl.gz")
+
+  /** Compression-transparent ingestion ([EXT]): the in01 tolerant scan
+    * over a GZIP member — both engines infer the codec from the
+    * extension and must land the identical surviving rows and projected
+    * strings. Web-scale corpora arrive compressed (CommonCrawl is gzip
+    * throughout), so codec transparency is a front-door requirement, not
+    * a convenience. Scale note: gzip is NOT splittable — one .gz member
+    * = one task, so a 100 TB corpus must arrive as many medium members
+    * (the crawl's natural per-WARC layout) or be transcoded to a
+    * splittable codec (zstd/bzip2) on first touch; a single giant .gz
+    * would serialise the scan no matter how large the cluster. */
+  val in07 = Q("in07_gzip_scan",
+    s"""SELECT concat('Headline: ', coalesce(headline, ''),
+       |  ', Authors: ', CASE WHEN authors IS NOT NULL AND len(authors) > 0
+       |                 THEN array_to_string(authors, ', ') ELSE 'Unknown' END,
+       |  ', Description: ', coalesce(short_description, '')) AS value
+       |FROM read_json('$gzFixturePath',
+       |  format='newline_delimited', ignore_errors=true,
+       |  columns={headline: 'VARCHAR', authors: 'VARCHAR[]',
+       |           short_description: 'VARCHAR', link: 'VARCHAR',
+       |           category: 'VARCHAR'})
+       |WHERE headline IS NOT NULL OR authors IS NOT NULL
+       |   OR short_description IS NOT NULL OR link IS NOT NULL
+       |   OR category IS NOT NULL
+       |ORDER BY value""".stripMargin) { (s, _) =>
+    formatArticles(tolerantJson(s, gzFixturePath, Some(articleSchema)))
+      .orderBy("value")
+  }
+
   /** Committed CSV fixture exercising quoting (embedded comma, escaped
     * quote) and a NULL numeric field. */
   val csvFixturePath = graft.Fixtures.path("sources.csv")
@@ -237,5 +269,5 @@ object Ingest {
       .orderBy("id")
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06)
+  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07)
 }
