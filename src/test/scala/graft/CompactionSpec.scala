@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the operational pass every streaming parquet
+  * sink needs at scale: micro-batches land one file per partition per
+  * trigger, and a day of 1-minute triggers turns a 100 TB table into
+  * millions of KB-files whose listing/footer overhead dominates reads.
+  * The fix is a batch rewrite: read the fragmented table, repartition to
+  * the target file count, write alongside, swap. This pins the rewrite's
+  * two contracts: content is EXACTLY preserved, and the file count
+  * actually drops to the target (st09's documented compaction pointer,
+  * made executable). */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+  }
+
+  test("compaction rewrite: identical content, fragmented files collapsed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate a micro-batched sink: 40 tiny appends, one file each
+    (1 to 40).foreach { b =>
+      Seq((b.toLong, s"payload-$b", b * 1.5))
+        .toDF("id", "payload", "score")
+        .coalesce(1).write.mode("append").parquet(s"$root/frag")
+    }
+    val before = parquetFiles(s"$root/frag")
+    assert(before.size >= 40, s"expected ≥40 fragment files, got ${before.size}")
+
+    // the compaction pass: one read, one repartition to the target, one
+    // write — at scale the target comes from bytes/128MB, here it's 2
+    val frag = spark.read.parquet(s"$root/frag")
+    frag.repartition(2).write.mode("overwrite").parquet(s"$root/compact")
+
+    val after = parquetFiles(s"$root/compact")
+    assert(after.size == 2, s"expected 2 compacted files, got ${after.size}")
+    // content contract: every row survives exactly once
+    val a = spark.read.parquet(s"$root/compact")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    val b = frag.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted.toSeq
+    assert(a == b, "compaction must be a pure rewrite")
+    // and the rewrite actually shrank the file inventory ~20x
+    assert(after.size * 10 <= before.size)
+  }
+}
