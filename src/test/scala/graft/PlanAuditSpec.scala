@@ -295,6 +295,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 2, s"expected <=2 lineitem scans, got $scans")
   }
 
+  test("multimodal layout: metadata-only projection prunes the binary payload AND nested fields") {
+    // THE multimodal scan concern at 100 TB: media rows are KB-to-MB of
+    // binary payload next to bytes of metadata, so a metadata query that
+    // drags payloads through the scan reads the table's full weight for
+    // a 0.1% answer. Pin both pruning tiers on a written nested table:
+    // the payload column must vanish from the scan, and the meta STRUCT
+    // must prune to the referenced field (nestedSchemaPruning).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-prune").toString
+    (1 to 50).map(i => (i.toLong, Array.fill(1024)(i.toByte),
+        (i % 640, i % 480, "bmp")))
+      .toDF("doc_id", "payload", "m")
+      .select(col("doc_id"), col("payload"), col("m").cast(
+        "struct<width:int,height:int,fmt:string>").as("meta"))
+      .write.mode("overwrite").parquet(tmp)
+    val q = spark.read.parquet(tmp)
+      .select(col("doc_id"), col("meta.width"))
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.requiredSchema
+    assert(!read.fieldNames.contains("payload"),
+      s"binary payload not pruned from the scan: $read")
+    val meta = read.fields.find(_.name == "meta").map(_.dataType.simpleString)
+    assert(meta.exists(t => t.contains("width") && !t.contains("height")),
+      s"meta struct not pruned to the referenced field: $read")
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may
