@@ -1373,8 +1373,64 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // ---------------------------------------------------------------- q42
+  /** Large × large interval-OVERLAP join, bucketed — the range-join case
+    * q12's broadcast cannot cover: when BOTH interval sets are fact-
+    * scale, a pure range predicate plans as a nested loop (O(|A|·|B|)
+    * compares, the one join shape that cannot survive 100 TB). The
+    * scale-right composition turns it into an EQUI join: each interval
+    * explodes into the hour buckets it covers (bounded ×3 / ×2 here —
+    * interval length over bucket width, a design constant), the join
+    * keys on bucket, and the exact overlap predicate filters residually.
+    * A pair overlapping several shared buckets would duplicate, so the
+    * pair is emitted ONLY in its first shared bucket — `bucket ==
+    * greatest(b0(a_start), b0(b_start))`, which overlap guarantees both
+    * sides cover — deduplication by arithmetic, not by a distinct
+    * shuffle. The DuckDB oracle states the SAME join as the naive range
+    * predicate (its native IEJoin handles it at oracle scale), so the
+    * bucketed rewrite is hash-checked against the textbook definition.
+    * `PlanAuditSpec` pins the no-nested-loop claim. Intervals derive
+    * deterministically from events (every ~97th event opens a 2 h
+    * activity span; every ~101st a ±30 min incident window). */
+  val q42 = Q("q42_interval_overlap_join",
+    """WITH ev AS (
+      |  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events),
+      |a AS (
+      |  SELECT event_id AS a_id, tsu AS a_start, tsu + 7200000000 AS a_end
+      |  FROM ev WHERE event_id % 97 = 0),
+      |b AS (
+      |  SELECT event_id AS b_id, tsu - 1800000000 AS b_start,
+      |         tsu + 1800000000 AS b_end
+      |  FROM ev WHERE event_id % 101 = 0)
+      |SELECT a_id, b_id,
+      |  least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+      |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val H = 3600000000L // 1 h bucket, in micros
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
+    val a = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("a_id"), col("tsu").as("a_start"),
+        (col("tsu") + 7200000000L).as("a_end"))
+    val b = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id").as("b_id"), (col("tsu") - 1800000000L).as("b_start"),
+        (col("tsu") + 1800000000L).as("b_end"))
+    def b0(c: Column): Column = c.divide(H).cast("long") // positive → floor
+    val aExp = a.withColumn("bucket",
+      explode(sequence(b0(col("a_start")), b0(col("a_end")))))
+    val bExp = b.withColumn("bucket",
+      explode(sequence(b0(col("b_start")), b0(col("b_end")))))
+    aExp.join(bExp, Seq("bucket"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .filter(col("bucket") === greatest(b0(col("a_start")), b0(col("b_start"))))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

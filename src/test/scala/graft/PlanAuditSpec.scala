@@ -326,6 +326,19 @@ class PlanAuditSpec extends SparkSpec {
       s"meta struct not pruned to the referenced field: $read")
   }
 
+  test("q42: the interval-overlap join is an equi join — no nested loop, no cartesian") {
+    // the operator's whole reason to exist: a pure range predicate
+    // between two fact-scale interval sets would plan BroadcastNestedLoop
+    // or CartesianProduct; the bucket explode must reduce it to a
+    // shuffled equi join with residual filters
+    val plan = executedPlan("q42_interval_overlap_join")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), // equi-keyed; AQE may broadcast at test SF
+      plan.take(1500))
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may
