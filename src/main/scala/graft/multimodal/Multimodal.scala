@@ -25,11 +25,13 @@ import graft.model.Tables
   * payload is recomputable bit-exactly in DuckDB (HUGEINT wrap-around)
   * and ALL multimodal queries are full-oracle — pixels, PCM samples,
   * and the μ-law companding roundtrip alike.
-  * Heavyweight compressed codecs (JPEG/MP3) would slot
-  * into the same mapPartitions shape behind the same `media_type`
-  * dispatch; their libraries don't exist in this container, and the
-  * four real formats already exercise every distinct decode concern
-  * (container parse, row padding, byte-order, companding).
+  * Since r6 a fifth codec is COMPRESSED for real: baseline PNG
+  * ([[Png]], mm09) — zlib inflation and all five scanline filters on
+  * nothing but JDK primitives (Deflater/Inflater/CRC32). Heavyweight
+  * DCT/psychoacoustic codecs (JPEG/MP3) stay out of scope — their
+  * libraries don't exist in this container — but the five real formats
+  * now exercise every decode concern including entropy-coded payloads
+  * (container parse, row padding, byte-order, companding, compression).
   */
 object Multimodal {
 
@@ -918,5 +920,70 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08)
+  // --------------------------------------------------------------- mm09
+  /** COMPRESSED-codec round-trip, fully oracled: the LCG pixel plane is
+    * encoded as a real PNG ([[Png.encode]]: zlib via the JDK's Deflater,
+    * per-row filter cycling through all five types, two IDAT chunks),
+    * decoded back ([[Png.decode]]: CRC-checked chunks, Inflater,
+    * filter reconstruction), and reduced to exact integer stats — per-
+    * channel sums plus a position-weighted checksum `Σ (i+1)·byte` that
+    * pins byte ORDER, not just totals. The DuckDB oracle recomputes the
+    * stats straight from the HUGEINT pixel LCG (the mm05 scheme) and
+    * never sees a PNG byte: the oracle hash can only match if
+    * decode(encode(pixels)) reproduced every byte in position, so the
+    * whole compression layer is cross-engine checked without DuckDB
+    * needing zlib. Closes the r05 "compressed-media codecs" scope note
+    * within the container's means — PNG's compression layer ships in
+    * the JDK. (CodecSpec pins the codec laws the oracle can't state:
+    * bit-exact round-trip at edge geometries, CRC tamper detection,
+    * unsupported-shape rejection.) */
+  val mm09 = Q("mm09_png_roundtrip", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M * $A + $C) % $M
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $A + $C) % $M FROM lcg WHERE i < 575),
+       |bytes AS (
+       |  SELECT doc_id, i,
+       |    CAST(state // 72057594037927936 AS BIGINT) AS b
+       |  FROM lcg)
+       |SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       |  CAST(sum(b) FILTER (WHERE i % 3 = 0) AS BIGINT) AS sum_r,
+       |  CAST(sum(b) FILTER (WHERE i % 3 = 1) AS BIGINT) AS sum_g,
+       |  CAST(sum(b) FILTER (WHERE i % 3 = 2) AS BIGINT) AS sum_b,
+       |  CAST(sum((i + 1) * b) AS BIGINT) AS checksum
+       |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val src = syntheticPpm(id) // 16×12 LCG pixel plane behind a PPM header
+        val off = ppmHeader(src)._3
+        val pixels = java.util.Arrays.copyOfRange(src, off, src.length)
+        val img = Png.decode(Png.encode(pixels, 16, 12))
+        require(img.width == 16 && img.height == 12, "round-trip geometry lost")
+        var sr = 0L; var sg = 0L; var sb = 0L; var ck = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val b = img.pixels(i) & 0xff
+          (i % 3) match {
+            case 0 => sr += b
+            case 1 => sg += b
+            case _ => sb += b
+          }
+          ck += (i + 1).toLong * b
+          i += 1
+        }
+        (id, 16, 12, sr, sg, sb, ck)
+      })
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b", "checksum")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
 }

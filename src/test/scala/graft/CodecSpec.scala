@@ -197,4 +197,59 @@ class CodecSpec extends SparkSpec {
     val info = decodeWav(decimateWav(gainWav(syntheticWav(id), 3, 2), 2))
     assert(a1.head.getInt(3) == info.peak && a1.head.getDouble(4) == info.rms)
   }
+
+  // ---------------------------------------------------------- PNG codec
+  import graft.multimodal.Png
+
+  private def lcgPixels(seed: Long, n: Int): Array[Byte] = {
+    var state = seed * 6364136223846793005L + 1442695040888963407L
+    Array.fill(n) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 56).toByte
+    }
+  }
+
+  test("png: encode→decode is bit-exact, including edge geometries") {
+    // h ≥ 5 exercises ALL five filter reconstruction paths (encoder
+    // cycles filter type y % 5); 1×1 and single-row/column pin the
+    // left/up boundary conditions where the predictors read zeros
+    for ((w, h) <- Seq((16, 12), (1, 1), (7, 1), (1, 9), (5, 5), (33, 7))) {
+      val px = lcgPixels(w.toLong * 1000 + h, w * h * 3)
+      val img = Png.decode(Png.encode(px, w, h))
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.sameElements(px), s"pixels differ at ${w}x$h")
+    }
+  }
+
+  test("png: a flipped payload byte fails the CRC check loudly") {
+    val px = lcgPixels(42L, 16 * 12 * 3)
+    val bytes = Png.encode(px, 16, 12)
+    // find the first IDAT chunk and corrupt one data byte
+    var pos = 8
+    var idat = -1
+    while (idat < 0) {
+      val len = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
+      val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (tpe == "IDAT") idat = pos else pos += 12 + len
+    }
+    val corrupted = bytes.clone()
+    corrupted(idat + 8) = (corrupted(idat + 8) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](Png.decode(corrupted))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+  }
+
+  test("png: unsupported shapes and truncation are rejected, never misread") {
+    val good = Png.encode(lcgPixels(7L, 4 * 3 * 3), 4, 3)
+    // grayscale color type (patched IHDR + recomputed CRC) must refuse
+    val gray = good.clone()
+    gray(8 + 8 + 9) = 0.toByte // color-type byte inside IHDR data
+    val crc = new java.util.zip.CRC32
+    crc.update(gray, 12, 4 + 13) // chunk type + IHDR data
+    java.nio.ByteBuffer.wrap(gray, 12 + 4 + 13, 4).putInt(crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Png.decode(gray))
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+    // bad signature and truncated stream both fail loudly
+    intercept[IllegalArgumentException](Png.decode(good.drop(1)))
+    intercept[IllegalArgumentException](Png.decode(good.dropRight(13)))
+  }
 }
