@@ -36,4 +36,27 @@ class ObservationSpec extends SparkSpec {
     assert(math.abs(m("quality_mass").asInstanceOf[Double] - recount) <= 1e-9,
       s"observed=${m("quality_mass")} recount=$recount")
   }
+
+  test("streaming observe(): per-micro-batch metrics ride the progress events") {
+    // the streaming face of the same surface: a live ingest job reports
+    // its per-batch row/value accounting through StreamingQueryProgress
+    // without a second pass over the batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Double)]
+    val observed = in.toDS().toDF("id", "v")
+      .observe("ingest-accounting",
+        count(lit(1)).as("n_rows"), sum(col("v")).as("v_mass"))
+    val q = observed.writeStream.format("memory")
+      .queryName("obs_sink").outputMode("append").start()
+    try {
+      in.addData((1L, 1.5), (2L, 2.5), (3L, 4.0))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("ingest-accounting")
+      assert(m != null, "no observed metrics on the progress event")
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Double]("v_mass") == 8.0)
+    } finally q.stop()
+  }
 }
