@@ -985,5 +985,82 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09)
+  // --------------------------------------------------------------- mm10
+  /** Compressed-format TRANSFORM pipeline: PNG → decode → 2× nearest-
+    * neighbour downsample → re-encode PNG → decode → stats. mm07 proved
+    * the augment-between-valid-containers discipline on uncompressed
+    * PPM; this runs the same discipline through the compressed codec
+    * TWICE (every stage boundary is a real zlib-compressed container),
+    * which is what a thumbnailing/resolution-normalisation pass over an
+    * image corpus actually does. Oracle: the resize composes to the
+    * index map `in((2y·16 + 2x)·3 + c)` (mm05's), which DuckDB applies
+    * to the HUGEINT pixel LCG — means AND a position-weighted checksum
+    * over the RESIZED byte order, so both round-trips and the indexing
+    * are cross-engine pinned without DuckDB touching zlib. */
+  val mm10 = Q("mm10_png_resize", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M * $A + $C) % $M
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $A + $C) % $M FROM lcg WHERE i < 575),
+       |grid AS (
+       |  SELECT x, y, c FROM (SELECT unnest(range(8)) AS x),
+       |       (SELECT unnest(range(6)) AS y), (SELECT unnest(range(3)) AS c)),
+       |sel AS (
+       |  SELECT l.doc_id, g.x, g.y, g.c,
+       |         (g.y * 8 + g.x) * 3 + g.c AS j,
+       |         CAST(l.state // 72057594037927936 AS BIGINT) AS b
+       |  FROM grid g JOIN lcg l ON l.i = (2*g.y*16 + 2*g.x)*3 + g.c)
+       |SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       |  CAST(sum(b) FILTER (WHERE c = 0) AS DOUBLE) / 48 AS mean_r,
+       |  CAST(sum(b) FILTER (WHERE c = 1) AS DOUBLE) / 48 AS mean_g,
+       |  CAST(sum(b) FILTER (WHERE c = 2) AS DOUBLE) / 48 AS mean_b,
+       |  CAST(sum((j + 1) * b) AS BIGINT) AS checksum
+       |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val src = syntheticPpm(id)
+        val off = ppmHeader(src)._3
+        val pixels = java.util.Arrays.copyOfRange(src, off, src.length)
+        val full = Png.decode(Png.encode(pixels, 16, 12)) // round-trip 1
+        val small = new Array[Byte](8 * 6 * 3)
+        var y = 0
+        while (y < 6) {
+          var x = 0
+          while (x < 8) {
+            var c = 0
+            while (c < 3) {
+              small((y * 8 + x) * 3 + c) =
+                full.pixels(((2 * y) * 16 + 2 * x) * 3 + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val out = Png.decode(Png.encode(small, 8, 6)) // round-trip 2
+        var sums = new Array[Long](3); var ck = 0L
+        var j = 0
+        while (j < out.pixels.length) {
+          val b = out.pixels(j) & 0xff
+          sums(j % 3) += b
+          ck += (j + 1).toLong * b
+          j += 1
+        }
+        (id, out.width, out.height, sums(0).toDouble / 48,
+          sums(1).toDouble / 48, sums(2).toDouble / 48, ck)
+      })
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "checksum")
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
+    mm10)
 }
