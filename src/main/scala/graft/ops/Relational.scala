@@ -1429,8 +1429,43 @@ object Relational {
       .orderBy("a_id", "b_id")
   }
 
+  // ---------------------------------------------------------------- q43
+  /** The skew-mitigation utilities on REAL tables, fully oracled: per-
+    * nation revenue via [[Skew.saltedJoin]] (lineitem probe spread over
+    * 8 salt buckets, supplier dim exploded to match) finished by
+    * [[Skew.twoPhaseSum]] (partial sums per (nation, salt), then the
+    * final combine — no reducer ever owns a whole hot key). The oracle
+    * states the PLAIN join + group: salting must be semantics-invisible,
+    * and the hash compare proves it on real data, not just the synthetic
+    * spec frames. DECIMAL sums keep the two-phase merge exact (q41's
+    * mergeability rule — sums compose, so phase count cannot change the
+    * answer). At 100 TB this is the manual tool for the hot keys AQE's
+    * runtime splitting can't fix (aggregation skew, build-side hot
+    * keys); `SkewSpec` pins AQE's own path separately. */
+  val q43 = Q("q43_salted_join",
+    s"""SELECT s_nationkey, CAST(sum($DISC_PRICE_SQL) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(
+      col("l_suppkey").as("suppkey"), col("l_orderkey"),
+      discPriceOf(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    val joined = Skew.saltedJoin(li, sup, "suppkey", 8, col("l_orderkey"))
+    val counts = joined.groupBy("s_nationkey")
+      .agg(count(lit(1)).cast("long").as("n_items"))
+    Skew.twoPhaseSum(joined.select(col("s_nationkey"), col("rev"), col("l_orderkey")),
+        "s_nationkey", "rev", 16, col("l_orderkey"))
+      .join(counts, "s_nationkey")
+      .select(col("s_nationkey"), col("sum_rev").cast("double").as("revenue"),
+        col("n_items"))
+      .orderBy("s_nationkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }
