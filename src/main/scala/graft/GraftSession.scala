@@ -18,6 +18,9 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // managed tables (the bucketed-join path) must never land in the
+    // process cwd's ./spark-warehouse — Verify/Bench run from the repo
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 
   /** Apply engine configs to an already-constructed session (used when the
     * driver harness owns the builder). Only dynamic confs can be set here. */

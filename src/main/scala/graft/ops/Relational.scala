@@ -1464,8 +1464,50 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  // ---------------------------------------------------------------- q44
+  /** The bucketed co-located join as a CATALOG query, fully oracled:
+    * orders and lineitem are written bucketed+sorted by orderkey (once
+    * per corpus dir per JVM — the memoised write below is the "one-time
+    * bucketed write" the technique amortises; bench reps 2-3 measure
+    * what a deployment pays, the exchange-free join), then joined and
+    * aggregated. The oracle states the plain join — bucketing must be
+    * semantics-invisible; `PlanAuditSpec` pins the property that makes
+    * it worth paying for: NO shuffle exchange under the join, on either
+    * side. DECIMAL revenue at write time keeps the sums exact through
+    * the parquet round-trip. */
+  private val bucketedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def ensureBucketed(s: SparkSession, d: String): String =
+    bucketedReady.computeIfAbsent(d, _ => {
+      val p = "graft_bk_" + Integer.toHexString(d.hashCode)
+      Bucketing.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("orderkey"),
+          col("o_orderpriority")),
+        s"${p}_orders", "orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey"),
+          discPriceOf(col("l_extendedprice"), col("l_discount")).as("rev")),
+        s"${p}_lineitem", "orderkey", 8)
+      p
+    })
+
+  val q44 = Q("q44_bucketed_join",
+    s"""SELECT o_orderpriority, CAST(sum($DISC_PRICE_SQL) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val p = ensureBucketed(s, d)
+    Bucketing.bucketedJoin(s, s"${p}_orders", s"${p}_lineitem", "orderkey")
+      .groupBy("o_orderpriority")
+      .agg(sum("rev").cast("double").as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -339,6 +339,32 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("q44: the bucketed join has no shuffle exchange under it, either side") {
+    // the property the one-time bucketed write buys: both scans arrive
+    // pre-partitioned by orderkey, so the join needs no Exchange — only
+    // the downstream priority aggregation may shuffle
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // at spec SF the dim is broadcast-sized and AQE would pick BHJ (also
+    // shuffle-free, but not the shape bucketing exists for) — force the
+    // fact-×-fact shape the technique targets
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SparkEntry.catalog.find(_.name == "q44_bucketed_join").get
+      val plan = q.run(spark, sf).queryExecution.sparkPlan
+      val joins = plan.collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected a sort-merge join:\n$plan")
+      joins.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty, s"bucketed join still shuffles:\n$j")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("no broadcast hints on fact-scale tables (customer/part)") {
     // hints force a broadcast regardless of size — at 100 TB customer and
     // part are fact-scale, so their joins must be left to AQE (which may
