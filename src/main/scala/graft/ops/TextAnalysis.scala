@@ -1074,6 +1074,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t20
+  /** Text normalisation — the first stage of every corpus pipeline,
+    * before any tokenizer/dedup/quality pass sees a byte: strip
+    * non-whitespace control characters, collapse whitespace runs to a
+    * single space, trim. Runs over a committed fixture carrying the
+    * actual mess (control bytes, CRLF, tab runs, leading/trailing
+    * space) since the synthetic corpus is already clean.
+    *
+    * Cross-engine regex discipline: Java's `\s` includes \x0B and \x0C
+    * where RE2's does not, so those two are stripped in the CONTROL
+    * class (first pass) and the whitespace-collapse pass only ever sees
+    * `[ \t\n\r]` — the subset both engines agree on. Whitespace-only
+    * docs normalise to the empty string, not a space (collapse then
+    * trim). Map-only — at 100 TB this fuses into the ingest scan's
+    * projection, zero shuffles. */
+  val messyFixturePath: String = graft.Fixtures.path("messy_docs.jsonl")
+
+  val t20 = Q("t20_normalize_text",
+    s"""WITH docs AS (
+       |  SELECT doc_id, coalesce(text, '') AS text
+       |  FROM read_json('$messyFixturePath', format='newline_delimited',
+       |                 columns={doc_id: 'BIGINT', text: 'VARCHAR'})),
+       |cleaned AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(
+       |      regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+       |      '\\s+', ' ', 'g')) AS clean
+       |  FROM docs)
+       |SELECT doc_id, clean,
+       |  CAST(length(text) AS BIGINT) AS orig_len,
+       |  CAST(length(clean) AS BIGINT) AS clean_len
+       |FROM cleaned ORDER BY doc_id""".stripMargin) { (s, _) =>
+    val docs = s.read.schema("doc_id LONG, text STRING")
+      .json(messyFixturePath)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    docs.select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(col("text"),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+          "\\s+", " ")).as("clean"),
+        length(col("text")).cast("long").as("orig_len"))
+      .withColumn("clean_len", length(col("clean")).cast("long"))
+      .select("doc_id", "clean", "orig_len", "clean_len")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }
