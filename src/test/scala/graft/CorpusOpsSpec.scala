@@ -300,4 +300,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(adjacentKept <= ids.length / 20,
       s"$adjacentKept of ${ids.length} consecutive-id pairs stayed adjacent")
   }
+
+  test("t20: normalisation rules pinned per fixture doc") {
+    val out = ops.TextAnalysis.t20.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L)._1 == "leading and trailing spaces need trimming")
+    assert(out(1L)._1 == "runs of mixed whitespace collapse to one")
+    assert(out(2L)._1 == "carriage returns and newlines become spaces")
+    // control bytes vanish WITHOUT leaving a space behind
+    assert(out(3L)._1 == "controlcharsarestripped entirely")
+    // already-clean text is byte-identical and loses no length
+    assert(out(4L)._1 == "already clean text stays byte identical")
+    assert(out(4L)._2 == out(4L)._3)
+    // whitespace-only input normalises to EMPTY, not a single space
+    assert(out(5L)._1 == "" && out(5L)._3 == 0L)
+    assert(out(6L)._1 == "mixed case of every rule at once")
+    assert(out(7L)._1 == "tabs between words normalise")
+    // normalisation never grows text
+    out.values.foreach { case (_, o, c) => assert(c <= o) }
+  }
 }
