@@ -697,5 +697,66 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  // ---------------------------------------------------------------- s09
+  /** Scalar-quantised (SQ8) top-k — the memory-reduction ANN tier that
+    * sits between brute-force float (s01) and product quantisation
+    * (s04): every vector is L2-normalised and quantised to an int8-range
+    * code `round(127·x_k/‖x‖)`, and ranking runs on the pure INTEGER
+    * dot product of code vectors — at serving scale that's a 4×-smaller
+    * corpus (byte codes vs float32) and a SIMD-friendly integer kernel.
+    * Because the score is an exact BIGINT sum of products, the ranking
+    * AND the score column are bit-identical cross-engine by arithmetic
+    * (no float-tie anxiety — the one float step, the norm, only feeds a
+    * round()). Composes with the same bucket/IVF partitioning as
+    * s02/s03; this demo ranks the capped corpus directly, the s01
+    * convention. `SimilaritySpec` pins recall@5 against exact s01. */
+  val s09 = Q("s09_sq8_topk", {
+    def qn(t: String) =
+      s"""list_transform(generate_series(1, $Dims), k ->
+         |  CAST(round(127.0 * CAST($t.embedding[k] AS DOUBLE) /
+         |    sqrt(list_sum(list_transform(generate_series(1, $Dims), j ->
+         |      CAST($t.embedding[j] AS DOUBLE) * CAST($t.embedding[j] AS DOUBLE))))
+         |  ) AS BIGINT))""".stripMargin.replaceAll("\n\\s*", " ")
+    s"""WITH e AS (SELECT vec_id, ${qn("embeddings")} AS code
+       |           FROM embeddings),
+       |q AS (SELECT vec_id, code FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, $Dims),
+       |      k -> q.code[k] * e.code[k])) AS dot_q
+       |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, CAST(dot_q AS BIGINT) AS dot_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dot_q DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, dot_q
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }) { (s, d) =>
+    val e0 = Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
+      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val coded = e0.withColumn("norm", norm)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(lit(127.0) * x.cast("double") / col("norm")).cast("long"))
+          .as("code"))
+    val q = coded.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("code", "q_code")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("q_code"), col("code"), _ * _),
+          lit(0L), _ + _).as("dot_q"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "dot_q")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -29,6 +29,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, f"PQ mean recall $mean%.2f < 0.6")
   }
 
+  test("SQ8 top-5 recall vs exact brute force is quantified") {
+    val exact = topk(ops.Similarity.s01)
+    val sq = topk(ops.Similarity.s09)
+    assert(exact.keySet == sq.keySet, "same query set")
+    val recalls = exact.map { case (q, ex) =>
+      q -> sq(q).intersect(ex).size.toDouble / ex.size
+    }
+    recalls.toSeq.sortBy(_._1).foreach { case (q, r) =>
+      info(f"query $q: recall $r%.1f")
+    }
+    val mean = recalls.values.sum / recalls.size
+    info(f"mean recall = $mean%.2f (int8 codes, integer dot ranking)")
+    // 8-bit codes of unit vectors preserve cosine order far better than
+    // 16-entry PQ codebooks — hold SQ8 to a higher floor than s04's 0.6
+    assert(mean >= 0.8, f"SQ8 mean recall $mean%.2f < 0.8")
+  }
+
   test("s06 Lloyd loop: objective monotone over rounds on the corpus") {
     import org.apache.spark.sql.functions._
     functions.GraftFunctions.register(spark)
