@@ -153,7 +153,10 @@ object Bench {
     // the subset total meaningless)...
     if (only.isEmpty) {
       val r01 = ok.filter { case (k, _) => r01Subset.contains(k) }
-      println(s"""{"metric":"total_r01","value":${fmt(r01.map(_._2).sum)},"unit":"sec","n_queries":${r01.size},"baseline_sec":60.1,"sf":"$sfDir"}""")
+      // a failed subset query must not silently shrink the band metric:
+      // n_failed flags it in THIS line, not only in the main line's list
+      val r01Failed = failed.count(r01Subset.contains)
+      println(s"""{"metric":"total_r01","value":${fmt(r01.map(_._2).sum)},"unit":"sec","n_queries":${r01.size},"n_failed":$r01Failed,"baseline_sec":60.1,"sf":"$sfDir"}""")
     }
     // ...then a compact headline line LAST, kept under ~1500 chars so it
     // survives a last-2000-chars output tail intact: slowest queries

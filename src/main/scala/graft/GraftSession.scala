@@ -19,8 +19,11 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     // managed tables (the bucketed-join path) must never land in the
-    // process cwd's ./spark-warehouse — Verify/Bench run from the repo
-    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    // process cwd's ./spark-warehouse — Verify/Bench run from the repo.
+    // Per-process dir: two JVMs (bench + tests) sharing one warehouse
+    // would interleave q44's DROP/delete/saveAsTable on the same paths
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
 
   /** Apply engine configs to an already-constructed session (used when the
     * driver harness owns the builder). Only dynamic confs can be set here. */
@@ -32,8 +35,7 @@ object GraftSession {
   def local(cores: Int = 4): SparkSession = {
     val s = configure(SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse"))
+      .config("spark.sql.shuffle.partitions", cores.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -110,7 +110,9 @@ object Png {
     while (!sawEnd && pos + 12 <= bytes.length) {
       val buf = ByteBuffer.wrap(bytes, pos, bytes.length - pos)
       val len = buf.getInt
-      require(len >= 0 && pos + 12 + len <= bytes.length, "truncated chunk")
+      // subtraction form: `pos + 12 + len` overflows Int for a crafted
+      // length like 0x7FFFFF00 and would skip this guard entirely
+      require(len >= 0 && len <= bytes.length - pos - 12, "truncated chunk")
       val tpe = new String(bytes, pos + 4, 4, "US-ASCII")
       val crc = new CRC32
       crc.update(bytes, pos + 4, 4 + len)
@@ -120,6 +122,11 @@ object Png {
         case "IHDR" =>
           val d = ByteBuffer.wrap(bytes, pos + 8, len)
           w = d.getInt; h = d.getInt
+          // long math: a crafted width makes w*3 (and h*(stride+1))
+          // overflow into a negative allocation before any shape check
+          require(w > 0 && h > 0 &&
+            h.toLong * (w.toLong * 3 + 1) <= Int.MaxValue.toLong,
+            s"implausible PNG geometry: ${w}x$h")
           val depth = d.get; val color = d.get
           require(depth == 8 && color == 2,
             s"unsupported PNG shape: depth=$depth color=$color (need 8-bit RGB)")

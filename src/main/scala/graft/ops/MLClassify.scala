@@ -358,6 +358,15 @@ object MLClassify {
     * live MLlib model's float argmax, and the committed weights equal a
     * fresh deterministic refit (stale-fixture guard).
     *
+    * Tokenizer-parity PRECONDITION: this relational tokenizer (split
+    * `\s+`, drop empties, locale-invariant lower) equals the live MLlib
+    * Tokenizer (split `\s`, which KEEPS interior empty tokens that
+    * HashingTF hashes as features; default-locale toLowerCase) exactly
+    * when the input is single-space-separated ASCII — i.e. text that has
+    * been through the t20 normalisation stage, the pipeline's stage
+    * zero. `MLFrozenSpec` asserts the precondition on every tested
+    * corpus so a violation fails loudly instead of drifting silently.
+    *
     * Docs with no indexed tokens still score (intercept-only) via the
     * docs × classes frame — classes is a 7-row broadcast, not a real
     * cartesian.

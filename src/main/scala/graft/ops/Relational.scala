@@ -1432,9 +1432,11 @@ object Relational {
   // ---------------------------------------------------------------- q43
   /** The skew-mitigation utilities on REAL tables, fully oracled: per-
     * nation revenue via [[Skew.saltedJoin]] (lineitem probe spread over
-    * 8 salt buckets, supplier dim exploded to match) finished by
-    * [[Skew.twoPhaseSum]] (partial sums per (nation, salt), then the
-    * final combine — no reducer ever owns a whole hot key). The oracle
+    * 8 salt buckets, supplier dim exploded to match) finished by the
+    * [[Skew.twoPhaseSum]] pattern, inlined so revenue AND row count ride
+    * ONE partial pass per (nation, salt) before the final combine — no
+    * reducer ever owns a whole hot key, and the salted-join subtree is
+    * scanned exactly once. The oracle
     * states the PLAIN join + group: salting must be semantics-invisible,
     * and the hash compare proves it on real data, not just the synthetic
     * spec frames. DECIMAL sums keep the two-phase merge exact (q41's
@@ -1454,13 +1456,17 @@ object Relational {
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
     val joined = Skew.saltedJoin(li, sup, "suppkey", 8, col("l_orderkey"))
-    val counts = joined.groupBy("s_nationkey")
-      .agg(count(lit(1)).cast("long").as("n_items"))
-    Skew.twoPhaseSum(joined.select(col("s_nationkey"), col("rev"), col("l_orderkey")),
-        "s_nationkey", "rev", 16, col("l_orderkey"))
-      .join(counts, "s_nationkey")
-      .select(col("s_nationkey"), col("sum_rev").cast("double").as("revenue"),
-        col("n_items"))
+    // the twoPhaseSum pattern inlined so BOTH mergeable aggregates ride
+    // ONE partial pass — a separate count over a second copy of the
+    // salted-join subtree would scan and join lineitem twice per rep
+    // (Catalyst does not collapse the two differently-grouped copies)
+    val partial = joined
+      .groupBy(col("s_nationkey"),
+        pmod(hash(col("l_orderkey")), lit(16)).as("__salt"))
+      .agg(sum("rev").as("pr"), count(lit(1)).as("pc"))
+    partial.groupBy("s_nationkey")
+      .agg(sum("pr").cast("double").as("revenue"),
+        sum("pc").cast("long").as("n_items"))
       .orderBy("s_nationkey")
   }
 
@@ -1480,7 +1486,12 @@ object Relational {
 
   private[graft] def ensureBucketed(s: SparkSession, d: String): String =
     bucketedReady.computeIfAbsent(d, _ => {
-      val p = "graft_bk_" + Integer.toHexString(d.hashCode)
+      // 96-bit md5 prefix, not hashCode: a 32-bit collision between two
+      // corpus dirs would silently serve one dir's table for the other
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(12)
+        .map(b => f"${b & 0xff}%02x").mkString
+      val p = "graft_bk_" + md
       Bucketing.writeBucketed(
         Tables.orders(s, d).select(col("o_orderkey").as("orderkey"),
           col("o_orderpriority")),

@@ -74,6 +74,28 @@ class MLFrozenSpec extends SparkSpec {
     }
   }
 
+  test("ml04's tokenizer-parity precondition holds on every tested corpus") {
+    // ml04 tokenizes relationally (split \s+ with empty-token filter,
+    // locale-invariant lower); the live MLlib Tokenizer splits on \s
+    // (KEEPING interior empty tokens, which HashingTF hashes as real
+    // features) and lowercases in the default locale. The two agree
+    // exactly iff the corpus is single-space-separated ASCII with no
+    // leading/trailing whitespace — which is guaranteed here because
+    // normalisation (t20) is pipeline stage zero. This guard makes the
+    // precondition LOUD: a future corpus with doubled spaces or
+    // non-ASCII case pairs fails here, instead of the frozen argmax
+    // silently drifting from the live model's.
+    Seq(sf, trainDir, "/root/testdata/sf0.1").foreach { dir =>
+      val dirty = Tables.documents(spark, dir).filter(
+        col("text").rlike("\\s\\s|^\\s|\\s$") ||
+          col("text").rlike("[^\\x20-\\x7e]"))
+        .count()
+      assert(dirty == 0L,
+        s"$dir: $dirty docs violate ml04's whitespace/ASCII precondition — " +
+          "normalise (t20) before serving or align the tokenizers")
+    }
+  }
+
   test("quantised relational argmax equals the live model's argmax, doc for doc") {
     val (model, labels) = refit
     Seq(sf, trainDir).foreach { dir =>
