@@ -13,6 +13,20 @@ import org.apache.spark.sql.SparkSession
   *    raw nanos and convert with [[graft.ops.EventOps.tsFromNanos]].
   */
 object GraftSession {
+  private val warehouseDir =
+    s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}"
+
+  // per-process warehouse dirs would otherwise accumulate in /tmp, one
+  // per bench/verify/test JVM (~tens of MB each once q44 has written
+  // its bucketed tables)
+  sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(warehouseDir))
+  }
+
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
@@ -22,8 +36,7 @@ object GraftSession {
     // process cwd's ./spark-warehouse — Verify/Bench run from the repo.
     // Per-process dir: two JVMs (bench + tests) sharing one warehouse
     // would interleave q44's DROP/delete/saveAsTable on the same paths
-    .config("spark.sql.warehouse.dir",
-      s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
+    .config("spark.sql.warehouse.dir", warehouseDir)
 
   /** Apply engine configs to an already-constructed session (used when the
     * driver harness owns the builder). Only dynamic confs can be set here. */
