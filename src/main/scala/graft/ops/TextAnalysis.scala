@@ -1120,6 +1120,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t21
+  /** Graded contamination REPORT — t07/t14 answer "drop or keep?"; this
+    * answers "how contaminated?", the number a benchmark-overlap report
+    * actually publishes: per training doc, its distinct-8-gram count,
+    * how many of those appear anywhere in the eval set, and the overlap
+    * fraction. Every training doc appears (clean docs report 0), so the
+    * corpus-wide distribution is readable straight off the result —
+    * the t07 verdict is just `frac > 0` on this table. One exact double
+    * division of two integers keeps the fraction bit-identical
+    * cross-engine. Scale shape is t07's: broadcast eval probe (or t14's
+    * bloom prefilter), one doc-keyed count — the report adds a second
+    * map-side-combined aggregation, nothing corpus-global. */
+  val t21 = Q("t21_contamination_report",
+    s"""WITH $contaminationSql,
+       |counts AS (
+       |  SELECT doc_id, count(*) AS n_shingles
+       |  FROM sh8 WHERE doc_id % 10 <> 0 GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(c.n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(ct.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CAST(coalesce(ct.n_shared, 0) AS DOUBLE) / c.n_shingles
+       |    AS contamination_frac
+       |FROM counts c LEFT JOIN contaminated ct USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val sh = shingles8(s, d)
+    val train = sh.filter(col("doc_id") % 10 =!= 0)
+    val evalSh = sh.filter(col("doc_id") % 10 === 0).select("s").distinct()
+    val counts = train.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = train.join(broadcast(evalSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).cast("long").as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_shingles")).as("contamination_frac"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
 }
