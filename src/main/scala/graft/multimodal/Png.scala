@@ -120,6 +120,10 @@ object Png {
       require(crc.getValue.toInt == stored, s"CRC mismatch in $tpe chunk")
       tpe match {
         case "IHDR" =>
+          // shape check before the 13-byte read: CRC covers the declared
+          // bytes, but a short IHDR would otherwise read geometry from
+          // the following CRC/chunk bytes
+          require(len == 13, s"bad IHDR length: $len (need 13)")
           val d = ByteBuffer.wrap(bytes, pos + 8, len)
           w = d.getInt; h = d.getInt
           // long math: a crafted width makes w*3 (and h*(stride+1))

@@ -1415,7 +1415,13 @@ object Relational {
     val b = ev.filter(col("event_id") % 101 === 0)
       .select(col("event_id").as("b_id"), (col("tsu") - 1800000000L).as("b_start"),
         (col("tsu") + 1800000000L).as("b_end"))
-    def b0(c: Column): Column = c.divide(H).cast("long") // positive → floor
+    // exact integer floor division (r06 ADVICE): subtract the
+    // non-negative pmod remainder, then integral-divide the now-exactly-
+    // divisible value — floor by construction for any sign/magnitude,
+    // no double rounding in the path (c.divide(H) goes through DOUBLE
+    // and silently depends on a < 2^53 magnitude analysis)
+    def b0(c: Column): Column =
+      call_function("div", c - pmod(c, lit(H)), lit(H))
     val aExp = a.withColumn("bucket",
       explode(sequence(b0(col("a_start")), b0(col("a_end")))))
     val bExp = b.withColumn("bucket",
@@ -1481,27 +1487,35 @@ object Relational {
     * it worth paying for: NO shuffle exchange under the join, on either
     * side. DECIMAL revenue at write time keeps the sums exact through
     * the parquet round-trip. */
-  private val bucketedReady =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val bucketedLock = new Object
 
-  private[graft] def ensureBucketed(s: SparkSession, d: String): String =
-    bucketedReady.computeIfAbsent(d, _ => {
-      // 96-bit md5 prefix, not hashCode: a 32-bit collision between two
-      // corpus dirs would silently serve one dir's table for the other
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).take(12)
-        .map(b => f"${b & 0xff}%02x").mkString
-      val p = "graft_bk_" + md
-      Bucketing.writeBucketed(
-        Tables.orders(s, d).select(col("o_orderkey").as("orderkey"),
-          col("o_orderpriority")),
-        s"${p}_orders", "orderkey", 8)
-      Bucketing.writeBucketed(
-        Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey"),
-          discPriceOf(col("l_extendedprice"), col("l_discount")).as("rev")),
-        s"${p}_lineitem", "orderkey", 8)
-      p
-    })
+  private[graft] def ensureBucketed(s: SparkSession, d: String): String = {
+    // 96-bit md5 prefix, not hashCode: a 32-bit collision between two
+    // corpus dirs would silently serve one dir's table for the other
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(12)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val p = "graft_bk_" + md
+    // the readiness check is the SESSION catalog, not a JVM-level memo
+    // (r06 ADVICE): tables live in a specific SparkSession's in-memory
+    // catalog, so a stop()+rebuild in the same JVM must re-write — a
+    // per-JVM memo would report ready and fail with table-not-found
+    def ready = s.catalog.tableExists(s"${p}_orders") &&
+      s.catalog.tableExists(s"${p}_lineitem")
+    if (!ready) bucketedLock.synchronized {
+      if (!ready) {
+        Bucketing.writeBucketed(
+          Tables.orders(s, d).select(col("o_orderkey").as("orderkey"),
+            col("o_orderpriority")),
+          s"${p}_orders", "orderkey", 8)
+        Bucketing.writeBucketed(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("orderkey"),
+            discPriceOf(col("l_extendedprice"), col("l_discount")).as("rev")),
+          s"${p}_lineitem", "orderkey", 8)
+      }
+    }
+    p
+  }
 
   val q44 = Q("q44_bucketed_join",
     s"""SELECT o_orderpriority, CAST(sum($DISC_PRICE_SQL) AS DOUBLE) AS revenue,
