@@ -39,6 +39,7 @@ object FixtureGen {
     writeHiveFixture(spark)
     writeCorruptFixture(spark)
     writeMlFixture(spark)
+    writeDimDatesFixture(spark)
     spark.stop()
   }
 
@@ -121,6 +122,28 @@ object FixtureGen {
     write("intercept",
       lr.interceptVector.toArray.zipWithIndex
         .map { case (b, c) => (c, labels(c), b) }.toSeq.toDF("cls", "label", "b"))
+    println(s"wrote $dest")
+  }
+
+  /** Calendar dim for the in08 dynamic-partition-pruning join: one row
+    * per hive-fixture partition date plus an attribute (`phase`) that the
+    * selective filter lands on. A real parquet file, not an in-memory
+    * relation, deliberately: Catalyst's ConvertToLocalRelation folds a
+    * Filter over LocalRelation away before the PartitionPruning batch
+    * runs, so an inline dim would never trigger DPP. */
+  def writeDimDatesFixture(spark: SparkSession): Unit = {
+    val dest = Paths.get(sources.Ingest.dimDatesFixturePath)
+    if (Files.exists(dest)) { println(s"$dest exists; skipping"); return }
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dim-dates").toString
+    Seq(("2024-01-01", "launch"), ("2024-01-02", "steady"),
+        ("2024-01-03", "wrap"))
+      .toDF("ds", "phase")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ds")).as("d"),
+        org.apache.spark.sql.functions.col("phase"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    copySingleParquet(tmp, dest)
     println(s"wrote $dest")
   }
 

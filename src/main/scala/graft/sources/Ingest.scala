@@ -238,6 +238,49 @@ object Ingest {
       .orderBy("event_id")
   }
 
+  /** Committed calendar-dim parquet (generated by [[graft.FixtureGen]]):
+    * one row per hive-fixture date + a `phase` attribute for the
+    * selective filter. */
+  val dimDatesFixturePath = graft.Fixtures.path("dim_dates.parquet")
+
+  /** Dynamic partition pruning (SURVEY.md §2.1 [EXT]) — the RUNTIME form
+    * of in05: the fact's partition predicate does not exist in the query
+    * text; it ARRIVES through the join, as the set of dates surviving the
+    * dim's selective filter. Catalyst's PartitionPruning rule plants a
+    * `dynamicpruning` subquery on the fact scan that reuses the dim's
+    * broadcast, so the non-matching partition directories are skipped at
+    * file-listing time exactly as if the predicate had been written by
+    * hand. This is the 100 TB star-join staple — a year-partitioned fact
+    * joined to a filtered calendar/dim touches 1/365th of the table with
+    * NO manual predicate copying (the reference hand-copies its time
+    * predicate to the Mongo side instead, `database_storage.py:31` /
+    * `news_summarization_batch.py:77` — DPP is what makes that manual
+    * step unnecessary). `PlanAuditSpec` pins both tiers: the
+    * `dynamicpruning` partition filter in the plan AND the runtime
+    * numPartitions metric at 1-of-3. The dim filter lives on a real
+    * parquet scan (see [[graft.FixtureGen.writeDimDatesFixture]]) — an
+    * in-memory dim would be constant-folded before the PartitionPruning
+    * batch and silently degrade to a scan-all. The DuckDB oracle states
+    * the same join+filter plainly; pruning must be semantics-invisible. */
+  val in08 = Q("in08_dynamic_partition_pruning",
+    s"""SELECT event_id, etype, value, phase,
+       |  CAST(f.event_date AS VARCHAR) AS event_date
+       |FROM read_parquet('$hiveFixtureDir/*/*.parquet',
+       |                  hive_partitioning=true) f
+       |JOIN read_parquet('$dimDatesFixturePath') dim
+       |  ON CAST(f.event_date AS DATE) = dim.d
+       |WHERE dim.phase = 'steady'
+       |ORDER BY event_id""".stripMargin) { (s, _) =>
+    val fact = s.read.parquet(hiveFixtureDir)
+    val dim = s.read.parquet(dimDatesFixturePath)
+      .filter(col("phase") === "steady")
+      .select(col("d").as("event_date"), col("phase"))
+    fact.join(broadcast(dim), Seq("event_date"))
+      .select(col("event_id"), col("etype"), col("value"), col("phase"),
+        col("event_date").cast("string").as("event_date"))
+      .orderBy("event_id")
+  }
+
   /** Committed fixture: one valid parquet + one garbage `.parquet`
     * (generated by [[graft.FixtureGen]]). */
   val corruptFixtureDir = graft.Fixtures.path("corrupt")
@@ -269,5 +312,5 @@ object Ingest {
       .orderBy("id")
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07)
+  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08)
 }

@@ -221,6 +221,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans.head.partitionFilters.nonEmpty)
   }
 
+  test("in08: dynamic partition pruning engages — dynamicpruning filter planned, 1 of 3 partitions read at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q = SparkEntry.catalog.find(_.name == "in08_dynamic_partition_pruning").get
+    val df = q.run(spark, sf)
+    // tier 1, static: the fact scan carries a dynamicpruning PARTITION
+    // filter (not a post-scan Filter) — the predicate planted by the
+    // PartitionPruning rule from the dim's selective filter. sparkPlan,
+    // not executedPlan: AQE's wrapper hides children from collect()
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partitioned fact scan found")
+    val fact = scans.head
+    assert(fact.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamicpruning partition filter on the fact scan: ${fact.partitionFilters}")
+    // anti-vacuity: statically (before the subquery result arrives) the
+    // listing still holds all 3 date partitions — nothing was pruned at
+    // compile time, so whatever the runtime metric shows below is DPP's
+    // doing, not a constant-folded static predicate
+    assert(fact.selectedPartitions.partitionCount == 3,
+      s"static listing should see all 3 partitions, got ${fact.selectedPartitions.partitionCount}")
+    // tier 2, runtime: execute, then read the scan's own metric — only
+    // the one partition matching the dim filter was actually read
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // QueryStageExec nodes are leaves to collect() (Spark 4 wraps even
+    // the final stage in a ResultQueryStage), so descend through them
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def partScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty =>
+        Seq(f)
+      case s: QueryStageExec => partScans(s.plan)
+    }.flatten
+    val execScans = partScans(finalPlan)
+    assert(execScans.nonEmpty, s"no partitioned scan in the executed plan:\n$finalPlan")
+    val m = execScans.head.metrics
+    assert(m.contains("numPartitions"),
+      s"scan metrics lack numPartitions (have: ${m.keys.mkString(", ")})")
+    assert(m("numPartitions").value == 1,
+      s"expected 1 partition read at runtime, got ${m("numPartitions").value}")
+  }
+
   test("g03: wedge and closing joins are equi-joins; top-k window is keyed") {
     val plan = executedPlan("g03_triangles")
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
