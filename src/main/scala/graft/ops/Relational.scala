@@ -311,6 +311,109 @@ object Relational {
         count_distinct(col("l_orderkey")).as("exact_orders"))
   }
 
+  /** q10c's design constants: m = 2^P registers; W hex chars of rank
+    * stream (4W bits); alpha as an exact ppm integer (the published
+    * alpha_256 = 0.7213/(1 + 1.079/256) truncated to 6 decimals — a
+    * DESIGN constant of this sketch, not a runtime float). */
+  private val HllP = 8          // 2^8 = 256 registers
+  private val HllM = 1 << HllP
+  private val HllW = 13         // 13 hex chars = 52 rank bits
+  private val HllAlphaPpm = 718271L
+  private val HllShiftBase = 1L << (4 * HllW + 1) // 2^53: rho=0 scale
+
+  /** The deterministic HLL register table for one column: (colname, reg,
+    * rho) with reg from the first 2 md5 hex chars (salted per column) and
+    * rho = leading-zero BITS of the next 13 hex chars + 1, computed
+    * entirely with string ops — ltrim('0') for whole zero hex chars plus
+    * a 4-way CASE on the first surviving digit. No log2/ln anywhere, so
+    * both engines derive bit-identical register states (t17's
+    * determinism discipline applied to cardinality sketching). */
+  private[graft] def hllRegisters(df: DataFrame, c: String): DataFrame = {
+    val h = md5(concat(lit(c + ":"), col(c).cast("string")))
+    val s = substring(h, 3, HllW)
+    val t = ltrim(s, "0")
+    val d = substring(t, 1, 1)
+    val extra = when(d === "1", 3)
+      .when(d.isin("2", "3"), 2)
+      .when(d.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(length(t) === 0, lit(4 * HllW + 1))
+      .otherwise((length(s) - length(t)) * 4 + extra + 1)
+    df.select(lit(c).as("colname"),
+      conv(substring(h, 1, 2), 16, 10).cast("int").as("reg"),
+      rho.cast("int").as("rho"))
+      .groupBy("colname", "reg").agg(max("rho").cast("int").as("rho"))
+  }
+
+  /** Fully-oracled distinct-count sketch (r06 verdict #2) — q10b's HLL
+    * made cross-engine-deterministic so the whole approx-distinct family
+    * flips to hash-green: both engines build the SAME 256-register state
+    * ([[hllRegisters]]) and derive the SAME integer estimate. The
+    * harmonic mean runs in exact integer arithmetic: each register
+    * contributes 2^(53-rho) (a left shift, never pow()), empties
+    * contribute 2^53, and the estimate alpha*m^2/denom is one DECIMAL(38)
+    * integral division with alpha an exact ppm constant — no
+    * transcendental touches any value (the textbook estimator's ln/pow
+    * would hash-mismatch on libm-vs-JVM ulps). No small-range correction
+    * by design (it needs ln); `SketchSpec` bounds the error vs exact at
+    * the tested cardinalities and pins merge-by-max mergeability — the
+    * property that makes the sketch the 100 TB answer (fixed 256-register
+    * state per column, map-side combinable, shuffle-free to merge).
+    * Output = register state + estimate, so the hash compare pins BOTH. */
+  val q10c = Q("q10c_hll_registers",
+    s"""WITH src AS (
+      |  SELECT 'l_orderkey' AS colname,
+      |    md5('l_orderkey:' || CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_partkey',
+      |    md5('l_partkey:' || CAST(l_partkey AS VARCHAR)) FROM lineitem),
+      |parts AS (
+      |  SELECT colname,
+      |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS reg,
+      |    substr(h, 3, $HllW) AS s, ltrim(substr(h, 3, $HllW), '0') AS t
+      |  FROM src),
+      |regs AS (
+      |  SELECT colname, reg, max(CASE WHEN t = '' THEN ${4 * HllW + 1}
+      |    ELSE (length(s) - length(t)) * 4 +
+      |      CASE WHEN substr(t, 1, 1) = '1' THEN 3
+      |           WHEN substr(t, 1, 1) IN ('2', '3') THEN 2
+      |           WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+      |           ELSE 0 END + 1 END) AS rho
+      |  FROM parts GROUP BY colname, reg),
+      |summ AS (
+      |  SELECT colname, count(*) AS occupied,
+      |    sum(CAST(1 AS BIGINT) << (${4 * HllW + 1} - rho)) AS occ_denom
+      |  FROM regs GROUP BY colname),
+      |est AS (
+      |  SELECT colname,
+      |    CAST((CAST($HllAlphaPpm AS HUGEINT) * ${HllM.toLong * HllM} *
+      |            CAST($HllShiftBase AS HUGEINT)) //
+      |         ((CAST(occ_denom AS HUGEINT) +
+      |           ($HllM - occupied) * CAST($HllShiftBase AS HUGEINT)) * 1000000)
+      |      AS BIGINT) AS est_distinct
+      |  FROM summ)
+      |SELECT r.colname, CAST(r.reg AS INT) AS reg, CAST(r.rho AS INT) AS rho,
+      |  e.est_distinct
+      |FROM regs r JOIN est e USING (colname)
+      |ORDER BY colname, reg""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val regs = hllRegisters(li, "l_orderkey")
+      .unionAll(hllRegisters(li, "l_partkey"))
+    val est = regs.groupBy("colname")
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${4 * HllW + 1} - rho)"))
+          .as("occ_denom"))
+      .select(col("colname"), expr(
+        s"""CAST((CAST($HllAlphaPpm AS DECIMAL(38,0)) * ${HllM.toLong * HllM} *
+           |  CAST($HllShiftBase AS DECIMAL(38,0))) div
+           |  ((CAST(occ_denom AS DECIMAL(38,0)) +
+           |    ($HllM - occupied) * CAST($HllShiftBase AS DECIMAL(38,0))) * 1000000)
+           |""".stripMargin.replace("\n", " ") + " AS BIGINT)").as("est_distinct"))
+    regs.join(broadcast(est), Seq("colname"))
+      .select(col("colname"), col("reg"), col("rho"), col("est_distinct"))
+      .orderBy("colname", "reg")
+  }
+
   // ---------------------------------------------------------------- q11
   /** Set operations. Spark `union` is UNION ALL (no dedup shuffle);
     * intersect/except are distinct-set semantics, same as SQL. */
@@ -1532,7 +1635,7 @@ object Relational {
   }
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
+    q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }
