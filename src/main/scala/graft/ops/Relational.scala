@@ -667,6 +667,85 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q19c's bucket width: $1000 in cents — the sketch's resolution (and
+    * its error bound: every estimate lands within one bucket of the
+    * exact quantile value). */
+  private val HistW = 100000L
+
+  /** Deterministic mergeable quantile sketch (r06 verdict #3) — q19b's
+    * approx-percentile made fully oracled: a FIXED-BOUNDARY histogram in
+    * exact integer cents (prices quantised once via DECIMAL(18,2), the
+    * repo money convention). The sketch state is (flag, cell, count)
+    * with cell = cents DIV $HistW — merging two sketches is cell-wise
+    * count ADDITION (associative/commutative, map-side combinable, the
+    * property `SketchSpec` pins), and any quantile is one cumulative
+    * walk: rank r(q) = ceil(q·n) computed as an exact integer
+    * ((q·n rounded up) via (a·n + a) DIV b — never a double multiply),
+    * the answer cell is the unique row with prev < r ≤ cum, and the
+    * within-cell position interpolates with one integral division.
+    * No floating point touches any value, so DuckDB replays the sketch
+    * bit-for-bit — unlike the KLL/GK sketches (q19b), whose compaction
+    * choices are engine-internal. Error is a priori bounded by the
+    * bucket width; at 100 TB the state is ≤ |price range|/W cells per
+    * group regardless of row count. */
+  val q19c = Q("q19c_histogram_quantiles",
+    s"""WITH src AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |cells AS (
+      |  SELECT flag, cents // $HistW AS cell, count(*) AS c
+      |  FROM src GROUP BY flag, cell),
+      |walk AS (
+      |  SELECT flag, cell, c,
+      |    sum(c) OVER (PARTITION BY flag ORDER BY cell) AS cum,
+      |    sum(c) OVER (PARTITION BY flag ORDER BY cell) - c AS prev,
+      |    sum(c) OVER (PARTITION BY flag) AS n
+      |  FROM cells)
+      |SELECT flag AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN prev < (n + 1) // 2 AND (n + 1) // 2 <= cum
+      |    THEN cell * $HistW +
+      |      (((n + 1) // 2 - prev) * $HistW) // (c + 1) END) AS BIGINT)
+      |    AS p50_cents,
+      |  CAST(min(CASE WHEN prev < (9 * n + 9) // 10 AND (9 * n + 9) // 10 <= cum
+      |    THEN cell * $HistW +
+      |      (((9 * n + 9) // 10 - prev) * $HistW) // (c + 1) END) AS BIGINT)
+      |    AS p90_cents,
+      |  CAST(min(CASE WHEN prev < (99 * n + 99) // 100 AND (99 * n + 99) // 100 <= cum
+      |    THEN cell * $HistW +
+      |      (((99 * n + 99) // 100 - prev) * $HistW) // (c + 1) END) AS BIGINT)
+      |    AS p99_cents
+      |FROM walk GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    val walk = histCells(Tables.lineitem(s, d))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("flag").orderBy("cell")))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("flag")))
+    def quantile(num: Int, den: Int): Column = {
+      val r = expr(s"($num * n + $num) DIV $den")
+      min(when(col("prev") < r && r <= col("cum"),
+        col("cell") * HistW +
+          expr(s"((($num * n + $num) DIV $den - prev) * $HistW) DIV (c + 1)")))
+        .cast("long")
+    }
+    walk.groupBy(col("flag").as("l_returnflag"))
+      .agg(max("n").cast("long").as("n"),
+        quantile(1, 2).as("p50_cents"),
+        quantile(9, 10).as("p90_cents"),
+        quantile(99, 100).as("p99_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q19c's sketch state over lineitem: one row per (flag, price cell).
+    * Factored out so `SketchSpec` can build half-sketches and pin the
+    * cell-addition merge law on the same definition. */
+  private[graft] def histCells(li: DataFrame): DataFrame =
+    li.select(col("l_returnflag").as("flag"),
+      expr(s"CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .groupBy(col("flag"), expr(s"cents DIV $HistW").as("cell"))
+      .agg(count(lit(1)).as("c"))
+
   // ---------------------------------------------------------------- q20
   /** As-of join (SURVEY.md §2.6's "operator Spark lacks" tier): each
     * event picks the value of the user's latest signup at-or-before its
@@ -1635,7 +1714,7 @@ object Relational {
   }
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b,
+    q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

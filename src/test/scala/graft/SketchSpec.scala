@@ -82,6 +82,48 @@ class SketchSpec extends SparkSpec {
     assert(even.count() > 0 && odd.count() > 0)
   }
 
+  test("q19c: histogram sketches merge by cell addition — sketch(a ∪ b) == merge(sketch(a), sketch(b))") {
+    import org.apache.spark.sql.functions.sum
+    val li = model.Tables.lineitem(spark, sf)
+    val even = ops.Relational.histCells(li.filter(col("l_orderkey") % 2 === 0))
+    val odd = ops.Relational.histCells(li.filter(col("l_orderkey") % 2 === 1))
+    val merged = even.unionAll(odd)
+      .groupBy("flag", "cell").agg(sum("c").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = ops.Relational.histCells(li)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == whole,
+      s"cell-addition merge drifted: ${(merged diff whole).take(5)} / ${(whole diff merged).take(5)}")
+    assert(even.count() > 0 && odd.count() > 0)
+  }
+
+  test("q19c: every quantile estimate lands within one bucket width of the exact quantile") {
+    // structural guarantee of a fixed-boundary histogram: the answer
+    // cell CONTAINS the exact rank-th value, and the interpolated
+    // estimate stays inside the cell — so |est - exact| < W always
+    val W = 100000L // cents, mirrors q19c's HistW
+    val est = ops.Relational.q19c.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val exact = model.Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.9)").as("p90"),
+        expr("percentile(cents, 0.99)").as("p99"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (flag, (e50, e90, e99)) =>
+      val (x50, x90, x99) = exact(flag)
+      assert(math.abs(e50 - x50) <= W, s"$flag p50: $e50 vs $x50")
+      assert(math.abs(e90 - x90) <= W, s"$flag p90: $e90 vs $x90")
+      assert(math.abs(e99 - x99) <= W, s"$flag p99: $e99 vs $x99")
+    }
+  }
+
   test("q39: every z-order bucket envelope is a tile, not the full span") {
     val li = model.Tables.lineitem(spark, sf)
       .agg(min("l_partkey"), max("l_partkey"),
