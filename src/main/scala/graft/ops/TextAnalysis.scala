@@ -1158,6 +1158,143 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t22
+  /** One BPE learning round over a token table (word, freq, pos, sym):
+    * count adjacent symbol pairs weighted by word frequency, pick the
+    * winner under the deterministic tie-break (count DESC, then left
+    * symbol ASC, then right ASC), and apply the merge with EXACT greedy
+    * left-to-right non-overlapping semantics, expressed relationally:
+    * candidate positions (sym=a ∧ next=b) can only conflict when they
+    * are consecutive — which requires a=b (a run of one symbol) — so
+    * gaps-and-islands over candidate positions + keep-odd-ranks inside
+    * each island IS the greedy rule ("aaaa" merges positions 1 and 3 →
+    * "aa aa", never the overlap), and for a≠b every island is a
+    * singleton so all candidates merge. A kept position rewrites to
+    * a||b; the position after a kept one is consumed; survivors
+    * re-rank. Three window passes + one hash agg, all over the VOCAB
+    * table (distinct words × word length), never the corpus — pair
+    * statistics ride the word-frequency weights, which is what makes
+    * BPE learning tractable at 100 TB (the corpus contributes one
+    * word-count hash agg; learning itself is vocab-sized).
+    * Returns (top pair, merged tokens). */
+  private[graft] def bpeRound(toks: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val nx = toks.withColumn("nxt", lead("sym", 1).over(wOrd))
+    val top = nx.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("a"), col("nxt").as("b"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    val wP = Window.partitionBy("word").orderBy("p")
+    val cd = nx.crossJoin(broadcast(top)) // 1-row scalar attach
+      .select(col("word"), col("freq"), col("pos").as("p"), col("sym"),
+        col("a"), col("b"),
+        coalesce(col("sym") === col("a") && col("nxt") === col("b"),
+          lit(false)).as("cand"))
+    val kp = cd
+      .withColumn("island",
+        col("p") - sum(when(col("cand"), 1).otherwise(0)).over(wP))
+      .withColumn("keep", col("cand") && row_number().over(
+        Window.partitionBy("word", "island", "cand").orderBy("p")) % 2 === 1)
+    val merged = kp
+      .withColumn("consumed", coalesce(lag("keep", 1).over(wP), lit(false)))
+      .filter(!col("consumed"))
+      .select(col("word"), col("freq"), row_number().over(wP).as("pos"),
+        when(col("keep"), concat(col("a"), col("b"))).otherwise(col("sym"))
+          .as("sym"))
+    (top, merged)
+  }
+
+  /** The same round as a DuckDB CTE block, parameterised by round id and
+    * input relation — spliced twice into t22's oracle so both engines
+    * run ONE shared definition per round (zero drift). */
+  private def bpeRoundSql(r: Int, in: String): String =
+    s"""nx$r AS (
+       |  SELECT word, freq, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM $in),
+       |top$r AS (
+       |  SELECT sym AS a, nxt AS b, sum(freq) AS cnt
+       |  FROM nx$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY cnt DESC, a, b LIMIT 1),
+       |cd$r AS (
+       |  SELECT n.word, n.freq, n.pos AS p, n.sym, x.a, x.b,
+       |    coalesce(n.sym = x.a AND n.nxt = x.b, false) AS cand
+       |  FROM nx$r n CROSS JOIN top$r x),
+       |kp$r AS (
+       |  SELECT *, cand AND (row_number() OVER (
+       |      PARTITION BY word, island, cand ORDER BY p) % 2 = 1) AS keep
+       |  FROM (SELECT *, p - sum(CASE WHEN cand THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY word ORDER BY p) AS island
+       |        FROM cd$r)),
+       |mg$r AS (
+       |  SELECT word, freq,
+       |    row_number() OVER (PARTITION BY word ORDER BY p) AS pos,
+       |    CASE WHEN keep THEN a || b ELSE sym END AS sym
+       |  FROM (SELECT *, coalesce(lag(keep) OVER (
+       |          PARTITION BY word ORDER BY p), false) AS consumed
+       |        FROM kp$r)
+       |  WHERE NOT consumed)""".stripMargin
+
+  /** BPE merge learning (r06 verdict #4), two unrolled rounds — the
+    * subword-tokenizer op real LLM pipelines run, oracled via s06's
+    * unrolled-rounds pattern (`ops/Similarity.scala`: iterative
+    * algorithms oracle by stating each round explicitly). Output is the
+    * two learned merges (with their pair counts at selection time) plus
+    * the top-30 symbol vocabulary after both merges — so the hash
+    * compare pins the selection rule, the tie-break, the greedy merge
+    * application, AND the resulting symbol distribution. `BpeSpec` pins
+    * the tie-break law and the run-greedy law on hand-built tables.
+    * No end-of-word marker by design: merges act within words only
+    * (the marker is presentation, not semantics, for learning). */
+  val t22 = Q("t22_bpe_merges",
+    s"""WITH words AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |toks0 AS (
+       |  SELECT word, freq, CAST(i AS INT) AS pos,
+       |    substr(word, CAST(i AS INT), 1) AS sym
+       |  FROM (SELECT word, freq,
+       |          unnest(generate_series(1, length(word))) AS i FROM words)),
+       |${bpeRoundSql(1, "toks0")},
+       |${bpeRoundSql(2, "mg1")}
+       |SELECT kind, round, sym, cnt FROM (
+       |  SELECT 'merge' AS kind, 1 AS round, a || '+' || b AS sym,
+       |    CAST(cnt AS BIGINT) AS cnt FROM top1
+       |  UNION ALL
+       |  SELECT 'merge', 2, a || '+' || b, CAST(cnt AS BIGINT) FROM top2
+       |  UNION ALL
+       |  SELECT 'vocab', 2, sym, cnt FROM (
+       |    SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM mg2
+       |    GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30))
+       |ORDER BY kind, round, cnt DESC, sym""".stripMargin) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(wordsOf(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // split(word, "") appends a trailing "" element (limit -1 split
+    // semantics) — filtered before positions are assigned
+    val toks0 = words
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
+      .filter(col("sym") =!= "")
+      .select(col("word"), col("freq"), (col("pos0") + 1).as("pos"),
+        col("sym"))
+    val (top1, m1) = bpeRound(toks0)
+    val (top2, m2) = bpeRound(m1)
+    def mergeRow(top: DataFrame, r: Int): DataFrame =
+      top.select(lit("merge").as("kind"), lit(r).as("round"),
+        concat(col("a"), lit("+"), col("b")).as("sym"),
+        col("cnt").cast("long").as("cnt"))
+    val vocab = m2.groupBy("sym").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("sym")).limit(30)
+      .select(lit("vocab").as("kind"), lit(2).as("round"), col("sym"),
+        col("cnt").cast("long").as("cnt"))
+    mergeRow(top1, 1).unionAll(mergeRow(top2, 2)).unionAll(vocab)
+      .orderBy(col("kind"), col("round"), col("cnt").desc, col("sym"))
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

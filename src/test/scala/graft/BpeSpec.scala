@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins t22's BPE laws on hand-built token tables, where ground truth
+  * is checkable by eye: the merge-priority tie-break and the greedy
+  * left-to-right non-overlapping application on same-symbol runs (the
+  * one case where candidate positions conflict). */
+class BpeSpec extends SparkSpec {
+
+  /** (word, freq) pairs → the (word, freq, pos, sym) character token
+    * table bpeRound consumes. */
+  private def toks(words: (String, Long)*) = {
+    import spark.implicits._
+    words.toSeq.toDF("word", "freq")
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
+      .filter(col("sym") =!= "")
+      .select(col("word"), col("freq"), (col("pos0") + 1).as("pos"),
+        col("sym"))
+  }
+
+  private def pair(top: org.apache.spark.sql.DataFrame): (String, String, Long) = {
+    val r = top.collect()(0)
+    (r.getString(0), r.getString(1), r.getLong(2))
+  }
+
+  private def seqOf(m: org.apache.spark.sql.DataFrame, word: String): Seq[String] =
+    m.filter(col("word") === word).orderBy("pos")
+      .collect().map(_.getString(3)).toSeq
+
+  test("tie-break law: equal counts resolve by left symbol then right, ascending") {
+    // (b,a) and (a,b) both appear with weight 2 — the winner must be
+    // (a,b), purely by the a < b lexicographic tie-break
+    val (top, _) = ops.TextAnalysis.bpeRound(toks("ba" -> 2L, "ab" -> 2L))
+    assert(pair(top) == (("a", "b", 2L)))
+  }
+
+  test("tie-break law: count dominates the lexicographic order") {
+    // (z,z) outweighs every alphabetically-earlier pair
+    val (top, _) = ops.TextAnalysis.bpeRound(toks("zzz" -> 5L, "ab" -> 3L))
+    // "zzz" has two (z,z) adjacencies x freq 5 = 10 > (a,b) count 3
+    assert(pair(top) == (("z", "z", 10L)))
+  }
+
+  test("run-greedy law: a same-symbol run merges left-to-right without overlap") {
+    // top pair in "aaaa" (freq 1) is (a,a) with count 3; greedy
+    // application merges positions 1-2 and 3-4 -> [aa, aa], never the
+    // overlapping middle pair
+    val (top, merged) = ops.TextAnalysis.bpeRound(toks("aaaa" -> 1L))
+    assert(pair(top) == (("a", "a", 3L)))
+    assert(seqOf(merged, "aaaa") == Seq("aa", "aa"))
+  }
+
+  test("run-greedy law: odd-length run leaves the tail symbol single") {
+    val (_, merged) = ops.TextAnalysis.bpeRound(toks("aaa" -> 2L, "bbbb" -> 1L))
+    // top pair is (a,a): count 2x2=4 > (b,b) 3; "aaa" -> [aa, a]
+    assert(seqOf(merged, "aaa") == Seq("aa", "a"))
+    // the non-winning run is untouched
+    assert(seqOf(merged, "bbbb") == Seq("b", "b", "b", "b"))
+  }
+
+  test("distinct-symbol merges apply at every candidate site in one pass") {
+    // pair (a,b) in "abab": candidates at positions 1 and 3 never
+    // conflict (conflict requires a=b), so both merge in one round
+    val (top, merged) = ops.TextAnalysis.bpeRound(toks("abab" -> 3L))
+    assert(pair(top) == (("a", "b", 6L)))
+    assert(seqOf(merged, "abab") == Seq("ab", "ab"))
+  }
+
+  test("second round merges composites learned in the first") {
+    // round 1 on "abab","abc": (a,b) wins (count 7); round 2 then sees
+    // symbol "ab" adjacent to "ab" in "abab" and to "c" in "abc"
+    val t0 = toks("abab" -> 3L, "abc" -> 1L)
+    val (top1, m1) = ops.TextAnalysis.bpeRound(t0)
+    assert(pair(top1) == (("a", "b", 7L)))
+    val (top2, m2) = ops.TextAnalysis.bpeRound(m1)
+    // (ab,ab) weight 3 vs (ab,c) weight 1 -> (ab,ab)
+    assert(pair(top2) == (("ab", "ab", 3L)))
+    assert(seqOf(m2, "abab") == Seq("abab"))
+    assert(seqOf(m2, "abc") == Seq("ab", "c"))
+  }
+}
