@@ -312,5 +312,72 @@ object Ingest {
       .orderBy("id")
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08)
+  /** Per-process scratch base for in09's fragmented/compacted tables,
+    * removed on JVM exit (the GraftSession warehouse-dir discipline). */
+  private lazy val compactScratch: String = {
+    val dir = s"/tmp/graft-compact-${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
+  /** Small-file compaction as an OPERATIVE catalog query (r06 verdict
+    * #5; `CompactionSpec` was documentation-plus-spec before): write a
+    * deliberately fragmented table (64 files), compact it to a target
+    * file size, and return an order-free content digest over the
+    * COMPACTED files while the DuckDB oracle computes the same digest
+    * over the SOURCE table — so a compaction that loses, duplicates, or
+    * mangles any row hash-mismatches, and the query itself `require`s
+    * that the file count actually shrank to the size-derived target.
+    * The compact step is `coalesce`, not `repartition`: merging small
+    * files needs NO shuffle (each output task concatenates input
+    * splits), which is what makes nightly compaction affordable on a
+    * 100 TB table — the pass is I/O-bound, not network-bound, and each
+    * output file is written by one task at the target size. The digest
+    * is a sum of 32-bit md5 prefixes (t17's md5 discipline): order-free
+    * (compaction permutes row order by design), overflow-safe (2^32 ×
+    * row count << 2^63), and sensitive to every column byte. */
+  val in09 = Q("in09_compaction",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
+      |    '|' || CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag),
+      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val fragDir = s"$compactScratch/$run/fragmented"
+    val compDir = s"$compactScratch/$run/compacted"
+    src.repartition(64).write.mode("overwrite").parquet(fragDir)
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(fragDir)
+    val targetBytes = 4L << 20 // 4 MiB target file size
+    val bytes = before.map(_.length).sum
+    val nAfter = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(fragDir).coalesce(nAfter)
+      .write.mode("overwrite").parquet(compDir)
+    val after = parquetFiles(compDir)
+    require(after.length == nAfter,
+      s"compaction wrote ${after.length} files, wanted $nAfter")
+    require(after.length < before.length,
+      s"compaction did not shrink the file count: ${before.length} -> ${after.length}")
+    s.read.parquet(compDir).agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(conv(substring(md5(concat(
+        col("l_orderkey").cast("string"), lit("|"),
+        col("l_partkey").cast("string"), lit("|"),
+        col("l_suppkey").cast("string"), lit("|"),
+        col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
+        .cast("long").as("checksum"))
+  }
+
+  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09)
 }

@@ -49,4 +49,26 @@ class CompactionSpec extends SparkSpec {
     // and the rewrite actually shrank the file inventory ~20x
     assert(after.size * 10 <= before.size)
   }
+
+  test("in09: the operative compaction query preserves content exactly (digest == source digest)") {
+    // in09 digests the COMPACTED files; recompute the same digest on
+    // the SOURCE table directly — equality proves the fragment+compact
+    // round trip lost and duplicated nothing (the file-count contract
+    // is require()d inside the query itself, so reaching the digest at
+    // all means the inventory shrank to the size-derived target)
+    val out = sources.Ingest.in09.run(spark, sf).collect()(0)
+    val srcRow = model.Tables.lineitem(spark, sf)
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_partkey").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"), lit("|"),
+          col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"))
+      .collect()(0)
+    assert(out.getLong(0) == srcRow.getLong(0), "row count drifted")
+    assert(out.getLong(1) == srcRow.getLong(1), "content digest drifted")
+    assert(out.getLong(0) > 0)
+  }
 }
