@@ -335,12 +335,16 @@ class StreamingSpec extends SparkSpec {
       "kill + resume must equal the uninterrupted run")
   }
 
-  test("checkpoint recovery: CHAINED stateful DAU resumes both state stores correctly") {
-    // Harder than the OHLC case: dailyActives chains TWO stateful
-    // operators (dropDuplicatesWithinWatermark + windowed count), so a
-    // correct resume must restore the dedup set AND the open window
-    // counts together — a user seen before the kill must still be
-    // deduplicated after it, or the resumed day over-counts.
+  /** The chained-DAU kill/resume round trip, shared by the default-
+    * provider and RocksDB-provider recovery pins. Returns the resumed
+    * result, the resumed query's progress JSONs (for provider
+    * anti-vacuity), and the checkpoint root (for state-file layout
+    * checks). dailyActives chains TWO stateful operators
+    * (dropDuplicatesWithinWatermark + windowed count), so a correct
+    * resume must restore the dedup set AND the open window counts
+    * together — a user seen before the kill must still be deduplicated
+    * after it, or the resumed day over-counts. */
+  private def dauRecoveryRoundTrip(): (Seq[(Timestamp, Long)], Seq[String], String) = {
     def mkEvents(rows: Seq[(Long, String)]) =
       rows.map { case (u, t) => (u, Timestamp.valueOf(t)) }
         .toDF("user_id", "ts")
@@ -364,12 +368,53 @@ class StreamingSpec extends SparkSpec {
       spark.readStream.schema(schema).parquet(s"$root/in"),
       s"$root/out", s"$root/ckpt")
     q2.processAllAvailable()
+    val progress = q2.recentProgress.map(_.json).toSeq
     q2.stop()
     val resumed = spark.read.parquet(s"$root/out").collect()
-      .map(r => r.getTimestamp(0) -> r.getLong(1))
-    assert(resumed.toSeq == Seq(
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toSeq
+    (resumed, progress, root)
+  }
+
+  test("checkpoint recovery: CHAINED stateful DAU resumes both state stores correctly") {
+    val (resumed, _, _) = dauRecoveryRoundTrip()
+    assert(resumed == Seq(
       Timestamp.valueOf("2024-01-01 00:00:00") -> 3L),
-      s"resumed DAU wrong (4 would mean the dedup state was lost): ${resumed.toSeq}")
+      s"resumed DAU wrong (4 would mean the dedup state was lost): $resumed")
+  }
+
+  test("checkpoint recovery under RocksDBStateStoreProvider: identical result, provider actually engaged") {
+    // r06 verdict #7: at 100 TB state (dedup fingerprints, CDC keyed
+    // state) the in-memory/HDFS-backed default store cannot hold the
+    // working set — RocksDB spills it to local disk with the same
+    // exactly-once checkpoint contract. Same kill/resume round trip,
+    // provider swapped by config only; the result must be identical.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (resumed, progress, root) = dauRecoveryRoundTrip()
+      assert(resumed == Seq(
+        Timestamp.valueOf("2024-01-01 00:00:00") -> 3L),
+        s"RocksDB resumed DAU wrong: $resumed")
+      // anti-vacuity 1: the resumed query's own progress reports
+      // RocksDB custom metrics — the provider ran, not the default
+      assert(progress.exists(_.contains("rocksdb")),
+        s"no rocksdb metrics in progress: ${progress.headOption.getOrElse("")}")
+      // anti-vacuity 2: the checkpoint state layout is RocksDB's
+      // (version zips, no HDFS-provider .delta files)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val stateFiles = walk(new java.io.File(s"$root/ckpt/state"))
+      assert(stateFiles.exists(_.getName.endsWith(".zip")),
+        s"no RocksDB snapshot zips under state/: ${stateFiles.map(_.getName).take(8)}")
+      assert(!stateFiles.exists(_.getName.endsWith(".delta")),
+        "HDFS-provider delta files present — default provider ran instead")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("streaming DAU: chained dedup + count equals the batch twin per finalised day") {
