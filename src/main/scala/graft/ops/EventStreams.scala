@@ -441,6 +441,28 @@ object EventStreams {
       .orderBy("r", "bucket")
   }
 
+  // --------------------------------------------------------------- st15
+  /** The HLL distinct-count sketch as a STREAMING aggregation — batch
+    * twin of [[graft.streaming.StreamOps.hllRegistersStream]], calling
+    * the SAME [[graft.ops.Relational.hllRegisters]] derivation over the
+    * event stream's user key. st14's bounded-state story for
+    * cardinality: the state is exactly m=256 (reg, max-rho) rows no
+    * matter how many users flow — the live distinct-users counter with
+    * no user-sized store. Oracle splices q10c's shared register CTEs
+    * verbatim. StreamingSpec pins stream sketch == this twin on shared
+    * events. */
+  val st15 = Q("st15_hll_stream_twin",
+    s"""WITH src AS (
+       |  SELECT 'user_id' AS colname,
+       |    md5('user_id:' || CAST(user_id AS VARCHAR)) AS h FROM events),
+       |${graft.ops.Relational.hllRegCtes}
+       |SELECT colname, CAST(reg AS INT) AS reg, CAST(rho AS INT) AS rho
+       |FROM regs ORDER BY colname, reg""".stripMargin) { (s, d) =>
+    graft.ops.Relational.hllRegisters(
+      events(s, d).select("user_id"), "user_id")
+      .orderBy("colname", "reg")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14)
+    st10, st11, st12, st13, st14, st15)
 }

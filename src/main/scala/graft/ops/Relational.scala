@@ -360,6 +360,25 @@ object Relational {
     * property that makes the sketch the 100 TB answer (fixed 256-register
     * state per column, map-side combinable, shuffle-free to merge).
     * Output = register state + estimate, so the hash compare pins BOTH. */
+  /** The register-derivation CTE block over a `src(colname, h)` relation
+    * — spliced into the q10c and st15 oracles so both engines AND both
+    * queries share one definition (the cmsCellCtes discipline). NB: no
+    * continuation line here may BEGIN with `|` (host stripMargin). */
+  private[graft] val hllRegCtes: String =
+    s"""parts AS (
+       |  SELECT colname,
+       |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS reg,
+       |    substr(h, 3, $HllW) AS s, ltrim(substr(h, 3, $HllW), '0') AS t
+       |  FROM src),
+       |regs AS (
+       |  SELECT colname, reg, max(CASE WHEN t = '' THEN ${4 * HllW + 1}
+       |    ELSE (length(s) - length(t)) * 4 +
+       |      CASE WHEN substr(t, 1, 1) = '1' THEN 3
+       |           WHEN substr(t, 1, 1) IN ('2', '3') THEN 2
+       |           WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |           ELSE 0 END + 1 END) AS rho
+       |  FROM parts GROUP BY colname, reg)""".stripMargin
+
   val q10c = Q("q10c_hll_registers",
     s"""WITH src AS (
       |  SELECT 'l_orderkey' AS colname,
@@ -367,19 +386,7 @@ object Relational {
       |  UNION ALL
       |  SELECT 'l_partkey',
       |    md5('l_partkey:' || CAST(l_partkey AS VARCHAR)) FROM lineitem),
-      |parts AS (
-      |  SELECT colname,
-      |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS reg,
-      |    substr(h, 3, $HllW) AS s, ltrim(substr(h, 3, $HllW), '0') AS t
-      |  FROM src),
-      |regs AS (
-      |  SELECT colname, reg, max(CASE WHEN t = '' THEN ${4 * HllW + 1}
-      |    ELSE (length(s) - length(t)) * 4 +
-      |      CASE WHEN substr(t, 1, 1) = '1' THEN 3
-      |           WHEN substr(t, 1, 1) IN ('2', '3') THEN 2
-      |           WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
-      |           ELSE 0 END + 1 END) AS rho
-      |  FROM parts GROUP BY colname, reg),
+      |$hllRegCtes,
       |summ AS (
       |  SELECT colname, count(*) AS occupied,
       |    sum(CAST(1 AS BIGINT) << (${4 * HllW + 1} - rho)) AS occ_denom

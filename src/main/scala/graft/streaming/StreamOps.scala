@@ -199,6 +199,22 @@ object StreamOps {
       .format("memory").queryName(queryName)
       .start()
 
+  /** Streaming HLL maintenance — st14's bounded-state shape applied to
+    * CARDINALITY: the state is the 256-register table of
+    * [[graft.ops.Relational.hllRegisters]] (a global groupBy-max whose
+    * cardinality is structurally capped at m registers no matter how
+    * many distinct keys flow), so COMPLETE mode is safe and every
+    * trigger emits the whole current sketch. This is the live
+    * distinct-users counter that needs no user-sized state store; the
+    * batch twin (st15) and q10c run the SAME register derivation.
+    * Expects the named key column on `src`. */
+  def hllRegistersStream(src: DataFrame, column: String,
+      queryName: String): StreamingQuery =
+    graft.ops.Relational.hllRegisters(src, column).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+
   /** Streaming trending top-k — the dashboard query ("most frequent
     * event types per hour, live"). Ranking inside a streaming
     * aggregation is unsupported, so the production shape is: watermarked

@@ -477,4 +477,29 @@ class StreamingSpec extends SparkSpec {
       assert(rowSum == (batch1 ++ batch2).length.toLong, s"row $r")
     }
   }
+
+  test("streaming HLL: complete-mode register state equals the batch twin across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = StreamOps.hllRegistersStream(
+      in.toDS().toDF("user_id"), "user_id", "hll_sketch")
+    // batch 2 repeats users from batch 1: the register max must be
+    // idempotent under re-observation (the property that makes the
+    // sketch a DISTINCT counter rather than a row counter)
+    val batch1 = Seq(1L, 2L, 3L, 4L, 5L, 2L)
+    val batch2 = Seq(4L, 5L, 6L, 7L, 1L)
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_sketch").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val twin = ops.Relational.hllRegisters(
+      (batch1 ++ batch2).toDF("user_id"), "user_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(streamed == twin, "stream registers must equal the batch twin")
+    // the state bound: never more than m = 256 registers
+    assert(streamed.nonEmpty && streamed.size <= 256)
+  }
 }
