@@ -1247,16 +1247,37 @@ object TextAnalysis {
     * the tie-break law and the run-greedy law on hand-built tables.
     * No end-of-word marker by design: merges act within words only
     * (the marker is presentation, not semantics, for learning). */
+  /** The (word, freq, pos, sym) character token table over a corpus —
+    * the Spark twin of [[bpeBaseCtes]], shared by t22 and t23.
+    * split(word, "") appends a trailing "" element (limit -1 split
+    * semantics) — filtered before positions are assigned. */
+  private[graft] def bpeCharToks(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(wordsOf(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
+      .filter(col("sym") =!= "")
+      .select(col("word"), col("freq"), (col("pos0") + 1).as("pos"),
+        col("sym"))
+
+  /** The word-frequency + character-token CTEs both BPE queries start
+    * from — shared so t22 (learning) and t23 (application) cannot
+    * drift. */
+  private val bpeBaseCtes: String =
+    """words AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |toks0 AS (
+      |  SELECT word, freq, CAST(i AS INT) AS pos,
+      |    substr(word, CAST(i AS INT), 1) AS sym
+      |  FROM (SELECT word, freq,
+      |          unnest(generate_series(1, length(word))) AS i FROM words))""".stripMargin
+
   val t22 = Q("t22_bpe_merges",
-    s"""WITH words AS (
-       |  SELECT word, count(*) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY word),
-       |toks0 AS (
-       |  SELECT word, freq, CAST(i AS INT) AS pos,
-       |    substr(word, CAST(i AS INT), 1) AS sym
-       |  FROM (SELECT word, freq,
-       |          unnest(generate_series(1, length(word))) AS i FROM words)),
+    s"""WITH $bpeBaseCtes,
        |${bpeRoundSql(1, "toks0")},
        |${bpeRoundSql(2, "mg1")}
        |SELECT kind, round, sym, cnt FROM (
@@ -1269,18 +1290,7 @@ object TextAnalysis {
        |    SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM mg2
        |    GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30))
        |ORDER BY kind, round, cnt DESC, sym""".stripMargin) { (s, d) =>
-    val words = Tables.documents(s, d)
-      .select(explode(wordsOf(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    // split(word, "") appends a trailing "" element (limit -1 split
-    // semantics) — filtered before positions are assigned
-    val toks0 = words
-      .select(col("word"), col("freq"),
-        posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
-      .filter(col("sym") =!= "")
-      .select(col("word"), col("freq"), (col("pos0") + 1).as("pos"),
-        col("sym"))
+    val toks0 = bpeCharToks(Tables.documents(s, d))
     val (top1, m1) = bpeRound(toks0)
     val (top2, m2) = bpeRound(m1)
     def mergeRow(top: DataFrame, r: Int): DataFrame =
@@ -1295,6 +1305,49 @@ object TextAnalysis {
       .orderBy(col("kind"), col("round"), col("cnt").desc, col("sym"))
   }
 
+  // ---------------------------------------------------------------- t23
+  /** BPE tokenizer APPLICATION — the serving side of t22: the learned
+    * merges segment every corpus document, reported as per-doc word and
+    * BPE-token counts. The scale shape is the whole point: merge
+    * application happens ONCE, on the vocabulary (t22's learning
+    * artifact), and the corpus only ever joins its word stream to the
+    * broadcast (word → segment-count) map — one map-side pass plus one
+    * doc-keyed hash agg, never a per-document re-segmentation. This is
+    * how a trained tokenizer is served over 100 TB: vocab-sized compute,
+    * corpus-sized join against broadcast state (the ml04 frozen-serving
+    * discipline applied to t22's learned state). Oracle splices the
+    * SAME base + round CTE blocks as t22 — learning and serving cannot
+    * drift. */
+  val t23 = Q("t23_bpe_apply",
+    s"""WITH $bpeBaseCtes,
+       |${bpeRoundSql(1, "toks0")},
+       |${bpeRoundSql(2, "mg1")},
+       |seg AS (SELECT word, count(*) AS n_sym FROM mg2 GROUP BY word),
+       |corpus AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(s.n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(length(c.word)) AS BIGINT) AS n_chars
+       |FROM corpus c JOIN seg s ON s.word = c.word
+       |WHERE c.word <> ''
+       |GROUP BY c.doc_id
+       |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (_, m1) = bpeRound(bpeCharToks(docs))
+    val (_, m2) = bpeRound(m1)
+    val seg = m2.groupBy("word").agg(count(lit(1)).as("n_sym"))
+    docs
+      .select(col("doc_id"), explode(wordsOf(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("n_sym").cast("long").as("n_bpe_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }

@@ -68,6 +68,24 @@ class BpeSpec extends SparkSpec {
     assert(seqOf(merged, "abab") == Seq("ab", "ab"))
   }
 
+  test("t23 conservation laws: per-doc bounds and token mass equal to t22's vocabulary") {
+    val rows = ops.TextAnalysis.t23.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, words, bpe, chars) =>
+      // merges only ever shrink: every word is >= 1 symbol and <= its chars
+      assert(bpe >= words && bpe <= chars, s"doc $doc: $words/$bpe/$chars")
+    }
+    // cross-query conservation: t22's vocab counts are freq-weighted
+    // symbol occurrences, so (when the top-30 cap is not binding) their
+    // sum IS the corpus BPE token total t23 reports
+    val t22Rows = ops.TextAnalysis.t22.run(spark, sf).collect()
+    val vocab = t22Rows.filter(_.getString(0) == "vocab").map(_.getLong(3))
+    assert(vocab.length < 30, "vocab hit the top-30 cap; law not checkable")
+    assert(vocab.sum == rows.map(_._3).sum,
+      s"vocab mass ${vocab.sum} != corpus BPE tokens ${rows.map(_._3).sum}")
+  }
+
   test("second round merges composites learned in the first") {
     // round 1 on "abab","abc": (a,b) wins (count 7); round 2 then sees
     // symbol "ab" adjacent to "ab" in "abab" and to "c" in "abc"
