@@ -710,13 +710,29 @@ object Similarity {
     * round()). Composes with the same bucket/IVF partitioning as
     * s02/s03; this demo ranks the capped corpus directly, the s01
     * convention. `SimilaritySpec` pins recall@5 against exact s01. */
+  /** The SQ8 code vector in DuckDB: `round(127·x_k/‖x‖)` per component —
+    * shared by s09 and s10 so quantisation cannot drift. */
+  private def sq8CodeSql(t: String): String =
+    s"""list_transform(generate_series(1, $Dims), k ->
+       |  CAST(round(127.0 * CAST($t.embedding[k] AS DOUBLE) /
+       |    sqrt(list_sum(list_transform(generate_series(1, $Dims), j ->
+       |      CAST($t.embedding[j] AS DOUBLE) * CAST($t.embedding[j] AS DOUBLE))))
+       |  ) AS BIGINT))""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** The same SQ8 coding in Spark: (vec_id, code) over a (vec_id,
+    * embedding) frame. */
+  private def sq8Coded(e0: DataFrame): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    e0.withColumn("norm", norm)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(lit(127.0) * x.cast("double") / col("norm")).cast("long"))
+          .as("code"))
+  }
+
   val s09 = Q("s09_sq8_topk", {
-    def qn(t: String) =
-      s"""list_transform(generate_series(1, $Dims), k ->
-         |  CAST(round(127.0 * CAST($t.embedding[k] AS DOUBLE) /
-         |    sqrt(list_sum(list_transform(generate_series(1, $Dims), j ->
-         |      CAST($t.embedding[j] AS DOUBLE) * CAST($t.embedding[j] AS DOUBLE))))
-         |  ) AS BIGINT))""".stripMargin.replaceAll("\n\\s*", " ")
+    def qn(t: String) = sq8CodeSql(t)
     s"""WITH e AS (SELECT vec_id, ${qn("embeddings")} AS code
        |           FROM embeddings),
        |q AS (SELECT vec_id, code FROM e WHERE vec_id < 10),
@@ -736,13 +752,7 @@ object Similarity {
   }) { (s, d) =>
     val e0 = Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
       "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
-    val norm = sqrt(aggregate(col("embedding"), lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val coded = e0.withColumn("norm", norm)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(lit(127.0) * x.cast("double") / col("norm")).cast("long"))
-          .as("code"))
+    val coded = sq8Coded(e0)
     val q = coded.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("code", "q_code")
@@ -758,5 +768,83 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  // ---------------------------------------------------------------- s10
+  /** Shortlist size of the first (integer) stage. */
+  val RerankShortlist = 20
+
+  /** Two-stage retrieval — the production ANN serving shape: stage 1
+    * ranks the corpus by the cheap SQ8 INTEGER dot ([[s09]]'s kernel,
+    * 4×-smaller codes, exact BIGINT scores → bit-identical shortlists
+    * in both engines) and keeps a $RerankShortlist-deep shortlist per
+    * query; stage 2 re-ranks ONLY the shortlist with the exact float
+    * cosine ([[s01]]'s kernel) and emits the final top-5. At 100 TB the
+    * corpus-scale pass touches byte codes only (and composes with the
+    * s02/s03 bucket/IVF partitioning); full-precision vectors are read
+    * for |Q|·shortlist rows — the quantise-then-refine pattern every
+    * large vector-serving system runs. `SimilaritySpec` pins recall@5
+    * ≥ the unrefined s09 tier against exact s01. */
+  val s10 = Q("s10_two_stage_topk",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id, ${sq8CodeSql("embeddings")} AS code
+       |      FROM embeddings),
+       |q AS (SELECT vec_id, code FROM c WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, $Dims),
+       |      k -> q.code[k] * c.code[k])) AS dot_q
+       |  FROM q JOIN c ON c.vec_id <> q.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY dot_q DESC, neighbor_id) AS srank
+       |    FROM scored)
+       |  WHERE srank <= $RerankShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id, ${cosSql("qe", "ne")} AS cos
+       |  FROM short s
+       |  JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e0 = Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
+      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
+    val coded = sq8Coded(e0)
+    val q = coded.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("code", "q_code")
+    val wI = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    val shortlist = coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("q_code"), col("code"), _ * _),
+          lit(0L), _ + _).as("dot_q"))
+      .withColumn("srank", row_number().over(wI))
+      .filter(col("srank") <= RerankShortlist)
+      .select("query_id", "neighbor_id")
+    val qe = e0.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_embedding")
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(e0.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("embedding", "n_embedding"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cosine_sim(q_embedding, n_embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

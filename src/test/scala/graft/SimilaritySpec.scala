@@ -46,6 +46,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.8, f"SQ8 mean recall $mean%.2f < 0.8")
   }
 
+  test("two-stage top-5 recall dominates the unrefined SQ8 tier") {
+    val exact = topk(ops.Similarity.s01)
+    val sq = topk(ops.Similarity.s09)
+    val two = topk(ops.Similarity.s10)
+    assert(exact.keySet == two.keySet, "same query set")
+    def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, ex) =>
+        approx(q).intersect(ex).size.toDouble / ex.size }
+      rs.sum / rs.size
+    }
+    val (mSq, mTwo) = (meanRecall(sq), meanRecall(two))
+    info(f"mean recall: sq8 $mSq%.2f -> two-stage $mTwo%.2f")
+    // exact re-ranking of a 20-deep integer shortlist can only fix
+    // stage-1 ordering mistakes inside the shortlist — it must never
+    // read WORSE than the unrefined tier on the same corpus
+    assert(mTwo >= mSq, f"re-ranking degraded recall: $mSq%.2f -> $mTwo%.2f")
+    assert(mTwo >= 0.9, f"two-stage mean recall $mTwo%.2f < 0.9")
+  }
+
   test("s06 Lloyd loop: objective monotone over rounds on the corpus") {
     import org.apache.spark.sql.functions._
     functions.GraftFunctions.register(spark)
