@@ -302,7 +302,10 @@ object Graph {
     * CTEs, no drift). Cross-engine determinism: the coefficient is ONE
     * fixed double expression over two exact integers — a single IEEE
     * division, bit-equal in both engines. Cost: g03 + one left join. */
-  val g04 = Q("g04_clustering_coeff",
+  /** The clustering-coefficient oracle tail over the shared CTEs —
+    * g04 states it over the live derivation, g05 over the identical
+    * derivation (materialisation must be semantics-invisible). */
+  private val clusteringSql: String =
     s"""WITH $projEdgeCtes,
        |$triangleCtes
        |SELECT v.v AS node, CAST(v.d AS BIGINT) AS degree,
@@ -311,8 +314,11 @@ object Graph {
        |       THEN 2.0 * coalesce(tc.triangles, 0) / (v.d * (v.d - 1))
        |       ELSE 0.0 END AS clustering
        |FROM vdeg v LEFT JOIN tc ON tc.node = v.v
-       |ORDER BY node""".stripMargin) { (s, d) =>
-    val e = projectionEdges(s, d).localCheckpoint() // reused by deg + tc
+       |ORDER BY node""".stripMargin
+
+  /** g04's dataflow over any (s1, s2) edge set — shared with g05 so the
+    * live and materialised paths run one definition. */
+  private def clusteringSummary(e: DataFrame): DataFrame = {
     val vdeg = degreesOf(e).localCheckpoint() // reused by tc AND the join
     val tc = triangleCounts(e, vdeg).withColumnRenamed("node", "v")
     vdeg.join(tc, Seq("v"), "left")
@@ -323,6 +329,58 @@ object Graph {
             (col("d") * (col("d") - 1)))
           .otherwise(lit(0.0)).as("clustering"))
       .orderBy("node")
+  }
+
+  val g04 = Q("g04_clustering_coeff", clusteringSql) { (s, d) =>
+    clusteringSummary(projectionEdges(s, d).localCheckpoint())
+  }
+
+  // ---------------------------------------------------------------- g05
+  /** Per-process scratch root for materialised projections, removed on
+    * JVM exit (the in09/warehouse discipline). */
+  private lazy val projScratch: String = {
+    val dir = s"/tmp/graft-proj-${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
+  private val projLock = new Object
+
+  /** Materialise the sparsified projection ONCE per corpus dir (md5-
+    * keyed path, filesystem-memoised — per-process scratch, so no
+    * cross-session catalog hazard) and return the artifact path. */
+  private[graft] def ensureProjection(s: SparkSession, d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(12)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val path = s"$projScratch/$md"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.exists()) projLock.synchronized {
+      if (!done.exists())
+        projectionEdges(s, d).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The amortised graph pipeline (SCALE.md's g02/g03/g04 note made
+    * executable): the co-occurrence projection — the only corpus-scale
+    * stage in the graph family — is materialised ONCE per corpus dir
+    * ([[ensureProjection]], the q44 one-time-write pattern), and the
+    * full per-node summary (degree, triangles, clustering) is computed
+    * from the ARTIFACT: every stage after the write is edge-table-sized.
+    * The oracle is g04's, verbatim — the hash compare proves
+    * materialisation is semantics-invisible, and `PlanAuditSpec` pins
+    * the physical claim: g05's plan contains NO lineitem scan, only the
+    * artifact read. Bench reps 2+ measure what a deployment pays after
+    * the nightly projection build. */
+  val g05 = Q("g05_materialized_graph", clusteringSql) { (s, d) =>
+    clusteringSummary(s.read.parquet(ensureProjection(s, d)))
   }
 
   /** The mutual top-[[TriTopK]] sparsified projection as a reusable edge
@@ -356,5 +414,5 @@ object Graph {
       .select(col("t1.v").as("s1"), col("t1.nb").as("s2"))
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03, g04)
+  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05)
 }
