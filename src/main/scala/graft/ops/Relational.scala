@@ -1720,8 +1720,76 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- q45
+  /** Runtime bloom-filter join pruning — the ROW-level sibling of in08's
+    * partition-level DPP, and the second of Spark's two runtime-filter
+    * tiers: when a fact joins a dim that is too big to broadcast but
+    * carries a selective filter, Catalyst's `InjectRuntimeFilter` plants
+    * a `BloomFilterAggregate` scalar subquery over the filtered dim keys
+    * and a `might_contain(bloom, xxhash64(l_partkey))` predicate on the
+    * fact side — so most non-matching fact rows die AT THE SCAN, before
+    * they are shuffled for the join. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~selective
+    * fraction that can actually match: DPP skips partitions the
+    * predicate's partition-key form can prune; the bloom filter prunes
+    * ROWS when the join key is not the partition key (here `l_partkey`,
+    * while the production fact partitions on date). Bloom false
+    * positives only cost wasted shuffle rows — the join itself removes
+    * them — so the rewrite is semantics-invisible, which is exactly what
+    * the plain-join DuckDB oracle checks. Conf scoping: the knobs live
+    * on an isolated `newSession()` (same SparkContext, own SQLConf), so
+    * nothing leaks into the shared session's other 150+ queries —
+    * `applicationSideScanSizeThreshold=0` because the audit corpus is
+    * MBs, not the production 10 GB default, and
+    * `autoBroadcastJoinThreshold=-1` models the dim-too-big-to-broadcast
+    * regime, the only one where the bloom path engages (under a
+    * broadcast join the probe side never shuffles, so there is nothing
+    * for the filter to save). `PlanAuditSpec` pins `might_contain` on
+    * the fact side plus an anti-vacuity twin: same query, bloom filter
+    * disabled, same result, no `might_contain`. */
+  val q45 = Q("q45_bloom_filter_join",
+    s"""SELECT p_brand, CAST(sum($DISC_PRICE_SQL) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand IN ('Brand#7', 'Brand#21')
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    bloomJoin(s, d, bloomEnabled = true)
+  }
+
+  /** q45's query body on an isolated conf-scoped session; `bloomEnabled`
+    * toggles only the runtime-filter rule so the audit can prove the
+    * result is invariant to it (the anti-vacuity twin). */
+  private[graft] def bloomJoin(
+      s: SparkSession, d: String, bloomEnabled: Boolean): DataFrame = {
+    val s2 = s.newSession()
+    // newSession inherits builder-time confs (GraftSession.configure) but
+    // not dynamic ones the driver may have set on `s` — carry the two
+    // that change semantics/parallelism here
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", bloomEnabled.toString)
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.lineitem(s2, d).select(col("l_partkey"),
+      discPriceOf(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val pt = Tables.part(s2, d)
+      .select(col("p_partkey"), col("p_brand"))
+      .filter(col("p_brand").isin("Brand#7", "Brand#21"))
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum("rev").cast("double").as("revenue"),
+        count(lit(1)).cast("long").as("n_items"))
+      .orderBy("p_brand")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -456,4 +456,27 @@ class PlanAuditSpec extends SparkSpec {
         assert(!leaves.contains(bad), s"$name still hints a fact table: $bad")
     }
   }
+
+  test("q45: runtime bloom filter engages on the fact side, and is semantics-invisible") {
+    // tier 1: with the rule on, the optimized plan carries the injected
+    // BloomFilterAggregate subquery and the fact-side might_contain
+    // predicate (InjectRuntimeFilter's row-level runtime filter — the
+    // DPP sibling for non-partition join keys)
+    val on = ops.Relational.bloomJoin(spark, sf, bloomEnabled = true)
+    val onPlan = on.queryExecution.optimizedPlan.toString
+    assert(onPlan.contains("might_contain"),
+      s"no might_contain in the bloom-enabled plan:\n${onPlan.take(1500)}")
+    assert(onPlan.toLowerCase.contains("bloomfilter"),
+      s"no bloom filter aggregate subquery in the plan:\n${onPlan.take(1500)}")
+    // anti-vacuity twin: rule off -> same query optimizes WITHOUT the
+    // filter, so whatever tier 1 matched was the rule's doing
+    val off = ops.Relational.bloomJoin(spark, sf, bloomEnabled = false)
+    val offPlan = off.queryExecution.optimizedPlan.toString
+    assert(!offPlan.contains("might_contain"),
+      s"bloom filter injected with the rule disabled:\n${offPlan.take(1500)}")
+    // tier 2: the filter must be semantics-invisible — bloom false
+    // positives are removed by the join itself, so both runs agree
+    assert(on.collect().toSeq == off.collect().toSeq,
+      "bloom-filtered result diverged from the plain join")
+  }
 }
