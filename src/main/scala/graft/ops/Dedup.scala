@@ -956,6 +956,82 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  // ---------------------------------------------------------------- d16
+  /** Containment detection — the ASYMMETRIC near-dup measure Jaccard is
+    * blind to: an excerpt quoted inside a much larger document scores
+    * `C(A,B) = |S(A)∩S(B)| / |S(A)| ≈ 1` while its Jaccard stays near
+    * `|A|/|B| ≈ 0`, below every d02/d06 threshold. Training pipelines
+    * run this to catch quote/excerpt duplication (a news wire quoted in
+    * 40 articles, a licence header, a benchmark question embedded in a
+    * crawl page — the decontamination case t07 handles with the
+    * roles fixed) that symmetric dedup provably cannot see.
+    *
+    * Demo ground truth is built the d01 way (the synthetic corpus has no
+    * natural excerpts): every 7th document contributes its first-half
+    * word prefix as an excerpt, and since prefix shingles are a subset
+    * of the source's shingles, the source must surface at containment
+    * exactly 1.0 — `DedupSpec` pins that, plus the asymmetry case d02
+    * misses.
+    *
+    * Scale: the excerpt side probes the corpus shingle inverted index as
+    * an equi join on the shingle — d02's candidate shape with the roles
+    * asymmetric — and d06's df-cap (stop-shingles with document
+    * frequency > 50 dropped from BOTH sides, so the ratio stays
+    * consistent) bounds per-shingle fanout at df², keeping the join cost
+    * predictable when both sides are corpus-scale. The denominator is
+    * the excerpt's KEPT-shingle count — integers divided once, so the
+    * double is bit-identical cross-engine (d02's discipline). */
+  val d16 = Q("d16_containment",
+    s"""WITH $shinglesSql,
+       |sdf AS (SELECT s FROM shingles GROUP BY s HAVING count(*) <= 50),
+       |docsh AS (SELECT doc_id, s FROM shingles JOIN sdf USING (s)),
+       |exw AS (
+       |  SELECT doc_id AS ex_id,
+       |    list_slice(w, 1, CAST(ceil(len(w) / 2.0) AS BIGINT)) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |  WHERE doc_id % 7 = 0 AND len(w) >= 6),
+       |exsh AS (
+       |  SELECT DISTINCT ex_id,
+       |    unnest(list_transform(generate_series(1, len(w) - 2),
+       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+       |  FROM exw),
+       |exkept AS (SELECT ex_id, s FROM exsh JOIN sdf USING (s)),
+       |exn AS (SELECT ex_id, count(*) AS c FROM exkept GROUP BY ex_id),
+       |common AS (
+       |  SELECT e.ex_id, d.doc_id, count(*) AS common
+       |  FROM exkept e JOIN docsh d USING (s)
+       |  GROUP BY 1, 2)
+       |SELECT c.ex_id, c.doc_id,
+       |  CAST(common AS DOUBLE) / n.c AS containment
+       |FROM common c JOIN exn n USING (ex_id)
+       |WHERE CAST(common AS DOUBLE) / n.c >= 0.9
+       |ORDER BY ex_id, doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = shingles(Tables.documents(s, d))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("s")
+    val docsh = sh.join(rare, "s")
+    val exsh = Tables.documents(s, d)
+      .select(col("doc_id").as("ex_id"), split(col("text"), " ").as("w"))
+      .filter(col("ex_id") % 7 === 0 && size(col("w")) >= 6)
+      .select(col("ex_id"),
+        slice(col("w"), lit(1),
+          ceil(size(col("w")) / 2.0).cast("int")).as("w"))
+      .select(col("ex_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+    val exkept = exsh.join(rare, "s")
+    val exn = exkept.groupBy("ex_id").agg(count(lit(1)).as("c"))
+    exkept.as("e")
+      .join(docsh.as("h"), col("e.s") === col("h.s"))
+      .groupBy(col("e.ex_id").as("ex_id"), col("h.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("common"))
+      .join(exn, "ex_id")
+      .select(col("ex_id"), col("doc_id"),
+        (col("common").cast("double") / col("c")).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy("ex_id", "doc_id")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15)
+    d11, d12, d13, d14, d15, d16)
 }

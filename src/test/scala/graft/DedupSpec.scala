@@ -240,4 +240,44 @@ class DedupSpec extends SparkSpec {
       ms.size > 1 && best(cluster)._1 != ms.map(_._1).min
     }, "corpus must contain a cluster whose best member is not the min id")
   }
+
+  test("d16 containment: every excerpt hits its source at 1.0, below Jaccard's radar") {
+    val rows = ops.Dedup.d16.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "excerpts should surface containment hits")
+    // ground truth: a prefix's shingles are a subset of its source's, and
+    // the df-cap drops the same shingles from both sides — so every
+    // excerpt that surfaced at all must hit its own source at exactly 1.0
+    val byEx = rows.groupBy(_._1)
+    for ((ex, hits) <- byEx) {
+      val self = hits.find(_._2 == ex)
+      assert(self.isDefined, s"excerpt $ex never matched its own source")
+      assert(self.get._3 == 1.0,
+        s"excerpt $ex contained in its source at ${self.get._3}, expected 1.0")
+    }
+    // the asymmetry claim: recompute both measures for the self pairs in
+    // plain Scala (independent of the SQL under test) and show Jaccard
+    // sits below the d02/d06 threshold while containment is 1.0 — the
+    // excerpt case symmetric dedup provably cannot see
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shinglesOf(words: Seq[String]): Set[String] =
+      if (words.size < 3) Set.empty
+      else words.sliding(3).map(_.mkString(" ")).toSet
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; s <- shinglesOf(t.split(" ").toSeq))
+      df(s) = df.getOrElse(s, 0) + 1
+    val jaccards = byEx.keys.map { ex =>
+      val w = docs(ex).split(" ").toSeq
+      val exS = shinglesOf(w.take(math.ceil(w.size / 2.0).toInt))
+        .filter(df(_) <= 50)
+      val srcS = shinglesOf(w).filter(df(_) <= 50)
+      assert(exS.subsetOf(srcS)) // prefix-shingle containment, capped alike
+      exS.intersect(srcS).size.toDouble / (exS ++ srcS).size
+    }
+    assert(jaccards.exists(_ < 0.8),
+      "corpus has no excerpt whose source-pair Jaccard is below the d02 " +
+        "threshold - the asymmetry demo is vacuous")
+  }
 }
