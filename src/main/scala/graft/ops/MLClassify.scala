@@ -444,5 +444,79 @@ object MLClassify {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04)
+  // ---------------------------------------------------------------- ml05
+  /** Model-calibration report (reliability diagram + expected calibration
+    * error) — the eval pass that runs beside ml03's ROC/AUC whenever a
+    * score gates a pipeline decision: AUC says the score RANKS well,
+    * calibration says the score MEANS what it claims (docs scored 0.8
+    * should be kept ~80% of the time), and a quality gate tuned on an
+    * uncalibrated score silently keeps the wrong volume. Composition is
+    * ml03's, zero-drift: t02's quality is the confidence, t15's keep is
+    * the outcome, both embedded verbatim as CTEs.
+    *
+    * Equal-width bins over [0,1] (quality's range; last bin closed via
+    * `least`). Per bin: n, positives, mean confidence, empirical accuracy.
+    * ECE determinism is the interesting part — the textbook
+    * `Σ n_b/N · |acc_b − conf_b|` sums DOUBLES across bins (order- and
+    * rounding-sensitive cross-engine), but multiplying through turns it
+    * into `Σ_b |pos_b·10⁶ − s_b|  /  (10⁶·N)` where `s_b` is the bin's
+    * quantised-micro score sum — an INTEGER sum (exact, order-free, the
+    * g01/ml03 quantisation discipline) with ONE trailing division, so
+    * both engines emit the identical double bit for bit.
+    *
+    * Scale: one corpus pass (t02's map-only scoring + t15's map-only
+    * rules), a 10-group hash agg with map-side combine, and a 10-row
+    * broadcast for the ECE attach — the shuffle carries bins, not docs. */
+  val ml05 = Q("ml05_calibration", {
+    val t15Sql = graft.ops.TextAnalysis.t15.oracle.get
+    val t02Sql = graft.ops.TextAnalysis.t02.oracle.get
+    s"""WITH t15o AS ($t15Sql),
+       |t02o AS ($t02Sql),
+       |d AS (
+       |  SELECT q.doc_id,
+       |    least(CAST(floor(q.quality * 10.0) AS BIGINT), 9) AS bin,
+       |    CAST(round(q.quality * 1000000.0) AS BIGINT) AS s_micro,
+       |    l.keep AS label
+       |  FROM t02o q JOIN t15o l ON l.doc_id = q.doc_id),
+       |bins AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE label) AS BIGINT) AS pos,
+       |    CAST(sum(s_micro) AS BIGINT) AS s_sum
+       |  FROM d GROUP BY bin),
+       |tot AS (
+       |  SELECT sum(n) AS total,
+       |    sum(abs(pos * 1000000 - s_sum)) AS ece_num
+       |  FROM bins)
+       |SELECT b.bin, b.n, b.pos,
+       |  CAST(b.s_sum AS DOUBLE) / (1000000.0 * b.n) AS conf,
+       |  CAST(b.pos AS DOUBLE) / b.n AS acc,
+       |  CAST(t.ece_num AS DOUBLE) / (1000000.0 * t.total) AS ece
+       |FROM bins b CROSS JOIN tot t
+       |ORDER BY bin""".stripMargin
+  }) { (s, d) =>
+    val lab = graft.ops.TextAnalysis.t15.run(s, d)
+      .select(col("doc_id"), col("keep").as("label"))
+    val qs = graft.ops.TextAnalysis.t02.run(s, d)
+      .select(col("doc_id"),
+        least(floor(col("quality") * 10.0).cast("long"), lit(9L)).as("bin"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("s_micro"))
+    val bins = qs.join(lab, "doc_id")
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("label"), 1L).otherwise(0L)).cast("long").as("pos"),
+        sum("s_micro").cast("long").as("s_sum"))
+      .localCheckpoint() // 10-row histogram; feeds both the rows and ECE
+    val tot = bins.agg(sum("n").as("total"),
+      sum(abs(col("pos") * 1000000L - col("s_sum"))).as("ece_num"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("s_sum").cast("double") / (lit(1000000.0) * col("n")))
+          .as("conf"),
+        (col("pos").cast("double") / col("n")).as("acc"),
+        (col("ece_num").cast("double") / (lit(1000000.0) * col("total")))
+          .as("ece"))
+      .orderBy("bin")
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05)
 }

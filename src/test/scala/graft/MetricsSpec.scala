@@ -115,4 +115,46 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(auc - want) < 1e-12,
       s"auc $auc vs Mann-Whitney $want")
   }
+
+  test("ml05: calibration bins partition the corpus; ECE equals the textbook recompute") {
+    val rows = ops.MLClassify.ml05.run(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length >= 2, "degenerate reliability diagram: <2 bins")
+    // bins partition the scored corpus exactly
+    val lab = ops.TextAnalysis.t15.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    val quality = ops.TextAnalysis.t02.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(rows.map(_._2).sum == quality.size.toLong,
+      "bin sizes do not sum to the scored corpus")
+    // per-bin laws: bin in [0,9], conf inside the bin's interval (up to
+    // the micro rounding), acc = pos/n
+    for ((bin, n, pos, conf, acc, _) <- rows) {
+      assert(bin >= 0 && bin <= 9 && n > 0 && pos >= 0 && pos <= n)
+      assert(acc == pos.toDouble / n)
+      assert(conf >= bin / 10.0 - 1e-6 &&
+        conf <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin mean confidence $conf outside its interval")
+    }
+    // ECE: constant across rows and equal to an independent driver-side
+    // recompute of the textbook sum over the same micro quantisation
+    val ece = rows.head._6
+    assert(rows.forall(_._6 == ece), "ece constant across bins")
+    val micro = quality.map { case (id, v) => id -> math.round(v * 1e6) }
+    val byBin = quality.groupBy { case (_, v) =>
+      math.min(math.floor(v * 10.0).toLong, 9L) }
+    val nTot = quality.size.toLong
+    val want = byBin.values.map { m =>
+      val n = m.size.toLong
+      val pos = m.keys.count(lab(_)).toLong
+      // toSeq BEFORE map (ml03's lesson): a key Set mapped to scores
+      // would dedup tied micro values and shrink the sum
+      val sSum = m.keys.toSeq.map(micro(_)).sum
+      (n.toDouble / nTot) *
+        math.abs(pos.toDouble / n - sSum.toDouble / (1e6 * n))
+    }.sum
+    assert(math.abs(ece - want) < 1e-9, s"ece $ece vs recompute $want")
+    assert(ece >= 0.0 && ece <= 1.0)
+  }
 }
