@@ -414,5 +414,81 @@ object Graph {
       .select(col("t1.v").as("s1"), col("t1.nb").as("s2"))
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05)
+  // ---------------------------------------------------------------- g06
+  /** Community detection via label propagation (Raghavan et al. 2007) —
+    * the third graph-structure pass (after triangles/clustering) a
+    * corpus graph pipeline runs: assign every node its own label, then
+    * repeatedly adopt the MAJORITY label among neighbours; connected
+    * regions converge to shared labels = communities. Production LPA is
+    * usually asynchronous (update order changes answers — useless for a
+    * reproducible pipeline), so this is the SYNCHRONOUS variant with a
+    * total deterministic vote order: per node, `(vote count DESC, label
+    * ASC)` — both engines elect identical labels at every round.
+    *
+    * Two rounds unrolled (s06's iterative-oracle pattern; g01's round
+    * function discipline): round 1 degenerates to min-neighbour-id
+    * (every neighbour votes its own id, all counts 1, tie-break takes
+    * the min — `GraphSpec` pins that closed form independently), round 2
+    * is the first genuine majority vote. At deployment the same round
+    * function iterates to fixpoint exactly like g01's pagerank loop.
+    *
+    * Scale: each round is one keyed equi-join (labels onto the directed
+    * edge list), one (v, label) hash agg with map-side combine, and one
+    * per-key window — O(m) work per round, max degree ≤ [[TriTopK]] by
+    * the mutual-top-k sparsification, no global structure anywhere.
+    * Runs over g05's materialised artifact (the amortisation pattern:
+    * graph passes after the first read edge-table-sized inputs). */
+  val g06 = Q("g06_label_propagation",
+    s"""WITH $projEdgeCtes,
+       |dirx AS (
+       |  SELECT s1 AS v, s2 AS nb FROM e
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM e),
+       |l1 AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT v, lbl,
+       |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk
+       |    FROM (SELECT v, nb AS lbl, count(*) AS c
+       |          FROM dirx GROUP BY 1, 2) v1) r1
+       |  WHERE rk = 1),
+       |v2 AS (
+       |  SELECT d.v, l.lbl, count(*) AS c
+       |  FROM dirx d JOIN l1 l ON l.v = d.nb
+       |  GROUP BY 1, 2),
+       |l2 AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT v, lbl,
+       |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rk
+       |    FROM v2) r2
+       |  WHERE rk = 1),
+       |sizes AS (
+       |  SELECT lbl, CAST(count(*) AS BIGINT) AS community_size
+       |  FROM l2 GROUP BY lbl)
+       |SELECT l2.v AS node, l2.lbl AS label, sizes.community_size
+       |FROM l2 JOIN sizes USING (lbl)
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = s.read.parquet(ensureProjection(s, d))
+    val dirx = e.select(col("s1").as("v"), col("s2").as("nb"))
+      .union(e.select(col("s2").as("v"), col("s1").as("nb")))
+      .localCheckpoint() // reused by both rounds
+    // one synchronous vote round: labels arrive at each node through the
+    // directed edge list, majority elects, ties to the smallest label
+    def lpaRound(labels: DataFrame): DataFrame =
+      dirx.join(labels.withColumnRenamed("v", "nb"), "nb")
+        .groupBy("v", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("v").orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rk") === 1)
+        .select("v", "lbl")
+    val l0 = dirx.select(col("v")).distinct().withColumn("lbl", col("v"))
+    val l2 = lpaRound(lpaRound(l0))
+    val sizes = l2.groupBy("lbl")
+      .agg(count(lit(1)).cast("long").as("community_size"))
+    l2.join(sizes, "lbl")
+      .select(col("v").as("node"), col("lbl").as("label"),
+        col("community_size"))
+      .orderBy("node")
+  }
+
+  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06)
 }

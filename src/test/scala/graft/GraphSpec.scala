@@ -134,4 +134,38 @@ class GraphSpec extends SparkSpec {
       assert(c >= 0.0 && c <= 1.0)
     }
   }
+
+  test("g06: two LPA rounds equal a sequential recompute; round 1 is min-neighbour") {
+    import spark.implicits._
+    val got = ops.Graph.g06.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // sequential synchronous LPA over the same sparsified edge set
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).toSeq
+      .map { case (v, es) => v -> es.map(_._2).toSeq }.toMap
+    def round(lbl: Map[Long, Long]): Map[Long, Long] =
+      nbrs.map { case (v, ns) =>
+        val votes = ns.map(lbl).groupBy(identity).view.mapValues(_.size)
+        v -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    val l0 = nbrs.keys.map(v => v -> v).toMap
+    val l1 = round(l0)
+    // round-1 closed form: identity labels make every vote count 1, so
+    // the (count DESC, label ASC) tie-break elects the min neighbour id
+    for ((v, ns) <- nbrs)
+      assert(l1(v) == ns.min, s"round-1 label of $v is not min neighbour")
+    val l2 = round(l1)
+    val sizes = l2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(got.length == nbrs.size, "one row per vertex")
+    for ((node, label, csize) <- got) {
+      assert(l2(node) == label, s"node $node label $label vs ${l2(node)}")
+      assert(csize == sizes(label).toLong)
+    }
+    // anti-vacuity: propagation must have merged something — some
+    // community holds >1 member, and fewer labels exist than vertices
+    assert(sizes.values.exists(_ > 1), "no community larger than 1")
+    assert(sizes.size < nbrs.size, "labels never merged")
+  }
 }
