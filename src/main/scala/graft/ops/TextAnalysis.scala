@@ -1348,6 +1348,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t24
+  /** Per-document keyword extraction (TF-IDF top-k) — the metadata-
+    * enrichment pass run over every training corpus: tag each doc with
+    * its k most distinctive terms, feeding dedup explanations, topic
+    * routing, and mixture audits. Where t13 ranks DOCS for one query,
+    * this ranks TERMS within every doc — the transpose, and the shuffle
+    * shape differs accordingly (per-doc window, not a global top-k).
+    *
+    * Determinism discipline: idf = ln((N+1)/(df+1)) quantised to micros
+    * ONCE per term (t13's proven ln-parity regime), then the per-term
+    * score `tf · idf_micro` is an exact integer product — ranking ties
+    * break on the term string, so the top-3 set is bit-identical
+    * cross-engine with no float comparison anywhere in the ranking.
+    *
+    * Scale: one token explode, (doc, term) + (term) hash aggs with map-
+    * side combine, a term-keyed join to attach idf (vocab-sized at this
+    * SF — a shuffle join on term at a real vocab), and ONE doc-keyed
+    * window for the top-3 — the corpus shuffles on doc_id once. */
+  val t24 = Q("t24_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |kept AS (SELECT doc_id, term FROM toks WHERE length(term) >= 3),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM kept),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM kept GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |idf AS (
+      |  SELECT f.term,
+      |    CAST(round(ln((n.n_docs + 1.0) / (f.df + 1.0)) * 1000000.0)
+      |         AS BIGINT) AS idf_micro
+      |  FROM df f CROSS JOIN n)
+      |SELECT doc_id, rank, term, score_q FROM (
+      |  SELECT t.doc_id, t.term,
+      |    CAST(t.tf * i.idf_micro AS BIGINT) AS score_q,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY t.doc_id
+      |      ORDER BY t.tf * i.idf_micro DESC, t.term) AS BIGINT) AS rank
+      |  FROM tf t JOIN idf i ON i.term = t.term)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val kept = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 3)
+    val tf = kept.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = kept.agg(countDistinct("doc_id").as("n_docs"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        expr("CAST(round(ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0) AS BIGINT)")
+          .as("idf_micro"))
+    tf.join(idf, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * col("idf_micro")).cast("long").as("score_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score_q")
+      .orderBy("doc_id", "rank")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
