@@ -379,5 +379,54 @@ object Ingest {
         .cast("long").as("checksum"))
   }
 
-  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09)
+  /** Compression-codec matrix (SURVEY.md §2.1 [EXT]) — a 100 TB estate
+    * is never one codec: hot tables sit on snappy/zstd for scan speed,
+    * archives on gzip/zstd-high for density, and every re-compression
+    * pass must be provably content-invariant. This query round-trips the
+    * same projection through all three built-in parquet codecs and
+    * digests each round-trip with in09's order-free md5-prefix sum — the
+    * DuckDB oracle states the digest once per codec name off the SOURCE
+    * table, so any codec that loses, duplicates, or corrupts a row
+    * hash-mismatches on its own output row. File sizes are deliberately
+    * NOT emitted (they depend on compression-library versions — not an
+    * oracle-stable quantity); the codec actually being applied is
+    * `require`d loudly from the written files' names instead. */
+  val in10 = Q("in10_codec_matrix",
+    """SELECT codec, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
+      |    '|' || CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag),
+      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM lineitem
+      |CROSS JOIN (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
+      |GROUP BY codec
+      |ORDER BY codec""".stripMargin) { (s, d) =>
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    // Spark's file-name codec tags: gzip writes `.gz.parquet`
+    val codecTag = Map("gzip" -> "gz", "snappy" -> "snappy", "zstd" -> "zstd")
+    val digests = Seq("gzip", "snappy", "zstd").map { codec =>
+      val dir = s"$compactScratch/$run/$codec"
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      require(files.nonEmpty && files.forall(_.contains(s".${codecTag(codec)}.")),
+        s"$codec round-trip wrote unexpected files: ${files.take(3).mkString(", ")}")
+      s.read.parquet(dir).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_partkey").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"), lit("|"),
+          col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"))
+        .select(lit(codec).as("codec"), col("n_rows"), col("checksum"))
+    }
+    digests.reduce(_ union _).orderBy("codec")
+  }
+
+  def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
+    in10)
 }
