@@ -1061,6 +1061,68 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- mm11
+  /** Second REAL compressed codec, second compression FAMILY: GIF87a
+    * round-trip through [[Gif]]'s library-free LZW (variable-width
+    * 9→12-bit codes, LSB-first packing, sub-block framing) — where
+    * mm09's PNG is LZ77+Huffman via the JDK's zlib, this is dictionary
+    * coding implemented from the spec. A crawl corpus carries both
+    * families; decode coverage is per-format. Same discipline as mm09:
+    * the synthetic index plane is the shared 64-bit LCG, the round-trip
+    * must be byte-lossless (indexed color with an identity grayscale
+    * palette), and the oracle replays the LCG in HUGEINT and checks an
+    * order-weighted checksum over the decoded index stream — so a
+    * single transposed or corrupted pixel anywhere mismatches. Pure
+    * map-side mapPartitions; CPU scales with pixels, not docs. */
+  val mm11 = Q("mm11_gif_roundtrip", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M * $A + $C) % $M
+       |  FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $A + $C) % $M FROM lcg WHERE i < 191),
+       |bytes AS (
+       |  SELECT doc_id, i,
+       |    CAST(state // 72057594037927936 AS BIGINT) AS b
+       |  FROM lcg)
+       |SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       |  CAST(sum(b) AS BIGINT) AS sum_idx,
+       |  CAST(min(b) AS BIGINT) AS min_idx,
+       |  CAST(max(b) AS BIGINT) AS max_idx,
+       |  CAST(sum((i + 1) * b) AS BIGINT) AS checksum
+       |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 1)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val src = syntheticPpm(id)
+        val off = ppmHeader(src)._3
+        // first 192 LCG bytes as a 16×12 index plane
+        val idx = java.util.Arrays.copyOfRange(src, off, off + 192)
+        val img = Gif.decode(Gif.encode(idx, 16, 12))
+        require(img.width == 16 && img.height == 12, "round-trip geometry lost")
+        require(java.util.Arrays.equals(img.indices, idx),
+          "LZW round-trip not byte-lossless")
+        var sum = 0L; var mn = 255L; var mx = 0L; var ck = 0L
+        var i = 0
+        while (i < img.indices.length) {
+          val b = img.indices(i) & 0xff
+          sum += b; ck += (i + 1).toLong * b
+          if (b < mn) mn = b
+          if (b > mx) mx = b
+          i += 1
+        }
+        (id, 16, 12, sum, mn, mx, ck)
+      })
+      .toDF("doc_id", "width", "height", "sum_idx", "min_idx", "max_idx",
+        "checksum")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10)
+    mm10, mm11)
 }

@@ -252,4 +252,58 @@ class CodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](Png.decode(good.drop(1)))
     intercept[IllegalArgumentException](Png.decode(good.dropRight(13)))
   }
+
+  test("gif: LZW round-trip is byte-lossless across code-width regimes") {
+    import graft.multimodal.Gif
+    def lcgPlane(seed: Long, n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var state = seed
+      var i = 0
+      while (i < n) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        out(i) = (state >>> 56).toByte
+        i += 1
+      }
+      out
+    }
+    // catalog geometry: 9-bit codes only
+    val small = lcgPlane(7, 16 * 12)
+    assert(java.util.Arrays.equals(
+      Gif.decode(Gif.encode(small, 16, 12)).indices, small))
+    // constant plane: the KwKwK chain (code == decoder's next slot) on
+    // every step after the first
+    val const = Array.fill(16 * 12)(42.toByte)
+    assert(java.util.Arrays.equals(
+      Gif.decode(Gif.encode(const, 16, 12)).indices, const))
+    // large high-entropy plane: crosses 9→10→11→12-bit widths and the
+    // 4096-entry table reset (random bytes miss the dict almost every
+    // step, so 12288 pixels assign well past 4096 codes)
+    val big = lcgPlane(99, 128 * 96)
+    val bigImg = Gif.decode(Gif.encode(big, 128, 96))
+    assert(bigImg.width == 128 && bigImg.height == 96)
+    assert(java.util.Arrays.equals(bigImg.indices, big))
+    // a repetitive plane stresses long dictionary chains instead
+    val rep = Array.tabulate(64 * 64)(i => (i % 7).toByte)
+    assert(java.util.Arrays.equals(
+      Gif.decode(Gif.encode(rep, 64, 64)).indices, rep))
+  }
+
+  test("gif: malformed containers are rejected, not mis-decoded") {
+    import graft.multimodal.Gif
+    val good = Gif.encode(Array.tabulate(16 * 12)(_.toByte), 16, 12)
+    // wrong magic
+    intercept[IllegalArgumentException](Gif.decode(good.drop(1)))
+    // truncated: trailer gone
+    intercept[IllegalArgumentException](Gif.decode(good.dropRight(1)))
+    // geometry contract
+    intercept[IllegalArgumentException](Gif.encode(new Array[Byte](10), 16, 12))
+    // pixel-count mismatch: the LZW stream carries 16×12 pixels but the
+    // container claims 16×13 — patch BOTH height fields (LSD height LE
+    // at offset 8; image-descriptor height at 6+7+768+1+4+2 = 788) so
+    // framing passes and the decoder must catch it at the pixel count
+    val claims = Gif.encode(Array.tabulate(16 * 12)(_.toByte), 16, 12)
+    claims(8) = 13.toByte
+    claims(788) = 13.toByte
+    intercept[IllegalArgumentException](Gif.decode(claims))
+  }
 }
