@@ -463,6 +463,35 @@ object EventStreams {
       .orderBy("colname", "reg")
   }
 
+  // --------------------------------------------------------------- st16
+  /** q19c's histogram-quantile sketch STATE over the event stream's
+    * value column: one (event_type, 5.00-wide value cell) count row.
+    * Completes the mergeable-sketch streaming trio — st14 (frequency,
+    * CMS), st15 (cardinality, HLL), st16 (quantiles, fixed-boundary
+    * histogram): the state is structurally capped at value-range/width
+    * cells per type (~100 here) no matter how many events flow, so the
+    * live latency/price percentile dashboard needs no event-sized
+    * store, and cells merge by addition (SketchSpec's q19c law) across
+    * partitions, triggers, and days alike. Value quantised to cents
+    * BEFORE celling (the proven round-to-integer parity regime). Batch
+    * twin of [[graft.streaming.StreamOps.valueHistStream]] —
+    * StreamingSpec pins stream state == this twin on shared events. */
+  private[graft] def valueHistCells(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), expr("cents DIV 500").as("cell"))
+      .agg(count(lit(1)).cast("long").as("c"))
+
+  val st16 = Q("st16_hist_stream_twin",
+    """WITH src AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, cents // 500 AS cell, CAST(count(*) AS BIGINT) AS c
+      |FROM src GROUP BY 1, 2
+      |ORDER BY event_type, cell""".stripMargin) { (s, d) =>
+    valueHistCells(events(s, d)).orderBy("event_type", "cell")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15)
+    st10, st11, st12, st13, st14, st15, st16)
 }

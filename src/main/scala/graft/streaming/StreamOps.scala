@@ -215,6 +215,18 @@ object StreamOps {
       .format("memory").queryName(queryName)
       .start()
 
+  /** Streaming histogram-quantile maintenance — the sketch trio's third
+    * member (st14 CMS / st15 HLL / this): q19c's fixed-boundary value
+    * cells maintained live over `(event_type, value)` rows. State is
+    * capped at value-range/width cells per type, so COMPLETE mode emits
+    * the whole current sketch each trigger and any quantile is one walk
+    * over the emitted table. Batch twin: `EventStreams.st16`. */
+  def valueHistStream(src: DataFrame, queryName: String): StreamingQuery =
+    graft.ops.EventStreams.valueHistCells(src).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName)
+      .start()
+
   /** Streaming trending top-k — the dashboard query ("most frequent
     * event types per hour, live"). Ranking inside a streaming
     * aggregation is unsupported, so the production shape is: watermarked

@@ -502,4 +502,29 @@ class StreamingSpec extends SparkSpec {
     // the state bound: never more than m = 256 registers
     assert(streamed.nonEmpty && streamed.size <= 256)
   }
+
+  test("streaming value histogram: complete-mode cell state equals the batch twin") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamOps.valueHistStream(
+      in.toDS().toDF("event_type", "value"), "hist_sketch")
+    // batch 2 lands values in cells batch 1 already opened AND in new
+    // ones: merged counts must be addition, not replacement
+    val batch1 = Seq(("click", 3.10), ("click", 4.99), ("view", 12.00),
+      ("click", 7.25), ("view", 3.10))
+    val batch2 = Seq(("click", 3.11), ("view", 488.88), ("click", 250.00))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hist_sketch").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val twin = ops.EventStreams.valueHistCells(
+      (batch1 ++ batch2).toDF("event_type", "value")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == twin, "stream cells must equal the batch twin")
+    // counts total the input rows (nothing dropped or double-counted)
+    assert(streamed.values.sum == (batch1 ++ batch2).size.toLong)
+  }
 }
