@@ -152,6 +152,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_edit_distance", exprs => BoundedEditDistance(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Optional 2nd arg of `simhash64`: a literal hash-family name —

@@ -956,6 +956,33 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  // ---------------------------------------------------------------- d17
+  /** d12's LSH verification with the BANDED bounded edit distance
+    * ([[graft.functions.EditDistance]]) in place of the full-table
+    * `levenshtein`: callers only ask "≤ 40?", so the verifier computes
+    * `min(lev, 41)` in O(k·min-len) with an early exit — mismatched
+    * candidates (the majority under any recall-first blocking) cost
+    * ~O(k²) instead of O(n·m). Output-identical to d12 by construction
+    * (`min(lev, k+1)` preserves every distance ≤ k and the filter keeps
+    * only those), so the oracle is d12's VERBATIM — the d08/d10
+    * same-answer convention — and `FunctionsSpec` pins the
+    * `bounded == min(levenshtein, k+1)` law against Spark's built-in on
+    * adversarial cases. The expression codegens as a static call (the
+    * built-in Levenshtein's own pattern): the verify predicate stays
+    * inside whole-stage codegen. */
+  val d17 = Q("d17_lsh_editdist_banded", d12.oracle.get) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    d03.run(s, d)
+      .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+      .select(col("i"), col("j"),
+        expr(s"bounded_edit_distance(ta, tb, $EditDistThreshold)")
+          .cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= EditDistThreshold)
+      .orderBy("i", "j")
+  }
+
   // ---------------------------------------------------------------- d16
   /** Containment detection — the ASYMMETRIC near-dup measure Jaccard is
     * blind to: an excerpt quoted inside a much larger document scores
@@ -1033,5 +1060,5 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16)
+    d11, d12, d13, d14, d15, d16, d17)
 }

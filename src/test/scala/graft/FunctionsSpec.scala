@@ -91,4 +91,53 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = df.selectExpr("simhash64(split(text, ' '))").head().getLong(0)
     assert(viaSql == SimHash64.ofTokens(Seq("spark", "query", "engine")))
   }
+
+  test("bounded_edit_distance == min(levenshtein, k+1), codegen and eval alike") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def full(a: String, b: String): Int = {
+      // reference: classic full-table DP over code points
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      val dp = Array.tabulate(x.length + 1)(i => Array.tabulate(y.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      dp(x.length)(y.length)
+    }
+    val cases = Seq(
+      ("", "", 0), ("", "abc", 3), ("abc", "", 1), ("kitten", "sitting", 2),
+      ("kitten", "sitting", 0), ("abcdefgh", "abcdefgh", 3),
+      ("aaaaaaaaaa", "bbbbbbbbbb", 4), // every band cell busts: early exit
+      ("abcde", "abxde", 1), ("abcde", "xbcdx", 1),
+      ("a" * 50, "a" * 50 + "b" * 10, 5), // length gap 10 > k=5
+      ("ábç", "abc", 2), ("ábç", "abc", 1), // non-ASCII code points
+      ("prefix common then diverge x", "prefix common then diverge y", 3))
+    for ((a, b, k) <- cases) {
+      val want = math.min(full(a, b), k + 1)
+      val got = graft.functions.EditDistance.bounded(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+      assert(got == want, s"bounded('$a','$b',$k) = $got, want $want")
+    }
+    // through SQL (exercises the codegen path) and against Spark's own
+    // levenshtein, same unit conventions, on a generated pair table
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = (0 until 64).map { i =>
+      val base = s"document body $i " + ("tok " * (i % 9))
+      val mut = base.patch(i % math.max(1, base.length),
+        if (i % 3 == 0) "XYZ" else "", i % 4)
+      (base, mut)
+    }
+    val df = pairs.toDF("a", "b")
+    val rows = df.selectExpr("a", "b", "bounded_edit_distance(a, b, 6) AS bd",
+      "levenshtein(a, b) AS lv").collect()
+    for (r <- rows)
+      assert(r.getInt(2) == math.min(r.getInt(3), 7),
+        s"pair ('${r.getString(0)}','${r.getString(1)}')")
+    // the d17 = d12 same-answer contract on the real corpus
+    val viaFull = ops.Dedup.d12.run(spark, sf).collect().toSeq
+    val viaBand = ops.Dedup.d17.run(spark, sf).collect().toSeq
+    assert(viaFull == viaBand, "banded verify changed d12's answer")
+  }
 }
