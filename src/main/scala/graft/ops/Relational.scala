@@ -1788,8 +1788,60 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  // ---------------------------------------------------------------- q46
+  /** Native top-k-per-key ([[graft.plans.TopKPerKey]]) — the
+    * whole-operator extension tier: custom logical node, rewrite rule,
+    * planner strategy, and a two-phase bounded-heap physical operator.
+    * The query body is the PORTABLE idiom — `row_number()` over
+    * (partition by custkey, order by totalprice desc, orderkey) filtered
+    * to ≤ 3 and dropped — and the session-scoped
+    * `experimental.{extraOptimizations, extraStrategies}` swap Spark's
+    * shuffle→sort→Window→filter plan for heap-partial → exchange →
+    * heap-final: no sort buffer, no rank projection, and the shuffle
+    * carries at most 3·keys rows per map partition (the map-side-combine
+    * contract, which is what holds at 100 TB). Ordering is total
+    * (orderkey tiebreak) so the answer is deterministic and the oracle
+    * is the plain window SQL; `TopKSpec` pins plan shape (2 heap nodes,
+    * zero Window/Sort below the final orderBy) and value parity against
+    * the un-rewritten session. */
+  val q46 = Q("q46_native_topk",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    nativeTopK(s, d, native = true)
+  }
+
+  /** q46's body; `native` toggles the TopKPerKey rewrite+strategy on an
+    * isolated `newSession()` so the audit can prove result invariance
+    * (the anti-vacuity twin — same rows with Spark's window plan). */
+  private[graft] def nativeTopK(
+      s: SparkSession, d: String, native: Boolean): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    if (native) {
+      s2.experimental.extraOptimizations = Seq(graft.plans.RewriteTopKPerKey)
+      s2.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    }
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s2, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }

@@ -16,7 +16,10 @@ import graft.functions.{CosineSimilarity, DotProduct, SimHash64}
   *    become session functions with no per-query registry calls;
   *  - `injectOptimizerRule`: [[RewriteDotProducts]] — auto-vectorisation
   *    of the built-in higher-order-function dot-product idiom into the
-  *    codegen'd [[graft.functions.DotProduct]] loop.
+  *    codegen'd [[graft.functions.DotProduct]] loop — and
+  *    [[RewriteTopKPerKey]], which with `injectPlannerStrategy`
+  *    ([[TopKPerKeyStrategy]]) turns the dropped-rank `row_number() <= k`
+  *    window idiom into the sort-free bounded-heap [[TopKPerKeyExec]].
   *
   * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -37,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => RewriteDotProducts)
+    e.injectOptimizerRule(_ => RewriteTopKPerKey)
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
 
