@@ -1411,6 +1411,41 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  // ---------------------------------------------------------------- t25
+  /** Corpus trigram spectrum through the native GENERATOR
+    * ([[graft.functions.NGramExplode]], the UDTF tier): occurrence and
+    * document-frequency counts per 3-gram, top-50 under the total
+    * (n DESC, s) order. The shingle rows stream out of a lazy iterator
+    * straight into the hash aggregate — the `explode(word_shingles(...))`
+    * route this replaces materialises every document's full shingle
+    * array (~3× the document text) as peak per-row memory first, which
+    * is the difference that matters on 100 MB documents. Same shingle
+    * contract as [[graft.functions.WordShingles]], so the DuckDB
+    * list_transform CTE oracles both; `GeneratorSpec` pins the
+    * generator-vs-array parity law and the Generate plan node. */
+  val t25 = Q("t25_ngram_generator",
+    """WITH grams AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3)
+      |SELECT s, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM grams GROUP BY s
+      |ORDER BY n DESC, s LIMIT 50""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .selectExpr("doc_id", "ngram_explode(w, 3) AS s")
+      .groupBy("s")
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct("doc_id").cast("long").as("df"))
+      .orderBy(col("n").desc, col("s"))
+      .limit(50)
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t25)
 }
