@@ -13,7 +13,8 @@ object SparkEntry {
   /** All operator catalogs, in SURVEY.md §2 order. */
   def catalog: Seq[Q] =
     sources.Ingest.all ++ ops.Relational.all ++ ops.NewsPipeline.all ++
-      ops.Dedup.all ++ ops.TextAnalysis.all ++ ops.Similarity.all ++
+      ops.Dedup.all ++ ops.EntityResolution.all ++
+      ops.TextAnalysis.all ++ ops.Similarity.all ++
       ops.EventStreams.all ++ ops.TypedOps.all ++ ops.MLClassify.all ++
       ops.CleanCorpus.all ++ ops.Graph.all ++ multimodal.Multimodal.all
 

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** er01's linkage laws on the real corpus: recall/precision by
+  * construction, and the blocking bound that makes it scale. */
+class EntityResolutionSpec extends SparkSpec {
+
+  private lazy val links = ops.EntityResolution.er01.run(spark, sf).collect()
+
+  test("every non-heavy registry record links back to exactly its source") {
+    val custkeys = model.Tables.customer(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expected = custkeys.filter(k => k % 3 == 0 && k % 15 != 0).sorted
+    // precision: no wrong-pair survives the threshold
+    assert(links.forall(r => r.getLong(0) - 10000000L == r.getLong(1)),
+      links.filter(r => r.getLong(0) - 10000000L != r.getLong(1)).take(3).toSeq)
+    // recall: every perturbed-but-linkable record is found
+    assert(links.map(_.getLong(1)).sorted.toSeq == expected.toSeq)
+    // heavy cohort (balance drift) falls below threshold by design
+    assert(!links.exists(_.getLong(1) % 15 == 0))
+  }
+
+  test("scores are the two designed levels: 32 normal, none between 4 and 28") {
+    val scores = links.map(_.getLong(2)).distinct.sorted.toSeq
+    assert(scores == Seq(32L), scores)
+  }
+
+  test("blocking bound: candidate pairs = sum over blocks, far below all-pairs") {
+    val cust = model.Tables.customer(spark, sf)
+    val nA = cust.count()
+    val b = ops.EntityResolution.registry(spark, sf)
+    val nB = b.count()
+    val candidates = b.join(cust,
+      col("nat_b") === col("c_nationkey") &&
+        col("seg_b") === col("c_mktsegment")).count()
+    val blockSum = cust.groupBy("c_nationkey", "c_mktsegment").count()
+      .withColumnRenamed("count", "na")
+      .join(b.groupBy("nat_b", "seg_b").count().withColumnRenamed("count", "nb"),
+        col("c_nationkey") === col("nat_b") &&
+          col("c_mktsegment") === col("seg_b"))
+      .agg(sum(col("na") * col("nb"))).head().getLong(0)
+    assert(candidates == blockSum)
+    // the scale property: blocking cuts the comparison space by ~#blocks
+    assert(candidates * 20 < nA * nB,
+      s"candidates=$candidates vs all-pairs=${nA * nB}")
+  }
+}
