@@ -395,6 +395,60 @@ object Multimodal {
     out
   }
 
+  /** Real brightness augmentation: every channel byte lifted by `delta`,
+    * SATURATING at 255 (the clamp is what makes augmented copies drift
+    * from their source by more than a constant), re-encoded as a valid
+    * PPM. */
+  def brightnessPpm(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    val (w, h, off) = ppmHeader(bytes)
+    require(off + w.toLong * h * 3 <= bytes.length, "truncated PPM payload")
+    val out = java.util.Arrays.copyOf(bytes, bytes.length)
+    var i = off
+    while (i < off + w * h * 3) {
+      out(i) = math.min(math.max((bytes(i) & 0xff) + delta, 0), 255).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Perceptual average-hash (aHash) of a PPM: nearest-neighbour
+    * downsample to an 8×8 grid, integer grayscale per cell
+    * (r+g+b, no division), bit i set iff cell i is strictly brighter
+    * than the grid mean — compared integer-exactly as
+    * `gray·64 > Σgray`, so both engines derive identical bits with no
+    * float in the path. Near-identical images (small global edits,
+    * light augmentation) land within a few bits; unrelated images sit
+    * near the binomial center ~32 — the contrast mm12's threshold
+    * rides on. */
+  def aHashPpm(bytes: Array[Byte]): Long = {
+    val (w, h, off) = ppmHeader(bytes)
+    require(off + w.toLong * h * 3 <= bytes.length, "truncated PPM payload")
+    val gray = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8
+        val p = off + (sy * w + sx) * 3
+        val gq = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+          (bytes(p + 2) & 0xff)
+        gray(y * 8 + x) = gq
+        total += gq
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i) * 64L > total) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   // ---- BMP (Windows 3.x, 24-bit BI_RGB) ------------------------------
   // 14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up BGR rows
   // padded to 4 bytes — the standard public layout, no library needed.
@@ -1123,6 +1177,95 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- mm12
+  /** Perceptual near-dup detection over IMAGES — the multimodal arm of
+    * the dedup tier: [[aHashPpm]] fingerprints (64-bit average-hash),
+    * then the d09 pigeonhole discipline on 8 bands of 8 bits — any pair
+    * within Hamming 7 shares at least one intact band, so the banded
+    * equi join has GUARANTEED recall at the threshold while comparing
+    * only band-colliding candidates (join fanout ≈ |A|·|B|·8/256 for
+    * unrelated hashes, never all-pairs). The registry is every 8th
+    * document's image re-encoded through the real brightness+4
+    * augmentation ([[brightnessPpm]] — saturating channel lift), whose
+    * measured drift is ≤ 2 bits vs the ~32-bit binomial center of
+    * unrelated pairs; the verify pass computes exact
+    * `bit_count(xor)` only on candidates. FULLY ORACLED the mm05 way:
+    * DuckDB rebuilds pixels from the HUGEINT LCG, derives gray cells /
+    * clamped augmented gray, assembles both hashes with integer-exact
+    * `gray·64 > total` bits (HUGEINT bit weights, wrapped to BIGINT),
+    * and replays banding, candidate dedup, and the Hamming verify. */
+  val mm12 = Q("mm12_phash_neardup", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $A + $C) % $M * $A + $C) % $M
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $A + $C) % $M FROM lcg WHERE i < 575),
+       |cells AS (
+       |  SELECT x, y FROM (SELECT unnest(range(8)) AS x),
+       |       (SELECT unnest(range(8)) AS y)),
+       |gray AS (
+       |  SELECT l.doc_id, g.y * 8 + g.x AS cell,
+       |    sum(CAST(l.state // 72057594037927936 AS BIGINT)) AS ga,
+       |    sum(least(CAST(l.state // 72057594037927936 AS BIGINT) + 4, 255)) AS gb
+       |  FROM cells g
+       |  CROSS JOIN (SELECT unnest(range(3)) AS c) ch
+       |  JOIN lcg l ON l.i = ((g.y * 12 // 8) * 16 + g.x * 2) * 3 + ch.c
+       |  GROUP BY l.doc_id, g.y * 8 + g.x),
+       |totals AS (
+       |  SELECT doc_id, sum(ga) AS ta, sum(gb) AS tb FROM gray GROUP BY doc_id),
+       |hashes AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN sa >= 9223372036854775808 THEN sa - $M ELSE sa END
+       |      AS BIGINT) AS ahash,
+       |    CAST(CASE WHEN sb >= 9223372036854775808 THEN sb - $M ELSE sb END
+       |      AS BIGINT) AS bhash
+       |  FROM (
+       |    SELECT g.doc_id,
+       |      sum(CASE WHEN g.ga * 64 > t.ta
+       |          THEN CAST(1 AS HUGEINT) << g.cell ELSE CAST(0 AS HUGEINT) END) AS sa,
+       |      sum(CASE WHEN g.gb * 64 > t.tb
+       |          THEN CAST(1 AS HUGEINT) << g.cell ELSE CAST(0 AS HUGEINT) END) AS sb
+       |    FROM gray g JOIN totals t USING (doc_id)
+       |    GROUP BY g.doc_id)),
+       |bands AS (SELECT unnest(range(8)) AS j),
+       |ab AS (
+       |  SELECT doc_id AS a_id, ahash, j, (ahash >> (j * 8)) & 255 AS band
+       |  FROM hashes CROSS JOIN bands),
+       |bb AS (
+       |  SELECT doc_id + 5000000 AS b_id, bhash, j,
+       |         (bhash >> (j * 8)) & 255 AS band
+       |  FROM hashes CROSS JOIN bands WHERE doc_id % 8 = 0),
+       |cand AS (
+       |  SELECT DISTINCT a_id, b_id, ahash, bhash FROM ab JOIN bb USING (j, band))
+       |SELECT a_id, b_id, CAST(bit_count(xor(ahash, bhash)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ahash, bhash)) <= 7
+       |ORDER BY a_id, b_id""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val ids = Tables.documents(s, d).select("doc_id").as[Long]
+    val aH = ids.mapPartitions(_.map(id => (id, aHashPpm(syntheticPpm(id)))))
+      .toDF("a_id", "ahash")
+    val bH = ids.filter(_ % 8 == 0).mapPartitions(_.map(id =>
+        (id + 5000000L, aHashPpm(brightnessPpm(syntheticPpm(id), 4)))))
+      .toDF("b_id", "bhash")
+    val aB = aH.select(col("a_id"), col("ahash"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("band", expr("shiftright(ahash, j * 8) & 255"))
+    val bB = bH.select(col("b_id"), col("bhash"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      .withColumn("band", expr("shiftright(bhash, j * 8) & 255"))
+    aB.join(bB, Seq("j", "band"))
+      .select("a_id", "b_id", "ahash", "bhash").distinct()
+      .selectExpr("a_id", "b_id",
+        "CAST(bit_count(ahash ^ bhash) AS BIGINT) AS hamming")
+      .filter(col("hamming") <= 7)
+      .orderBy("a_id", "b_id")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11)
+    mm10, mm11, mm12)
 }

@@ -147,6 +147,32 @@ class CodecSpec extends SparkSpec {
     intercept[IllegalArgumentException](flipPpm(img.take(img.length - 1)))
   }
 
+  test("aHash laws: augmentation drift bounded, flip scatters, clamp is real") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val drifts = (0L until 1600L by 8L).map { id =>
+      val img = syntheticPpm(id)
+      ham(aHashPpm(img), aHashPpm(brightnessPpm(img, 4)))
+    }
+    // the mm12 margin: augmented copies stay far inside the 7-bit
+    // threshold, and at least one pair actually drifts (clamping bites)
+    assert(drifts.max <= 4, s"max drift ${drifts.max}")
+    assert(drifts.exists(_ > 0))
+    // unrelated images sit near the binomial center, never under 7
+    val cross = for (i <- 0L until 40L; j <- i + 1 until 40L)
+      yield ham(aHashPpm(syntheticPpm(i)), aHashPpm(syntheticPpm(j)))
+    assert(cross.min > 7, s"min cross ${cross.min}")
+    // a flip reshuffles the grid: aHash is deliberately not flip-invariant
+    val img = syntheticPpm(42L)
+    assert(ham(aHashPpm(img), aHashPpm(flipPpm(img))) > 7)
+    // brightness saturates rather than wraps, and delta=0 is the identity
+    val bright = brightnessPpm(img, 200)
+    assert(decodePpm(bright).mean_r <= 255.0)
+    assert(brightnessPpm(img, 0).sameElements(img))
+    val darkest = brightnessPpm(img, -255)
+    val dm = decodePpm(darkest)
+    assert(dm.mean_r == 0.0 && dm.mean_g == 0.0 && dm.mean_b == 0.0)
+  }
+
   test("mm04/mm05 run distributed and deterministically") {
     val a1 = graft.multimodal.Multimodal.mm04.run(spark, sf).collect()
     val a2 = graft.multimodal.Multimodal.mm04.run(spark, sf).collect()
