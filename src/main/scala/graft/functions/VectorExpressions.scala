@@ -158,6 +158,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ngram_explode", exprs => NGramExplode(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", exprs => KmvSketchAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Optional 2nd arg of `simhash64`: a literal hash-family name —

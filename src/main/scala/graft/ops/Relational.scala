@@ -1840,8 +1840,70 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // ---------------------------------------------------------------- q47
+  /** KMV distinct sketch ([[graft.functions.KmvSketchAgg]]) — the
+    * imperative-aggregate extension tier: a native
+    * `TypedImperativeAggregate` whose state is the k smallest distinct
+    * 60-bit hashes per group. Unlike `approx_count_distinct` (q10b,
+    * rows-only: Spark's HLL++ state is not SQL-replayable), the KMV
+    * state is EXACTLY recomputable by any SQL engine — the oracle
+    * derives the identical k-min set with `row_number() <= k` over
+    * distinct hashes and checks every retained value (the `state`
+    * column), the kth order statistic, and the integer-floor estimate.
+    * No DISTINCT shuffle anywhere: dedup happens inside the bounded
+    * TreeSet, partial states (≤ k longs) combine map-side, and the
+    * exchange carries sketches, not rows — the 100 TB contract. The
+    * `event_type` sketch exercises the n < k branch where KMV is EXACT
+    * by construction; `KmvSpec` pins the merge law, serialization
+    * round-trip, ObjectHashAggregate planning, and the estimate's
+    * measured error vs exact distinct counts. */
+  private val KmvK = 64
+  private def kmvHashSpark(c: String): String =
+    s"CAST(conv(substr(md5(concat('$c:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h"
+  private def kmvHashDuck(c: String): String =
+    s"CAST(concat('0x', substr(md5('$c:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  val q47 = Q("q47_kmv_sketch",
+    s"""WITH src AS (
+      |  SELECT 'user_id' AS colname, ${kmvHashDuck("user_id")} AS h FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', ${kmvHashDuck("event_type")} FROM events
+      |  UNION ALL
+      |  SELECT 'props', ${kmvHashDuck("props")} FROM events),
+      |d AS (SELECT DISTINCT colname, h FROM src WHERE h IS NOT NULL),
+      |r AS (SELECT colname, h,
+      |        row_number() OVER (PARTITION BY colname ORDER BY h) AS rn
+      |      FROM d),
+      |kmin AS (SELECT colname, h FROM r WHERE rn <= $KmvK),
+      |summ AS (
+      |  SELECT colname, count(*) AS n_retained,
+      |    coalesce(max(h), -1) AS kth_hash,
+      |    string_agg(CAST(h AS VARCHAR), ',' ORDER BY h) AS state
+      |  FROM kmin GROUP BY colname)
+      |SELECT colname, n_retained, kth_hash,
+      |  CASE WHEN n_retained < $KmvK THEN n_retained
+      |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976)
+      |                 // kth_hash AS BIGINT) END AS est_distinct,
+      |  state
+      |FROM summ ORDER BY colname""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val ev = Tables.events(s, d)
+    val src = ev.selectExpr("'user_id' AS colname", kmvHashSpark("user_id"))
+      .unionAll(ev.selectExpr("'event_type' AS colname", kmvHashSpark("event_type")))
+      .unionAll(ev.selectExpr("'props' AS colname", kmvHashSpark("props")))
+    src.filter(col("h").isNotNull)
+      .groupBy("colname")
+      .agg(expr(s"kmv_sketch(h, $KmvK)").as("sk"))
+      .select(col("colname"),
+        col("sk.n_retained").as("n_retained"),
+        col("sk.kth_hash").as("kth_hash"),
+        col("sk.est_distinct").as("est_distinct"),
+        col("sk.state").as("state"))
+      .orderBy("colname")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }
