@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -464,5 +464,67 @@ object CleanCorpus {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
+  // ---------------------------------------------------------------- p09
+  /** Stratified deterministic sampling — "k docs per (lang, source)
+    * stratum" for eval sets, ablations, and per-domain mixture caps.
+    * The sample is bottom-k by a SEEDED portable hash (uniform without
+    * replacement under hash uniformity), so it is restart/retry-stable
+    * where `TABLESAMPLE`/`rand()` are not (t09's discipline), a new
+    * seed is a fresh independent sample (p08's epoch trick), and both
+    * engines derive the identical member set — the oracle pins every
+    * sampled doc_id, not a count.
+    *
+    * The production path is the native [[graft.plans.TopKPerKey]]
+    * operator (q46's tier) rewriting the portable `row_number() <= k`
+    * idiom: per-map-partition bounded heaps forward AT MOST k rows per
+    * stratum into the exchange, so the shuffle is sample-sized —
+    * ≤ k·|strata| rows per map partition — while the window plan would
+    * shuffle and SORT the whole corpus per stratum. `CorpusOpsSpec`
+    * pins plan shape (2 heap nodes, zero Window/Sort), parity with the
+    * un-rewritten window twin, and exact stratum sizes min(k, |s|). */
+  val SampleSeed = "sample-0"
+  val SampleK = 50
+
+  val p09 = Q("p09_stratified_sample",
+    s"""WITH keyed AS (
+       |  SELECT lang, source, doc_id,
+       |    CAST(concat('0x',
+       |      substr(md5('$SampleSeed:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT lang, source, doc_id FROM (
+       |  SELECT lang, source, doc_id,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY h, doc_id) AS rn
+       |  FROM keyed)
+       |WHERE rn <= $SampleK
+       |ORDER BY lang, source, doc_id""".stripMargin) { (s, d) =>
+    stratifiedSample(s, d, native = true)
+  }
+
+  /** p09's body; `native` toggles the TopKPerKey rewrite on an isolated
+    * session (the q46 anti-vacuity convention). */
+  private[graft] def stratifiedSample(
+      s: SparkSession, d: String, native: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.session.timeZone",
+      s.conf.get("spark.sql.session.timeZone"))
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    if (native) {
+      s2.experimental.extraOptimizations = Seq(graft.plans.RewriteTopKPerKey)
+      s2.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    }
+    Tables.documents(s2, d)
+      .selectExpr("lang", "source", "doc_id",
+        s"CAST(conv(substr(md5(concat('$SampleSeed:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang", "source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rn") <= SampleK)
+      .select("lang", "source", "doc_id")
+      .orderBy("lang", "source", "doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

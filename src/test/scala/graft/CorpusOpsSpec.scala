@@ -320,4 +320,42 @@ class CorpusOpsSpec extends SparkSpec {
     // normalisation never grows text
     out.values.foreach { case (_, o, c) => assert(c <= o) }
   }
+
+  test("p09: native heap plan, window-twin parity, exact stratum sizes") {
+    val native = ops.CleanCorpus.stratifiedSample(spark, sf, native = true)
+    // plan shape: two heap nodes (partial + final), zero Window/Sort
+    // below the presentation orderBy
+    val heaps = native.queryExecution.sparkPlan.collect {
+      case t: plans.TopKPerKeyExec => t }
+    assert(heaps.size == 2, s"expected heap pair:\n${native.queryExecution}")
+    val windows = native.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "window survived the rewrite")
+    // value parity against the un-rewritten window twin
+    val a = native.collect().map(_.toSeq).toSeq
+    val b = ops.CleanCorpus.stratifiedSample(spark, sf, native = false)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "native sample drifts from the window twin")
+    // stratum sizes are exactly min(k, |stratum|)
+    val sizes = native.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val full = model.Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sizes.keySet == full.keySet, "a stratum vanished")
+    for ((k, n) <- full)
+      assert(sizes(k) == math.min(ops.CleanCorpus.SampleK.toLong, n),
+        s"stratum $k size ${sizes(k)} != min(50, $n)")
+    // the sample is seed-keyed: membership is the bottom-k by hash
+    // (spot-check one stratum against a driver-side recompute)
+    val (lng, src) = full.keysIterator.next()
+    val want = model.Tables.documents(spark, sf)
+      .filter(col("lang") === lng && col("source") === src)
+      .selectExpr("doc_id",
+        s"conv(substr(md5(concat('${ops.CleanCorpus.SampleSeed}:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS h")
+      .collect().map(r => (BigInt(r.getString(1)), r.getLong(0)))
+      .sorted.take(ops.CleanCorpus.SampleK).map(_._2).sorted.toSeq
+    val got = a.filter(r => r(0) == lng && r(1) == src).map(_(2)).toSeq
+    assert(got == want, s"stratum ($lng,$src) membership drift")
+  }
 }
