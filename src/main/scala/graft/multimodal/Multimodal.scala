@@ -284,10 +284,10 @@ object Multimodal {
   case class PpmInfo(width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
-  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+  private def ppmHeader(bytes: Array[Byte], from: Int = 0): (Int, Int, Int) = {
     // P6\n<w> <h>\n<max>\n — parse the three ASCII ints after the magic
-    require(bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
-    var pos = 2
+    require(bytes(from) == 'P' && bytes(from + 1) == '6', "not a P6 PPM")
+    var pos = from + 2
     val vals = new Array[Int](3)
     var v = 0
     while (v < 3) {
