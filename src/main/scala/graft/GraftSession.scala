@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone (oracle parity with DuckDB)
   *  - AQE on (runtime shuffle-partition coalescing + skew-join splitting —
   *    the behaviour we rely on at cluster scale)
-  *  - `nanosAsLong`: the driver-generated `events.parquet` stores
-  *    TIMESTAMP(NANOS) which Spark 4 otherwise refuses to read; we read the
-  *    raw nanos and convert with [[graft.ops.EventOps.tsFromNanos]].
+  *  - `nanosAsLong`: earlier testdata generations stored `events.ts` as
+  *    TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read; with the
+  *    conf those files arrive as raw nanos longs. Current generations use
+  *    native `timestamp[us]`. Both storage dtypes flow through the
+  *    adaptive [[graft.ops.EventStreams.eventTs]] accessor family, so the
+  *    conf is a compatibility keep, not a semantic switch.
   */
 object GraftSession {
   private val warehouseDir =

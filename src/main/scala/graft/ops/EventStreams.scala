@@ -13,19 +13,71 @@ import graft.model.Tables
   * built in [[graft.streaming.StreamOps]] and exercised by the spec; the
   * queries here pin the windowing arithmetic against the DuckDB oracle.
   *
-  * `events.ts` arrives as raw TIMESTAMP(NANOS) longs (Spark 4 cannot read
-  * nanos parquet natively — `GraftSession` sets `nanosAsLong`); conversion
-  * truncates to micros with integer division, exactly matching DuckDB's
-  * ns→µs cast. Kept as TIMESTAMP_NTZ so parquet round-trips tz-naive.
+  * `events.ts` storage has drifted across testdata generations —
+  * TIMESTAMP(NANOS) read as raw longs (`GraftSession` keeps `nanosAsLong`
+  * so those files stay readable) vs native parquet `timestamp[us]`
+  * (arriving as TIMESTAMP_NTZ under `inferTimestampNTZ`). Every consumer
+  * therefore goes through the dtype-adaptive accessors below instead of
+  * assuming a physical type; both paths land on the SAME canonical
+  * micros-precision TIMESTAMP_NTZ (nanos truncate by integer division,
+  * exactly DuckDB's ns→µs cast), so downstream arithmetic and oracles are
+  * storage-independent. `EventTimeSpec` pins both dtypes so a testdata
+  * regeneration cannot silently re-break the catalog again.
   */
 object EventStreams {
 
-  /** nanos long → TIMESTAMP_NTZ, truncating to micros ( = DuckDB's cast). */
-  val tsFromNanos: Column =
-    expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
-  private def events(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts", tsFromNanos)
+  /** Event time as TIMESTAMP_NTZ (micros precision), whatever `ts` was
+    * stored as. Raw-nanos longs truncate to micros ( = DuckDB's cast);
+    * tz-aware timestamps reinterpret via the UTC session zone. */
+  def eventTs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+    case TimestampNTZType => col("ts")
+    case TimestampType => col("ts").cast(TimestampNTZType)
+    case other => throw new IllegalArgumentException(
+      s"unsupported events.ts dtype: $other")
+  }
+
+  /** SQL fragment for event time as epoch-micros BIGINT — the form the
+    * packed-key / bucket arithmetic needs. Kept as a fragment so callers
+    * can splice it into larger codegen'd expressions (q37's DECIMAL key).
+    * The NTZ→TIMESTAMP cast reads through the UTC session zone, so the
+    * value equals DuckDB's `epoch_us(ts)`. */
+  def eventMicrosSql(df: DataFrame): String = df.schema("ts").dataType match {
+    case LongType => "(ts DIV 1000)"
+    case TimestampNTZType | TimestampType => "unix_micros(CAST(ts AS TIMESTAMP))"
+    case other => throw new IllegalArgumentException(
+      s"unsupported events.ts dtype: $other")
+  }
+
+  /** Event time as epoch-micros BIGINT (see [[eventMicrosSql]]). */
+  def eventMicros(df: DataFrame): Column = expr(eventMicrosSql(df))
+
+  /** The total, unique per-event ordering key `micros·10¹⁸ + event_id` as
+    * DECIMAL(38,0) — 34 digits, exact; HUGEINT in the oracle. Fixed-width
+    * decimal keeps min_by/max_by hash-agg-mutable (q37's plan audit). */
+  def packedTsKey(df: DataFrame): Column =
+    expr(s"CAST(${eventMicrosSql(df)} AS DECIMAL(38,0))" +
+      " * 1000000000000000000 + event_id")
+
+  /** A literal comparable directly against the STORED `ts` column —
+    * matching the physical dtype so the predicate reaches the parquet
+    * scan as a pushed filter (wrapping `ts` in a conversion would block
+    * pushdown). `isoUtc` is an ISO-8601 UTC instant. */
+  def tsLiteral(df: DataFrame, isoUtc: String): Column = {
+    val inst = java.time.Instant.parse(isoUtc)
+    df.schema("ts").dataType match {
+      case LongType => lit(inst.getEpochSecond * 1000000000L + inst.getNano)
+      case dt: DataType =>
+        lit(inst.toString.stripSuffix("Z").replace("T", " ")).cast(dt)
+    }
+  }
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    raw.withColumn("ts", eventTs(raw))
+  }
 
   // --------------------------------------------------------------- st01
   /** Tumbling 1-hour windows: count + exact value sum per (window, type).

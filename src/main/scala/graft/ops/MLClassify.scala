@@ -518,5 +518,109 @@ object MLClassify {
       .orderBy("bin")
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05)
+  // ---------------------------------------------------------------- ml06
+  /** TRAINING, fully oracled (the r07 verdict's last sibling gap: ml04
+    * replays frozen-weight SERVING, but ml01's LBFGS fit is an iterative
+    * float optimisation no SQL engine can replay — so this is its
+    * deterministic distilled-fit sibling, the q10b→q10c playbook applied
+    * to model fitting). A class-centroid (Rocchio) classifier over raw
+    * term counts: the ENTIRE fit is one aggregation —
+    *
+    *   ctf(c, term) = Σ occurrences of term in class-c teacher docs
+    *   s2(c)        = Σ_term ctf²     (unnormalised centroid norm)
+    *
+    * and serving ranks classes by cosine-up-to-doc-norm
+    * `a / √s2` where `a = Σ_term tf(doc,term)·ctf(c,term)` — the doc's own
+    * norm is a positive per-doc constant, so dropping it changes no
+    * argmax. Teacher labels come from [[NewsPipeline.classify]], embedded
+    * in the oracle via n03's own SQL (ml03's zero-drift technique).
+    *
+    * Why this is bit-exact cross-engine where Naive Bayes wouldn't be:
+    * every model number is an INTEGER count (exact, order-free sums in
+    * any engine), and the only float ops are int→double conversion
+    * (exact below 2⁵³ — corpus token mass squared stays ≪ 2⁵³ through
+    * sf10; a larger corpus would quantise ctf first), `sqrt`, and one
+    * division — all IEEE-754 correctly-rounded operations, so both
+    * engines emit the same double bit for bit. NB's `ln` is only
+    * faithfully rounded (libm-dependent) and its float sums are
+    * order-sensitive — exactly the nondeterminism this catalog's
+    * quantisation discipline exists to avoid.
+    *
+    * Tokenizer is ml04's parity tokenizer (lower, split `\s+`, drop
+    * empties). Every labelled doc contains its own keywords, so each doc
+    * always has ≥1 scored class; argmax ties break on label order.
+    *
+    * Scale: tf is a map-side explode + (doc, term) hash agg; the model
+    * (ctf) is vocab×7-sized — broadcast here, a shuffle join on term at
+    * a real vocab; s2 is a 7-row broadcast; the argmax window is
+    * partitioned by doc_id over ≤7 rows. The corpus shuffles once. */
+  val ml06 = Q("ml06_centroid_classifier", {
+    val n03Sql = NewsPipeline.n03.oracle.get
+    s"""WITH teacher AS ($n03Sql),
+       |lab AS (
+       |  SELECT doc_id, category AS teacher_category FROM teacher
+       |  WHERE category <> 'unknown'),
+       |toks AS (
+       |  SELECT d.doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+       |                       t -> t <> '')) AS term
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |ctf AS (
+       |  SELECT l.teacher_category AS category, t.term, count(*) AS cnt
+       |  FROM toks t JOIN lab l ON l.doc_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |s2 AS (
+       |  SELECT category, sum(cnt * cnt) AS s2 FROM ctf GROUP BY category),
+       |dots AS (
+       |  SELECT tf.doc_id, c.category, sum(tf.tf * c.cnt) AS a
+       |  FROM tf JOIN ctf c ON c.term = tf.term
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.doc_id, d.category,
+       |    CAST(d.a AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE)) AS score
+       |  FROM dots d JOIN s2 n ON n.category = d.category)
+       |SELECT s.doc_id, s.category, s.score, l.teacher_category
+       |FROM (
+       |  SELECT doc_id, category, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, category) AS rn
+       |  FROM scored) s
+       |JOIN lab l ON l.doc_id = s.doc_id
+       |WHERE s.rn = 1
+       |ORDER BY s.doc_id""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val lab = NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .select(col("doc_id"), col("category").as("teacher_category"))
+    val toks = docs.join(lab.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = toks.join(lab, "doc_id")
+      .groupBy(col("teacher_category").as("category"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val s2 = ctf.groupBy("category").agg(sum(col("cnt") * col("cnt")).as("s2"))
+    val dots = tf.join(broadcast(ctf), "term")
+      .groupBy("doc_id", "category")
+      .agg(sum(col("tf") * col("cnt")).as("a"))
+    val scored = dots.join(broadcast(s2), "category")
+      .select(col("doc_id"), col("category"),
+        (col("a").cast("double") / sqrt(col("s2").cast("double")))
+          .as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("category"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(lab, "doc_id")
+      .select(col("doc_id"), col("category"), col("score"),
+        col("teacher_category"))
+      .orderBy("doc_id")
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06)
 }

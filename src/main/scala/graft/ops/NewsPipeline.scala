@@ -292,18 +292,18 @@ object NewsPipeline {
   }
 
   /** The batch tier's time predicate (`created_at > today 13:30 UTC`,
-    * `database_storage.py:31`) over events; the filter lands on the
-    * nanos LONG column pre-conversion so parquet can push it down. */
+    * `database_storage.py:31`) over events; the cutoff literal matches
+    * the STORED dtype ([[EventStreams.tsLiteral]]) so the filter lands
+    * on the raw column pre-conversion and parquet can push it down. */
   val n08 = Q("n08_time_predicate",
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |WHERE ts > TIMESTAMP '2024-01-15 13:30:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    val cutoffNanos = java.time.Instant.parse("2024-01-15T13:30:00Z")
-      .getEpochSecond * 1000000000L
-    Tables.events(s, d)
-      .filter(col("ts") > cutoffNanos)
+    val ev = Tables.events(s, d)
+    ev
+      .filter(col("ts") > EventStreams.tsLiteral(ev, "2024-01-15T13:30:00Z"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))

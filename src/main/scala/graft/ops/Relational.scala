@@ -1086,8 +1086,8 @@ object Relational {
       |FROM timeline tl LEFT JOIN hourly hy
       |  ON hy.event_type = tl.event_type AND hy.h = tl.h
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d)
-      .withColumn("ts", EventStreams.tsFromNanos)
+    val ev0 = Tables.events(s, d)
+    val ev = ev0.withColumn("ts", EventStreams.eventTs(ev0))
     val hourly = ev
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
@@ -1331,12 +1331,10 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    // `ts` arrives as raw nanos LONG (see EventStreams); the ordering key
-    // uses the micros integer directly — same value epoch_us() sees.
-    val key = expr(
-      "CAST(ts DIV 1000 AS DECIMAL(38,0)) * 1000000000000000000 + event_id")
-    Tables.events(s, d)
-      .groupBy(date_trunc("hour", EventStreams.tsFromNanos).as("bucket_h"),
+    val ev = Tables.events(s, d)
+    val key = EventStreams.packedTsKey(ev)
+    ev
+      .groupBy(date_trunc("hour", EventStreams.eventTs(ev)).as("bucket_h"),
         col("event_type"))
       .agg(min_by(col("value"), key).as("open"),
         max(col("value")).as("high"),
@@ -1382,8 +1380,9 @@ object Relational {
       |LEFT JOIN au ON au.day = d2.day
       |LEFT JOIN e7 ON e7.day = d2.day
       |ORDER BY d2.day""".stripMargin) { (s, d) =>
-    val ev = Tables.events(s, d)
-      .select(to_date(EventStreams.tsFromNanos).as("d"), col("user_id"))
+    val ev0 = Tables.events(s, d)
+    val ev = ev0
+      .select(to_date(EventStreams.eventTs(ev0)).as("d"), col("user_id"))
     val bounds = ev.agg(min("d").as("lo"), max("d").as("hi"))
     val days = bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
@@ -1596,8 +1595,9 @@ object Relational {
       |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     val H = 3600000000L // 1 h bucket, in micros
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), expr("ts DIV 1000").as("tsu"))
+    val ev0 = Tables.events(s, d)
+    val ev = ev0
+      .select(col("event_id"), EventStreams.eventMicros(ev0).as("tsu"))
     val a = ev.filter(col("event_id") % 97 === 0)
       .select(col("event_id").as("a_id"), col("tsu").as("a_start"),
         (col("tsu") + 7200000000L).as("a_end"))

@@ -43,9 +43,10 @@ class MetricsSpec extends SparkSpec {
 
   test("q37: min_by/max_by bars equal a window row_number formulation") {
     val ohlc = ops.Relational.q37.run(spark, sf)
-    val ev = model.Tables.events(spark, sf)
-      .select(date_trunc("hour", ops.EventStreams.tsFromNanos).as("bucket_h"),
-        col("event_type"), expr("ts DIV 1000").as("micros"),
+    val ev0 = model.Tables.events(spark, sf)
+    val ev = ev0
+      .select(date_trunc("hour", ops.EventStreams.eventTs(ev0)).as("bucket_h"),
+        col("event_type"), ops.EventStreams.eventMicros(ev0).as("micros"),
         col("event_id"), col("value"))
     val asc = Window.partitionBy("bucket_h", "event_type")
       .orderBy(col("micros"), col("event_id"))

@@ -192,8 +192,9 @@ class SketchSpec extends SparkSpec {
 
   test("q38: rolling 7-day metrics equal a driver-side recompute") {
     import spark.implicits._
-    val ev = model.Tables.events(spark, sf)
-      .select(to_date(ops.EventStreams.tsFromNanos).as("d"), col("user_id"))
+    val ev0 = model.Tables.events(spark, sf)
+    val ev = ev0
+      .select(to_date(ops.EventStreams.eventTs(ev0)).as("d"), col("user_id"))
       .as[(java.sql.Date, Long)].collect()
     val days = ev.map(_._1.toLocalDate.toEpochDay)
     val (lo, hi) = (days.min, days.max)

@@ -37,6 +37,26 @@ class TypedAndMLSpec extends SparkSpec {
     assert(agree > 0.9, s"agreement $agree")
   }
 
+  test("ml06: centroid classifier scores are cosine-law-bounded and mostly agree with the teacher") {
+    val rows = ops.MLClassify.ml06.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val domain = ops.NewsPipeline.lexicon.map(_._1).toSet
+    rows.foreach { r =>
+      assert(domain.contains(r.getString(1)), "predicted label in domain")
+      assert(domain.contains(r.getString(3)), "teacher label in domain")
+      // score = dot/√s2 = cos·‖doc tf‖ > 0: every labelled doc shares at
+      // least its own keywords with its class centroid
+      assert(r.getDouble(2) > 0.0, s"doc ${r.getLong(0)} score not positive")
+    }
+    // one prediction per labelled doc (argmax is total)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // the closed-form fit is a weaker model than LR but must still beat
+    // chance by a wide margin on its own training corpus
+    val agree = rows.count(r => r.getString(1) == r.getString(3)).toDouble /
+      rows.length
+    assert(agree > 0.5, s"teacher agreement $agree")
+  }
+
   test("model cache: regenerating the corpus under the same path retrains") {
     // The cache is keyed by corpusFingerprint(dir), not the dir string:
     // rewriting documents.parquet in place must produce a NEW key (→ a
