@@ -284,14 +284,15 @@ object Multimodal {
   case class PpmInfo(width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
-  private def ppmHeader(bytes: Array[Byte], from: Int = 0): (Int, Int, Int) = {
+  private def ppmHeader(bytes: Array[Byte]): (Int, Int, Int) = {
     // P6\n<w> <h>\n<max>\n — parse the three ASCII ints after the magic
-    require(bytes(from) == 'P' && bytes(from + 1) == '6', "not a P6 PPM")
-    var pos = from + 2
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+    var pos = 2
     val vals = new Array[Int](3)
     var v = 0
     while (v < 3) {
-      while (!Character.isDigit(bytes(pos))) pos += 1
+      while (pos < bytes.length && !Character.isDigit(bytes(pos))) pos += 1
+      require(pos < bytes.length, "truncated PPM header: missing dimension/maxval")
       var x = 0
       while (pos < bytes.length && Character.isDigit(bytes(pos))) {
         x = x * 10 + (bytes(pos) - '0'); pos += 1
