@@ -457,6 +457,52 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q46: session-wide GraftExtensions alone plans the native heap (no experimental seam)") {
+    // q46's catalog body activates the rewrite via the per-query
+    // experimental seam; the production activation is
+    // `spark.sql.extensions=graft.plans.GraftExtensions`. Audit that the
+    // IDENTICAL query body (native=false → no experimental overrides)
+    // plans heap-partial → exchange → heap-final when the extensions are
+    // installed session-wide, and that no Window survives the rewrite.
+    import org.apache.spark.sql.execution.window.WindowExec
+    withExtensionSession { ext =>
+      val plan = ops.Relational.nativeTopK(ext, sf, native = false)
+        .queryExecution.sparkPlan
+      val heaps = plan.collect { case t: plans.TopKPerKeyExec => t }
+      assert(heaps.map(_.partial) == Seq(false, true),
+        s"expected final+partial heap pair under session-wide extensions:\n$plan")
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"window survived the session-wide rewrite:\n$plan")
+    }
+  }
+
+  test("p09: stratified sample at sf0.1 plans bounded heaps, zero Window") {
+    // the round-7 coverage row promised this audit at bench scale, not
+    // just the CorpusOpsSpec pin at sf0.001: the shuffle ahead of the
+    // final presentation sort must carry heap output (≤ k rows per
+    // stratum per map partition), never the whole corpus through a
+    // per-stratum Window sort
+    import org.apache.spark.sql.execution.window.WindowExec
+    val q = SparkEntry.catalog.find(_.name == "p09_stratified_sample").get
+    val plan = q.run(spark, "/root/testdata/sf0.1").queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"p09 window reappeared at sf0.1:\n$plan")
+    val heaps = plan.collect { case t: plans.TopKPerKeyExec => t }
+    assert(heaps.map(_.partial) == Seq(false, true),
+      s"expected final+partial heap pair:\n$plan")
+  }
+
+  test("er01: record linkage joins only on block keys — no nested loop, no cartesian") {
+    // the blocking claim: candidate generation must be an equi join on
+    // the block key (Σ_blocks |A_b|·|B_b| comparisons), never an
+    // all-pairs product that scores |A|·|B| at fact scale
+    val plan = executedPlan("er01_record_linkage")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+  }
+
   test("q45: runtime bloom filter engages on the fact side, and is semantics-invisible") {
     // tier 1: with the rule on, the optimized plan carries the injected
     // BloomFilterAggregate subquery and the fact-side might_contain

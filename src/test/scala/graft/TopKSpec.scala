@@ -125,26 +125,10 @@ class TopKSpec extends SparkSpec {
   }
 
   test("withExtensions activation path plans the heap operator too") {
-    val prior = org.apache.spark.sql.SparkSession.getDefaultSession
-    spark // force shared session first
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val ext = GraftSession.configure(org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new graft.plans.GraftExtensions))
-      .getOrCreate()
-    try {
+    withExtensionSession { ext =>
       val heaps = idiom(ext, 3).queryExecution.sparkPlan
         .collect { case t: TopKPerKeyExec => t }
       assert(heaps.map(_.partial) == Seq(false, true))
-    } finally {
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      prior.foreach { p =>
-        org.apache.spark.sql.SparkSession.setDefaultSession(p)
-        org.apache.spark.sql.SparkSession.setActiveSession(p)
-      }
     }
   }
 }
