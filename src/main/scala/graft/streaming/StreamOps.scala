@@ -288,6 +288,31 @@ object StreamOps {
         col("click_ts"), col("purchase_value"), col("click_value"))
   }
 
+  /** File-source form of the stream-stream interval join, checkpointable
+    * for kill-and-resume: one raw event stream splits into click and
+    * purchase branches (a self-join of the source — both sides replay
+    * from the same source offsets in the checkpoint) and the matches
+    * append straight to parquet. Inner-join matches emit in the
+    * micro-batch that completes them; unmatched click state is held in
+    * the join state store within watermark + interval, which is exactly
+    * the state a restart must recover — a purchase arriving after the
+    * restart can only match pre-kill clicks if their buffered rows
+    * survived the checkpoint round-trip. Expects
+    * (user_id, ts, event_type, value). */
+  def clicksJoinStream(events: DataFrame, outDir: String,
+      ckpt: String): StreamingQuery = {
+    val s = events.sparkSession
+    import s.implicits._
+    def side(t: String) = events.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[UserEvent]
+    clicksBeforePurchase(side("click"), side("purchase")).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
   /** Streaming exact dedup — the streaming twin of the d01 batch op:
     * drop re-occurrences of a content fingerprint, with the state store
     * bounded by the watermark horizon. `dropDuplicatesWithinWatermark`

@@ -335,6 +335,72 @@ class StreamingSpec extends SparkSpec {
       "kill + resume must equal the uninterrupted run")
   }
 
+  test("checkpoint recovery: interval join killed with buffered click state resumes to the batch twin") {
+    // The remaining untested state-store class after the OHLC and
+    // chained-DAU pins: stream-stream JOIN state. The kill point is
+    // chosen so the first run leaves unmatched clicks buffered in the
+    // join state store (their purchase has not arrived yet); the resumed
+    // run's new purchase can only match them if the buffered rows
+    // survived the checkpoint round-trip. Offset recovery is pinned by
+    // the same data: the half-A match must appear exactly once.
+    def mkEvents(rows: Seq[(Long, String, String, Double)]) =
+      rows.map { case (u, t, ty, v) => (u, Timestamp.valueOf(t), ty, v) }
+        .toDF("user_id", "ts", "event_type", "value")
+    // half A: two clicks; the 10:02 purchase matches ONLY the 10:00
+    // click and emits in run 1. The 10:05 click stays buffered: state.
+    val halfA = Seq(
+      (1L, "2024-01-01 10:00:00", "click", 1.0),
+      (1L, "2024-01-01 10:02:00", "purchase", 10.0),
+      (1L, "2024-01-01 10:05:00", "click", 2.0))
+    // half B: a purchase whose 10-minute window reaches back across the
+    // kill — matches BOTH pre-kill clicks iff the join state recovered
+    val halfB = Seq((1L, "2024-01-01 10:08:00", "purchase", 20.0))
+    val schema = "user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    def rowsOf(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+    val root = java.nio.file.Files.createTempDirectory("graft-join-recovery").toString
+    mkEvents(halfA).write.mode("append").parquet(s"$root/in")
+    val q1 = StreamOps.clicksJoinStream(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable()
+    q1.stop() // killed: clicks 10:00 + 10:05 live only in join state
+    val afterA = rowsOf(s"$root/out")
+    assert(afterA == Set((1L, Timestamp.valueOf("2024-01-01 10:02:00"),
+      Timestamp.valueOf("2024-01-01 10:00:00"), 10.0, 1.0)),
+      s"run 1 emitted: $afterA")
+
+    mkEvents(halfB).write.mode("append").parquet(s"$root/in")
+    val q2 = StreamOps.clicksJoinStream( // fresh query, same checkpoint
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val resumed = rowsOf(s"$root/out")
+    // the two 10:08 matches prove the buffered click state recovered;
+    // exactly one 10:02 row proves offsets were not replayed
+    val expected = Set(
+      (1L, Timestamp.valueOf("2024-01-01 10:02:00"),
+        Timestamp.valueOf("2024-01-01 10:00:00"), 10.0, 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:08:00"),
+        Timestamp.valueOf("2024-01-01 10:00:00"), 20.0, 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:08:00"),
+        Timestamp.valueOf("2024-01-01 10:05:00"), 20.0, 2.0))
+    assert(resumed == expected, s"resumed run emitted: $resumed")
+
+    // batch twin over the combined input: byte-identical result set
+    def side(t: String) = mkEvents(halfA ++ halfB)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[StreamOps.UserEvent]
+    val twin = StreamOps.clicksBeforePurchase(side("click"), side("purchase"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(twin == resumed, s"batch twin diverged: $twin")
+  }
+
   /** The chained-DAU kill/resume round trip, shared by the default-
     * provider and RocksDB-provider recovery pins. Returns the resumed
     * result, the resumed query's progress JSONs (for provider
