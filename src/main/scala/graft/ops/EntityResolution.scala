@@ -62,6 +62,46 @@ object EntityResolution {
         s"$NameDelSql AS name_b", s"$AcctSql AS acct_b",
         "c_nationkey AS nat_b", "c_mktsegment AS seg_b")
 
+  /** er01's scored links (b_id, a_custkey, score ≥ 28) — shared with
+    * er02's consolidation pass. */
+  private[graft] def links(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cust = Tables.customer(s, d)
+    registry(s, d)
+      .join(cust, col("nat_b") === col("c_nationkey") &&
+        col("seg_b") === col("c_mktsegment"))
+      .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
+        // k=3 returns min(lev, 4); least(..., 3) = the oracle's
+        // least(levenshtein, 3), by the d17 bounded-distance law
+        "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
+      .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")
+      .filter(col("score") >= 28)
+      .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
+  }
+
+  /** Shared oracle CTE text: the dirty registry + scored links. */
+  private val LinksCtesSql =
+    s"""b AS (
+      |  SELECT c_custkey + 10000000 AS b_id, $NameDelSql AS name_b,
+      |         $AcctSql AS acct_b, c_nationkey AS nat_b,
+      |         c_mktsegment AS seg_b
+      |  FROM (
+      |    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |           $PosSql AS pos
+      |    FROM (
+      |      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |             $HDuck AS h
+      |      FROM customer WHERE c_custkey % 3 = 0))),
+      |scored AS (
+      |  SELECT b_id, c_custkey AS a_custkey,
+      |         $ScoreSql AS score
+      |  FROM (
+      |    SELECT b_id, c_custkey, acct_b, c_acctbal,
+      |           least(levenshtein(name_b, c_name), 3) AS ed
+      |    FROM b JOIN customer
+      |      ON nat_b = c_nationkey AND seg_b = c_mktsegment)),
+      |links AS (SELECT b_id, a_custkey, score FROM scored WHERE score >= 28)""".stripMargin
+
   // ---------------------------------------------------------------- er01
   val er01 = Q("er01_record_linkage",
     s"""WITH b AS (
@@ -86,20 +126,62 @@ object EntityResolution {
       |SELECT b_id, a_custkey, CAST(score AS BIGINT) AS score
       |FROM scored WHERE score >= 28
       |ORDER BY b_id, a_custkey""".stripMargin) { (s, d) =>
-    graft.functions.GraftFunctions.register(s)
-    val cust = Tables.customer(s, d)
-    registry(s, d)
-      .join(cust, col("nat_b") === col("c_nationkey") &&
-        col("seg_b") === col("c_mktsegment"))
-      .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
-        // k=3 returns min(lev, 4); least(..., 3) = the oracle's
-        // least(levenshtein, 3), by the d17 bounded-distance law
-        "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
-      .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")
-      .filter(col("score") >= 28)
-      .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
-      .orderBy("b_id", "a_custkey")
+    links(s, d).orderBy("b_id", "a_custkey")
   }
 
-  def all: Seq[Q] = Seq(er01)
+  // ---------------------------------------------------------------- er02
+  /** Golden-record consolidation — the survivorship pass that FOLLOWS
+    * linkage: every master customer becomes one entity (absorbing its
+    * linked registry records — name and balance survive from the master,
+    * the authoritative source, since the registry copies are the
+    * perturbed ones), and registry records that linked to nothing
+    * surface as their own single-source entities instead of being
+    * silently dropped — the completeness property a dedup-merge must
+    * keep (an unmatched record is a NEW entity, not noise). Balances
+    * are exact integer cents (the money discipline), provenance is
+    * explicit (n_sources + origin), so the whole consolidated table
+    * oracles cross-engine.
+    *
+    * Scale shape: link counts are one keyed agg off er01's blocked
+    * equi-join links; the master enrichment is a left join against that
+    * links-sized side (broadcast-eligible); orphan detection is a
+    * left_anti on b_id. No all-pairs anything, nothing driver-side. */
+  val er02 = Q("er02_golden_records",
+    s"""WITH $LinksCtesSql,
+      |lc AS (SELECT a_custkey, count(*) AS n_links FROM links GROUP BY a_custkey),
+      |masters AS (
+      |  SELECT c_custkey AS entity_id, c_name AS name,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+      |    CAST(1 + coalesce(n_links, 0) AS BIGINT) AS n_sources,
+      |    CASE WHEN n_links IS NOT NULL THEN 'merged'
+      |         ELSE 'master_only' END AS origin
+      |  FROM customer LEFT JOIN lc ON c_custkey = a_custkey),
+      |orphans AS (
+      |  SELECT b_id AS entity_id, name_b AS name,
+      |    CAST(round(acct_b * 100) AS BIGINT) AS acct_cents,
+      |    CAST(1 AS BIGINT) AS n_sources, 'registry_only' AS origin
+      |  FROM b ANTI JOIN links USING (b_id))
+      |SELECT * FROM masters
+      |UNION ALL
+      |SELECT * FROM orphans
+      |ORDER BY entity_id""".stripMargin) { (s, d) =>
+    val lk = links(s, d)
+    val lc = lk.groupBy("a_custkey").agg(count(lit(1)).as("n_links"))
+    val masters = Tables.customer(s, d)
+      .join(broadcast(lc), col("c_custkey") === col("a_custkey"), "left")
+      .select(col("c_custkey").as("entity_id"), col("c_name").as("name"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acct_cents"),
+        (lit(1L) + coalesce(col("n_links"), lit(0L))).cast("long")
+          .as("n_sources"),
+        when(col("n_links").isNotNull, "merged").otherwise("master_only")
+          .as("origin"))
+    val orphans = registry(s, d)
+      .join(lk.select("b_id"), Seq("b_id"), "left_anti")
+      .select(col("b_id").as("entity_id"), col("name_b").as("name"),
+        expr("CAST(round(acct_b * 100) AS BIGINT)").as("acct_cents"),
+        lit(1L).as("n_sources"), lit("registry_only").as("origin"))
+    masters.unionByName(orphans).orderBy("entity_id")
+  }
+
+  def all: Seq[Q] = Seq(er01, er02)
 }

@@ -1902,8 +1902,60 @@ object Relational {
       .orderBy("colname")
   }
 
+  // ---------------------------------------------------------------- q48
+  /** Cohort retention triangle — the companion analytics op to q30's
+    * funnel and q38's rolling actives: users cohort by their FIRST
+    * active day, and each (cohort, day-offset) cell counts how many of
+    * them returned exactly `offset` days later, with retention as an
+    * exact parts-per-million integer (integer division — doubles never
+    * compare cross-engine; the q19c/t13 quantisation discipline).
+    *
+    * Scale shape: one shuffle on user_id derives first-seen days (the
+    * map-side-combined min), the events⋈first join is equi-keyed on the
+    * SAME user_id — AQE reuses the exchange — and the ≤15-offset filter
+    * bounds the distinct set to 15 rows per user before the cell
+    * aggregation. Cohort sizes are |days|-sized and broadcast back.
+    * Nothing windows, nothing funnels through one task. */
+  val q48 = Q("q48_cohort_retention",
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |firstd AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id),
+      |ua AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_day,
+      |    date_diff('day', f.cohort_day, e.d) AS day_offset
+      |  FROM ev e JOIN firstd f ON e.user_id = f.user_id
+      |  WHERE date_diff('day', f.cohort_day, e.d) <= 14),
+      |sizes AS (
+      |  SELECT cohort_day, count(*) AS cohort_users FROM firstd GROUP BY cohort_day)
+      |SELECT u.cohort_day, u.day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(s.cohort_users AS BIGINT) AS cohort_users,
+      |  (CAST(count(*) AS BIGINT) * 1000000) // CAST(s.cohort_users AS BIGINT)
+      |    AS retention_ppm
+      |FROM ua u JOIN sizes s ON u.cohort_day = s.cohort_day
+      |GROUP BY u.cohort_day, u.day_offset, s.cohort_users
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev0 = Tables.events(s, d)
+    val ev = ev0.select(col("user_id"),
+      to_date(EventStreams.eventTs(ev0)).as("d"))
+    val firstd = ev.groupBy("user_id").agg(min("d").as("cohort_day"))
+    val ua = ev.join(firstd, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .where(col("day_offset") <= 14)
+      .distinct()
+    val sizes = firstd.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    ua.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).cast("long").as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_users").cast("long").as("cohort_users"),
+        expr("(n_active * 1000000L) DIV cohort_users").as("retention_ppm"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -1445,7 +1445,68 @@ object TextAnalysis {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- t26
+  /** Collocation mining — the corpus-linguistics op behind stop-phrase
+    * lists, tokenizer merge seeding, and boilerplate-phrase detection:
+    * rank adjacent-token bigrams by association LIFT, the PMI argument
+    * `N·c(w1,w2) / (c(w1)·c(w2))` kept as an EXACT parts-per-million
+    * integer instead of a float logarithm (PMI is monotone in lift, so
+    * the ranking is identical and nothing sits near a rounding boundary
+    * — the q19c/t13 discipline without needing a guard-band spec).
+    *
+    * Scale shape: bigram derivation is map-only (a zip of the token
+    * array with its own tail — no self-join on position, no window);
+    * unigram and bigram counts are two map-side-combined keyed aggs; the
+    * two count joins are equi-keyed on a vocab-sized side (AQE
+    * broadcasts at small SF); top-50 plans TakeOrderedAndProject, never
+    * a global sort. DECIMAL(38) arithmetic keeps `c12·N·10⁶` exact at
+    * 100 TB corpus sizes where BIGINT would overflow. */
+  val t26 = Q("t26_collocations",
+    """WITH docs AS (
+      |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM docs WHERE len(t) >= 2),
+      |uc AS (
+      |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM docs)
+      |  GROUP BY w),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+      |n AS (SELECT count(*) AS nb FROM pairs)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |  CAST((CAST(c12 AS HUGEINT) * nb * 1000000)
+      |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
+      |FROM bc
+      |JOIN uc u1 ON bc.w1 = u1.w
+      |JOIN uc u2 ON bc.w2 = u2.w
+      |CROSS JOIN n
+      |WHERE c12 >= 3
+      |ORDER BY lift_ppm DESC, w1, w2
+      |LIMIT 50""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("t"))
+    val pairs = docs.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"))
+        .as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    val uc = docs.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val n = pairs.agg(count(lit(1)).as("nb"))
+    bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .where(col("c12") >= 3)
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+        expr("""(CAST(c12 AS DECIMAL(38,0)) * nb * 1000000)
+               | DIV (CAST(c1 AS DECIMAL(38,0)) * c2)""".stripMargin)
+          .as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25)
+    t25, t26)
 }
