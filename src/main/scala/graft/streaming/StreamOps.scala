@@ -94,6 +94,26 @@ object StreamOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** File-source form of the session-window aggregation, checkpointable
+    * for kill-and-resume. Session state is the one stateful class the
+    * other recovery pins don't cover: windows MERGE — an event landing
+    * inside an open session's gap horizon extends that session rather
+    * than opening a new one, so a correct resume must restore both the
+    * open session's extent and its running count, then keep merging into
+    * them. Expects (user_id, ts, event_type, value). */
+  def sessionCountsStream(events: DataFrame, outDir: String,
+      ckpt: String): StreamingQuery = {
+    val s = events.sparkSession
+    import s.implicits._
+    sessionCounts(events
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[UserEvent]).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir)
+      .start()
+  }
+
   /** Per-window top-k ranking stage of the trending operator — shared
     * VERBATIM by [[trendingTopKStream]]'s foreachBatch sink and the
     * st11 batch twin. The window is keyed by `window_start` (never

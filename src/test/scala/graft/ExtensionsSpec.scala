@@ -11,6 +11,26 @@ class ExtensionsSpec extends SparkSpec {
         .head()
       assert(r.getDouble(1) == 11.0)
       assert(r.getDouble(0) > 0.98)
+      // the full SQL surface: every GraftFunctions.register builder is
+      // also injected, so a spark.sql.extensions deployment never calls
+      // the per-session registry
+      val r2 = Seq((Array(1.0, 2.0), Array(3.0, 4.0), "a b c"))
+        .toDF("da", "db", "txt")
+        .selectExpr("cosine_sim_d(da, db)",
+          "size(word_shingles(split(txt, ' '), 2))",
+          "bounded_edit_distance('kitten', 'sitting', 3)")
+        .head()
+      assert(r2.getDouble(0) > 0.98)
+      assert(r2.getInt(1) == 2)
+      assert(r2.getInt(2) == 3)
+      val gen = Seq(Tuple1("a b c d")).toDF("txt")
+        .selectExpr("ngram_explode(split(txt, ' '), 2) AS g")
+      assert(gen.count() == 3)
+      val kmv = Seq(1L, 2L, 3L).toDF("v")
+        .selectExpr("kmv_sketch(v, 64) AS s").head()
+      // n < k branch: KMV retains all 3 distinct hashes, estimate exact
+      assert(kmv.getStruct(0).getLong(0) == 3L)
+      assert(kmv.getStruct(0).getLong(2) == 3L)
     }
   }
 

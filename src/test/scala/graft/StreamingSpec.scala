@@ -401,6 +401,60 @@ class StreamingSpec extends SparkSpec {
     assert(twin == resumed, s"batch twin diverged: $twin")
   }
 
+  test("checkpoint recovery: session window killed mid-session resumes, MERGES, and finalises correctly") {
+    // Session state is the remaining stateful class: windows MERGE. The
+    // kill lands while user 1's session is open (extent + running count
+    // live only in the state store); the resumed run's 10:30 event must
+    // EXTEND that recovered session — a state-lost restart would open a
+    // fresh session at 10:30 with count 1 and a 10:30 start.
+    def mkEvents(rows: Seq[(Long, String, Double)]) =
+      rows.map { case (u, t, v) => (u, Timestamp.valueOf(t), "click", v) }
+        .toDF("user_id", "ts", "event_type", "value")
+    val halfA = Seq((1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:10:00", 2.0))
+    // 10:30 < 10:10 + 30min gap → merges into the recovered session
+    // (new extent [10:00, 11:00)); the 14:00 event drives the watermark
+    // past 11:00, finalising it
+    val halfB = Seq((1L, "2024-01-01 10:30:00", 3.0),
+      (99L, "2024-01-01 14:00:00", 4.0))
+    val schema = "user_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    def rowsOf(dir: String) = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sess-recovery").toString
+    mkEvents(halfA).write.mode("append").parquet(s"$root/in")
+    val q1 = StreamOps.sessionCountsStream(
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/out", s"$root/ckpt")
+    q1.processAllAvailable()
+    q1.stop() // killed: session [10:00, 10:40) open, count 2, state only
+    assert(rowsOf(s"$root/out").isEmpty,
+      "nothing may finalise while the session is inside the watermark horizon")
+
+    mkEvents(halfB).write.mode("append").parquet(s"$root/in")
+    val q2 = StreamOps.sessionCountsStream( // fresh query, same checkpoint
+      spark.readStream.schema(schema).parquet(s"$root/in"),
+      s"$root/out", s"$root/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    val resumed = rowsOf(s"$root/out")
+    // start 10:00 + count 3 prove extent AND count recovered-then-merged
+    assert(resumed == Set(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L)),
+      s"resumed run emitted: $resumed")
+
+    // uninterrupted control over the same input, fresh checkpoint
+    val ctl = java.nio.file.Files.createTempDirectory("graft-sess-control").toString
+    mkEvents(halfA ++ halfB).write.mode("append").parquet(s"$ctl/in")
+    val qc = StreamOps.sessionCountsStream(
+      spark.readStream.schema(schema).parquet(s"$ctl/in"),
+      s"$ctl/out", s"$ctl/ckpt")
+    qc.processAllAvailable()
+    qc.stop()
+    assert(rowsOf(s"$ctl/out") == resumed,
+      "kill + resume must equal the uninterrupted run")
+  }
+
   /** The chained-DAU kill/resume round trip, shared by the default-
     * provider and RocksDB-provider recovery pins. Returns the resumed
     * result, the resumed query's progress JSONs (for provider
