@@ -1267,6 +1267,152 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
+  /** Synthetic multi-frame "video": `frames` concatenated P6 frames
+    * (16×12), a real container a decoder must WALK (each frame has its
+    * own header; offsets are data-dependent). Scene structure: frames
+    * 2k/2k+1 share scene k — a held shot (both frames carry the
+    * identical scene-seeded LCG pixels), so consecutive same-scene
+    * frames have histogram distance exactly 0 while scene boundaries
+    * differ by independent white noise. */
+  def syntheticVideo(docId: Long, frames: Int = 6,
+      w: Int = 16, h: Int = 12): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val frameLen = header.length + w * h * 3
+    val out = new Array[Byte](frameLen * frames)
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(header, 0, out, f * frameLen, header.length)
+      var state = (docId * 7 + f / 2) * 6364136223846793005L +
+        1442695040888963407L
+      var i = 0
+      while (i < w * h * 3) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        out(f * frameLen + header.length + i) = (state >>> 56).toByte
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  case class VideoFrameStat(doc_id: Long, frame_no: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, hist: Array[Long])
+
+  /** Real container walk: parse each frame's own P6 header at its
+    * data-dependent offset, then exact per-channel integer sums and the
+    * 64-bin luminance-byte histogram (the bounded per-frame signature
+    * scene-cut detection runs on — 64 counts no matter the frame's
+    * resolution). */
+  def decodeVideoFrames(docId: Long, bytes: Array[Byte]): Seq[VideoFrameStat] = {
+    val out = Seq.newBuilder[VideoFrameStat]
+    var off = 0
+    var f = 0
+    while (off < bytes.length) {
+      val head = java.util.Arrays.copyOfRange(bytes, off,
+        math.min(off + 64, bytes.length))
+      val (w, h, dataOff) = ppmHeader(head)
+      val sums = new Array[Long](3)
+      val hist = new Array[Long](64)
+      var i = 0
+      while (i < w * h * 3) {
+        val b = bytes(off + dataOff + i) & 0xff
+        sums(i % 3) += b
+        hist(b / 4) += 1
+        i += 1
+      }
+      out += VideoFrameStat(docId, f, sums(0), sums(1), sums(2), hist)
+      off += dataOff + w * h * 3
+      f += 1
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- mm13
+  /** Video scene-cut detection — the temporal tier the image (spatial)
+    * and audio (sample-window) tiers don't exercise: decode a
+    * multi-frame container sequentially (REAL header walking — each
+    * offset depends on the previous frame's parsed dimensions), reduce
+    * every frame to a 64-bin byte histogram (histogram differencing,
+    * the textbook cut detector — and the scale story: the per-frame
+    * signature is 64 counts whatever the resolution, so the doc-keyed
+    * lag window carries bounded state, never pixels), and segment
+    * scenes by thresholding the inter-frame histogram L1. Everything is
+    * integer arithmetic end to end, so synthesis, container walk,
+    * histogramming, temporal differencing, and segmentation all oracle
+    * bit-exactly: DuckDB replays the scene-seeded HUGEINT LCG, bins
+    * `b // 4`, grids the missing bins, and applies the same lag. Held
+    * same-scene frames give L1 = 0 by construction; scene boundaries
+    * are independent-noise-sized (~220, empirically ≥ natural
+    * fluctuation floors); threshold 64 sits between. At 100 TB the
+    * decode is a map-only mapPartitions pass (the codec-init shape). */
+  val mm13 = Q("mm13_video_scene_cuts", {
+    val A = "6364136223846793005"
+    val C = "1442695040888963407"
+    val M = "18446744073709551616" // 2^64
+    s"""WITH RECURSIVE vlcg(doc_id, fr, i, state) AS (
+       |  SELECT doc_id, fr, 0,
+       |    ((CAST(doc_id * 7 + fr // 2 AS HUGEINT) * $A + $C) % $M
+       |     * $A + $C) % $M
+       |  FROM documents, (SELECT unnest(range(6)) AS fr)
+       |  WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id, fr, i + 1, (state * $A + $C) % $M
+       |  FROM vlcg WHERE i < 575),
+       |vb AS (
+       |  SELECT doc_id, fr, i,
+       |    CAST(state // 72057594037927936 AS BIGINT) AS b
+       |  FROM vlcg),
+       |fs AS (
+       |  SELECT doc_id, fr,
+       |    sum(CASE WHEN i % 3 = 0 THEN b END) AS sum_r,
+       |    sum(CASE WHEN i % 3 = 1 THEN b END) AS sum_g,
+       |    sum(CASE WHEN i % 3 = 2 THEN b END) AS sum_b
+       |  FROM vb GROUP BY doc_id, fr),
+       |hb AS (
+       |  SELECT doc_id, fr, b // 4 AS bin, count(*) AS c
+       |  FROM vb GROUP BY doc_id, fr, b // 4),
+       |grid AS (
+       |  SELECT DISTINCT hb.doc_id, hb.fr, bn.bin
+       |  FROM hb, (SELECT unnest(range(64)) AS bin) bn),
+       |h AS (
+       |  SELECT g.doc_id, g.fr, g.bin, coalesce(hb.c, 0) AS c
+       |  FROM grid g LEFT JOIN hb
+       |    ON g.doc_id = hb.doc_id AND g.fr = hb.fr AND g.bin = hb.bin),
+       |l1 AS (
+       |  SELECT doc_id, fr,
+       |    sum(abs(c - coalesce(prev_c, c))) AS hist_l1
+       |  FROM (
+       |    SELECT doc_id, fr, bin, c,
+       |      lag(c) OVER (PARTITION BY doc_id, bin ORDER BY fr) AS prev_c
+       |    FROM h)
+       |  GROUP BY doc_id, fr)
+       |SELECT fs.doc_id, CAST(fs.fr AS INTEGER) AS frame_no,
+       |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       |  CAST(sum_b AS BIGINT) AS sum_b,
+       |  CAST(hist_l1 AS BIGINT) AS hist_l1,
+       |  hist_l1 > 64 AS is_cut
+       |FROM fs JOIN l1 ON fs.doc_id = l1.doc_id AND fs.fr = l1.fr
+       |ORDER BY fs.doc_id, frame_no""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val stats = Tables.documents(s, d).select("doc_id").as[Long]
+      .filter(_ % 4 == 0)
+      .mapPartitions(_.flatMap(id =>
+        decodeVideoFrames(id, syntheticVideo(id))))
+      .toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_no")
+    stats
+      .withColumn("prev", lag(col("hist"), 1).over(w))
+      .withColumn("hist_l1", when(col("prev").isNull, lit(0L)).otherwise(
+        expr("""aggregate(zip_with(hist, prev, (a, b) -> abs(a - b)),
+               |0L, (acc, x) -> acc + x)""".stripMargin)))
+      .withColumn("is_cut", col("hist_l1") > 64)
+      .select("doc_id", "frame_no", "sum_r", "sum_g", "sum_b",
+        "hist_l1", "is_cut")
+      .orderBy("doc_id", "frame_no")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12)
+    mm10, mm11, mm12, mm13)
 }

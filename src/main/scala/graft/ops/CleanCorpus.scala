@@ -526,5 +526,68 @@ object CleanCorpus {
       .orderBy("lang", "source", "doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
+  // ---------------------------------------------------------------- p10
+  /** Temperature-balanced mixture sampling — the UniMax/multilingual
+    * rebalancing op (Chung et al. 2023; the α-temperature trick of
+    * mT5/XLM-R data mixing) at α = 1/2: source s draws quota
+    * `k_s = ⌊B·⌊√n_s⌋ / Σ_t ⌊√n_t⌋⌋`, flattening the head sources and
+    * boosting the tail relative to proportional sampling. The INTEGER
+    * sqrt keeps every quota exactly replayable (correctly-rounded double
+    * sqrt is exact for n < 2⁵², then floor — no float ratio survives
+    * into the output); membership is bottom-quota by seeded portable
+    * hash (p09's restart-stable discipline — no rand()), so the oracle
+    * pins every sampled doc_id. Quotas above n_s self-cap (rank can't
+    * exceed the stratum). Scale shape: counts are one map-side-combined
+    * agg; the quota table is sources-sized and broadcast; ranking is one
+    * keyed window per source (the p09 TopKPerKey rewrite applies when
+    * activated). */
+  val TempBudget = 200
+
+  /** p10's quota derivation over any `(doc_id, source)` frame: per-source
+    * counts, integer sqrt weights, `(B·w_s) DIV Σw` quotas. The counts
+    * aggregate is computed once; the sources-sized total re-joins by
+    * broadcast. */
+  private[graft] def temperatureQuotas(docs: DataFrame, budget: Int): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("sw", expr("CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT)"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("sw").as("tw"))))
+      .withColumn("quota", expr(s"($budget * sw) DIV tw"))
+      .select("source", "n_s", "quota")
+  }
+
+  val p10 = Q("p10_temperature_mix",
+    s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+       |w AS (SELECT source, n_s, CAST(floor(sqrt(n_s)) AS BIGINT) AS sw FROM c),
+       |t AS (SELECT sum(sw) AS tw FROM w),
+       |q AS (SELECT source, n_s, ($TempBudget * sw) // tw AS quota
+       |      FROM w CROSS JOIN t),
+       |r AS (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source ORDER BY
+       |      CAST(concat('0x', substr(md5('p10:' || CAST(doc_id AS VARCHAR)),
+       |        1, 15)) AS BIGINT), doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.source, r.doc_id,
+       |  CAST(q.n_s AS BIGINT) AS n_s, CAST(q.quota AS BIGINT) AS quota
+       |FROM r JOIN q ON r.source = q.source
+       |WHERE r.rn <= q.quota
+       |ORDER BY r.source, r.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "source")
+    val quotas = temperatureQuotas(docs, TempBudget)
+    val ranked = docs
+      .withColumn("h",
+        conv(substring(md5(concat(lit("p10:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"),
+        col("n_s").cast("long").as("n_s"), col("quota").cast("long").as("quota"))
+      .orderBy("source", "doc_id")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }

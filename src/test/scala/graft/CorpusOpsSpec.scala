@@ -358,4 +358,33 @@ class CorpusOpsSpec extends SparkSpec {
     val got = a.filter(r => r(0) == lng && r(1) == src).map(_(2)).toSeq
     assert(got == want, s"stratum ($lng,$src) membership drift")
   }
+
+  test("p10: temperature quotas flatten the head and boost the tail (α = 1/2 law)") {
+    // the real corpus has uniform sources at test SFs (flat quotas tell
+    // us nothing), so pin the α-law on a skewed synthetic frame: source
+    // share under √-temperature must sit strictly between proportional
+    // (α = 1) and uniform (α = 0) for BOTH the head and the tail source
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    // 10000-doc head, 100-doc tail: proportional gives the tail ~1%,
+    // uniform 50%, √-temperature √100/(√10000+√100) = 10/110 ≈ 9.1%
+    val docs = spark.range(10000).select($"id".as("doc_id"), lit("head").as("source"))
+      .union(spark.range(100).select(($"id" + 100000).as("doc_id"),
+        lit("tail").as("source")))
+    val q = ops.CleanCorpus.temperatureQuotas(docs, budget = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q("head") == 1000L * 100 / 110, s"head quota: $q")
+    assert(q("tail") == 1000L * 10 / 110, s"tail quota: $q")
+    // tail share strictly above proportional, strictly below uniform
+    val tailShare = q("tail").toDouble / (q("head") + q("tail"))
+    assert(tailShare > 100.0 / 10100 && tailShare < 0.5, s"tail share $tailShare")
+    // quotas self-cap: a stratum can never emit more rows than it has
+    val kept = ops.CleanCorpus.p10.run(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = model.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.foreach { case (src, n) => assert(n <= sizes(src), s"$src overdraws") }
+  }
 }
