@@ -1456,11 +1456,14 @@ object TextAnalysis {
     *
     * Scale shape: bigram derivation is map-only (a zip of the token
     * array with its own tail — no self-join on position, no window);
-    * unigram and bigram counts are two map-side-combined keyed aggs; the
-    * two count joins are equi-keyed on a vocab-sized side (AQE
-    * broadcasts at small SF); top-50 plans TakeOrderedAndProject, never
-    * a global sort. DECIMAL(38) arithmetic keeps `c12·N·10⁶` exact at
-    * 100 TB corpus sizes where BIGINT would overflow. */
+    * unigram and bigram counts are two map-side-combined keyed aggs,
+    * each MATERIALISED once (localCheckpoint — uc feeds both join
+    * sides, bc feeds the join chain and the corpus total, so without
+    * the truncation each consumer would re-scan the corpus); the count
+    * joins are equi-keyed on a vocab-sized side (AQE broadcasts at
+    * small SF); top-50 plans TakeOrderedAndProject, never a global
+    * sort. DECIMAL(38) arithmetic keeps `c12·N·10⁶` exact at 100 TB
+    * corpus sizes where BIGINT would overflow. */
   val t26 = Q("t26_collocations",
     """WITH docs AS (
       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -1472,7 +1475,7 @@ object TextAnalysis {
       |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM docs)
       |  GROUP BY w),
       |bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
-      |n AS (SELECT count(*) AS nb FROM pairs)
+      |n AS (SELECT sum(c12) AS nb FROM bc)
       |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
       |  CAST((CAST(c12 AS HUGEINT) * nb * 1000000)
       |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_ppm
@@ -1490,10 +1493,16 @@ object TextAnalysis {
         "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"))
         .as("p"))
       .select(col("p.0").as("w1"), col("p.1").as("w2"))
+    // both count tables are referenced twice downstream (uc by each join
+    // side, bc by the join chain AND the corpus total) — localCheckpoint
+    // materialises each once so the corpus is scanned exactly twice
+    // (bigram pass + unigram pass), not re-aggregated per consumer
     val uc = docs.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val n = pairs.agg(count(lit(1)).as("nb"))
+      .localCheckpoint()
+    val n = bc.agg(sum("c12").as("nb"))
     bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(n))

@@ -503,6 +503,58 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("q48: cohort joins broadcast; the distinct set and cells are hash aggs, no window") {
+    val plan = executedPlan("q48_cohort_retention")
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      plan.take(1200))
+  }
+
+  test("t26: top-50 plans TakeOrderedAndProject; corpus scanned exactly twice") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = SparkEntry.catalog.find(_.name == "t26_collocations").get
+    val df = q.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // after the two count materialisations the FINAL plan reads only
+    // the bigram pass — the unigram/bigram tables arrive as RDD scans;
+    // a refactor that drops a localCheckpoint re-aggregates the corpus
+    // per consumer and surfaces extra file scans here
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"final plan re-scans the corpus ${scans.size}× after materialisation")
+  }
+
+  test("er02: consolidation is broadcast joins + one anti join, nothing all-pairs") {
+    val plan = executedPlan("er02_golden_records")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+  }
+
+  test("mm13: decode is map-only; the lag window is doc-keyed, never single-partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val q = SparkEntry.catalog.find(_.name == "mm13_video_scene_cuts").get
+    val plan = q.run(spark, sf).queryExecution.sparkPlan
+    assert(plan.toString.contains("MapPartitions"), plan.toString.take(800))
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"temporal lag lost its doc key:\n$w"))
+  }
+
+  test("p10: quota table broadcasts; the ranking window is source-keyed") {
+    val plan = executedPlan("p10_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("hashpartitioning(source"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("q45: runtime bloom filter engages on the fact side, and is semantics-invisible") {
     // tier 1: with the rule on, the optimized plan carries the injected
     // BloomFilterAggregate subquery and the fact-side might_contain
