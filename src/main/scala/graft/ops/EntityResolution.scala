@@ -79,6 +79,32 @@ object EntityResolution {
       .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
   }
 
+  /** Production-blocked links — THRESHOLD-AWARE blocking (the d05→d09
+    * validation-vs-production pattern applied to linkage): the 28
+    * threshold is unreachable without the +24 acctbal agreement (the
+    * name gradient maxes at 12), so exact cents can join the block key
+    * with ZERO output change — candidate generation becomes an equi
+    * join on (nation, segment, cents) whose blocks are near-singleton,
+    * and the Σ_blocks |A_b|·|B_b| cost stops growing quadratically with
+    * corpus scale (er01's validation-tier blocks grow 16× a side →
+    * 256× comparisons; these stay ~linear). The standard multi-pass
+    * blocking refinement of Winkler-style production linkage, with the
+    * pass set chosen from the score structure instead of heuristics.
+    * `EntityResolutionSpec` pins link-for-link equality with [[links]]. */
+  private[graft] def linksProd(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val cust = Tables.customer(s, d)
+    registry(s, d)
+      .join(cust, col("nat_b") === col("c_nationkey") &&
+        col("seg_b") === col("c_mktsegment") &&
+        expr("round(acct_b * 100)") === expr("round(c_acctbal * 100)"))
+      .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
+        "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
+      .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")
+      .filter(col("score") >= 28)
+      .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
+  }
+
   /** Shared oracle CTE text: the dirty registry + scored links. */
   private val LinksCtesSql =
     s"""b AS (
@@ -165,7 +191,9 @@ object EntityResolution {
       |UNION ALL
       |SELECT * FROM orphans
       |ORDER BY entity_id""".stripMargin) { (s, d) =>
-    val lk = links(s, d)
+    // the production-blocked candidate pass — output-identical to the
+    // er01 validation tier (spec-pinned), near-linear at corpus scale
+    val lk = linksProd(s, d)
     val lc = lk.groupBy("a_custkey").agg(count(lit(1)).as("n_links"))
     val masters = Tables.customer(s, d)
       .join(broadcast(lc), col("c_custkey") === col("a_custkey"), "left")

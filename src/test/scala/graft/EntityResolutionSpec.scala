@@ -45,4 +45,19 @@ class EntityResolutionSpec extends SparkSpec {
     assert(candidates * 20 < nA * nB,
       s"candidates=$candidates vs all-pairs=${nA * nB}")
   }
+
+  test("threshold-aware production blocking is link-for-link identical to the validation tier") {
+    // the er02 production pass adds exact cents to the block key; the
+    // refinement is sound because 28 is unreachable without the +24
+    // acctbal agreement (name gradient maxes at 12) — so the two
+    // candidate generations must emit the IDENTICAL link set
+    val validation = ops.EntityResolution.links(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val production = ops.EntityResolution.linksProd(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(validation == production,
+      s"only-validation=${(validation -- production).take(5)} " +
+        s"only-production=${(production -- validation).take(5)}")
+    assert(production.nonEmpty)
+  }
 }
