@@ -544,6 +544,114 @@ object EventStreams {
     valueHistCells(events(s, d)).orderBy("event_type", "cell")
   }
 
+  // --------------------------------------------------------------- st17
+  /** SCD2 MERGE — the maintenance pass st04 (initial history build) and
+    * q28 (flat last-writer upsert) both stop short of: apply a CHANGE
+    * BATCH to a history-keeping dimension. The last full day of the
+    * event log plays the change batch (one latest observation per
+    * user); the preceding log builds the dimension via st04's
+    * gaps-and-islands. Merge semantics are the Kimball type-2 apply:
+    * a changed attribute CLOSES the user's open row at the change
+    * timestamp and INSERTS a new open row; an unchanged observation
+    * touches nothing; a user with no history inserts their first row.
+    * Closed history is immutable (never updated, only unioned through).
+    *
+    * Scale shape: every stage is keyed on user_id — the island windows,
+    * the latest-change ranking, and the open-row⋈change joins all share
+    * one partitioning (AQE reuses the exchange); the day-cut bound is a
+    * 1-row broadcast. The output is the full merged dimension, so the
+    * oracle replays initial build + merge end to end. */
+  val st17 = Q("st17_scd2_merge",
+    """WITH sp AS (SELECT date_trunc('day', max(ts)) AS cut FROM events),
+      |hist AS (SELECT e.* FROM events e, sp WHERE e.ts < sp.cut),
+      |ordered AS (
+      |  SELECT user_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM hist WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM ordered),
+      |iv AS (
+      |  SELECT user_id, event_type, min(ts) AS valid_from
+      |  FROM islands GROUP BY user_id, event_type, island),
+      |dim AS (
+      |  SELECT user_id, event_type, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |      AS valid_to
+      |  FROM iv),
+      |chg AS (
+      |  SELECT user_id, event_type AS new_type, ts AS chg_ts FROM (
+      |    SELECT e.user_id, e.event_type, e.ts, row_number() OVER (
+      |      PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      |    FROM events e, sp WHERE e.ts >= sp.cut)
+      |  WHERE rn = 1),
+      |opened AS (SELECT * FROM dim WHERE valid_to IS NULL),
+      |history AS (
+      |  SELECT user_id, event_type, valid_from, valid_to
+      |  FROM dim WHERE valid_to IS NOT NULL),
+      |upd AS (
+      |  SELECT o.user_id, o.event_type, o.valid_from,
+      |    CASE WHEN c.new_type IS NOT NULL AND c.new_type <> o.event_type
+      |         THEN c.chg_ts END AS valid_to
+      |  FROM opened o LEFT JOIN chg c ON o.user_id = c.user_id),
+      |ins AS (
+      |  SELECT c.user_id, c.new_type AS event_type, c.chg_ts AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to
+      |  FROM chg c LEFT JOIN opened o ON c.user_id = o.user_id
+      |  WHERE o.user_id IS NULL OR c.new_type <> o.event_type)
+      |SELECT user_id, event_type, valid_from,
+      |  coalesce(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM (SELECT * FROM history UNION ALL
+      |      SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |ORDER BY user_id, valid_from, event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+    val cut = ev.agg(date_trunc("day", max(col("ts"))).as("cut"))
+    val hist = ev.crossJoin(broadcast(cut)).filter(col("ts") < col("cut"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("user_id").orderBy("valid_from")
+    val dim = hist
+      .withColumn("chg",
+        when(not(lag(col("event_type"), 1).over(wOrd) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy("user_id", "event_type", "island")
+      .agg(min(col("ts")).as("valid_from"))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(wLead).as("valid_to"))
+    val wChg = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val chg = ev.crossJoin(broadcast(cut)).filter(col("ts") >= col("cut"))
+      .withColumn("rn", row_number().over(wChg)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("new_type"),
+        col("ts").as("chg_ts"))
+    val opened = dim.filter(col("valid_to").isNull)
+    val history = dim.filter(col("valid_to").isNotNull)
+    val upd = opened.join(chg, Seq("user_id"), "left")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        when(col("new_type").isNotNull && col("new_type") =!= col("event_type"),
+          col("chg_ts")).as("valid_to"))
+    val ins = chg.join(opened.select(col("user_id"),
+        col("event_type").as("open_type")), Seq("user_id"), "left")
+      .filter(col("open_type").isNull || col("new_type") =!= col("open_type"))
+      .select(col("user_id"), col("new_type").as("event_type"),
+        col("chg_ts").as("valid_from"),
+        lit(null).cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("valid_to"))
+    history.unionByName(upd).unionByName(ins)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        coalesce(col("valid_to"), lit("9999-12-31 00:00:00")
+          .cast(org.apache.spark.sql.types.TimestampNTZType)).as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_type")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16)
+    st10, st11, st12, st13, st14, st15, st16, st17)
 }

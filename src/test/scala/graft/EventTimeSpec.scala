@@ -97,4 +97,31 @@ class EventTimeSpec extends SparkSpec {
     assert(back.schema("ts").dataType == TimestampNTZType)
     assert(canon(back) == canon(ntzDf))
   }
+
+  test("st17 SCD2 invariants: one current row per user, intervals tile without gaps") {
+    // the two laws a type-2 MERGE must preserve, checked on the real
+    // corpus: (1) exactly one open (is_current) row per user — a merge
+    // that closes without inserting, or inserts without closing, breaks
+    // it; (2) per user, sorted by valid_from, every row's valid_to
+    // equals the next row's valid_from (the chain tiles: history rows
+    // by the lead() construction, the merge seam because the close
+    // timestamp IS the inserted row's valid_from), with the sentinel
+    // closing the chain.
+    val rows = ops.EventStreams.st17.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](2),
+        r.getAs[java.time.LocalDateTime](3), r.getBoolean(4)))
+    val sentinel = java.time.LocalDateTime.parse("9999-12-31T00:00")
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (u, rs) =>
+      assert(rs.count(_._4) == 1, s"user $u has ${rs.count(_._4)} current rows")
+      val chain = rs.sortBy(_._2)
+      chain.sliding(2).foreach {
+        case Array((_, _, to, _), (_, from, _, _)) =>
+          assert(to == from, s"user $u: gap/overlap $to -> $from")
+        case _ =>
+      }
+      assert(chain.last._3 == sentinel, s"user $u chain does not end open")
+    }
+  }
 }
