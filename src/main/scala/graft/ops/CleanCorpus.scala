@@ -589,5 +589,64 @@ object CleanCorpus {
       .orderBy("source", "doc_id")
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+  // ---------------------------------------------------------------- p11
+  /** Corpus report card — the per-source dataset-stats table every
+    * training-data release publishes (doc/token counts, length bounds,
+    * language spread, exact-duplicate rate): one wide aggregation whose
+    * every cell is a count or an exact ppm integer, so the whole report
+    * oracles cross-engine. Duplicate rate = share of docs whose full-text
+    * fingerprint occurs more than once ANYWHERE in the corpus (the d01
+    * fingerprint), attributed to each source — the number a mixture
+    * audit wants (how much of source X is boilerplate shared with the
+    * rest), not the within-source-only rate.
+    *
+    * Scale shape: fingerprint counts shuffle once on fp (map-side
+    * combined), rejoin is equi-keyed on fp, the report aggregation
+    * shuffles |sources| groups. No window, no distinct-explosion —
+    * `count(DISTINCT lang)` expands to the standard two-phase plan
+    * keyed by source. */
+  val p11 = Q("p11_corpus_report",
+    """WITH d AS (
+      |  SELECT source, lang, doc_id,
+      |    len(string_split(text, ' ')) AS toks, md5(text) AS fp
+      |  FROM documents),
+      |fpc AS (SELECT fp, count(*) AS c FROM d GROUP BY fp),
+      |j AS (SELECT d.source, d.lang, d.toks, fpc.c
+      |      FROM d JOIN fpc ON d.fp = fpc.fp)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(min(toks) AS BIGINT) AS min_tokens,
+      |  CAST(max(toks) AS BIGINT) AS max_tokens,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000 AS BIGINT)
+      |    // CAST(count(*) AS BIGINT) AS dup_ppm
+      |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    corpusReport(Tables.documents(s, d)).orderBy("source")
+  }
+
+  /** p11's body over any `(source, lang, text)` frame. The live corpus
+    * has no exact duplicates (dup_ppm = 0 everywhere), so the dup-rate
+    * arithmetic is anti-vacuity-pinned by `CorpusOpsSpec` on a frame
+    * with planted cross-source duplicates. */
+  private[graft] def corpusReport(raw: DataFrame): DataFrame = {
+    val docs = raw
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(col("text")).as("fp"))
+    val fpc = docs.groupBy("fp").agg(count(lit(1)).as("c"))
+    docs.join(fpc, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("toks").cast("long").as("total_tokens"),
+        countDistinct("lang").cast("long").as("n_langs"),
+        min("toks").cast("long").as("min_tokens"),
+        max("toks").cast("long").as("max_tokens"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("ndup"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_langs"), col("min_tokens"), col("max_tokens"),
+        expr("(ndup * 1000000) DIV n_docs").as("dup_ppm"))
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

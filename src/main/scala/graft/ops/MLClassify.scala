@@ -622,5 +622,146 @@ object MLClassify {
       .orderBy("doc_id")
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06)
+  // ---------------------------------------------------------------- ml07
+  /** K-fold cross-validation over the closed-form trainer — the model
+    * SELECTION pass that completes the ml chain (ml06 fits, ml04
+    * serves, ml02/ml03/ml05 evaluate one split; CV evaluates the
+    * PROCEDURE): deterministic md5 folds (t09's discipline, K = 3),
+    * each fold scored by a centroid model trained on the other two,
+    * per-fold exact accuracy in ppm integers.
+    *
+    * The scale trick is LEAVE-FOLD-OUT BY SUBTRACTION: per-(fold,
+    * class, term) counts aggregate in ONE corpus pass, the global
+    * model is their sum, and fold f's training model is
+    * `ctf_all − ctf_f` — pure integer subtraction on the vocab-sized
+    * count tables. K models for the price of one aggregation; the
+    * naive formulation re-scans the corpus per fold. Docs whose terms
+    * all vanish from their fold's training model score nothing and
+    * count as WRONG (they stay in n_eval) — silent drops would inflate
+    * accuracy. Every model number is an integer count, so the entire
+    * CV — folds, K trainings, K scorings, per-fold accuracy — oracles
+    * bit-exactly (ml06's argument: the only float ops are exact
+    * int→double, sqrt, one division, all correctly rounded). */
+  val ml07 = Q("ml07_cross_validation", {
+    val n03Sql = NewsPipeline.n03.oracle.get
+    s"""WITH teacher AS ($n03Sql),
+       |lab AS (
+       |  SELECT doc_id, category AS teacher_category FROM teacher
+       |  WHERE category <> 'unknown'),
+       |folds AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 3 AS fold
+       |  FROM lab),
+       |toks AS (
+       |  SELECT d.doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+       |                       t -> t <> '')) AS term
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |cf AS (
+       |  SELECT f.fold, l.teacher_category AS category, t.term,
+       |    count(*) AS cnt
+       |  FROM toks t
+       |  JOIN lab l ON l.doc_id = t.doc_id
+       |  JOIN folds f ON f.doc_id = t.doc_id
+       |  GROUP BY 1, 2, 3),
+       |ctf_all AS (
+       |  SELECT category, term, sum(cnt) AS cnt_all FROM cf GROUP BY 1, 2),
+       |trainctf AS (
+       |  SELECT fo.fold, a.category, a.term,
+       |    a.cnt_all - coalesce(c.cnt, 0) AS cnt
+       |  FROM (SELECT DISTINCT fold FROM folds) fo
+       |  CROSS JOIN ctf_all a
+       |  LEFT JOIN cf c ON c.fold = fo.fold AND c.category = a.category
+       |    AND c.term = a.term
+       |  WHERE a.cnt_all - coalesce(c.cnt, 0) > 0),
+       |s2f AS (
+       |  SELECT fold, category, sum(cnt * cnt) AS s2
+       |  FROM trainctf GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT tf.doc_id, f.fold, m.category, sum(tf.tf * m.cnt) AS a
+       |  FROM tf
+       |  JOIN folds f ON f.doc_id = tf.doc_id
+       |  JOIN trainctf m ON m.fold = f.fold AND m.term = tf.term
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, fold, category FROM (
+       |    SELECT d.doc_id, d.fold, d.category,
+       |      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+       |        CAST(d.a AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE)) DESC,
+       |        d.category) AS rn
+       |    FROM dots d JOIN s2f n ON n.fold = d.fold
+       |      AND n.category = d.category)
+       |  WHERE rn = 1),
+       |acc AS (
+       |  SELECT f.fold, count(*) AS n_eval,
+       |    sum(CASE WHEN p.category = l.teacher_category
+       |        THEN 1 ELSE 0 END) AS n_correct
+       |  FROM folds f
+       |  JOIN lab l ON l.doc_id = f.doc_id
+       |  LEFT JOIN pred p ON p.doc_id = f.doc_id
+       |  GROUP BY f.fold)
+       |SELECT fold, CAST(n_eval AS BIGINT) AS n_eval,
+       |  CAST(n_correct AS BIGINT) AS n_correct,
+       |  CAST(n_correct * 1000000 AS BIGINT) // CAST(n_eval AS BIGINT)
+       |    AS acc_ppm
+       |FROM acc ORDER BY fold""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val lab = NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .select(col("doc_id"), col("category").as("teacher_category"))
+    val folds = lab.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 3).as("fold"))
+    val toks = docs.join(lab.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // per-(fold, class, term) counts — the ONE corpus-scale aggregation;
+    // materialised because both the global model and the per-fold
+    // subtraction consume it
+    val cf = toks.join(lab, "doc_id").join(folds, "doc_id")
+      .groupBy(col("fold"), col("teacher_category").as("category"),
+        col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val ctfAll = cf.groupBy("category", "term").agg(sum("cnt").as("cnt_all"))
+    val trainCtf = folds.select("fold").distinct()
+      .crossJoin(ctfAll)
+      .join(cf.withColumnRenamed("cnt", "cnt_f"),
+        Seq("fold", "category", "term"), "left")
+      .select(col("fold"), col("category"), col("term"),
+        (col("cnt_all") - coalesce(col("cnt_f"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+      .localCheckpoint() // consumed by both s2 and the scoring join
+    val s2f = trainCtf.groupBy("fold", "category")
+      .agg(sum(col("cnt") * col("cnt")).as("s2"))
+    val dots = tf.join(folds, "doc_id")
+      .join(broadcast(trainCtf), Seq("fold", "term"))
+      .groupBy("doc_id", "fold", "category")
+      .agg(sum(col("tf") * col("cnt")).as("a"))
+    val w = Window.partitionBy("doc_id").orderBy(
+      (col("a").cast("double") / sqrt(col("s2").cast("double"))).desc,
+      col("category"))
+    val pred = dots.join(broadcast(s2f), Seq("fold", "category"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("category"))
+    folds.join(lab, "doc_id")
+      .join(pred, Seq("doc_id"), "left")
+      .groupBy("fold")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("category") === col("teacher_category"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("fold"), col("n_eval"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("(n_correct * 1000000) DIV n_eval").as("acc_ppm"))
+      .orderBy("fold")
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07)
 }

@@ -387,4 +387,24 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     kept.foreach { case (src, n) => assert(n <= sizes(src), s"$src overdraws") }
   }
+
+  test("p11: dup_ppm counts corpus-wide fingerprint collisions, exactly") {
+    // the live corpus has no exact duplicates, so the report's dup-rate
+    // arithmetic would pass vacuously — pin it on planted duplicates:
+    // "dup text" appears in srcA twice AND srcB once (all three rows are
+    // duplicates corpus-wide), srcB's second row is unique
+    import spark.implicits._
+    val frame = Seq(
+      ("srcA", "en", "dup text"), ("srcA", "en", "dup text"),
+      ("srcA", "de", "only here"),
+      ("srcB", "en", "dup text"), ("srcB", "fr", "unique row"))
+      .toDF("source", "lang", "text")
+    val rep = ops.CleanCorpus.corpusReport(frame).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(6)))
+      .toMap
+    // srcA: 3 docs, 2 langs, 2/3 dup → 666666 ppm (integer floor)
+    assert(rep("srcA") == ((3L, 2L, 666666L)), rep.toString)
+    // srcB: 2 docs, 2 langs, 1/2 dup (the cross-source collision) → 500000
+    assert(rep("srcB") == ((2L, 2L, 500000L)), rep.toString)
+  }
 }
