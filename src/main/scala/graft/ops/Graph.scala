@@ -490,5 +490,91 @@ object Graph {
       .orderBy("node")
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06)
+  // ---------------------------------------------------------------- g07
+  /** Feature offset binding the floor-division semantics: supplier
+    * balances can be negative, where DuckDB's `//` floors and Spark's
+    * `div` truncates toward zero — shifting every feature into cents +
+    * 1e5 (non-negative by the TPC-H balance domain, require'd in-query)
+    * makes the two identical. Means in the shifted space are the
+    * shifted means exactly (each of the d+1 averaged terms carries the
+    * same offset), so nothing is lost. */
+  val GnnFeatOffset = 100000L
+
+  /** GNN-style neighbour feature aggregation (the GraphSAGE-mean layer,
+    * Hamilton et al. 2017) — the pass that turns a graph + node features
+    * into training inputs for graph ML, and the fourth graph-dataflow
+    * shape next to iterate-to-fixpoint (g01/g06), enumerate-local-
+    * structure (g03/g04), and project (g02): PROPAGATE features along
+    * edges and reduce per destination. Two mean layers over the mutual
+    * top-[[TriTopK]] projection with the node's supplier balance (exact
+    * offset cents, [[GnnFeatOffset]]) as the input feature:
+    * `h1(v) = ⌊(c0(v) + Σ_nb c0(nb)) / (deg(v)+1)⌋`, and h2 the same
+    * recurrence over h1 — the self-inclusive integer-mean aggregator,
+    * so every layer is exact integer arithmetic and both engines agree
+    * bit for bit (no quantisation step needed anywhere).
+    *
+    * Scale shape: each layer is ONE equi join of the feature table onto
+    * the directed edge list + ONE dst-keyed hash agg with map-side
+    * combine — O(m) per layer, the textbook message-passing plan every
+    * distributed GNN system lowers to; max degree ≤ [[TriTopK]] by the
+    * mutual-top-k sparsification, so no celebrity-node reducer exists.
+    * Runs over g05's materialised artifact (post-projection stages are
+    * edge-table-sized; the corpus is never rescanned). */
+  val g07 = Q("g07_neighbor_agg",
+    s"""WITH $projEdgeCtes,
+       |dirx AS (
+       |  SELECT s1 AS v, s2 AS nb FROM e
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM e),
+       |vdeg2 AS (SELECT v, count(*) AS d FROM dirx GROUP BY v),
+       |feat AS (
+       |  SELECT vdeg2.v, vdeg2.d,
+       |    CAST(round(s.s_acctbal * 100) AS BIGINT) + $GnnFeatOffset AS c0
+       |  FROM vdeg2 JOIN supplier s ON s.s_suppkey = vdeg2.v),
+       |l1 AS (
+       |  SELECT f.v, (f.c0 + sum(fn.c0)) // (f.d + 1) AS h1
+       |  FROM dirx dx JOIN feat f ON f.v = dx.v
+       |  JOIN feat fn ON fn.v = dx.nb
+       |  GROUP BY f.v, f.c0, f.d),
+       |l2 AS (
+       |  SELECT f.v, (l.h1 + sum(ln.h1)) // (f.d + 1) AS h2
+       |  FROM dirx dx JOIN feat f ON f.v = dx.v
+       |  JOIN l1 l ON l.v = dx.v
+       |  JOIN l1 ln ON ln.v = dx.nb
+       |  GROUP BY f.v, l.h1, f.d)
+       |SELECT f.v AS node, CAST(f.d AS BIGINT) AS degree,
+       |  CAST(f.c0 AS BIGINT) AS c0, CAST(l1.h1 AS BIGINT) AS h1,
+       |  CAST(l2.h2 AS BIGINT) AS h2
+       |FROM feat f JOIN l1 ON l1.v = f.v JOIN l2 ON l2.v = f.v
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    val e = s.read.parquet(ensureProjection(s, d))
+    val dirx = e.select(col("s1").as("v"), col("s2").as("nb"))
+      .union(e.select(col("s2").as("v"), col("s1").as("nb")))
+      .localCheckpoint() // reused by both layers
+    val vdeg = dirx.groupBy("v").agg(count(lit(1)).as("d"))
+    val feat = vdeg.join(
+      Tables.supplier(s, d).select(col("s_suppkey").as("v"),
+        (expr("CAST(round(s_acctbal * 100) AS BIGINT)") + GnnFeatOffset)
+          .as("c0")), "v")
+      .localCheckpoint() // reused by layer 1 (both join sides) + output
+    require(feat.agg(min("c0")).head.getLong(0) >= 0L,
+      "offset features must be non-negative (floor == truncate)")
+    // one mean layer: features travel the directed edges, reduce at dst
+    def layer(h: DataFrame, hcol: String, out: String): DataFrame =
+      dirx.join(h.withColumnRenamed("v", "nb")
+          .withColumnRenamed(hcol, "__m"), "nb")
+        .groupBy("v").agg(sum("__m").as("__s"))
+        .join(h.select(col("v"), col(hcol).as("__self")), "v")
+        .join(vdeg, "v")
+        .select(col("v"),
+          expr(s"(__self + __s) div (d + 1)").as(out))
+    val l1 = layer(feat.select("v", "c0"), "c0", "h1").localCheckpoint()
+    val l2 = layer(l1, "h1", "h2")
+    feat.join(l1, "v").join(l2, "v")
+      .select(col("v").as("node"), col("d").cast("long").as("degree"),
+        col("c0").cast("long"), col("h1").cast("long"),
+        col("h2").cast("long"))
+      .orderBy("node")
+  }
+
+  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06, g07)
 }

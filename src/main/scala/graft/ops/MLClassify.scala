@@ -763,5 +763,106 @@ object MLClassify {
       .orderBy("fold")
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07)
+  // ---------------------------------------------------------------- ml08
+  /** Decision-threshold tuning — the deployment step after ml03's ROC:
+    * a score only becomes a CLASSIFIER once a threshold θ is fixed, and
+    * the right θ is an optimisation over the validation sweep, not a
+    * 0.5 default. Over ml03's exact (score, pos, neg) histogram (t02's
+    * quality as the score, t15's Gopher verdict as the label — the same
+    * verbatim composition, zero drift), every distinct score is a
+    * candidate θ for the rule "predict keep iff score ≥ θ"; cumulative
+    * tp/fp walk down the histogram (ml03's cum CTE), fn = P − tp, and
+    * precision/recall/F1 are exact ppm integers (single integral
+    * divisions — the 2tp/(2tp+fp+fn) identity keeps F1 one division
+    * too, never a float product of two ratios). The elected row —
+    * max F1, ties to the HIGHEST θ (the more conservative classifier) —
+    * is marked `chosen`, so the output is the full tuning curve plus
+    * the decision, and the oracle pins both.
+    *
+    * Scale: the sweep runs over the score HISTOGRAM (distinct quantised
+    * scores, ≪ corpus — t16's n02 discipline), so the one window is
+    * histogram-sized; the corpus contributes one hash-agg pass. The
+    * election is two broadcast scalars (max F1, then max θ among ties),
+    * never a global sort. */
+  val ml08 = Q("ml08_threshold_tuning", {
+    val t15Sql = graft.ops.TextAnalysis.t15.oracle.get
+    val t02Sql = graft.ops.TextAnalysis.t02.oracle.get
+    s"""WITH t15o AS ($t15Sql),
+       |t02o AS ($t02Sql),
+       |lab AS (SELECT doc_id, keep AS label FROM t15o),
+       |qs AS (
+       |  SELECT doc_id,
+       |    CAST(round(quality * 1000000.0) AS BIGINT) AS score_micro
+       |  FROM t02o),
+       |d AS (
+       |  SELECT qs.score_micro, lab.label
+       |  FROM qs JOIN lab ON lab.doc_id = qs.doc_id),
+       |hist AS (
+       |  SELECT score_micro,
+       |    count(*) FILTER (WHERE label) AS pos,
+       |    count(*) FILTER (WHERE NOT label) AS neg
+       |  FROM d GROUP BY score_micro),
+       |tot AS (SELECT sum(pos) AS p FROM hist),
+       |cum AS (
+       |  SELECT score_micro,
+       |    CAST(sum(pos) OVER (ORDER BY score_micro DESC) AS BIGINT) AS tp,
+       |    CAST(sum(neg) OVER (ORDER BY score_micro DESC) AS BIGINT) AS fp
+       |  FROM hist),
+       |curve AS (
+       |  SELECT score_micro AS theta_micro, tp, fp, tot.p - tp AS fn,
+       |    CASE WHEN tp + fp > 0
+       |         THEN tp * 1000000 // (tp + fp) ELSE 0 END AS precision_ppm,
+       |    tp * 1000000 // tot.p AS recall_ppm,
+       |    2 * tp * 1000000 // (2 * tp + fp + (tot.p - tp)) AS f1_ppm
+       |  FROM cum CROSS JOIN tot),
+       |best AS (SELECT max(f1_ppm) AS bf FROM curve),
+       |bestt AS (
+       |  SELECT max(theta_micro) AS bt FROM curve CROSS JOIN best
+       |  WHERE f1_ppm = bf)
+       |SELECT c.theta_micro, c.tp, c.fp, CAST(c.fn AS BIGINT) AS fn,
+       |  CAST(c.precision_ppm AS BIGINT) AS precision_ppm,
+       |  CAST(c.recall_ppm AS BIGINT) AS recall_ppm,
+       |  CAST(c.f1_ppm AS BIGINT) AS f1_ppm,
+       |  c.theta_micro = bestt.bt AS chosen
+       |FROM curve c CROSS JOIN bestt
+       |ORDER BY c.theta_micro DESC""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lab = graft.ops.TextAnalysis.t15.run(s, d)
+      .select(col("doc_id"), col("keep").as("label"))
+    val qs = graft.ops.TextAnalysis.t02.run(s, d)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("score_micro"))
+    val hist = qs.join(lab, "doc_id")
+      .groupBy("score_micro")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("neg"))
+      .localCheckpoint() // histogram-sized; feeds totals + the cum walk
+    val tot = hist.agg(sum("pos").as("p"))
+    val w = Window.orderBy(col("score_micro").desc)
+    val curve = hist.select(col("score_micro").as("theta_micro"),
+        sum("pos").over(w).cast("long").as("tp"),
+        sum("neg").over(w).cast("long").as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("theta_micro"), col("tp"), col("fp"),
+        (col("p") - col("tp")).cast("long").as("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 DIV (tp + fp)")).otherwise(0L)
+          .as("precision_ppm"),
+        expr("tp * 1000000 DIV p").as("recall_ppm"),
+        expr("2 * tp * 1000000 DIV (2 * tp + fp + (p - tp))").as("f1_ppm"))
+      .localCheckpoint() // reused by both election scalars + the output
+    val best = curve.agg(max("f1_ppm").as("bf"))
+    val bestT = curve.crossJoin(broadcast(best))
+      .filter(col("f1_ppm") === col("bf"))
+      .agg(max("theta_micro").as("bt"))
+    curve.crossJoin(broadcast(bestT))
+      .select(col("theta_micro"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm").cast("long"), col("recall_ppm").cast("long"),
+        col("f1_ppm").cast("long"),
+        (col("theta_micro") === col("bt")).as("chosen"))
+      .orderBy(col("theta_micro").desc)
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08)
 }

@@ -1515,7 +1515,107 @@ object TextAnalysis {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- t27
+  /** Raw add-one bigram cost `ln((c1 + V) / (c12 + 1))` per OBSERVED
+    * bigram as a DOUBLE — split out so the guard-band spec can measure
+    * every value's distance from a micro rounding boundary (t13/t16's
+    * quantisation convention). The table is observed-bigram-sized
+    * (corpus-sublinear), never corpus-sized. */
+  private[graft] def bigramCostRaw(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(expr("filter(split(text, ' '), x -> x != '')").as("t"))
+    val uc = docs.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the cost join AND the vocab-size total
+    val v = uc.agg(count(lit(1)).as("vsz"))
+    val bc = docs.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"))
+        .as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        expr("ln(CAST(c1 + vsz AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))")
+          .as("cost"))
+  }
+
+  /** Bigram-LM surprisal scoring — the 2-gram upgrade of t16's unigram
+    * quality scorer (CCNet proper scores with a 5-gram KenLM; the
+    * engine's cross-engine-replayable stand-in is an add-one bigram
+    * model, the same quantised-integer discipline one order up): every
+    * document scores by its mean per-transition negative log-likelihood
+    * `ln((c(w1) + V) / (c(w1,w2) + 1))` under counts trained on the
+    * corpus itself. Unigram models rank a document by WHICH words it
+    * uses; the bigram model ranks it by how predictable each word is
+    * GIVEN the previous one, so templated/boilerplate text (highly
+    * predictable transitions) scores low and word-salad scores high —
+    * the signal t10's repetition fraction and t16's vocabulary tiers
+    * both miss. Self-scoring always hits observed bigrams, so the
+    * add-one mass only shifts values; the unseen-bigram path is the
+    * deployment story (scoring NEW text against a frozen count table,
+    * ml04's serving shape).
+    *
+    * Determinism: the cost is computed ONCE per distinct observed
+    * bigram in a vocab-sized table and quantised to integer micros
+    * there (one fixed-shape ln in both engines; the guard-band spec
+    * proves no value sits near a rounding boundary); per-doc score is
+    * an order-free integer sum over the doc's transitions divided by
+    * the transition count — doubles never accumulate (t13/t16's
+    * discipline). Docs with < 2 tokens have no transitions and are
+    * excluded (pinned by the spec).
+    *
+    * Scale shape: bigram derivation is t26's map-only tail-zip (no
+    * positional self-join, no window); the count tables are map-side
+    * combined and materialised once (localCheckpoint); the scoring join
+    * is equi-keyed on (w1, w2) against the observed-bigram-sized cost
+    * table (too big to assume broadcastable at open-vocab scale — it
+    * shuffles as a plain equi join, AQE broadcasts when small); one
+    * doc-keyed agg; t16's histogram-cutoff bucketing applies unchanged
+    * downstream. At 100 TB: two corpus token passes (train + score),
+    * everything between them vocab-sized. */
+  val t27 = Q("t27_bigram_surprisal",
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |  FROM docs WHERE len(t) >= 2),
+      |uc AS (
+      |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM docs)
+      |  GROUP BY w),
+      |v AS (SELECT count(*) AS vsz FROM uc),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+      |cost AS (
+      |  SELECT bc.w1, bc.w2, CAST(round(
+      |    ln(CAST(u1.c + vsz AS DOUBLE) / CAST(bc.c12 + 1 AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS cost_micro
+      |  FROM bc JOIN uc u1 ON bc.w1 = u1.w CROSS JOIN v)
+      |SELECT p.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(c.cost_micro) AS BIGINT) // count(*) AS score_micro
+      |FROM pairs p JOIN cost c ON p.w1 = c.w1 AND p.w2 = c.w2
+      |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x != '')").as("t"))
+    val pairs = docs.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    val cost = bigramCostRaw(s, d)
+      .select(col("w1"), col("w2"),
+        expr("CAST(round(cost * 1000000.0) AS BIGINT)").as("cost_micro"))
+    pairs.join(cost, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(cost_micro) AS BIGINT) div count(*)")
+          .as("score_micro"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26)
+    t25, t26, t27)
 }

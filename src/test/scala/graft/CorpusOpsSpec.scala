@@ -407,4 +407,50 @@ class CorpusOpsSpec extends SparkSpec {
     // srcB: 2 docs, 2 langs, 1/2 dup (the cross-source collision) → 500000
     assert(rep("srcB") == ((2L, 2L, 500000L)), rep.toString)
   }
+
+  test("t27 guard band: no bigram cost near a micro rounding boundary") {
+    val raw = ops.TextAnalysis.bigramCostRaw(spark, sf).collect()
+      .map(_.getDouble(2))
+    assert(raw.nonEmpty)
+    val minDist = raw.map { v =>
+      val x = v * 1000000.0
+      math.abs(x - math.floor(x) - 0.5)
+    }.min
+    info(f"min distance to a rounding boundary: $minDist%.6f micros")
+    assert(minDist > 1e-4,
+      f"a 1-ulp ln divergence could flip quantisation: $minDist%.2e")
+  }
+
+  test("t27: transition counts, coverage, and a sequential recompute") {
+    val rows = TextAnalysis.t27.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val docs = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    // one row per doc with >= 2 tokens; n_bigrams = n_tokens - 1
+    val scorable = docs.filter(_._2.length >= 2)
+    assert(rows.length == scorable.size, "one row per scorable doc")
+    rows.foreach { case (id, nb, _) =>
+      assert(nb == docs(id).length - 1, s"doc $id transition count")
+    }
+    // sequential driver recompute: train counts, quantise per-bigram
+    // cost, integer mean — must equal the distributed result exactly
+    val uc = docs.values.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val bi = docs.values.toSeq.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vsz = uc.size.toLong
+    val costMicro = bi.map { case (p, c12) =>
+      p -> math.round(
+        math.log((uc(p._1) + vsz).toDouble / (c12 + 1).toDouble) * 1e6)
+    }
+    rows.foreach { case (id, nb, score) =>
+      val t = docs(id)
+      val sum = t.zip(t.tail).map(costMicro).sum
+      assert(score == Math.floorDiv(sum, nb), s"doc $id score")
+    }
+    // the scorer separates the corpus (not a constant column)
+    assert(rows.map(_._3).distinct.length > 1)
+  }
 }

@@ -168,4 +168,38 @@ class GraphSpec extends SparkSpec {
     assert(sizes.values.exists(_ > 1), "no community larger than 1")
     assert(sizes.size < nbrs.size, "labels never merged")
   }
+
+  test("g07: two mean layers equal a sequential message-passing recompute") {
+    import spark.implicits._
+    val got = ops.Graph.g07.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).toSeq
+      .map { case (v, es) => v -> es.map(_._2).toSeq }.toMap
+    val bal = model.Tables.supplier(spark, sf)
+      .selectExpr("s_suppkey",
+        s"CAST(round(s_acctbal * 100) AS BIGINT) + ${ops.Graph.GnnFeatOffset}")
+      .as[(Long, Long)].collect().toMap
+    def layer(h: Map[Long, Long]): Map[Long, Long] =
+      nbrs.map { case (v, ns) =>
+        v -> Math.floorDiv(h(v) + ns.map(h).sum, ns.size + 1L)
+      }
+    val h0 = nbrs.keys.map(v => v -> bal(v)).toMap
+    val h1 = layer(h0)
+    val h2 = layer(h1)
+    assert(got.length == nbrs.size, "one row per projection vertex")
+    for ((node, deg, c0, g1, g2) <- got) {
+      assert(deg == nbrs(node).size.toLong, s"node $node degree")
+      assert(c0 == h0(node), s"node $node input feature")
+      assert(g1 == h1(node), s"node $node layer-1 mean")
+      assert(g2 == h2(node), s"node $node layer-2 mean")
+    }
+    // anti-vacuity: aggregation must actually smooth — some node's h1
+    // differs from its own input feature, and h2 from h1
+    assert(got.exists(r => r._4 != r._3), "layer 1 changed nothing")
+    assert(got.exists(r => r._5 != r._4), "layer 2 changed nothing")
+  }
 }

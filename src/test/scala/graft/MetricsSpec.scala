@@ -158,4 +158,35 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(ece - want) < 1e-9, s"ece $ece vs recompute $want")
     assert(ece >= 0.0 && ece <= 1.0)
   }
+
+  test("ml08: threshold sweep laws and the F1-max election") {
+    val rows = ops.MLClassify.ml08.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(rows.length > 1, "need a non-trivial sweep")
+    // sorted θ DESC: tp and fp are non-decreasing cumulative walks,
+    // tp + fn is the constant positive total
+    val p = rows.head._2 + rows.head._4
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._1 > b._1, "thetas strictly descending")
+      assert(b._2 >= a._2 && b._3 >= a._3, "cumulative walk decreasing")
+    }
+    rows.foreach { case (th, tp, fp, fn, prec, rec, f1, _) =>
+      assert(tp + fn == p, s"theta $th: tp+fn != P")
+      if (tp + fp > 0)
+        assert(prec == tp * 1000000L / (tp + fp), s"theta $th precision")
+      assert(rec == tp * 1000000L / p, s"theta $th recall")
+      assert(f1 == 2 * tp * 1000000L / (2 * tp + fp + fn), s"theta $th f1")
+    }
+    // the last row (θ = min score) predicts everything positive
+    assert(rows.last._6 == 1000000L, "min-theta recall must be 1")
+    // election: exactly one chosen row; it has the max F1, and among
+    // F1 ties the highest theta
+    val chosen = rows.filter(_._8)
+    assert(chosen.length == 1, s"${chosen.length} chosen rows")
+    val bf = rows.map(_._7).max
+    assert(chosen.head._7 == bf, "chosen row is not the F1 max")
+    assert(chosen.head._1 == rows.filter(_._7 == bf).map(_._1).max,
+      "F1 tie must break to the highest theta")
+  }
 }
