@@ -648,5 +648,114 @@ object CleanCorpus {
         expr("(ndup * 1000000) DIV n_docs").as("dup_ppm"))
   }
 
-  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+  /** p12's repetition cap (Muennighoff et al. 2023: up to ~4 epochs of
+    * repeated data retain most of fresh-data value; beyond that returns
+    * decay fast), the total-budget multiple (train for 2× the corpus'
+    * tokens — the data-constrained regime where repetition decisions
+    * exist at all), and the per-quality-tier budget shares in ppm
+    * (head-heavy: the high-quality tier earns its repeats). */
+  val EpochCap = 4
+  val EpochBudgetMultiple = 2
+  val EpochSharePpm: Map[String, Long] =
+    Map("head" -> 500000L, "middle" -> 350000L, "tail" -> 150000L)
+
+  /** Epoch repetition schedule — the data-constrained-scaling op
+    * (Muennighoff et al. 2023) that p04/p10 stop short of: when the
+    * token budget EXCEEDS the corpus, the pipeline must decide what to
+    * see twice, and the answer is quality-tiered — the high-perplexity-
+    * quality tier repeats up to [[EpochCap]] epochs while the tail is
+    * truncated to a partial single pass. Tiers are t16's perplexity
+    * buckets (verbatim-CTE splice — zero drift, ml03's convention);
+    * each bucket b gets budget `B_b = (2·corpus_tokens · share_ppm) ÷
+    * 10⁶` (integer, DECIMAL(38) product so it stays exact at 100 TB
+    * token counts), runs `full_b = min(cap, B_b ÷ n_b)` complete
+    * epochs, and fills the remainder with a PARTIAL epoch: docs in
+    * seeded portable-hash order (p10's restart-stable discipline)
+    * admitted while the strictly-preceding token sum is under the
+    * remainder (p04's prefix-closed greedy — deterministic, minimal
+    * overshoot). Output is the materialised schedule: one row per
+    * (doc, epoch) pass the trainer will take.
+    *
+    * Scale shape: t16's scoring dominates (documented there); on top of
+    * it the schedule is one bucket-keyed token agg (3 groups), a
+    * broadcast quota table, one bucket-partitioned window for the
+    * prefix sums, and a ≤[[EpochCap]]-wide explode — bounded fanout,
+    * no corpus-global ordering anywhere. */
+  val p12 = Q("p12_epoch_schedule", {
+    val t16Sql = graft.ops.TextAnalysis.t16.oracle.get
+    val caseShare = EpochSharePpm.toSeq.sortBy(_._1).map { case (b, s) =>
+      s"WHEN '$b' THEN $s" }.mkString(" ")
+    s"""WITH t16o AS ($t16Sql),
+       |bt AS (SELECT bucket, sum(n_tokens) AS n_b FROM t16o GROUP BY bucket),
+       |tot AS (SELECT $EpochBudgetMultiple * sum(n_tokens) AS b2 FROM t16o),
+       |q AS (
+       |  SELECT bucket, n_b,
+       |    CAST((CAST(b2 AS HUGEINT) *
+       |      (CASE bucket $caseShare END)) // 1000000 AS BIGINT) AS b_b
+       |  FROM bt CROSS JOIN tot),
+       |q3 AS (
+       |  SELECT bucket, n_b, b_b,
+       |    CAST(least($EpochCap, b_b // n_b) AS BIGINT) AS full_e,
+       |    CAST(CASE WHEN b_b // n_b >= $EpochCap THEN 0
+       |         ELSE b_b - (b_b // n_b) * n_b END AS BIGINT) AS rem
+       |  FROM q),
+       |r AS (
+       |  SELECT t.doc_id, t.bucket, t.n_tokens,
+       |    sum(t.n_tokens) OVER (PARTITION BY t.bucket ORDER BY
+       |      CAST(concat('0x', substr(md5('p12:' ||
+       |        CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT), t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+       |  FROM t16o t),
+       |fulls AS (
+       |  SELECT r.doc_id, r.bucket, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(unnest(range(1, q3.full_e + 1)) AS BIGINT) AS epoch
+       |  FROM r JOIN q3 USING (bucket) WHERE q3.full_e >= 1),
+       |partials AS (
+       |  SELECT r.doc_id, r.bucket, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(q3.full_e + 1 AS BIGINT) AS epoch
+       |  FROM r JOIN q3 USING (bucket)
+       |  WHERE coalesce(r.pre, 0) < q3.rem)
+       |SELECT * FROM fulls UNION ALL SELECT * FROM partials
+       |ORDER BY doc_id, epoch""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t16o = graft.ops.TextAnalysis.t16.run(s, d)
+      .select("doc_id", "n_tokens", "bucket")
+      .localCheckpoint() // feeds budgets, prefix window, and both arms
+    val bt = t16o.groupBy("bucket").agg(sum("n_tokens").as("n_b"))
+    val tot = t16o.agg(
+      (sum("n_tokens") * EpochBudgetMultiple).as("b2"))
+    val share = EpochSharePpm.foldLeft(lit(null).cast("long")) {
+      case (acc, (b, v)) => when(col("bucket") === b, lit(v)).otherwise(acc)
+    }
+    val q3 = bt.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", share)
+      .withColumn("b_b",
+        expr(s"CAST((CAST(b2 AS DECIMAL(38,0)) * share_ppm)" +
+          s" DIV 1000000 AS BIGINT)"))
+      .withColumn("full_e", least(lit(EpochCap.toLong), expr("b_b div n_b")))
+      .withColumn("rem",
+        when(expr("b_b div n_b") >= EpochCap, 0L)
+          .otherwise(expr("b_b - (b_b div n_b) * n_b")))
+      .select("bucket", "n_b", "b_b", "full_e", "rem")
+    val r = t16o.withColumn("pre",
+      sum("n_tokens").over(Window.partitionBy("bucket")
+        .orderBy(conv(substring(md5(concat(lit("p12:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
+          col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val withQ = r.join(broadcast(q3), "bucket")
+    val fulls = withQ.filter(col("full_e") >= 1)
+      .select(col("doc_id"), col("bucket"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        explode(sequence(lit(1L), col("full_e"))).as("epoch"))
+    val partials = withQ.filter(coalesce(col("pre"), lit(0L)) < col("rem"))
+      .select(col("doc_id"), col("bucket"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("full_e") + 1).cast("long").as("epoch"))
+    fulls.union(partials).orderBy("doc_id", "epoch")
+  }
+
+  def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
+    p12)
 }

@@ -846,5 +846,139 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  // ---------------------------------------------------------------- s11
+  /** Maximum-inner-product search via the norm-augmentation reduction
+    * (Bachrach et al. 2014) over the IVF index (s03's machinery) — the
+    * retrieval mode recommender/retrieval models actually need: rank by
+    * RAW inner product, where cosine ANN (s01-s10) is wrong whenever
+    * norms carry information. The live embeddings are L2-normalised, so
+    * the norm signal is supplied explicitly: each ITEM vector is scaled
+    * by a per-item popularity weight `w = 1 + label mod 4` (the
+    * engagement/CTR prior every recommender multiplies in - an integer-
+    * derived double, bit-replayable), making the item vector `w*x` and
+    * the objective `argmax_e w_e*<q, x_e>` - genuinely different from
+    * cosine order (the spec proves the divergence and measures recall
+    * against the exact MIPS ranking). MIPS admits no direct metric
+    * index, but the classic reduction restores one: items augment to
+    * `x^ = [w*x/M ; sqrt(1 - w^2|x|^2/M^2)]` (M = max weighted norm, so
+    * |x^| = 1), queries to `q^ = [q/|q| ; 0]`, and `cos(q^, x^)` is
+    * monotone in `w*<q, x>` - inner-product order becomes cosine order
+    * one dimension up, so the IVF dataflow applies VERBATIM: items
+    * assign to their nearest of C=16 augmented centroid lists, queries
+    * probe their P=4 nearest lists, and the exact weighted dot re-ranks
+    * candidates only. The augmented dots never materialise 65-vectors -
+    * they decompose into the raw dot plus scalar terms
+    * (`(w_a*w_c/M^2)*<x_a,x_c> + aug_a*aug_c`), so every arithmetic
+    * step is the same fixed-shape ascending-order double expression in
+    * both engines (the s01 convention), fully oracled.
+    *
+    * Scale shape: s03's exactly - one map pass for weights/norms (fuses
+    * into the scan), a scalar broadcast for M, a broadcast centroid
+    * argmax assignment, candidates from an equi-join on list id
+    * (P*n/C per query), a query-keyed window over candidates. Nothing
+    * all-pairs; the reduction adds derived columns, not a pass. */
+  val s11 = Q("s11_mips_topk", {
+    val dotSelf =
+      s"list_sum(list_transform(generate_series(1, $Dims), k -> CAST(embedding[k] AS DOUBLE) * CAST(embedding[k] AS DOUBLE)))"
+    def dotQ(a: String, ae: String, b: String, be: String) =
+      s"list_sum(list_transform(generate_series(1, $Dims), k -> CAST($a.$ae[k] AS DOUBLE) * CAST($b.$be[k] AS DOUBLE)))"
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(1 + label % 4 AS DOUBLE) AS w,
+       |    $dotSelf AS n2
+       |  FROM embeddings),
+       |m AS (SELECT sqrt(max(w * w * n2)) AS bigm FROM b),
+       |ba AS (
+       |  SELECT b.*, m.bigm,
+       |    sqrt(greatest(CAST(0 AS DOUBLE),
+       |      CAST(1 AS DOUBLE) - (b.w * b.w * b.n2) / (m.bigm * m.bigm)))
+       |      AS aug
+       |  FROM b CROSS JOIN m),
+       |c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, w AS cw, aug AS caug
+       |  FROM ba WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (e.w * c.cw / (e.bigm * e.bigm)) * (${dotQ("e", "embedding", "c", "cemb")})
+       |          + e.aug * c.caug DESC, c.cid) AS rn
+       |    FROM ba e, c)
+       |  WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding, n2, bigm
+       |  FROM ba WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        (c.cw / (q.bigm * sqrt(q.n2))) * (${dotQ("q", "embedding", "c", "cemb")})
+       |        DESC, c.cid) AS prn
+       |    FROM q, c)
+       |  WHERE prn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    e.w * (${dotQ("q", "embedding", "e", "embedding")}) AS dot
+       |  FROM probed p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN ba e ON e.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY dot DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }) { (s, d) =>
+    GraftFunctions.register(s)
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(1 + label % 4 AS DOUBLE)").as("w"),
+        expr("dot_product(embedding, embedding)").as("n2"))
+    val m = b.agg(expr("sqrt(max(w * w * n2))").as("bigm"))
+    val ba = b.crossJoin(broadcast(m))
+      .withColumn("aug", expr(
+        "sqrt(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - (w * w * n2) / (bigm * bigm)))"))
+      .localCheckpoint() // feeds centroids, assignment, queries, items
+    val c = ba.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("w").as("cw"), col("aug").as("caug"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("adot").desc, col("cid"))
+    val assign = ba.join(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        expr("(w * cw / (bigm * bigm)) * dot_product(embedding, cemb)" +
+          " + aug * caug").as("adot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid")
+    val q = ba.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("n2").as("qn2"),
+        col("bigm"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("cid"),
+        expr("(cw / (bigm * sqrt(qn2))) * dot_product(q_embedding, cemb)")
+          .as("qdot"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("query_id", "q_embedding", "cid")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    probed.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(ba.select(col("vec_id"), col("embedding"), col("w")), "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("w") * expr("dot_product(q_embedding, embedding)")).as("dot"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }

@@ -427,6 +427,72 @@ object Ingest {
     digests.reduce(_ union _).orderBy("codec")
   }
 
+  /** in11's simulated "as of last night" cut instant — inside the
+    * events table's fixed 2024-01 generator window at every SF. */
+  val In11Cut = "2024-01-20T00:00:00Z"
+
+  /** Incremental high-watermark ingestion (SURVEY.md §2.1 [EXT]) — the
+    * nightly-load pattern every 100 TB fact table lives by (and the
+    * INGESTION sibling of q41's incremental aggregate maintenance): a
+    * snapshot exists with a recorded watermark (max ingested event
+    * time); the next load scans ONLY source rows strictly newer than
+    * the watermark, appends them, and advances the watermark — history
+    * is never re-read. The demo builds the "last night" state in-query
+    * (snapshot = events before [[In11Cut]], watermark persisted through
+    * a 1-row parquet metadata table, the ml04 frozen-state discipline),
+    * then runs the incremental load against it.
+    *
+    * Two storage-exactness points: (a) the watermark is stored in the
+    * SOURCE's physical dtype (max over the raw `ts` column, never a
+    * converted copy) — a micros-truncated watermark over nanos storage
+    * would re-admit the boundary row's sub-micro residue as a phantom
+    * duplicate; (b) both the snapshot cut ([[graft.ops.EventStreams
+    * .tsLiteral]]) and the delta predicate compare the stored column
+    * against a literal of its own dtype, so each lands in the parquet
+    * scan as a PUSHED filter (the spec audits it) — at 100 TB with
+    * time-partitioned files, that pushdown IS the feature: the delta
+    * scan opens one day of files, not the table. Strictness does the
+    * dedup by arithmetic: rows AT the watermark are all in the
+    * snapshot (they were ≤ the cut), rows ABOVE it are all new — union
+    * equals the full source exactly, which is what the oracle states
+    * (count + order-free content digest + advanced watermark off the
+    * SOURCE table: a lost, duplicated, or mangled row mismatches). */
+  val in11 = Q("in11_incremental_load",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+      |    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS checksum,
+      |  CAST(max(epoch_us(ts)) AS BIGINT) AS watermark_micros
+      |FROM events""".stripMargin) { (s, d) =>
+    import graft.ops.EventStreams
+    val src = graft.model.Tables.events(s, d)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val snapDir = s"$compactScratch/$run/snapshot"
+    val wmDir = s"$compactScratch/$run/watermark"
+    // "last night": snapshot everything before the cut + its watermark
+    src.filter(col("ts") < EventStreams.tsLiteral(src, In11Cut))
+      .write.mode("overwrite").parquet(snapDir)
+    s.read.parquet(snapDir).agg(max(col("ts")).as("wm"))
+      .write.mode("overwrite").parquet(wmDir)
+    // the incremental load: metadata read (1 row), delta-only source
+    // scan (pushed ts > watermark), append, advance
+    val wm = s.read.parquet(wmDir).head.get(0)
+    require(wm != null, "empty snapshot has no watermark")
+    val delta = src.filter(col("ts") > lit(wm))
+    delta.write.mode("append").parquet(snapDir)
+    val merged = s.read.parquet(snapDir)
+    merged.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(conv(substring(md5(concat(
+        col("event_id").cast("string"), lit("|"),
+        col("event_type"), lit("|"),
+        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .cast("long").as("checksum"),
+      max(EventStreams.eventMicros(merged)).cast("long")
+        .as("watermark_micros"))
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10)
+    in10, in11)
 }

@@ -408,6 +408,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rep("srcB") == ((2L, 2L, 500000L)), rep.toString)
   }
 
+  test("p12: epoch schedule equals a sequential recompute; cap and prefix laws") {
+    val rows = ops.CleanCorpus.p12.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val t16rows = ops.TextAnalysis.t16.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("bucket")))
+    val cap = ops.CleanCorpus.EpochCap.toLong
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"p12:$id").take(15), 16)
+    val b2 = BigInt(t16rows.map(_._2).sum) *
+      ops.CleanCorpus.EpochBudgetMultiple
+    val want = t16rows.groupBy(_._3).toSeq.flatMap { case (b, ds) =>
+      val nB = ds.map(_._2).sum
+      val bB = (b2 * ops.CleanCorpus.EpochSharePpm(b) / 1000000).toLong
+      val fullE = math.min(cap, bB / nB)
+      val rem = if (bB / nB >= cap) 0L else bB - (bB / nB) * nB
+      var pre = 0L
+      val partial = ds.sortBy(d => (h(d._1), d._1)).filter { d =>
+        val keep = pre < rem; pre += d._2; keep
+      }
+      ds.flatMap(d => (1L to fullE).map(e => (d._1, b, d._2, e))) ++
+        partial.map(d => (d._1, b, d._2, fullE + 1))
+    }.toSet
+    assert(rows.toSet == want, {
+      val extra = rows.toSet -- want
+      val missing = want -- rows.toSet
+      s"schedule drift: extra=${extra.take(5)} missing=${missing.take(5)}"
+    })
+    // laws: epochs per doc are dense from 1; nobody exceeds cap + 1;
+    // the schedule both repeats something and truncates something
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val es = g.map(_._4).sorted
+      assert(es.toSeq == (1L to es.length).toSeq, s"doc $id epochs $es")
+      assert(es.length <= cap + 1, s"doc $id over the cap")
+    }
+    val perBucketMax = rows.groupBy(_._2).view.mapValues(_.map(_._4).max)
+    assert(perBucketMax.values.exists(_ > 1), "nothing repeated")
+    val docsSeen = rows.map(_._1).toSet
+    assert(t16rows.exists(d => !docsSeen.contains(d._1)) ||
+      rows.groupBy(_._1).values.exists(_.size < cap + 1),
+      "nothing truncated — budget covers everything everywhere")
+  }
+
   test("t27 guard band: no bigram cost near a micro rounding boundary") {
     val raw = ops.TextAnalysis.bigramCostRaw(spark, sf).collect()
       .map(_.getDouble(2))

@@ -156,4 +156,27 @@ class IngestSpec extends SparkSpec {
       msgs.contains("magic"),
       s"expected a corrupt-footer failure naming the bad file, got: ${msgs.take(600)}")
   }
+
+  test("in11: cut and watermark predicates push down; strict split partitions the source") {
+    import org.apache.spark.sql.functions._
+    val ev = model.Tables.events(spark, sf)
+    // the snapshot cut reaches the parquet scan as a pushed filter
+    val cut = ev.filter(col("ts") < ops.EventStreams.tsLiteral(ev, Ingest.In11Cut))
+    val cplan = cut.queryExecution.executedPlan.toString
+    assert(cplan.contains("LessThan(ts"),
+      s"cut predicate not pushed:\n${cplan.take(600)}")
+    assert(cplan.contains("PushedFilters"), cplan.take(600))
+    // the delta predicate (stored-dtype watermark literal) pushes too
+    val wm = cut.agg(max(col("ts"))).head.get(0)
+    val delta = ev.filter(col("ts") > lit(wm))
+    val dplan = delta.queryExecution.executedPlan.toString
+    assert(dplan.contains("GreaterThan(ts"),
+      s"delta predicate not pushed:\n${dplan.take(600)}")
+    // strict watermark arithmetic: snapshot and delta partition the
+    // source exactly — nothing lost at the boundary, nothing doubled
+    val nSnap = cut.count()
+    val nDelta = delta.count()
+    assert(nSnap > 0 && nDelta > 0, s"degenerate split: $nSnap/$nDelta")
+    assert(nSnap + nDelta == ev.count(), "snapshot + delta != source")
+  }
 }
