@@ -577,4 +577,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(on.collect().toSeq == off.collect().toSeq,
       "bloom-filtered result diverged from the plain join")
   }
+
+  test("t27: bigram scoring is joins + hash aggs — no Window over the corpus") {
+    val plan = executedPlan("t27_bigram_surprisal")
+    assert(!plan.contains("Window"), s"corpus window crept in:\n${plan.take(800)}")
+    // the only nested loop allowed is the 1-row broadcast scalar attach
+    // (vocab-size total); a real cartesian is a scale killer
+    assert(!plan.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop")
+      && !plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("g07: message passing is equi-joins only, never a cartesian") {
+    val plan = executedPlan("g07_neighbor_agg")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+  }
+
+  test("s11: MIPS centroid passes broadcast; candidates via equi-join on cid") {
+    val plan = executedPlan("s11_mips_topk")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid table not broadcast:\n${plan.take(800)}")
+    // the corpus-scale candidate join must be an equi hash join on the
+    // list id, never a non-broadcast nested loop / cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }
