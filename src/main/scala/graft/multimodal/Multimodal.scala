@@ -1413,6 +1413,133 @@ object Multimodal {
       .orderBy("doc_id", "frame_no")
   }
 
+  // --------------------------------------------------------------- mm14
+  /** Candidate square-tone periods (samples per cycle) — the "dial pad"
+    * the detector tests; true period per audio doc cycles through them
+    * by id. Amplitude leaves ±2 kHz of LCG-noise headroom inside
+    * PCM16. */
+  val TonePeriods = Seq(8, 10, 16, 20)
+  val ToneAmp = 8000
+  val ToneSamples = 800
+
+  /** Valid mono PCM16LE WAV carrying a square tone of the doc's true
+    * period plus 12-bit LCG noise — the same RIFF writer discipline as
+    * [[syntheticWav]], same two-step LCG state init, pure integer so
+    * DuckDB replays every sample in HUGEINT. */
+  def syntheticToneWav(docId: Long, nSamples: Int = ToneSamples): Array[Byte] = {
+    val t = TonePeriods((((docId - 1) / 2) % 4).toInt)
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var state = docId * 6364136223846793005L + 1442695040888963407L
+    var i = 0
+    while (i < nSamples) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      val noise = (state >>> 52).toInt - 2048
+      val square = if (i % t < t / 2) ToneAmp else -ToneAmp
+      buf.putShort((square + noise).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Real matched-filter detection over decoded PCM: correlate the
+    * signal against every candidate square template, score = |Σ s·±1|
+    * (a pure BIGINT sum), detected = argmax (first index — smallest
+    * period — on ties). */
+  def detectTone(bytes: Array[Byte]): (Int, Seq[Long]) = {
+    val (_, samples) = wavSamples(bytes)
+    val scores = TonePeriods.map { t =>
+      var acc = 0L
+      var i = 0
+      while (i < samples.length) {
+        acc += samples(i) * (if (i % t < t / 2) 1L else -1L)
+        i += 1
+      }
+      math.abs(acc)
+    }
+    (TonePeriods(scores.indexOf(scores.max)), scores)
+  }
+
+  /** Tone detection by matched filter — the audio CONTENT-analysis arm
+    * (mm02–mm08 measure energy/shape; this identifies WHAT is playing):
+    * each audio doc carries a square tone of one of [[TonePeriods]]
+    * periods under 12-bit LCG noise, and the detector correlates the
+    * decoded PCM against every candidate template — exactly how real
+    * DTMF/pilot-tone detectors work (a per-frequency correlator is the
+    * integer-exact stand-in for Goertzel/FFT, whose float recursions
+    * have no cross-engine bit guarantee). Every score is an exact
+    * BIGINT sum of ±sample terms, so scores AND the argmax are
+    * bit-identical in both engines; cross-period correlations cancel
+    * over full cycles (square waves at these periods are near-
+    * orthogonal over 800 samples), giving the detector a ~25× score
+    * margin the spec quantifies.
+    *
+    * Scale shape: map-only — synth/decode/correlate fuse into the scan
+    * (mm04's mapPartitions tier); the per-doc signature is 4 integers
+    * regardless of audio length, so the shuffle to the sorted output
+    * carries 5 longs per doc. The oracle replays the LCG samples in a
+    * recursive HUGEINT CTE, rebuilds both the square and the templates
+    * from arithmetic, and recomputes every score and the argmax —
+    * detection is hash-checked end to end, not spot-checked. */
+  val mm14 = Q("mm14_tone_detect", {
+    s"""WITH RECURSIVE tlcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM tlcg WHERE i < ${ToneSamples - 1}),
+       |tper AS (
+       |  SELECT doc_id,
+       |    CASE ((doc_id - 1) // 2) % 4 WHEN 0 THEN 8 WHEN 1 THEN 10
+       |         WHEN 2 THEN 16 ELSE 20 END AS t
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |sig AS (
+       |  SELECT l.doc_id, l.i,
+       |    (CASE WHEN l.i % p.t < p.t // 2 THEN $ToneAmp ELSE -$ToneAmp END)
+       |      + CAST(l.state // 4503599627370496 AS BIGINT) - 2048 AS s
+       |  FROM tlcg l JOIN tper p ON p.doc_id = l.doc_id),
+       |scores AS (
+       |  SELECT doc_id,
+       |    abs(sum(s * (CASE WHEN i % 8 < 4 THEN 1 ELSE -1 END))) AS s8,
+       |    abs(sum(s * (CASE WHEN i % 10 < 5 THEN 1 ELSE -1 END))) AS s10,
+       |    abs(sum(s * (CASE WHEN i % 16 < 8 THEN 1 ELSE -1 END))) AS s16,
+       |    abs(sum(s * (CASE WHEN i % 20 < 10 THEN 1 ELSE -1 END))) AS s20
+       |  FROM sig GROUP BY doc_id)
+       |SELECT sc.doc_id, CAST(p.t AS BIGINT) AS true_period,
+       |  CAST(CASE WHEN s8 >= s10 AND s8 >= s16 AND s8 >= s20 THEN 8
+       |       WHEN s10 >= s16 AND s10 >= s20 THEN 10
+       |       WHEN s16 >= s20 THEN 16 ELSE 20 END AS BIGINT)
+       |    AS detected_period,
+       |  CAST(s8 AS BIGINT) AS score_t8, CAST(s10 AS BIGINT) AS score_t10,
+       |  CAST(s16 AS BIGINT) AS score_t16, CAST(s20 AS BIGINT) AS score_t20
+       |FROM scores sc JOIN tper p USING (doc_id)
+       |ORDER BY sc.doc_id""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (detected, sc) = detectTone(syntheticToneWav(id))
+          val truePeriod = TonePeriods((((id - 1) / 2) % 4).toInt)
+          (id, truePeriod.toLong, detected.toLong,
+            sc(0), sc(1), sc(2), sc(3))
+        }
+      }
+      .toDF("doc_id", "true_period", "detected_period",
+        "score_t8", "score_t10", "score_t16", "score_t20")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13)
+    mm10, mm11, mm12, mm13, mm14)
 }

@@ -756,6 +756,79 @@ object CleanCorpus {
     fulls.union(partials).orderBy("doc_id", "epoch")
   }
 
+  /** Dataset snapshot diff — the versioning audit every corpus release
+    * ships with (p11's report card says what a snapshot IS; this says
+    * what CHANGED since the last one): classify every document across
+    * two snapshots as added / removed / changed / unchanged by
+    * full-outer-joining on doc_id and comparing content fingerprints.
+    * The "previous" snapshot is derived in-query by a deterministic
+    * mutation (every 13th doc removed, every surviving 7th doc's text
+    * revised, every 11th doc re-added under a shifted id — DuckDB
+    * rebuilds it identically, er01's frozen-inputs discipline), so both
+    * engines diff the same pair. Output is the per-status ledger: doc
+    * count + an order-free id sum + an order-free content digest over
+    * the CURRENT side's fingerprints (removed rows digest their old
+    * content) — any misclassified, lost, or double-counted doc
+    * mismatches.
+    *
+    * Scale shape: one md5 projection per side (map-only, fuses into
+    * each snapshot's scan), ONE full outer equi join on doc_id (the
+    * q28 MERGE shape — bucketed at a real deployment), a 4-group
+    * rollup. Nothing all-pairs, nothing driver-side; text never
+    * shuffles (fingerprints do). */
+  val p13 = Q("p13_snapshot_diff",
+    """WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END)
+      |      AS fp
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    md5('new doc ' || CAST(doc_id AS VARCHAR))
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.fp AS afp,
+      |    b.fp AS bfp
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+      |st AS (
+      |  SELECT doc_id,
+      |    CASE WHEN afp IS NULL THEN 'added'
+      |         WHEN bfp IS NULL THEN 'removed'
+      |         WHEN afp <> bfp THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    coalesce(bfp, afp) AS fp
+      |  FROM j)
+      |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(CAST(concat('0x', substr(fp, 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS fp_checksum
+      |FROM st GROUP BY status ORDER BY status""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val a = docs.select(col("doc_id"), md5(col("text")).as("afp"))
+    val b = docs.where(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" [rev2]"))).otherwise(col("text"))).as("bfp"))
+      .union(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          md5(concat(lit("new doc "), col("doc_id").cast("string")))
+            .as("bfp")))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("afp").isNull, "added")
+          .when(col("bfp").isNull, "removed")
+          .when(col("afp") =!= col("bfp"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("bfp"), col("afp")).as("fp"))
+      .groupBy("status")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("doc_id").cast("long").as("id_sum"),
+        sum(conv(substring(col("fp"), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("fp_checksum"))
+      .orderBy("status")
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12)
+    p12, p13)
 }

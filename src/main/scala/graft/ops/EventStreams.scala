@@ -652,6 +652,51 @@ object EventStreams {
       .orderBy("user_id", "valid_from", "event_type")
   }
 
+  // --------------------------------------------------------------- st18
+  /** Batch twin of the streaming last-touch attribution (the SAME
+    * [[graft.streaming.StreamOps.lastTouchAttribution]] function the
+    * stream runs — the st05 convention): q49's marketing question
+    * answered in the join→aggregation chained-stateful shape. The
+    * oracle replays the interval join, the per-purchase lexicographic
+    * struct-max (click_ts DESC, click_value DESC — a streaming-legal
+    * aggregate where rank is not), and the touch count; `StreamJoinSpec`
+    * pins the MemoryStream run equal to this batch result. */
+  val st18 = Q("st18_last_touch",
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+      |    c.ts AS click_ts, c.value AS click_value
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |      PARTITION BY user_id, purchase_ts, purchase_value
+      |      ORDER BY click_ts DESC, click_value DESC) AS rn,
+      |    count(*) OVER (
+      |      PARTITION BY user_id, purchase_ts, purchase_value) AS n
+      |  FROM j)
+      |SELECT user_id, purchase_ts, purchase_value,
+      |  click_ts AS last_click_ts, click_value AS last_click_value,
+      |  CAST(n AS BIGINT) AS n_touches
+      |FROM r WHERE rn = 1
+      |ORDER BY user_id, purchase_ts""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def side(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.UserEvent]
+    graft.streaming.StreamOps
+      .lastTouchAttribution(side("click"), side("purchase"))
+      .select(col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("purchase_value"),
+        col("last_click_ts").cast("timestamp_ntz").as("last_click_ts"),
+        col("last_click_value"), col("n_touches"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18)
 }

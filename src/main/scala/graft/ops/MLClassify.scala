@@ -864,5 +864,146 @@ object MLClassify {
       .orderBy(col("theta_micro").desc)
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08)
+  // ---------------------------------------------------------------- ml09
+  /** Learning curve — the "how much data do I need" answer every
+    * training pipeline owes its owner (and the model-selection sibling
+    * of ml07's K-fold): hold out one md5 fold as the FIXED eval set,
+    * train the closed-form centroid model (ml06's fit) on growing
+    * PREFIXES of the other folds (1, 2, then 3 fold units), and score
+    * the same eval set with each — accuracy vs training-set size, in
+    * exact ppm. The three models cost ONE corpus pass: per-(fold,
+    * class, term) counts aggregate once, and prefix k's model is the
+    * `fold < k` rollup of that vocab-sized table (ml07's
+    * subtraction trick run forward as prefix sums). Eval docs with no
+    * scorable terms count as wrong, never dropped (the LEFT JOIN
+    * discipline).
+    *
+    * Scale shape: ml07's exactly — one corpus-scale (fold, class,
+    * term) agg, everything after it vocab-sized (the 3× prefix
+    * expansion included), scoring via a broadcast model join + a
+    * doc-keyed ≤7-row argmax window. */
+  val ml09 = Q("ml09_learning_curve", {
+    val n03Sql = NewsPipeline.n03.oracle.get
+    s"""WITH teacher AS ($n03Sql),
+       |lab AS (
+       |  SELECT doc_id, category AS teacher_category FROM teacher
+       |  WHERE category <> 'unknown'),
+       |folds AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 4 AS fold
+       |  FROM lab),
+       |toks AS (
+       |  SELECT d.doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+       |                       t -> t <> '')) AS term
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |cf AS (
+       |  SELECT f.fold, l.teacher_category AS category, t.term,
+       |    count(*) AS cnt
+       |  FROM toks t
+       |  JOIN lab l ON l.doc_id = t.doc_id
+       |  JOIN folds f ON f.doc_id = t.doc_id
+       |  WHERE f.fold < 3
+       |  GROUP BY 1, 2, 3),
+       |ks AS (SELECT unnest([1, 2, 3]) AS k),
+       |trainctf AS (
+       |  SELECT ks.k, cf.category, cf.term, sum(cf.cnt) AS cnt
+       |  FROM cf JOIN ks ON cf.fold < ks.k
+       |  GROUP BY 1, 2, 3),
+       |s2k AS (
+       |  SELECT k, category, sum(cnt * cnt) AS s2
+       |  FROM trainctf GROUP BY 1, 2),
+       |evaldocs AS (SELECT doc_id FROM folds WHERE fold = 3),
+       |dots AS (
+       |  SELECT tf.doc_id, m.k, m.category, sum(tf.tf * m.cnt) AS a
+       |  FROM tf
+       |  JOIN evaldocs e ON e.doc_id = tf.doc_id
+       |  JOIN trainctf m ON m.term = tf.term
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, k, category FROM (
+       |    SELECT d.doc_id, d.k, d.category,
+       |      row_number() OVER (PARTITION BY d.doc_id, d.k ORDER BY
+       |        CAST(d.a AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE)) DESC,
+       |        d.category) AS rn
+       |    FROM dots d JOIN s2k n ON n.k = d.k AND n.category = d.category)
+       |  WHERE rn = 1),
+       |tsizes AS (
+       |  SELECT ks.k, count(*) AS n_train
+       |  FROM folds f JOIN ks ON f.fold < ks.k
+       |  GROUP BY ks.k),
+       |acc AS (
+       |  SELECT ks.k, count(*) AS n_eval,
+       |    sum(CASE WHEN p.category = l.teacher_category
+       |        THEN 1 ELSE 0 END) AS n_correct
+       |  FROM evaldocs e CROSS JOIN ks
+       |  JOIN lab l ON l.doc_id = e.doc_id
+       |  LEFT JOIN pred p ON p.doc_id = e.doc_id AND p.k = ks.k
+       |  GROUP BY ks.k)
+       |SELECT CAST(a.k AS BIGINT) AS n_folds,
+       |  CAST(t.n_train AS BIGINT) AS n_train_docs,
+       |  CAST(a.n_eval AS BIGINT) AS n_eval,
+       |  CAST(a.n_correct AS BIGINT) AS n_correct,
+       |  CAST(a.n_correct * 1000000 AS BIGINT) // CAST(a.n_eval AS BIGINT)
+       |    AS acc_ppm
+       |FROM acc a JOIN tsizes t ON t.k = a.k
+       |ORDER BY n_folds""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val lab = NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .select(col("doc_id"), col("category").as("teacher_category"))
+    val folds = lab.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 4).as("fold"))
+      .localCheckpoint() // feeds cf, eval set, and train sizes
+    val toks = docs.join(lab.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cf = toks.join(lab, "doc_id").join(folds, "doc_id")
+      .where(col("fold") < 3)
+      .groupBy(col("fold"), col("teacher_category").as("category"),
+        col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val ks = s.range(1, 4).toDF("k")
+    val trainCtf = cf.join(broadcast(ks), col("fold") < col("k"))
+      .groupBy("k", "category", "term").agg(sum("cnt").as("cnt"))
+      .localCheckpoint() // consumed by both s2 and the scoring join
+    val s2k = trainCtf.groupBy("k", "category")
+      .agg(sum(col("cnt") * col("cnt")).as("s2"))
+    val evalDocs = folds.where(col("fold") === 3).select("doc_id")
+    val dots = tf.join(evalDocs, "doc_id")
+      .join(broadcast(trainCtf), Seq("term"))
+      .groupBy("doc_id", "k", "category")
+      .agg(sum(col("tf") * col("cnt")).as("a"))
+    val w = Window.partitionBy("doc_id", "k").orderBy(
+      (col("a").cast("double") / sqrt(col("s2").cast("double"))).desc,
+      col("category"))
+    val pred = dots.join(broadcast(s2k), Seq("k", "category"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "k", "category")
+    val tsizes = folds.join(broadcast(ks), col("fold") < col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_train"))
+    evalDocs.crossJoin(broadcast(ks))
+      .join(lab, "doc_id")
+      .join(pred, Seq("doc_id", "k"), "left")
+      .groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n_eval"),
+        sum(when(col("category") === col("teacher_category"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .join(broadcast(tsizes), "k")
+      .select(col("k").as("n_folds"),
+        col("n_train").cast("long").as("n_train_docs"), col("n_eval"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("(n_correct * 1000000) DIV n_eval").as("acc_ppm"))
+      .orderBy("n_folds")
+  }
+
+  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09)
 }

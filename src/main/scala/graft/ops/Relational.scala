@@ -1954,8 +1954,180 @@ object Relational {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ---------------------------------------------------------------- q49
+  /** The attribution lookback window: touches within 24 h before the
+    * purchase participate in its credit split. */
+  val AttribWindowMicros: Long = 86400L * 1000000L
+
+  /** Multi-touch attribution — the marketing-analytics closer after
+    * q30's funnel and q48's retention: every purchase's value splits
+    * LINEARLY across the click/view touches by the same user inside the
+    * [[AttribWindowMicros]] lookback, and purchases with no touch
+    * credit the `direct` channel in full. Exact-conservation integer
+    * arithmetic: the purchase value quantises to micros ONCE, each of
+    * the n touches takes `value ÷ n`, and the remainder `value mod n`
+    * goes to the LAST touch (closest to conversion — the last-touch
+    * nod), so per-purchase credits sum to the purchase value EXACTLY
+    * (the spec's conservation law: Σ channels + direct = Σ purchases,
+    * to the micro) — no float split ever drifts a ledger.
+    *
+    * Scale shape: the touch↔purchase pairing is an equi join on
+    * user_id + a residual time predicate — candidate cost
+    * Σ_u touches_u · purchases_u, bounded by per-user activity (the
+    * natural key; a hyperactive-user skew would take q42's bucketed
+    * interval form or q43's salting, unchanged semantics). Both windows
+    * are purchase-keyed (rank + count over the ≤ per-user-window touch
+    * set, never corpus-global); the channel rollup is a 3-group agg.
+    * Event time goes through the dtype-adaptive accessor
+    * ([[EventStreams.eventMicros]]). */
+  val q49 = Q("q49_attribution",
+    """WITH p AS (
+      |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+      |    CAST(round(value * 1000000.0) AS BIGINT) AS value_micros
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT event_id AS tid, user_id, epoch_us(ts) AS tts,
+      |    event_type AS channel
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |cand AS (
+      |  SELECT p.pid, p.value_micros, t.tid, t.channel, t.tts
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |  WHERE t.tts <= p.pts AND t.tts > p.pts - 86400000000),
+      |ranked AS (
+      |  SELECT pid, value_micros, tid, channel,
+      |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk,
+      |    count(*) OVER (PARTITION BY pid) AS n
+      |  FROM cand),
+      |credits AS (
+      |  SELECT channel, pid,
+      |    value_micros // n +
+      |      CASE WHEN rk = n THEN value_micros % n ELSE 0 END AS credit
+      |  FROM ranked),
+      |touched AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |    CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+      |    CAST(sum(credit) AS BIGINT) AS credited_micros
+      |  FROM credits GROUP BY channel),
+      |direct AS (
+      |  SELECT 'direct' AS channel, CAST(0 AS BIGINT) AS n_touches,
+      |    CAST(count(*) AS BIGINT) AS n_purchases,
+      |    CAST(sum(value_micros) AS BIGINT) AS credited_micros
+      |  FROM p WHERE pid NOT IN (SELECT pid FROM cand))
+      |SELECT * FROM touched UNION ALL SELECT * FROM direct
+      |ORDER BY channel""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val micros = EventStreams.eventMicros(ev)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        micros.as("pts"),
+        expr("CAST(round(value * 1000000.0) AS BIGINT)").as("value_micros"))
+    val t = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("event_id").as("tid"), col("user_id"),
+        micros.as("tts"), col("event_type").as("channel"))
+    val cand = p.join(t, "user_id")
+      .where(col("tts") <= col("pts") &&
+        col("tts") > col("pts") - AttribWindowMicros)
+      .select("pid", "value_micros", "tid", "channel", "tts")
+      .localCheckpoint() // feeds the credit split AND the direct anti join
+    val wRank = Window.partitionBy("pid").orderBy("tts", "tid")
+    val wN = Window.partitionBy("pid")
+    val credits = cand
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+      .select(col("channel"), col("pid"),
+        (expr("value_micros DIV n") +
+          when(col("rk") === col("n"), expr("value_micros % n"))
+            .otherwise(0L)).as("credit"))
+    val touched = credits.groupBy("channel")
+      .agg(count(lit(1)).cast("long").as("n_touches"),
+        countDistinct("pid").cast("long").as("n_purchases"),
+        sum("credit").cast("long").as("credited_micros"))
+    val direct = p.join(cand.select("pid"), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("n_purchases"),
+        sum("value_micros").cast("long").as("credited_micros"))
+      .select(lit("direct").as("channel"), lit(0L).as("n_touches"),
+        col("n_purchases"), col("credited_micros"))
+    touched.union(direct).orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------- q50
+  /** Behavioral path mining — t26's collocation idea applied to event
+    * STREAMS (and the sequence-mining pass behind funnel discovery,
+    * anomaly signatures, and behavioral-cloning data prep): the most
+    * common 3-step event-type paths, counted WITHIN st03's 30-minute
+    * sessions so cross-session coincidences never count as paths.
+    * Sessionisation is the gaps-and-islands cascade (lag → change flag
+    * → running island id), paths come from two `lead`s over the
+    * (user, session) key — every window user- or session-keyed, never
+    * corpus-global — and the rollup is a (e1,e2,e3) hash agg with
+    * map-side combine (≤ |event types|³ groups). Path share is an
+    * exact ppm integer; top-20 under a total order plans
+    * TakeOrderedAndProject. Event time goes through the dtype-adaptive
+    * micros accessor; ties inside a session break on event_id (total,
+    * replayable order). */
+  val q50 = Q("q50_path_mining",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS m
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, m,
+      |    CASE WHEN m - lag(m) OVER (PARTITION BY user_id ORDER BY m, event_id)
+      |              > 1800000000 OR
+      |         lag(m) OVER (PARTITION BY user_id ORDER BY m, event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev),
+      |islands AS (
+      |  SELECT user_id, event_id, event_type, m,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY m, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |paths AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM islands
+      |  WINDOW w AS (PARTITION BY user_id, sid ORDER BY m, event_id)),
+      |pc AS (
+      |  SELECT e1, e2, e3, count(*) AS n FROM paths
+      |  WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT sum(n) AS t FROM pc)
+      |SELECT e1, e2, e3, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // t AS BIGINT) AS share_ppm
+      |FROM pc CROSS JOIN tot
+      |ORDER BY n DESC, e1, e2, e3
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = Tables.events(s, d)
+    val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+      EventStreams.eventMicros(ev0).as("m"))
+    val wu = Window.partitionBy("user_id").orderBy("m", "event_id")
+    val flagged = ev.withColumn("new_session",
+      when(col("m") - lag(col("m"), 1).over(wu) > 1800000000L ||
+        lag(col("m"), 1).over(wu).isNull, 1L).otherwise(0L))
+    val islands = flagged.withColumn("sid",
+      sum("new_session").over(wu.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy("user_id", "sid").orderBy("m", "event_id")
+    val pc = islands
+      .select(col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(ws).as("e2"),
+        lead(col("event_type"), 2).over(ws).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the total AND the ranked output
+    val tot = pc.agg(sum("n").as("t"))
+    pc.crossJoin(broadcast(tot))
+      .select(col("e1"), col("e2"), col("e3"), col("n").cast("long").as("n"),
+        expr("(n * 1000000) DIV t").as("share_ppm"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
-    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+    q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
+    q49, q50)
 }

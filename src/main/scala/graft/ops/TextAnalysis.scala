@@ -1615,7 +1615,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t28
+  /** Number of growth-curve prefixes (and hash buckets). */
+  val HeapsBuckets = 8
+
+  /** Vocabulary growth curve (Heaps' law diagnostic) — the measurement
+    * that sizes tokenizers and predicts OOV rates: how fast does the
+    * type count V grow as the corpus N grows (`V ≈ K·N^β`)? The naive
+    * form re-scans the corpus once per prefix; this computes the whole
+    * curve in ONE pass via FIRST-OCCURRENCE ATTRIBUTION: docs land in
+    * [[HeapsBuckets]] uniform buckets by the top byte of the portable
+    * md5 hash (the growth order is hash order — t09's retry-stable
+    * discipline, no corpus-global row_number, the n02 ban), each type
+    * is attributed to the EARLIEST bucket containing it (one min-agg
+    * over the vocab), and prefix p's vocabulary is the running sum of
+    * new-type counts over the 8-row bucket table. Token/doc prefix
+    * masses accumulate the same way, so every curve point is exact.
+    *
+    * Scale shape: one token explode + two map-side-combined hash aggs
+    * (per-type min bucket — vocab-sized; per-bucket doc/token mass —
+    * 8 rows); the cumulative walk and the output are bucket-count-
+    * sized. The corpus shuffles its TYPES once, never its body. */
+  val t28 = Q("t28_vocab_growth",
+    s"""WITH db AS (
+       |  SELECT doc_id, text,
+       |    CAST(concat('0x', substr(md5('heaps:' || CAST(doc_id AS VARCHAR)),
+       |      1, 2)) AS BIGINT) % $HeapsBuckets AS b
+       |  FROM documents),
+       |toks AS (
+       |  SELECT b, unnest(string_split(text, ' ')) AS token FROM db),
+       |firstb AS (SELECT token, min(b) AS fb FROM toks GROUP BY token),
+       |newtypes AS (SELECT fb AS b, count(*) AS v FROM firstb GROUP BY fb),
+       |mass2 AS (
+       |  SELECT d.b, count(*) AS n_docs, sum(len(string_split(d.text, ' ')))
+       |    AS n_tokens
+       |  FROM db d GROUP BY d.b)
+       |SELECT m.b AS prefix,
+       |  CAST(sum(m.n_docs) OVER w AS BIGINT) AS docs_cum,
+       |  CAST(sum(m.n_tokens) OVER w AS BIGINT) AS tokens_cum,
+       |  CAST(sum(coalesce(n.v, 0)) OVER w AS BIGINT) AS vocab_cum
+       |FROM mass2 m LEFT JOIN newtypes n ON n.b = m.b
+       |WINDOW w AS (ORDER BY m.b)
+       |ORDER BY prefix""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val db = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (conv(substring(md5(concat(lit("heaps:"),
+          col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long")
+          % HeapsBuckets).as("b"))
+      .localCheckpoint() // feeds the type attribution AND the mass agg
+    val toks = db.select(col("b"),
+      explode(split(col("text"), " ")).as("token"))
+    val newtypes = toks.groupBy("token").agg(min("b").as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("v"))
+    val mass = db.groupBy("b")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(newtypes, Seq("b"), "left")
+      .select(col("b").as("prefix"),
+        sum("n_docs").over(w).cast("long").as("docs_cum"),
+        sum("n_tokens").over(w).cast("long").as("tokens_cum"),
+        sum(coalesce(col("v"), lit(0L))).over(w).cast("long")
+          .as("vocab_cum"))
+      .orderBy("prefix")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27)
+    t25, t26, t27, t28)
 }

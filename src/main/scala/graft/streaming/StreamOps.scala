@@ -308,6 +308,42 @@ object StreamOps {
         col("click_ts"), col("purchase_value"), col("click_value"))
   }
 
+  /** Streaming LAST-TOUCH attribution — the join→AGGREGATION
+    * chained-stateful class (st13 chains dedup→agg; this chains the
+    * interval JOIN into a windowed aggregation, the remaining
+    * multi-stateful pipeline shape Spark 3.5+ unlocked): every purchase
+    * joins its preceding-10-minute clicks ([[clicksBeforePurchase]] —
+    * the SAME join, watermarks and all) and then reduces to one row per
+    * purchase — the latest click (lexicographic struct-max on
+    * (click_ts, click_value), a supported streaming aggregate where
+    * row_number is not; st10's discipline) plus the touch count. The
+    * aggregation groups by the purchase's event-time window, so in
+    * append mode a purchase's attribution emits exactly once, when the
+    * watermark passes its window — join state AND agg state both
+    * bounded by the watermark horizon. Batch mode runs the identical
+    * function (window() degenerates to a plain derived column) — the
+    * st05 batch-twin convention, so the oracle checks the attribution
+    * semantics cross-engine and the spec pins stream == batch. */
+  def lastTouchAttribution(clicks: Dataset[UserEvent],
+      purchases: Dataset[UserEvent]): DataFrame =
+    clicksBeforePurchase(clicks, purchases)
+      // the purchase's exact instant joins the grouping as PLAIN micros:
+      // a second watermark-annotated column next to window() is illegal
+      // ("at most one event time column"), and the integer form carries
+      // the identity without the annotation
+      .groupBy(col("user_id"),
+        window(col("purchase_ts"), "1 minute"),
+        expr("unix_micros(purchase_ts)").as("p_micros"),
+        col("purchase_value"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("click_ts"), col("click_value"))).as("last"))
+      .select(col("user_id"),
+        expr("timestamp_micros(p_micros)").as("purchase_ts"),
+        col("purchase_value"),
+        col("last.click_ts").as("last_click_ts"),
+        col("last.click_value").as("last_click_value"),
+        col("n_touches"))
+
   /** File-source form of the stream-stream interval join, checkpointable
     * for kill-and-resume: one raw event stream splits into click and
     * purchase branches (a self-join of the source — both sides replay

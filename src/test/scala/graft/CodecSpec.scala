@@ -332,4 +332,37 @@ class CodecSpec extends SparkSpec {
     claims(788) = 13.toByte
     intercept[IllegalArgumentException](Gif.decode(claims))
   }
+
+  test("mm14: matched filter finds every planted tone with quantified margin") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.mm14.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+    assert(rows.nonEmpty)
+    // all four periods are actually planted across the corpus
+    assert(rows.map(_._2).toSet == Set(8L, 10L, 16L, 20L))
+    var worstMargin = Double.MaxValue
+    rows.foreach { case (id, truth, detected, scores) =>
+      assert(detected == truth, s"doc $id: detected $detected != $truth")
+      // the winner's score is the full-correlation sum: n*amp plus the
+      // noise correlation, which is bounded by n*2048
+      val winner = scores(Multimodal.TonePeriods.indexOf(truth.toInt))
+      assert(winner == scores.max)
+      val nAmp = Multimodal.ToneSamples.toLong * Multimodal.ToneAmp
+      val noiseBound = Multimodal.ToneSamples.toLong * 2048
+      assert(math.abs(winner - nAmp) <= noiseBound,
+        s"doc $id: winner $winner implausibly far from $nAmp")
+      val runnerUp = scores.patch(
+        Multimodal.TonePeriods.indexOf(truth.toInt), Nil, 1).max
+      if (runnerUp > 0) worstMargin =
+        math.min(worstMargin, winner.toDouble / runnerUp)
+    }
+    info(f"worst winner/runner-up margin: $worstMargin%.1fx")
+    // near-orthogonal templates: detection must not hinge on a tie
+    assert(worstMargin >= 3.0, f"margin $worstMargin%.1fx too thin")
+    // decode really round-trips the container: tamper the magic
+    val bad = Multimodal.syntheticToneWav(1L)
+    bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.detectTone(bad))
+  }
 }

@@ -453,6 +453,50 @@ class CorpusOpsSpec extends SparkSpec {
       "nothing truncated — budget covers everything everywhere")
   }
 
+  test("t28: growth curve is exact, monotone, and front-loaded (Heaps)") {
+    val rows = TextAnalysis.t28.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val docs = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // final point: the whole corpus and its whole vocabulary
+    assert(rows.last._2 == docs.length.toLong)
+    assert(rows.last._3 == docs.map(_._2.split(" ").length.toLong).sum)
+    assert(rows.last._4 ==
+      docs.flatMap(_._2.split(" ")).distinct.length.toLong)
+    // cumulative: strictly monotone docs/tokens, non-decreasing vocab
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 > p._2 && c._3 > p._3 && c._4 >= p._4)
+    }
+    // Heaps sublinearity: the first bucket contributes more NEW types
+    // than the last (first-occurrence attribution front-loads growth)
+    val newTypes = rows.map(_._4).zip(0L +: rows.map(_._4)).map {
+      case (c, p) => c - p
+    }
+    assert(newTypes.head > newTypes.last,
+      s"vocabulary growth not front-loaded: $newTypes")
+  }
+
+  test("p13: diff statuses partition both snapshots, counts exact") {
+    val rows = ops.CleanCorpus.p13.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ids = model.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val removed = ids.filter(_ % 13 == 0)
+    val added = ids.filter(_ % 11 == 0)
+    val changed = ids.filter(id => id % 13 != 0 && id % 7 == 0)
+    val unchanged = ids.filter(id => id % 13 != 0 && id % 7 != 0)
+    assert(rows("removed")._1 == removed.length.toLong)
+    assert(rows("removed")._2 == removed.sum)
+    assert(rows("added")._1 == added.length.toLong)
+    assert(rows("added")._2 == added.map(_ + 10000000L).sum)
+    assert(rows("changed")._1 == changed.length.toLong)
+    assert(rows("changed")._2 == changed.sum)
+    assert(rows("unchanged")._1 == unchanged.length.toLong)
+    assert(rows("unchanged")._2 == unchanged.sum)
+  }
+
   test("t27 guard band: no bigram cost near a micro rounding boundary") {
     val raw = ops.TextAnalysis.bigramCostRaw(spark, sf).collect()
       .map(_.getDouble(2))

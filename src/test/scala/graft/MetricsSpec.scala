@@ -159,6 +159,69 @@ class MetricsSpec extends SparkSpec {
     assert(ece >= 0.0 && ece <= 1.0)
   }
 
+  test("q49: attribution conserves every purchase's value to the micro") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Relational.q49.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+    assert(rows.map(_._1).toSet.subsetOf(Set("click", "view", "direct")))
+    // the conservation law: channel credits + direct = total purchase
+    // value, exactly — the integer split leaks nothing
+    val credited = rows.map(_._4).sum
+    val want = model.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(round(value * 1000000.0) AS BIGINT)")))
+      .head.getLong(0)
+    assert(credited == want, s"credited $credited != purchases $want")
+    // direct is the no-touch remainder: zero touch events by definition
+    rows.filter(_._1 == "direct").foreach { r =>
+      assert(r._2 == 0L, "direct channel cannot have touch events")
+    }
+    // the split actually split something: touch channels carry credit
+    assert(rows.exists(r => r._1 != "direct" && r._4 > 0L),
+      "no touch channel credited — window degenerate")
+  }
+
+  test("q50: session-scoped paths equal a sequential recompute") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Relational.q50.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    val ev0 = model.Tables.events(spark, sf)
+    val evs = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+      ops.EventStreams.eventMicros(ev0).as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // sequential sessionisation + trigram count
+    val counts = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    evs.groupBy(_._1).values.foreach { g =>
+      val ordered = g.sortBy(e => (e._4, e._2))
+      // split into 30-minute-gap sessions
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, String, Long)]]) {
+        case (acc, e) => acc match {
+          case (h @ (last :: _)) :: t if e._4 - last._4 <= 1800000000L =>
+            (e :: h) :: t
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse)
+      sessions.foreach { sess =>
+        sess.map(_._3).sliding(3).foreach {
+          case Seq(a, b, c) =>
+            counts((a, b, c)) = counts.getOrElse((a, b, c), 0L) + 1
+          case _ =>
+        }
+      }
+    }
+    val tot = counts.values.sum
+    val want = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((path, n, share), (wPath, wN)) =>
+      assert(path == wPath && n == wN, s"$path/$n vs $wPath/$wN")
+      assert(share == n * 1000000L / tot, s"$path share")
+    }
+  }
+
   test("ml08: threshold sweep laws and the F1-max election") {
     val rows = ops.MLClassify.ml08.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

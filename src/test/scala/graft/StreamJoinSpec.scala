@@ -87,4 +87,47 @@ class StreamJoinSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, true, true), (2L, true, false),
       (3L, false, true)))
   }
+
+  test("last-touch attribution: join→agg chained state equals the batch twin") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamOps.lastTouchAttribution(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    val clickData = Seq(
+      UserEvent(1, "click", 1.0, ts(10, 0)),   // early touch
+      UserEvent(1, "click", 2.0, ts(10, 3)),   // the LAST touch
+      UserEvent(1, "click", 3.0, ts(9, 40)),   // outside the window
+      UserEvent(2, "click", 4.0, ts(10, 1)))   // user 2's only touch
+    val purchaseData = Seq(
+      UserEvent(1, "purchase", 100.0, ts(10, 5)),
+      UserEvent(2, "purchase", 200.0, ts(10, 5)),
+      UserEvent(3, "purchase", 300.0, ts(10, 5))) // no touches → no row
+    clicks.addData(clickData: _*)
+    purchases.addData(purchaseData: _*)
+    q.processAllAvailable()
+    // attribution rows finalise only once the watermark passes the
+    // purchase's window — advance both streams well beyond it
+    clicks.addData(UserEvent(9, "click", 0.0, ts(12, 0)))
+    purchases.addData(UserEvent(9, "purchase", 0.0, ts(12, 0)))
+    q.processAllAvailable()
+    val got = spark.table("attributed")
+      .filter("user_id IN (1, 2, 3)").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    q.stop()
+    // user 1: last touch is the 10:03 click (value 2.0) of 2 in-window
+    // touches; user 2: its single click; user 3: untouched, absent
+    assert(got.toSeq == Seq((1L, 100.0, 2.0, 2L), (2L, 200.0, 4.0, 1L)),
+      got.mkString(", "))
+    // and the stream's finalised rows equal the batch twin on the same
+    // input — one function, two execution modes
+    val batch = StreamOps.lastTouchAttribution(
+      clickData.toDS(), purchaseData.toDS())
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(batch.toSeq == got.toSeq, s"batch ${batch.mkString(",")}")
+  }
 }

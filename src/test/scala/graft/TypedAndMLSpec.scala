@@ -57,6 +57,35 @@ class TypedAndMLSpec extends SparkSpec {
     assert(agree > 0.5, s"teacher agreement $agree")
   }
 
+  test("ml09: learning curve points share one eval set; training sets nest") {
+    val rows = ops.MLClassify.ml09.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), "three curve points")
+    // the eval fold is FIXED: every point scores the same held-out docs
+    assert(rows.map(_._3).distinct.length == 1, "eval set drifted across k")
+    // training prefixes nest and strictly grow
+    rows.sliding(2).foreach { case Array(p, c) =>
+      assert(c._2 > p._2, "training prefix did not grow")
+    }
+    // fold arithmetic: train(3) + eval = all labelled docs
+    val labelled = ops.NewsPipeline.classify(
+      model.Tables.documents(spark, sf).select("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("category") =!= "unknown")
+      .count()
+    assert(rows.last._2 + rows.head._3 == labelled,
+      "folds 0-2 plus the eval fold must partition the labelled corpus")
+    // accuracy consistency: acc_ppm is the exact integer ratio
+    rows.foreach { case (k, _, nEval, nCorrect, accPpm) =>
+      assert(accPpm == nCorrect * 1000000L / nEval, s"point $k ratio")
+      assert(nCorrect <= nEval)
+    }
+    info(s"curve (n_train -> acc_ppm): " +
+      rows.map(r => s"${r._2} -> ${r._5}").mkString(", "))
+    // a third of the data must already beat chance (7 classes)
+    assert(rows.head._5 > 1000000L / 7, "first point no better than chance")
+  }
+
   test("model cache: regenerating the corpus under the same path retrains") {
     // The cache is keyed by corpusFingerprint(dir), not the dir string:
     // rewriting documents.parquet in place must produce a NEW key (→ a
