@@ -829,6 +829,57 @@ object CleanCorpus {
       .orderBy("status")
   }
 
+  /** Split-leakage audit — the INTERNAL sibling of t07/t14's external
+    * benchmark decontamination (Dodge et al. 2021's C4 lesson): the
+    * train/val/test split is only as honest as its near-duplicate
+    * structure, because a test doc whose near-copy sits in train is a
+    * leaked answer, and a random hash split (t09) scatters duplicate
+    * CLUSTERS across splits by construction. The audit surfaces every
+    * d03 MinHash-LSH candidate pair that CROSSES a split boundary
+    * (recall-first on purpose: anything that might leak gets reviewed;
+    * d02/d12's verify tiers are the precision follow-up), labelled
+    * with both splits. Candidates come from d03's own `run` and the
+    * oracle splices d03's verbatim shingle/band CTEs + t09's bucket
+    * rule — the audit cannot drift from the dedup or the split it
+    * audits. The remediation (promote whole d08 clusters into ONE
+    * split) composes from the existing operators.
+    *
+    * Scale shape: d03's (signature pass + band equi-join) dominates
+    * and is the already-audited scale design; the split labels are a
+    * map-side expression joined onto the pair list (pair-list-sized,
+    * ≪ corpus). */
+  val p14 = Q("p14_split_leakage", {
+    s"""WITH ${Dedup.shinglesSql},
+       |${Dedup.lshCandSql},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+       |      WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT c.i, c.j, si.split AS split_i, sj.split AS split_j
+       |FROM lshcand c
+       |JOIN sp si ON si.doc_id = c.i
+       |JOIN sp sj ON sj.doc_id = c.j
+       |WHERE si.split <> sj.split
+       |ORDER BY c.i, c.j""".stripMargin
+  }) { (s, d) =>
+    val pairs = Dedup.d03.run(s, d) // the candidate tier, verbatim
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 100
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
+      .join(sp.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
+      .where(col("split_i") =!= col("split_j"))
+      .select("i", "j", "split_i", "split_j")
+      .orderBy("i", "j")
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13)
+    p12, p13, p14)
 }

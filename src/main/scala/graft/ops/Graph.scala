@@ -576,5 +576,94 @@ object Graph {
       .orderBy("node")
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06, g07)
+  // ---------------------------------------------------------------- g08
+  /** The core order demanded (k) and the number of unrolled peel
+    * rounds. */
+  val CoreK = 3
+  val CoreRounds = 3
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * distributed form is Montresor et al. 2013's message-passing peel)
+    * — the graph-dataflow shape none of g01–g07 exercises: iterate by
+    * REMOVING nodes (degree < k) and recomputing degrees on the shrunk
+    * edge set, where PageRank/LPA iterate values over a FIXED edge set.
+    * The k-core is where community cores, spam rings, and robustly-
+    * connected subgraphs live — degree alone (g04's input) overcounts:
+    * a star centre has huge degree and no core. [[CoreRounds]] rounds
+    * unrolled (the g01/g06 convention — the deployment driver iterates
+    * the same round function to the empty-removal fixpoint); each round
+    * is one semi-join of the edge set against the survivor set + one
+    * degree agg — O(m) a round, monotonically SHRINKING m, lineage cut
+    * per round. Output: every projection node, its final degree, its
+    * per-round survival flags, and the fixpoint verdict for this
+    * corpus. Runs over g05's materialised artifact. */
+  val g08 = Q("g08_kcore",
+    s"""WITH $projEdgeCtes,
+       |dirx AS (
+       |  SELECT s1 AS v, s2 AS nb FROM e
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM e),
+       |d0 AS (SELECT v, count(*) AS deg FROM dirx GROUP BY v),
+       |s1x AS (SELECT v FROM d0 WHERE deg >= $CoreK),
+       |e1 AS (
+       |  SELECT dx.v, dx.nb FROM dirx dx
+       |  JOIN s1x a ON a.v = dx.v JOIN s1x b ON b.v = dx.nb),
+       |d1 AS (SELECT v, count(*) AS deg FROM e1 GROUP BY v),
+       |s2x AS (SELECT v FROM d1 WHERE deg >= $CoreK),
+       |e2 AS (
+       |  SELECT dx.v, dx.nb FROM e1 dx
+       |  JOIN s2x a ON a.v = dx.v JOIN s2x b ON b.v = dx.nb),
+       |d2 AS (SELECT v, count(*) AS deg FROM e2 GROUP BY v),
+       |s3x AS (SELECT v FROM d2 WHERE deg >= $CoreK),
+       |e3 AS (
+       |  SELECT dx.v, dx.nb FROM e2 dx
+       |  JOIN s3x a ON a.v = dx.v JOIN s3x b ON b.v = dx.nb),
+       |d3 AS (SELECT v, count(*) AS deg FROM e3 GROUP BY v)
+       |SELECT d0.v AS node, CAST(d0.deg AS BIGINT) AS degree,
+       |  s1x.v IS NOT NULL AS in_r1, s2x.v IS NOT NULL AS in_r2,
+       |  s3x.v IS NOT NULL AND coalesce(d3.deg, 0) >= $CoreK AS in_core,
+       |  CAST(coalesce(d3.deg, 0) AS BIGINT) AS core_degree
+       |FROM d0
+       |LEFT JOIN s1x ON s1x.v = d0.v
+       |LEFT JOIN s2x ON s2x.v = d0.v
+       |LEFT JOIN s3x ON s3x.v = d0.v
+       |LEFT JOIN d3 ON d3.v = d0.v
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    val e0 = s.read.parquet(ensureProjection(s, d))
+    val dirx = e0.select(col("s1").as("v"), col("s2").as("nb"))
+      .union(e0.select(col("s2").as("v"), col("s1").as("nb")))
+      .localCheckpoint()
+    def degrees(edges: DataFrame): DataFrame =
+      edges.groupBy("v").agg(count(lit(1)).as("deg"))
+    // one peel round: survivors = deg >= k; keep edges whose BOTH
+    // endpoints survive (two semi-joins on the shrinking survivor set)
+    def peel(edges: DataFrame): (DataFrame, DataFrame) = {
+      val surv = degrees(edges).filter(col("deg") >= CoreK).select("v")
+        .localCheckpoint() // reused by both endpoint joins
+      val kept = edges
+        .join(surv, "v")
+        .join(surv.withColumnRenamed("v", "nb"), "nb")
+        .select("v", "nb")
+        .localCheckpoint() // next round's input; cuts the peel lineage
+      (surv, kept)
+    }
+    val d0 = degrees(dirx).localCheckpoint()
+    val (s1, e1) = peel(dirx)
+    val (s2, e2) = peel(e1)
+    val (s3, e3) = peel(e2)
+    val d3 = degrees(e3)
+    d0.select(col("v"), col("deg"))
+      .join(s1.withColumn("r1", lit(true)), Seq("v"), "left")
+      .join(s2.withColumn("r2", lit(true)), Seq("v"), "left")
+      .join(s3.withColumn("r3", lit(true)), Seq("v"), "left")
+      .join(d3.withColumnRenamed("deg", "deg3"), Seq("v"), "left")
+      .select(col("v").as("node"), col("deg").cast("long").as("degree"),
+        coalesce(col("r1"), lit(false)).as("in_r1"),
+        coalesce(col("r2"), lit(false)).as("in_r2"),
+        (coalesce(col("r3"), lit(false)) &&
+          coalesce(col("deg3"), lit(0L)) >= CoreK).as("in_core"),
+        coalesce(col("deg3"), lit(0L)).cast("long").as("core_degree"))
+      .orderBy("node")
+  }
+
+  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
 }

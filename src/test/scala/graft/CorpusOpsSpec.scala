@@ -497,6 +497,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows("unchanged")._2 == unchanged.sum)
   }
 
+  test("p14: leakage pairs are exactly the cross-split d03 candidates") {
+    val got = ops.CleanCorpus.p14.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val cands = ops.Dedup.d03.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.nonEmpty, "no near-dup candidates to audit")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val want = cands.map { case (i, j) => (i, j, split(i), split(j)) }
+      .filter(p => p._3 != p._4).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == want.toSeq,
+      s"got ${got.length} leaked pairs, want ${want.length}")
+    info(s"${want.length} of ${cands.length} candidate pairs cross a split")
+  }
+
   test("t27 guard band: no bigram cost near a micro rounding boundary") {
     val raw = ops.TextAnalysis.bigramCostRaw(spark, sf).collect()
       .map(_.getDouble(2))

@@ -202,4 +202,49 @@ class GraphSpec extends SparkSpec {
     assert(got.exists(r => r._4 != r._3), "layer 1 changed nothing")
     assert(got.exists(r => r._5 != r._4), "layer 2 changed nothing")
   }
+
+  test("g08: unrolled peel rounds equal a sequential k-core peeling") {
+    import spark.implicits._
+    val k = ops.Graph.CoreK
+    val got = ops.Graph.g08.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    var nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.length == nbrs.size, "one row per projection node")
+    got.foreach { case (v, deg, _, _, _, _) =>
+      assert(deg == nbrs(v).size.toLong, s"node $v degree")
+    }
+    // sequential peel: repeatedly drop deg<k nodes, shrink neighbour sets
+    def peelOnce(m: Map[Long, Set[Long]]): Map[Long, Set[Long]] = {
+      val surv = m.filter(_._2.size >= k).keySet
+      m.collect { case (v, ns) if surv(v) => v -> ns.intersect(surv) }
+    }
+    val after1 = peelOnce(nbrs)
+    val after2 = peelOnce(after1)
+    val after3 = peelOnce(after2)
+    got.foreach { case (v, _, r1, r2, inCore, coreDeg) =>
+      assert(r1 == after1.contains(v), s"node $v round-1 survival")
+      assert(r2 == after2.contains(v), s"node $v round-2 survival")
+      assert(coreDeg == after3.get(v).map(_.size.toLong).getOrElse(0L),
+        s"node $v core degree")
+      assert(inCore == (after3.contains(v) && after3(v).size >= k),
+        s"node $v core membership")
+    }
+    // core laws: members keep >= k neighbours INSIDE the reported core,
+    // and the peel genuinely removed something on this corpus
+    val core = got.filter(_._5).map(_._1).toSet
+    got.filter(_._5).foreach { case (v, _, _, _, _, coreDeg) =>
+      assert(coreDeg >= k, s"core node $v below order $k")
+    }
+    assert(core.nonEmpty, "empty core — nothing to assert against")
+    assert(core.size < got.length, "peeling removed nothing")
+    // fixpoint report for the log: does one more round change anything?
+    val after4 = peelOnce(after3)
+    info(s"core |V|=${core.size} of ${got.length}; " +
+      s"fixpoint by round 3: ${after4.keySet == after3.keySet}")
+  }
 }
