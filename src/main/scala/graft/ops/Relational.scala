@@ -2125,9 +2125,67 @@ object Relational {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q51
+  /** Time-weighted average value (TWAP) per (event_type, hour) — the
+    * interval-weighted aggregation class none of q01–q50 exercises: each
+    * observation is weighted by HOW LONG it held (until the next
+    * observation of the same series, the last one to the bucket edge),
+    * not counted once. The financial/telemetry standard for irregular
+    * sampling — a plain mean over-weights bursts (ref: absent; north-star
+    * §2.5 extension).
+    *
+    * Exactness: value quantised once to integer cents (DECIMAL(18,2)
+    * ×100, the q19c discipline), durations are BIGINT micros from the
+    * dtype-adaptive accessor, and the TWAP is the floor of an exact
+    * integer ratio — `Σ(cents·dur) DIV Σdur` with both operands positive,
+    * so Spark's truncating DIV and DuckDB's `//` (HUGEINT, floor) agree
+    * bit-for-bit. Ties on the instant break by event_id (dur 0 for the
+    * earlier event — it held for no time, weight 0 in both engines).
+    *
+    * Scale: one (event_type, bucket)-keyed window (lead only — no
+    * unbounded frames), then a hash agg with map-side combine; the
+    * weighted sum stays in BIGINT here (≤5·10¹⁵ at sf0.1); at 100 TB the
+    * per-key sum promotes to DECIMAL(38,0) the way q01's money sums do —
+    * nothing else changes. */
+  val q51 = Q("q51_twap",
+    """WITH ev AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_h,
+      |         epoch_us(ts) AS m, event_id,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, bucket_h, cents,
+      |    coalesce(lead(m) OVER (PARTITION BY event_type, bucket_h
+      |                           ORDER BY m, event_id),
+      |             epoch_us(bucket_h) + 3600000000) - m AS dur
+      |  FROM ev)
+      |SELECT event_type, bucket_h, count(*) AS n,
+      |  CAST(sum(dur) AS BIGINT) AS dur_us,
+      |  CAST(sum(cents * dur) // sum(dur) AS BIGINT) AS twap_cents
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = Tables.events(s, d)
+    val ev = ev0.select(col("event_type"),
+      date_trunc("hour", EventStreams.eventTs(ev0)).as("bucket_h"),
+      EventStreams.eventMicros(ev0).as("m"), col("event_id"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("event_type", "bucket_h")
+      .orderBy("m", "event_id")
+    ev.withColumn("dur",
+        coalesce(lead(col("m"), 1).over(w),
+          expr("unix_micros(CAST(bucket_h AS TIMESTAMP)) + 3600000000")) -
+          col("m"))
+      .groupBy("event_type", "bucket_h")
+      .agg(count(lit(1)).as("n"), sum("dur").as("dur_us"),
+        sum(col("cents") * col("dur")).as("wsum"))
+      .select(col("event_type"), col("bucket_h"), col("n"), col("dur_us"),
+        expr("wsum DIV dur_us").as("twap_cents"))
+      .orderBy("event_type", "bucket_h")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50)
+    q49, q50, q51)
 }

@@ -41,6 +41,51 @@ class MetricsSpec extends SparkSpec {
       perClass.map(_.getDouble(6)).sum / classes.size) < 1e-12)
   }
 
+  test("q51: TWAP equals a sequential per-bucket recompute") {
+    // bucket_h surfaces as Timestamp or LocalDateTime depending on the
+    // session's NTZ handling — key on epoch micros either way
+    def tsKey(v: Any): Long = v match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant; i.getEpochSecond * 1000000L + i.getNano / 1000
+      case d: java.time.LocalDateTime =>
+        val i = d.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    val rows = ops.Relational.q51.run(spark, sf).collect()
+    val ev0 = model.Tables.events(spark, sf)
+    val raw = ev0.select(col("event_type"),
+        date_trunc("hour", ops.EventStreams.eventTs(ev0)).as("bucket_h"),
+        ops.EventStreams.eventMicros(ev0).as("m"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), tsKey(r.get(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = raw.groupBy(t => (t._1, t._2)).map { case ((typ, bh), es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      val bucketEnd = sorted.head._3 / 3600000000L * 3600000000L + 3600000000L
+      var wsum = BigInt(0); var dur = 0L
+      sorted.zipWithIndex.foreach { case ((_, _, m, _, cents), i) =>
+        val next = if (i + 1 < sorted.length) sorted(i + 1)._3 else bucketEnd
+        wsum += BigInt(cents) * (next - m); dur += next - m
+      }
+      (typ, bh) -> ((sorted.length.toLong, dur, (wsum / dur).toLong))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getString(0), tsKey(r.get(1)))
+      val (n, dur, twap) = expected(key)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((n, dur, twap)),
+        s"twap bar $key")
+    }
+    // anti-vacuity: at least one bucket where TWAP differs from the plain
+    // mean (the burst-overweighting the operator exists to correct)
+    val plain = raw.groupBy(t => (t._1, t._2)).map { case (k, es) =>
+      k -> es.map(e => BigInt(e._5)).sum / es.length
+    }
+    assert(rows.exists(r =>
+      plain((r.getString(0), tsKey(r.get(1)))) != BigInt(r.getLong(4))))
+  }
+
   test("q37: min_by/max_by bars equal a window row_number formulation") {
     val ohlc = ops.Relational.q37.run(spark, sf)
     val ev0 = model.Tables.events(spark, sf)
