@@ -280,4 +280,46 @@ class DedupSpec extends SparkSpec {
       "corpus has no excerpt whose source-pair Jaccard is below the d02 " +
         "threshold - the asymmetry demo is vacuous")
   }
+
+  test("d18 prefix filtering: output equals d02 exactly; candidates shrink") {
+    import org.apache.spark.sql.functions._
+    // exactness: prefix filtering is a candidate optimisation, never a
+    // semantics change — byte-identical pair set and jaccards vs d02
+    val exact = ops.Dedup.d02.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = ops.Dedup.d18.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(viaPrefix == exact)
+
+    // candidate accounting, recomputed from the public shingle function:
+    // full inverted index generates Σ df·(df−1)/2 pairs; the prefix index
+    // must generate strictly fewer (rarest-first order concentrates
+    // prefixes on low-df shingles)
+    graft.functions.GraftFunctions.register(spark)
+    val sh = model.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+    def candCount(index: org.apache.spark.sql.DataFrame): Long =
+      index.groupBy("s").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) DIV 2"))).collect().head.getLong(0)
+    val full = candCount(sh)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pref = sh.join(dfreq, "s").join(counts, "doc_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "s")))
+      .filter(col("rn") <= col("c") - expr("(4 * c + 4) DIV 5") + 1)
+      .select("doc_id", "s")
+    val prefixed = candCount(pref)
+    info(s"candidate pairs: full inverted index $full, prefix index $prefixed")
+    assert(prefixed < full,
+      s"prefix filtering must shrink the candidate join ($prefixed vs $full)")
+    // and some doc must have a genuinely truncated prefix (non-vacuous)
+    assert(pref.groupBy("doc_id").count().join(counts, "doc_id")
+      .filter(col("count") < col("c")).count() > 0)
+  }
 }
