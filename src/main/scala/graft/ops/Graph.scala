@@ -665,5 +665,74 @@ object Graph {
       .orderBy("node")
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06, g07, g08)
+  // ---------------------------------------------------------------- g09
+  /** Multi-source BFS hop distances — the graph-TRAVERSAL dataflow
+    * (frontier relaxation on the min-plus semiring) that none of g01–g08
+    * exercises: g01 iterates weighted sums, g06 majority votes, g08
+    * removes nodes; BFS propagates `dist(v) = min(dist(v),
+    * min_nb dist(nb)+1)` from a seed set outward, the primitive under
+    * reachability, influence radius, and "how far is every supplier from
+    * the anchor set" questions.
+    *
+    * Seeds are the deterministic congruence class `v % 19 = 0` within the
+    * projection's node set (non-empty at every SF; data-derived, never
+    * `rand()`). Three relaxation rounds unrolled — the s06/g06 oracle
+    * discipline — so the DuckDB twin is three plain min-joins; at
+    * deployment the SAME round function iterates to fixpoint like g01's
+    * loop, with rounds = eccentricity of the seed set. Unreached nodes
+    * carry no row (a LEFT join + sentinel would claim knowledge the
+    * 3-round horizon doesn't have).
+    *
+    * Scale: each round is one equi-join of the current distance table
+    * onto the edge list + one min-agg with map-side combine — O(m) per
+    * round; `localCheckpoint` cuts lineage so round N never replays
+    * rounds 1..N−1 (the d08 discipline). Distance state is 2 integers
+    * per reached node — the frontier never materialises neighborhoods. */
+  val g09 = Q("g09_bfs_hops",
+    s"""WITH $projEdgeCtes,
+       |dirx AS (
+       |  SELECT s1 AS v, s2 AS nb FROM e
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM e),
+       |nodes AS (SELECT DISTINCT v FROM dirx),
+       |d0 AS (SELECT v, 0 AS dist FROM nodes WHERE v % 19 = 0),
+       |d1 AS (
+       |  SELECT v, min(dist) AS dist FROM (
+       |    SELECT v, dist FROM d0
+       |    UNION ALL
+       |    SELECT dirx.v, d0.dist + 1 FROM dirx JOIN d0 ON d0.v = dirx.nb) u1
+       |  GROUP BY v),
+       |d2 AS (
+       |  SELECT v, min(dist) AS dist FROM (
+       |    SELECT v, dist FROM d1
+       |    UNION ALL
+       |    SELECT dirx.v, d1.dist + 1 FROM dirx JOIN d1 ON d1.v = dirx.nb) u2
+       |  GROUP BY v),
+       |d3 AS (
+       |  SELECT v, min(dist) AS dist FROM (
+       |    SELECT v, dist FROM d2
+       |    UNION ALL
+       |    SELECT dirx.v, d2.dist + 1 FROM dirx JOIN d2 ON d2.v = dirx.nb) u3
+       |  GROUP BY v)
+       |SELECT v AS node, CAST(dist AS BIGINT) AS hops
+       |FROM d3 ORDER BY node""".stripMargin) { (s, d) =>
+    val e0 = s.read.parquet(ensureProjection(s, d))
+    val dirx = e0.select(col("s1").as("v"), col("s2").as("nb"))
+      .union(e0.select(col("s2").as("v"), col("s1").as("nb")))
+      .localCheckpoint()
+    var dist = dirx.select("v").distinct()
+      .filter(col("v") % 19 === 0)
+      .select(col("v"), lit(0).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      dist = dist
+        .union(dirx.join(dist.withColumnRenamed("v", "nb"), "nb")
+          .select(col("v"), (col("dist") + 1).as("dist")))
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("v").as("node"), col("dist").cast("long").as("hops"))
+      .orderBy("node")
+  }
+
+  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
 }

@@ -247,4 +247,28 @@ class GraphSpec extends SparkSpec {
     info(s"core |V|=${core.size} of ${got.length}; " +
       s"fixpoint by round 3: ${after4.keySet == after3.keySet}")
   }
+
+  test("g09: three relaxation rounds equal a sequential BFS to depth 3") {
+    import spark.implicits._
+    val got = ops.Graph.g09.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .as[(Long, Long)].collect()
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = nbrs.keySet.filter(_ % 19 == 0)
+    assert(seeds.nonEmpty, "seed congruence class empty on this corpus")
+    // sequential frontier BFS, capped at 3 hops
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (h <- 1L to 3L) {
+      frontier = frontier.flatMap(nbrs(_)).filterNot(dist.contains)
+      dist ++= frontier.map(_ -> h)
+    }
+    assert(got == dist, s"BFS disagreement: ${(got.toSet diff dist.toSet).take(3)}")
+    // non-vacuity: the horizon must matter — some node beyond the 1-ring
+    assert(got.values.exists(_ >= 2L), "no node beyond the seeds' 1-ring")
+    info(s"|seeds|=${seeds.size}, reached ${got.size}/${nbrs.size} " +
+      s"nodes, max hops ${got.values.max}")
+  }
 }
