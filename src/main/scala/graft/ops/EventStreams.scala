@@ -697,6 +697,100 @@ object EventStreams {
       .orderBy("user_id", "purchase_ts")
   }
 
+  // --------------------------------------------------------------- st19
+  /** Conversion-window for [[st19]]: each funnel transition must land
+    * within this many micros of the previous one (24 h). */
+  val FunnelWindowUs = 86400000000L
+
+  /** Funnel stages as an earliest-transition STATE MACHINE with a
+    * conversion window — batch twin of
+    * [[graft.streaming.StreamOps.funnelStages]] and the sequential-
+    * pattern (MATCH_RECOGNIZE-class) semantics q30's first-occurrence
+    * funnel cannot express: stage k+1 is reached by the first
+    * next-milestone event STRICTLY AFTER the stage-k transition and
+    * within [[FunnelWindowUs]] of it — a click preceding the first view
+    * does not consume the click slot (a later one still qualifies), and
+    * a conversion that takes longer than the window does not count
+    * (without the deadline every user of a month-long event stream
+    * trivially completes; with it this corpus splits 90/35/25 across
+    * stages at sf0.01).
+    *
+    * The recurrence t₁ = min(view), t₂ = min(click ∈ (t₁, t₁+W]), t₃ =
+    * min(purchase ∈ (t₂, t₂+W]) is exactly the greedy machine the
+    * stream runs; each step is one user-keyed conditional min over the
+    * packed (micros, event_id) total-order key ([[packedTsKey]] —
+    * DECIMAL(38,0) here, HUGEINT in the oracle), with the deadline
+    * compared on the micros component so both engines elect identical
+    * transitions even on tied instants. Output is the corpus stage
+    * histogram.
+    *
+    * Scale: three user-keyed aggs + equi joins (each conditional min is
+    * map-side combinable; milestone filters prune each pass to one
+    * event type), one distinct, one small final agg — no windows, no
+    * per-user sort anywhere in the batch plan. */
+  val st19 = Q("st19_funnel_stages",
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_us(ts) AS HUGEINT) * 1000000000000000000 + event_id AS k,
+      |    epoch_us(ts) AS m
+      |  FROM events),
+      |t1 AS (SELECT user_id, min(k) AS t1k FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t1x AS (SELECT user_id, t1k,
+      |        CAST(t1k // 1000000000000000000 AS BIGINT) AS t1m FROM t1),
+      |t2 AS (SELECT e.user_id, min(e.k) AS t2k
+      |       FROM ev e JOIN t1x USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.k > t1x.t1k
+      |         AND e.m <= t1x.t1m + $FunnelWindowUs GROUP BY 1),
+      |t2x AS (SELECT user_id, t2k,
+      |        CAST(t2k // 1000000000000000000 AS BIGINT) AS t2m FROM t2),
+      |t3 AS (SELECT e.user_id, min(e.k) AS t3k
+      |       FROM ev e JOIN t2x USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.k > t2x.t2k
+      |         AND e.m <= t2x.t2m + $FunnelWindowUs GROUP BY 1),
+      |stages AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+      |         WHEN t2.user_id IS NOT NULL THEN 2
+      |         WHEN t1x.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |  FROM (SELECT DISTINCT user_id FROM ev) u
+      |  LEFT JOIN t1x USING (user_id)
+      |  LEFT JOIN t2 USING (user_id)
+      |  LEFT JOIN t3 USING (user_id))
+      |SELECT CAST(stage AS BIGINT) AS stage,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM stages GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val raw = Tables.events(s, d)
+    val ev = raw.select(col("user_id"), col("event_type"),
+        packedTsKey(raw).as("k"), eventMicros(raw).as("m"))
+      .localCheckpoint() // feeds four passes (t1/t2/t3/users)
+    def firstWithin(typ: String, prev: DataFrame, prevK: String,
+        out: String): DataFrame = {
+      val base = ev.filter(col("event_type") === typ)
+      (if (prev eq null) base
+       else {
+         val px = prev.withColumn("pm",
+           expr(s"CAST($prevK DIV 1000000000000000000 AS BIGINT)"))
+         base.join(px, "user_id")
+           .filter(col("k") > col(prevK) &&
+             col("m") <= col("pm") + FunnelWindowUs)
+       })
+        .groupBy("user_id").agg(min("k").as(out))
+    }
+    val t1 = firstWithin("view", null, "", "t1k")
+    val t2 = firstWithin("click", t1, "t1k", "t2k")
+    val t3 = firstWithin("purchase", t2, "t2k", "t3k")
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(when(col("t3k").isNotNull, 3L)
+        .when(col("t2k").isNotNull, 2L)
+        .when(col("t1k").isNotNull, 1L).otherwise(0L).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
 }

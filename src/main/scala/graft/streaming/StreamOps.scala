@@ -525,6 +525,50 @@ object StreamOps {
       }
   }
 
+  case class FunnelStage(user_id: Long, stage: Int)
+  case class FunnelState(stage: Int, sinceMicros: Long)
+
+  /** Ordered-milestone funnel as a streaming STATE MACHINE — the
+    * MATCH_RECOGNIZE-class sequential-pattern semantics: per user, walk
+    * events in event-time order and advance view → click → purchase on
+    * the first event matching the NEXT milestone strictly after the last
+    * transition and within [[graft.ops.EventStreams.FunnelWindowUs]] of
+    * it (the conversion deadline; without it a month-long stream lets
+    * every user complete trivially). q30's batch funnel is the
+    * first-occurrence variant — its first click must fall after the
+    * first view; this machine lets a LATER click qualify, which is what
+    * "did the user complete the sequence in time" means. State per user
+    * is 2 scalars — stage + the last transition instant — so a 100 TB
+    * stream's state store is bounded by active users, never event
+    * volume. Within a batch events sort by event time; cross-batch
+    * stragglers older than the last transition are inherently late for
+    * an online machine and cannot retract it (the batch twin
+    * `st19_funnel_stages` is the replayable reference; StreamingSpec
+    * pins stream == twin on ordered batches). */
+  def funnelStages(events: Dataset[UserEvent]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val milestones = Array("view", "click", "purchase")
+    val win = graft.ops.EventStreams.FunnelWindowUs
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStage](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val m = micros(e.ts)
+            if (st.stage < milestones.length &&
+                e.event_type == milestones(st.stage) &&
+                m > st.sinceMicros &&
+                (st.stage == 0 || m <= st.sinceMicros + win))
+              st = FunnelState(st.stage + 1, m)
+          }
+          state.update(st)
+          FunnelStage(uid, st.stage)
+      }
+  }
+
   /** The Mongo-replacement sink: classified stream → partitioned parquet
     * append per micro-batch. Batch id makes reruns observable; the append
     * is idempotent under checkpoint recovery at the batch level. */

@@ -647,4 +647,47 @@ class StreamingSpec extends SparkSpec {
     // counts total the input rows (nothing dropped or double-counted)
     assert(streamed.values.sum == (batch1 ++ batch2).size.toLong)
   }
+
+  test("st19 funnel state machine: stream across batches equals the batch twin") {
+    implicit val sql = spark.sqlContext
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val raw = model.Tables.events(spark, sf)
+    val ue = raw.select(col("user_id"), col("event_type"), col("value"),
+        ops.EventStreams.eventTs(raw).cast("timestamp").as("ts"))
+      .as[UserEvent].collect().sortBy(e => micros(e.ts))
+    val (b1, b2) = ue.splitAt(ue.length / 2)
+    val in = MemoryStream[UserEvent]
+    val q = StreamOps.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+    in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    // stage is monotone nondecreasing, so max emitted = final state
+    val got = spark.table("funnel").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).max).toMap
+    q.stop()
+    // sequential reference machine over the same ordered events
+    val milestones = Array("view", "click", "purchase")
+    val win = ops.EventStreams.FunnelWindowUs
+    val expected = ue.groupBy(_.user_id).view.mapValues { es =>
+      var stage = 0; var since = Long.MinValue
+      es.sortBy(e => micros(e.ts)).foreach { e =>
+        val m = micros(e.ts)
+        if (stage < 3 && e.event_type == milestones(stage) && m > since &&
+            (stage == 0 || m <= since + win)) { stage += 1; since = m }
+      }
+      stage
+    }.toMap
+    assert(got == expected,
+      s"diverged for users: ${(got.toSet diff expected.toSet).take(3)}")
+    assert(expected.values.exists(_ == 3), "no user completes the funnel")
+    assert(expected.values.exists(_ < 3), "every user completes - vacuous")
+    // corpus histogram equals the oracled batch twin st19
+    val hist = ops.EventStreams.st19.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expHist = expected.values.groupBy(_.toLong).view
+      .mapValues(_.size.toLong).toMap
+    assert(hist == expHist)
+  }
 }
