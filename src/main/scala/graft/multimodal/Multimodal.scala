@@ -1540,6 +1540,110 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- mm15
+  /** Integer Sobel edge statistics of a P6 PPM: per interior pixel the
+    * 3×3 Gx/Gy convolutions over `gray = r+g+b` (no luma division —
+    * stays integer-exact), magnitude = |Gx|+|Gy| (the L1 norm — exact
+    * where sqrt is not), returning (Σ magnitude, max magnitude and its
+    * coordinates, ties to the min (y, x)). */
+  def sobelPpm(bytes: Array[Byte]): (Long, Long, Int, Int) = {
+    val (w, h, off) = ppmHeader(bytes)
+    val gray = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      gray(p) = (bytes(off + p * 3) & 0xff) + (bytes(off + p * 3 + 1) & 0xff) +
+        (bytes(off + p * 3 + 2) & 0xff)
+      p += 1
+    }
+    def g(x: Int, y: Int) = gray(y * w + x)
+    var energy = 0L; var maxMag = -1L; var mx = 0; var my = 0
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x - 1, y) - g(x - 1, y + 1)
+        val gy = g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1) -
+          g(x - 1, y - 1) - 2 * g(x, y - 1) - g(x + 1, y - 1)
+        val mag = math.abs(gx).toLong + math.abs(gy).toLong
+        energy += mag
+        if (mag > maxMag) { maxMag = mag; mx = x; my = y }
+        x += 1
+      }
+      y += 1
+    }
+    (energy, maxMag, mx, my)
+  }
+
+  /** Sobel edge detection over the image corpus — the CONVOLUTION class
+    * of image analysis (mm02/mm05 aggregate globally, mm13 differences
+    * whole frames; nothing yet reads a pixel NEIGHBORHOOD): per even-doc
+    * 16×12 PPM, total L1 edge energy plus the strongest-gradient pixel.
+    * The integer-exact stand-in for every conv-net preprocessing stage —
+    * kernels, not decode, are what the feature extractor pays for.
+    *
+    * FULLY ORACLED the mm05 way: DuckDB replays the pixel LCG, folds the
+    * 3 channel bytes per pixel into the same integer gray, applies the
+    * identical ±1/±2 kernel via a 9-row (dx, dy) kernel table joined on
+    * neighbour coordinates, and elects the same argmax under the
+    * (mag DESC, y, x) total order — synthesis, convolution, and ranking
+    * all cross-engine bit-exact. `CodecSpec` pins the kernel laws the
+    * oracle can't state (flat image → zero energy; a vertical step edge
+    * responds in Gx only, at 4× the step).
+    *
+    * Scale: one `mapPartitions` codec pass per image — embarrassingly
+    * parallel, O(w·h) per image, 4 scalars out; the convolution never
+    * leaves the task. */
+  val mm15 = Q("mm15_sobel_edges",
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM lcg WHERE i < 575),
+       |gray AS (
+       |  SELECT doc_id, (i // 3) % 16 AS x, i // 48 AS y,
+       |    sum(CAST(state // 72057594037927936 AS BIGINT)) AS g
+       |  FROM lcg GROUP BY 1, 2, 3),
+       |kern AS (
+       |  SELECT dx.d AS dx, dy.d AS dy,
+       |    dx.d * (CASE WHEN dy.d = 0 THEN 2 ELSE 1 END) AS kx,
+       |    dy.d * (CASE WHEN dx.d = 0 THEN 2 ELSE 1 END) AS ky
+       |  FROM (SELECT unnest([-1, 0, 1]) AS d) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS d) dy),
+       |conv AS (
+       |  SELECT n.doc_id, cx.x, cy.y,
+       |    sum(k.kx * n.g) AS gx, sum(k.ky * n.g) AS gy
+       |  FROM (SELECT unnest(range(1, 15)) AS x) cx,
+       |       (SELECT unnest(range(1, 11)) AS y) cy, kern k
+       |  JOIN gray n ON n.x = cx.x + k.dx AND n.y = cy.y + k.dy
+       |  GROUP BY 1, 2, 3),
+       |mag AS (
+       |  SELECT doc_id, x, y, abs(gx) + abs(gy) AS mag FROM conv),
+       |agg AS (SELECT doc_id, sum(mag) AS energy FROM mag GROUP BY 1),
+       |best AS (
+       |  SELECT doc_id, mag, x, y FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY mag DESC, y, x) AS rn FROM mag) r
+       |  WHERE rn = 1)
+       |SELECT a.doc_id, CAST(a.energy AS BIGINT) AS edge_energy,
+       |  CAST(b.mag AS BIGINT) AS max_mag, CAST(b.x AS BIGINT) AS max_x,
+       |  CAST(b.y AS BIGINT) AS max_y
+       |FROM agg a JOIN best b USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val (energy, maxMag, mx, my) = sobelPpm(syntheticPpm(id))
+        (id, energy, maxMag, mx.toLong, my.toLong)
+      })
+      .toDF("doc_id", "edge_energy", "max_mag", "max_x", "max_y")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13, mm14)
+    mm10, mm11, mm12, mm13, mm14, mm15)
 }

@@ -365,4 +365,31 @@ class CodecSpec extends SparkSpec {
     bad(0) = 'X'.toByte
     intercept[IllegalArgumentException](Multimodal.detectTone(bad))
   }
+
+  test("mm15 sobel: flat image is edgeless; a vertical step responds in Gx only") {
+    import graft.multimodal.Multimodal
+    def ppm(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        out(header.length + (y * w + x) * 3 + c) = pix(x, y).toByte
+      out
+    }
+    // constant image: every neighborhood cancels
+    val (e0, m0, _, _) = Multimodal.sobelPpm(ppm(16, 12)((_, _) => 77))
+    assert(e0 == 0L && m0 == 0L)
+    // vertical step at x=8, step 10 per channel -> gray step 30:
+    // |Gx| = 4*30 on the two columns flanking the edge, Gy = 0 everywhere
+    val (e1, m1, mx, _) =
+      Multimodal.sobelPpm(ppm(16, 12)((x, _) => if (x < 8) 40 else 50))
+    assert(m1 == 120L, s"step response $m1")
+    assert(mx == 7, "argmax ties to the min x flanking column")
+    // 2 columns x 10 interior rows at 120 each
+    assert(e1 == 2L * 10L * 120L, s"energy $e1")
+    // energy is invariant under the horizontal flip (mirror symmetry)
+    val flipped = Multimodal.flipPpm(ppm(16, 12)((x, _) => if (x < 8) 40 else 50))
+    val (e2, m2, _, _) = Multimodal.sobelPpm(flipped)
+    assert(e2 == e1 && m2 == m1)
+  }
 }
