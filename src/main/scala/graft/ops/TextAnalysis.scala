@@ -1682,7 +1682,53 @@ object TextAnalysis {
       .orderBy("prefix")
   }
 
+  // ---------------------------------------------------------------- t29
+  /** Keyword-in-context (KWIC) concordance — the POSITIONAL text
+    * operator the family lacks: every t01–t28 pass treats a doc as a
+    * bag/sequence summary; search, snippet generation, and linguistic
+    * concordance need each occurrence WITH its surrounding words. Per
+    * occurrence of a query term: its 0-based token position plus the
+    * 3-word left and right contexts, reassembled as strings.
+    *
+    * Both engines slice the SAME token array: Spark `posexplode` +
+    * `slice` (1-based, length-clamped), DuckDB `unnest(generate_series)`
+    * + list slicing (1-based, end-clamped) — the boundary cases (match
+    * at position 0 / end of doc) produce empty contexts identically, so
+    * every snippet string hash-matches.
+    *
+    * Scale: `posexplode` is a lazy Generator (tokens stream, the doc
+    * array is not re-materialised per output row), the keyword filter
+    * prunes before any shuffle, and the only exchange is the final
+    * presentation sort — at 100 TB this is a map-only scan whose output
+    * is occurrence-sized, the inverted-index build's snippet sibling. */
+  val t29 = Q("t29_kwic",
+    """WITH dw AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |occ AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM dw),
+      |hits AS (
+      |  SELECT doc_id, w, i, w[i] AS kw FROM occ
+      |  WHERE w[i] IN ('spark', 'vector'))
+      |SELECT doc_id, kw, CAST(i - 1 AS BIGINT) AS pos,
+      |  coalesce(array_to_string(w[greatest(i - 3, 1) : i - 1], ' '), '')
+      |    AS left_ctx,
+      |  coalesce(array_to_string(w[i + 1 : i + 3], ' '), '') AS right_ctx
+      |FROM hits ORDER BY doc_id, pos, kw""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      .filter(col("word").isin("spark", "vector"))
+      .select(col("doc_id"), col("word").as("kw"),
+        col("pos").cast("long").as("pos"),
+        concat_ws(" ", expr(
+          "slice(w, greatest(pos - 2, 1), pos - greatest(pos - 2, 1) + 1)"))
+          .as("left_ctx"),
+        concat_ws(" ", expr("slice(w, pos + 2, 3)")).as("right_ctx"))
+      .orderBy("doc_id", "pos", "kw")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28)
+    t25, t26, t27, t28, t29)
 }

@@ -562,4 +562,35 @@ class CorpusOpsSpec extends SparkSpec {
     // the scorer separates the corpus (not a constant column)
     assert(rows.map(_._3).distinct.length > 1)
   }
+
+  test("t29 kwic: every snippet reassembles a verbatim substring; counts exact") {
+    val rows = ops.TextAnalysis.t29.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    val text = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, kw, pos, l, rr) =>
+      val words = text(id).split(" ")
+      assert(words(pos.toInt) == kw, s"doc $id pos $pos is not $kw")
+      val snippet = Seq(l, kw, rr).filter(_.nonEmpty).mkString(" ")
+      assert(text(id).contains(snippet), s"doc $id snippet not verbatim")
+      assert(l == words.slice(math.max(pos.toInt - 3, 0), pos.toInt)
+        .mkString(" "), s"doc $id left ctx")
+      assert(rr == words.slice(pos.toInt + 1, pos.toInt + 4).mkString(" "),
+        s"doc $id right ctx")
+    }
+    // exactly one row per occurrence — no dropped or duplicated hits
+    val expected = text.toSeq.flatMap { case (id, t) =>
+      t.split(" ").zipWithIndex.collect {
+        case (w, i) if w == "spark" || w == "vector" => (id, w, i.toLong)
+      }
+    }.toSet
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet == expected)
+    // boundary coverage: some match within 3 words of a doc edge
+    assert(rows.exists(_._4.split(" ").length < 3) ||
+      rows.exists(_._4.isEmpty))
+    assert(rows.exists(r => r._5.split(" ").length < 3 || r._5.isEmpty))
+  }
 }
