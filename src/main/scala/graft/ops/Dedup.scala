@@ -1115,7 +1115,9 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
        |ORDER BY i, j""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(Tables.documents(s, d))
+    // five consumers (df table, doc counts, the prefix join, both sides
+    // of the verify) — materialise the shingle explode once
+    val sh = shingles(Tables.documents(s, d)).localCheckpoint()
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
     val pref = sh.join(dfreq, "s").join(counts, "doc_id")
