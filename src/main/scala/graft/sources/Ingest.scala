@@ -557,6 +557,70 @@ object Ingest {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- in13
+  /** Range-clustered layout + measured scan locality — q39's zone-map
+    * story made OPERATIVE: the same projection is written twice, once
+    * range-partitioned AND sorted on the filter key
+    * (`repartitionByRange(8).sortWithinPartitions` — exactly what a
+    * clustered nightly write does) and once hash-scattered on an
+    * uncorrelated key; a one-month range scan then `require`s that the
+    * matching rows live in STRICTLY fewer files under the clustered
+    * layout (and that the query itself prunes: at 100 TB each parquet
+    * footer's min/max zone map lets the reader skip the other files
+    * entirely — file-level locality is the property that turns a
+    * full-table scan into a touched-files scan).
+    *
+    * The oracle states the month's row count + order-free content digest
+    * off the SOURCE table once per layout — identical rows regardless of
+    * layout proves the re-layout is content-invariant (the in09/in10
+    * digest discipline); the locality contract itself is a `require` +
+    * spec measurement (file names are not an oracle-stable quantity).
+    * The digest runs over the key columns so a row that changed month or
+    * got lost in either rewrite mismatches. */
+  val in13 = Q("in13_range_layout_scan",
+    """SELECT layout, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)),
+      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM lineitem
+      |CROSS JOIN (SELECT unnest(['hash_scattered', 'range_sorted']) AS layout)
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY layout
+      |ORDER BY layout""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.TimestampNTZType
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val sortedDir = s"$compactScratch/$run/range_sorted"
+    val scatterDir = s"$compactScratch/$run/hash_scattered"
+    src.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(sortedDir)
+    src.repartition(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(scatterDir)
+    def monthScan(dir: String) =
+      s.read.parquet(dir).filter(
+        col("l_shipdate") >= lit("1996-03-01 00:00:00").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast(TimestampNTZType))
+    def filesHit(dir: String): Long =
+      monthScan(dir).select(input_file_name()).distinct().count()
+    val (hitSorted, hitScattered) = (filesHit(sortedDir), filesHit(scatterDir))
+    require(hitSorted < hitScattered,
+      s"range layout shows no locality: $hitSorted vs $hitScattered files")
+    def digested(dir: String, layout: String) =
+      monthScan(dir).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_partkey").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"))
+        .select(lit(layout).as("layout"), col("n_rows"), col("checksum"))
+    digested(scatterDir, "hash_scattered")
+      .union(digested(sortedDir, "range_sorted"))
+      .orderBy("layout")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12)
+    in10, in11, in12, in13)
 }

@@ -71,4 +71,26 @@ class CompactionSpec extends SparkSpec {
     assert(out.getLong(1) == srcRow.getLong(1), "content digest drifted")
     assert(out.getLong(0) > 0)
   }
+
+  test("in13: layouts are content-invariant and the clustered scan is local") {
+    import org.apache.spark.sql.functions._
+    // the run itself requires(filesHit(sorted) < filesHit(scattered));
+    // here: both layouts return identical (n_rows, checksum), equal to a
+    // direct recompute off the source table
+    val rows = sources.Ingest.in13.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("hash_scattered", "range_sorted"))
+    assert(rows("hash_scattered") == rows("range_sorted"))
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val direct = model.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast(ntz) &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast(ntz))
+      .agg(count(lit(1)).cast("long"),
+        sum(conv(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("|"), col("l_partkey").cast("string"))), 1, 8), 16, 10)
+          .cast("long")).cast("long"))
+      .collect().head
+    assert(rows("range_sorted") == ((direct.getLong(0), direct.getLong(1))))
+    assert(direct.getLong(0) > 0, "empty month - the scan contract is vacuous")
+  }
 }
