@@ -60,4 +60,30 @@ class EntityResolutionSpec extends SparkSpec {
         s"only-production=${(production -- validation).take(5)}")
     assert(production.nonEmpty)
   }
+
+  test("er03: blocking diagnostics match the closed-form cohort arithmetic") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.EntityResolution.er03.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("nation_segment", "nation_segment_cents"))
+    val (cand1, _, comp1, lcomp1) = rows("nation_segment")
+    val (cand2, _, comp2, lcomp2) = rows("nation_segment_cents")
+    // blocked fields are unperturbed -> the wide scheme never loses a
+    // true pair; the cents scheme loses exactly the drifted heavy cohort
+    assert(comp1 == 1000000L)
+    val keys = model.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 3 === 0)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val nb = keys.length.toLong
+    val heavy = keys.count(_ % 15 == 0).toLong
+    assert(comp2 == (nb - heavy) * 1000000L / nb, s"nb=$nb heavy=$heavy")
+    assert(heavy > 0, "no heavy cohort - the completeness trade is vacuous")
+    // the refinement's contract: no LINKABLE pair is ever lost
+    assert(lcomp1 == 1000000L && lcomp2 == 1000000L)
+    // and it genuinely pays (the margin grows with block size — 2.7x
+    // at sf0.001, 16x at sf0.01, ~quadratically beyond)
+    assert(cand2 < cand1, s"cents blocking: $cand2 vs $cand1")
+    info(s"candidates: wide $cand1, cents $cand2")
+  }
 }
