@@ -980,5 +980,123 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def all: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+  // ---------------------------------------------------------------- s12
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+    * DIVERSIFIED retrieval tier: plain top-k returns five copies of the
+    * same neighbourhood; training-data curation and RAG shortlists need
+    * relevance MINUS redundancy. Greedy MMR picks, per step, the
+    * candidate maximising `λ·cos(q,c) − (1−λ)·max_{s∈sel} cos(c,s)`
+    * (λ = 0.7), seeded with the top-cosine hit — the canonical
+    * submodular-ish subset selection that no per-row operator expresses.
+    *
+    * Five greedy steps are unrolled (the s06 Lloyd discipline) so the
+    * DuckDB twin is five argmax CTEs over the same shortlist; every
+    * score is the one fixed double expression over bit-identical
+    * cosines, ties break on (score DESC, cid) in both engines, so the
+    * SELECTED SET — not just its quality — hash-matches.
+    *
+    * Scale: the candidate shortlist (top-12 by cosine, any ANN tier
+    * supplies it at 100 TB — s03/s10) bounds everything: the pairwise
+    * sim table is shortlist² per query (144 rows), each greedy step is
+    * one join + one max-agg + one query-keyed argmax window over
+    * shortlist-sized frames. The corpus is touched once, by the
+    * shortlist pass. */
+  val s12 = Q("s12_mmr_topk", {
+    def step(k: Int): String =
+      s"""st$k AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT m.query_id, m.cid,
+         |      row_number() OVER (PARTITION BY m.query_id
+         |        ORDER BY 0.7 * m.rel - 0.3 * m.ms DESC, m.cid) AS rk
+         |    FROM (
+         |      SELECT c.query_id, c.cid, c.rel, max(p.sim) AS ms
+         |      FROM cand c
+         |      JOIN pair p ON p.query_id = c.query_id AND p.c1 = c.cid
+         |      JOIN sel${k - 1} s ON s.query_id = p.query_id
+         |                        AND s.cid = p.c2
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s2
+         |        WHERE s2.query_id = c.query_id AND s2.cid = c.cid)
+         |      GROUP BY c.query_id, c.cid, c.rel) m) r
+         |  WHERE rk = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1}
+         |          UNION ALL SELECT query_id, cid, $k FROM st$k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 4),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS cid,
+       |         ${cosSql("q", "e")} AS rel
+       |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, cid, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cid) AS rk FROM scored) r
+       |  WHERE rk <= 12),
+       |pair AS (
+       |  SELECT a.query_id, a.cid AS c1, b.cid AS c2,
+       |         ${cosSql("ea", "eb")} AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+       |                         AND a.cid <> b.cid
+       |  JOIN e ea ON ea.vec_id = a.cid
+       |  JOIN e eb ON eb.vec_id = b.cid),
+       |sel1 AS (
+       |  SELECT query_id, cid, 1 AS rank FROM (
+       |    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cid) AS rk FROM cand) r
+       |  WHERE rk = 1),
+       |${step(2)},
+       |${step(3)},
+       |${step(4)},
+       |${step(5)}
+       |SELECT query_id, cid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM sel5 ORDER BY query_id, rank""".stripMargin
+  }) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cid"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        expr("cosine_sim(qe, embedding)").as("rel"))
+      .withColumn("rk", row_number().over(wRel)).filter(col("rk") <= 12)
+      .select("query_id", "cid", "rel")
+      .localCheckpoint() // consumed by the pair build + every greedy step
+    val ce = cand.join(e, col("cid") === col("vec_id"))
+      .select(col("query_id"), col("cid"), col("embedding"))
+    val pair = ce.as("a")
+      .join(ce.as("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.cid") =!= col("b.cid"))
+      .select(col("a.query_id").as("query_id"), col("a.cid").as("c1"),
+        col("b.cid").as("c2"),
+        expr("cosine_sim(a.embedding, b.embedding)").as("sim"))
+      .localCheckpoint() // shortlist²-sized; reused per step
+    var sel = cand.withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cid"), lit(1L).as("rank"))
+    for (k <- 2 to 5) {
+      val remaining = cand.join(sel.select("query_id", "cid"),
+        Seq("query_id", "cid"), "left_anti")
+      val ms = remaining.as("c")
+        .join(pair.as("p"), col("c.query_id") === col("p.query_id") &&
+          col("c.cid") === col("p.c1"))
+        .join(sel.as("s"), col("p.query_id") === col("s.query_id") &&
+          col("p.c2") === col("s.cid"))
+        .groupBy(col("c.query_id").as("query_id"), col("c.cid").as("cid"),
+          col("c.rel").as("rel"))
+        .agg(max(col("p.sim")).as("ms"))
+      val wk = Window.partitionBy("query_id")
+        .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("ms")).desc,
+          col("cid"))
+      val pick = ms.withColumn("rk", row_number().over(wk))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cid"), lit(k.toLong).as("rank"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.select(col("query_id"), col("cid").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  def all: Seq[Q] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }

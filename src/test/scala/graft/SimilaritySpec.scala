@@ -221,4 +221,49 @@ class SimilaritySpec extends SparkSpec {
     // against a regression without pinning centroid luck
     assert(mean >= 0.5, f"IVF-MIPS mean recall $mean%.2f < 0.5")
   }
+
+  test("s12 MMR: selection equals a sequential greedy recompute and diversifies") {
+    import org.apache.spark.sql.functions._
+    val got = ops.Similarity.s12.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    assert(got.nonEmpty)
+    val vecs = model.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.keySet.filter(_ < 4)
+    val expected = queries.flatMap { qid =>
+      val rel = vecs.keySet.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(qid), vecs(c)))
+        .sortBy { case (c, r) => (-r, c) }.take(12)
+      var sel = Vector(rel.head._1)
+      val relMap = rel.toMap
+      for (_ <- 2 to 5) {
+        val pick = rel.map(_._1).filterNot(sel.contains).map { c =>
+          val ms = sel.map(sc => cos(vecs(c), vecs(sc))).max
+          (c, 0.7 * relMap(c) - 0.3 * ms)
+        }.sortBy { case (c, sc) => (-sc, c) }.head._1
+        sel :+= pick
+      }
+      sel.zipWithIndex.map { case (c, i) => (qid, i + 1L, c) }
+    }
+    assert(got.toSet == expected, s"diff ${(got.toSet diff expected).take(3)}")
+    // diversification is real: for some query the MMR set differs from
+    // the plain cosine top-5
+    val plainTop5 = queries.map { qid =>
+      qid -> vecs.keySet.filter(_ != qid).toSeq
+        .map(c => c -> cos(vecs(qid), vecs(c)))
+        .sortBy { case (c, r) => (-r, c) }.take(5).map(_._1).toSet
+    }.toMap
+    val mmrSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    assert(mmrSets.exists { case (qid, sel) => sel != plainTop5(qid) },
+      "MMR never deviates from plain top-5 - lambda trade is vacuous")
+  }
 }
