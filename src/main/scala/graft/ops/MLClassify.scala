@@ -1110,6 +1110,97 @@ object MLClassify {
       .orderBy("category", "rank")
   }
 
+  // ---------------------------------------------------------------- ml11
+  /** Distribution-drift monitor — the ML-OPS pass the serving tier runs
+    * continuously (and the catalog's first: ml02–ml09 all evaluate one
+    * frozen snapshot): bucket a monitored signal over a reference window
+    * and a current window, compare the two histograms, and report
+    * per-bucket frequency deltas plus the total-variation distance.
+    * PSI's `Σ(p−q)·ln(p/q)` needs a transcendental with no cross-engine
+    * bit guarantee; TV distance (`Σ|p−q|/2`) ranks drift the same way
+    * and stays EXACT in integer ppm — the q19c trade applied to ml-ops.
+    *
+    * Windows split the event month in half via the dtype-adaptive
+    * event-time accessor; the signal is value in integer cents,
+    * $25-bucketed by floor division. Every number is an integer (counts,
+    * floor-ppm frequencies, |Δ|, the summary row's TV = Σ|Δ| DIV 2), so
+    * the whole report hash-matches. The summary rides as bucket −1.
+    *
+    * Scale: one scan, one (bucket)-keyed hash agg with map-side combine
+    * and conditional counts (no per-window rescans), a broadcast 1-row
+    * totals join, and a histogram-sized summary — the st14–st16 bounded
+    * sketch argument: state is bucket count, never row count. */
+  val ml11 = Q("ml11_drift_monitor",
+    """WITH ev AS (
+      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |              THEN 'ref' ELSE 'cur' END AS half,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500
+      |      AS bucket
+      |  FROM events),
+      |tot AS (
+      |  SELECT count(*) FILTER (WHERE half = 'ref') AS nr,
+      |         count(*) FILTER (WHERE half = 'cur') AS nc FROM ev),
+      |b AS (
+      |  SELECT bucket,
+      |    count(*) FILTER (WHERE half = 'ref') AS n_ref,
+      |    count(*) FILTER (WHERE half = 'cur') AS n_cur
+      |  FROM ev GROUP BY 1),
+      |pb AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    n_ref * 1000000 // nr AS ref_ppm,
+      |    n_cur * 1000000 // nc AS cur_ppm
+      |  FROM b, tot),
+      |r AS (
+      |  SELECT bucket, n_ref, n_cur, ref_ppm, cur_ppm,
+      |    abs(ref_ppm - cur_ppm) AS abs_delta_ppm
+      |  FROM pb)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  CAST(ref_ppm AS BIGINT) AS ref_ppm,
+      |  CAST(cur_ppm AS BIGINT) AS cur_ppm,
+      |  CAST(abs_delta_ppm AS BIGINT) AS abs_delta_ppm
+      |FROM r
+      |UNION ALL
+      |SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+      |  CAST(sum(ref_ppm) AS BIGINT), CAST(sum(cur_ppm) AS BIGINT),
+      |  CAST(sum(abs_delta_ppm) // 2 AS BIGINT)
+      |FROM r
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.TimestampNTZType
+    val raw = Tables.events(s, d)
+    val ev = raw.select(
+      when(EventStreams.eventTs(raw) <
+        lit("2024-01-16 00:00:00").cast(TimestampNTZType), "ref")
+        .otherwise("cur").as("half"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 2500")
+        .as("bucket"))
+    val tot = ev.agg(
+      count(when(col("half") === "ref", 1)).as("nr"),
+      count(when(col("half") === "cur", 1)).as("nc"))
+    val rows = ev.groupBy("bucket")
+      .agg(count(when(col("half") === "ref", 1)).as("n_ref"),
+        count(when(col("half") === "cur", 1)).as("n_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("(n_ref * 1000000) DIV nr").as("ref_ppm"),
+        expr("(n_cur * 1000000) DIV nc").as("cur_ppm"))
+      .withColumn("abs_delta_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+      .localCheckpoint() // feeds both the detail rows and the summary
+    val summary = rows.agg(
+        sum("n_ref").cast("long").as("n_ref"),
+        sum("n_cur").cast("long").as("n_cur"),
+        sum("ref_ppm").cast("long").as("ref_ppm"),
+        sum("cur_ppm").cast("long").as("cur_ppm"),
+        expr("sum(abs_delta_ppm) DIV 2").as("abs_delta_ppm"))
+      .select(lit(-1L).as("bucket"), col("n_ref"), col("n_cur"),
+        col("ref_ppm"), col("cur_ppm"), col("abs_delta_ppm"))
+    rows.select(col("bucket"), col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"), col("ref_ppm"),
+        col("cur_ppm"), col("abs_delta_ppm"))
+      .union(summary)
+      .orderBy("bucket")
+  }
+
   def all: Seq[Q] =
-    Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10)
+    Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11)
 }

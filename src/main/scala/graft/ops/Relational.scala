@@ -2183,9 +2183,38 @@ object Relational {
       .orderBy("event_type", "bucket_h")
   }
 
+  // ---------------------------------------------------------------- q52
+  /** UNPIVOT — the inverse reshaping of q17's PIVOT and the other half
+    * of the wide↔long contract: q17's per-nation status columns melt
+    * back into (n_name, status, cnt) rows via the native
+    * `Dataset.unpivot` (Spark's UNPIVOT operator — a Generator-class
+    * expansion, 3 output rows per input row, no shuffle of its own; the
+    * only exchanges are q17's). The spec pins the round-trip law:
+    * unpivot(pivot(x)) equals the direct long-form aggregation row for
+    * row — the property that makes reshaping safe to use in pipelines
+    * at all. Oracle melts the same wide CTE with UNION ALL (the
+    * engine-neutral spelling). */
+  val q52 = Q("q52_unpivot", {
+    val wideSql = q17.oracle.get
+    s"""WITH wide AS ($wideSql)
+       |SELECT n_name, 'F' AS status, CAST(f_cnt AS BIGINT) AS cnt FROM wide
+       |UNION ALL
+       |SELECT n_name, 'O', CAST(o_cnt AS BIGINT) FROM wide
+       |UNION ALL
+       |SELECT n_name, 'P', CAST(p_cnt AS BIGINT) FROM wide
+       |ORDER BY n_name, status""".stripMargin
+  }) { (s, d) =>
+    q17.run(s, d)
+      .unpivot(Array(col("n_name")),
+        Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "status_col", "cnt")
+      .select(col("n_name"),
+        upper(substring(col("status_col"), 1, 1)).as("status"), col("cnt"))
+      .orderBy("n_name", "status")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51)
+    q49, q50, q51, q52)
 }

@@ -621,6 +621,59 @@ object Ingest {
       .orderBy("layout")
   }
 
+  // ---------------------------------------------------------------- in14
+  /** Storage-FORMAT round-trip matrix — in10's sibling one axis up: a
+    * 100 TB estate mixes formats, not just codecs (columnar parquet/ORC
+    * for analytics, JSON lines at the ingestion edge), and every format
+    * hop must be provably content-invariant. The same projection
+    * round-trips through parquet, ORC, and JSON-lines writers and is
+    * digested per format with the in09 order-free md5-prefix sum
+    * against the SOURCE-table oracle — a format that loses, duplicates,
+    * or mangles a row (or silently retypes a column: the JSON read-back
+    * supplies the writer's schema EXPLICITLY, because inference would
+    * happily demote longs) mismatches on its own row. File extensions
+    * are `require`d per format; sizes deliberately not emitted (the
+    * in10 rule). At scale each leg is one map-only I/O pass —
+    * format conversion never shuffles. */
+  val in14 = Q("in14_format_matrix",
+    """SELECT fmt, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
+      |    '|' || CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag),
+      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM lineitem
+      |CROSS JOIN (SELECT unnest(['json', 'orc', 'parquet']) AS fmt)
+      |GROUP BY fmt
+      |ORDER BY fmt""".stripMargin) { (s, d) =>
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"))
+    val schema = src.schema
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    def ext(fmt: String) = fmt match {
+      case "json" => ".json"; case "orc" => ".orc"; case _ => ".parquet"
+    }
+    val digests = Seq("json", "orc", "parquet").map { fmt =>
+      val dir = s"$compactScratch/$run/$fmt"
+      src.write.format(fmt).mode("overwrite").save(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(!_.getName.startsWith("_")).map(_.getName)
+        .filterNot(_.endsWith(".crc"))
+      require(files.nonEmpty && files.forall(_.endsWith(ext(fmt))),
+        s"$fmt round-trip wrote unexpected files: ${files.take(3).mkString(", ")}")
+      s.read.format(fmt).schema(schema).load(dir).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_partkey").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"), lit("|"),
+          col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"))
+        .select(lit(fmt).as("fmt"), col("n_rows"), col("checksum"))
+    }
+    digests.reduce(_ union _).orderBy("fmt")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13)
+    in10, in11, in12, in13, in14)
 }

@@ -93,4 +93,20 @@ class CompactionSpec extends SparkSpec {
     assert(rows("range_sorted") == ((direct.getLong(0), direct.getLong(1))))
     assert(direct.getLong(0) > 0, "empty month - the scan contract is vacuous")
   }
+
+  test("in14: every format round-trip preserves the source content digest") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.Ingest.in14.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("json", "orc", "parquet"))
+    assert(rows.values.toSet.size == 1, s"formats disagree: $rows")
+    val src = model.Tables.lineitem(spark, sf).agg(
+        count(lit(1)).cast("long"),
+        sum(conv(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("|"), col("l_partkey").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"), lit("|"), col("l_returnflag"))),
+          1, 8), 16, 10).cast("long")).cast("long"))
+      .collect().head
+    assert(rows("parquet") == ((src.getLong(0), src.getLong(1))))
+  }
 }

@@ -339,4 +339,47 @@ class MetricsSpec extends SparkSpec {
     assert(chosen.head._1 == rows.filter(_._7 == bf).map(_._1).max,
       "F1 tie must break to the highest theta")
   }
+
+  test("q52: unpivot(pivot(x)) equals the direct long-form aggregation") {
+    val got = ops.Relational.q52.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = model.Tables.orders(spark, sf)
+      .join(model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(model.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_orderstatus").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every nonzero cell agrees; zero cells exist only in the unpivoted
+    // (dense) side — pivot materialises the full grid
+    direct.foreach { case (k, v) => assert(got(k) == v, s"cell $k") }
+    got.foreach { case (k, v) =>
+      assert(v == direct.getOrElse(k, 0L), s"cell $k dense check")
+    }
+    assert(got.values.sum == direct.values.sum)
+  }
+
+  test("ml11: drift report laws and the summary row arithmetic") {
+    val rows = ops.MLClassify.ml11.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val (summary, detail) = rows.partition(_._1 == -1L)
+    assert(summary.length == 1 && detail.nonEmpty)
+    val s0 = summary.head
+    assert(s0._2 == detail.map(_._2).sum && s0._3 == detail.map(_._3).sum)
+    // floor-ppm frequencies sum to <= 1e6 with at most one ppm lost per bucket
+    assert(s0._4 <= 1000000L && s0._4 > 1000000L - detail.length)
+    assert(s0._5 <= 1000000L && s0._5 > 1000000L - detail.length)
+    // TV distance = half the L1, bounded by [0, 1e6]
+    assert(s0._6 == detail.map(_._6).sum / 2)
+    assert(s0._6 >= 0 && s0._6 <= 1000000L)
+    // the two windows genuinely differ somewhere (drift is measurable)
+    assert(detail.exists(_._6 > 0))
+    // per-bucket ppm recompute
+    detail.foreach { case (_, nr, nc, rp, cp, ad) =>
+      assert(rp == nr * 1000000L / s0._2 && cp == nc * 1000000L / s0._3)
+      assert(ad == math.abs(rp - cp))
+    }
+  }
 }
