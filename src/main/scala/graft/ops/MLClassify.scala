@@ -1130,6 +1130,31 @@ object MLClassify {
     * and conditional counts (no per-window rescans), a broadcast 1-row
     * totals join, and a histogram-sized summary — the st14–st16 bounded
     * sketch argument: state is bucket count, never row count. */
+  /** ml11's per-bucket comparison stage, exposed un-checkpointed so
+    * `PlanAuditSpec` can audit the live plan (the g01 `pageRankRound`
+    * convention). */
+  private[graft] def driftRows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val raw = Tables.events(s, d)
+    val ev = raw.select(
+      when(EventStreams.eventTs(raw) <
+        lit("2024-01-16 00:00:00").cast(TimestampNTZType), "ref")
+        .otherwise("cur").as("half"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 2500")
+        .as("bucket"))
+    val tot = ev.agg(
+      count(when(col("half") === "ref", 1)).as("nr"),
+      count(when(col("half") === "cur", 1)).as("nc"))
+    ev.groupBy("bucket")
+      .agg(count(when(col("half") === "ref", 1)).as("n_ref"),
+        count(when(col("half") === "cur", 1)).as("n_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("(n_ref * 1000000) DIV nr").as("ref_ppm"),
+        expr("(n_cur * 1000000) DIV nc").as("cur_ppm"))
+      .withColumn("abs_delta_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+  }
+
   val ml11 = Q("ml11_drift_monitor",
     """WITH ev AS (
       |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
@@ -1166,25 +1191,7 @@ object MLClassify {
       |  CAST(sum(abs_delta_ppm) // 2 AS BIGINT)
       |FROM r
       |ORDER BY bucket""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.TimestampNTZType
-    val raw = Tables.events(s, d)
-    val ev = raw.select(
-      when(EventStreams.eventTs(raw) <
-        lit("2024-01-16 00:00:00").cast(TimestampNTZType), "ref")
-        .otherwise("cur").as("half"),
-      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 2500")
-        .as("bucket"))
-    val tot = ev.agg(
-      count(when(col("half") === "ref", 1)).as("nr"),
-      count(when(col("half") === "cur", 1)).as("nc"))
-    val rows = ev.groupBy("bucket")
-      .agg(count(when(col("half") === "ref", 1)).as("n_ref"),
-        count(when(col("half") === "cur", 1)).as("n_cur"))
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"), col("n_ref"), col("n_cur"),
-        expr("(n_ref * 1000000) DIV nr").as("ref_ppm"),
-        expr("(n_cur * 1000000) DIV nc").as("cur_ppm"))
-      .withColumn("abs_delta_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+    val rows = driftRows(s, d)
       .localCheckpoint() // feeds both the detail rows and the summary
     val summary = rows.agg(
         sum("n_ref").cast("long").as("n_ref"),

@@ -1001,6 +1001,23 @@ object Similarity {
     * one join + one max-agg + one query-keyed argmax window over
     * shortlist-sized frames. The corpus is touched once, by the
     * shortlist pass. */
+  /** s12's shortlist stage (top-12 by cosine per query), exposed
+    * un-checkpointed so `PlanAuditSpec` can audit the live plan — the
+    * g01 `pageRankRound` convention. */
+  private[graft] def mmrShortlist(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cid"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cid"),
+        expr("cosine_sim(qe, embedding)").as("rel"))
+      .withColumn("rk", row_number().over(wRel)).filter(col("rk") <= 12)
+      .select("query_id", "cid", "rel")
+  }
+
   val s12 = Q("s12_mmr_topk", {
     def step(k: Int): String =
       s"""st$k AS (
@@ -1052,15 +1069,9 @@ object Similarity {
   }) { (s, d) =>
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val wRel = Window.partitionBy("query_id")
       .orderBy(col("rel").desc, col("cid"))
-    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("cid"),
-        expr("cosine_sim(qe, embedding)").as("rel"))
-      .withColumn("rk", row_number().over(wRel)).filter(col("rk") <= 12)
-      .select("query_id", "cid", "rel")
+    val cand = mmrShortlist(s, d)
       .localCheckpoint() // consumed by the pair build + every greedy step
     val ce = cand.join(e, col("cid") === col("vec_id"))
       .select(col("query_id"), col("cid"), col("embedding"))

@@ -602,4 +602,48 @@ class PlanAuditSpec extends SparkSpec {
     // list id, never a non-broadcast nested loop / cartesian
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
+
+  test("q51: TWAP window is (type, bucket)-keyed; the agg is a hash agg") {
+    val plan = executedPlan("q51_twap")
+    assert(!plan.contains("Window [") ||
+      !plan.contains("Window [, "), plan.take(800))
+    // the lead window partitions on both keys, never a single partition
+    assert(plan.contains("windowspecdefinition(event_type"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(!plan.contains("SortAggregate"), plan.take(800))
+  }
+
+  test("d18: prefix filtering joins are equi-joins, never a cartesian") {
+    val plan = executedPlan("d18_prefix_filter_join")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1200))
+    // the prefix rank is a doc-keyed window
+    assert(plan.contains("windowspecdefinition(doc_id"), plan.take(2000))
+  }
+
+  test("in13: the month predicate pushes into both layout scans") {
+    val plan = executedPlan("in13_range_layout_scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), plan.take(1500))
+  }
+
+  test("s12: the shortlist pass broadcasts queries; ranking is query-keyed") {
+    // the Q's own plan is checkpoint-truncated; audit the exposed stage
+    val plan = ops.Similarity.mmrShortlist(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(plan.contains("windowspecdefinition(query_id"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("ml11: the drift rows are one bucket-keyed hash agg + broadcast totals") {
+    // the Q's own plan is checkpoint-truncated; audit the exposed stage
+    val plan = ops.MLClassify.driftRows(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1200))
+    assert(!plan.contains("SortAggregate"), plan.take(800))
+  }
 }
