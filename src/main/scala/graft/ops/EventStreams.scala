@@ -791,6 +791,39 @@ object EventStreams {
       .orderBy("stage")
   }
 
+  // --------------------------------------------------------------- st20
+  /** Batch twin of the stream-stream interval SEMI join
+    * ([[graft.streaming.StreamOps.purchasesWithPriorClick]], SAME
+    * function, watermarks erased in batch): purchases that had at least
+    * one click in the preceding 10 minutes, emitted ONCE each — the
+    * existence-test join mode that completes the inner (st05) / left
+    * outer (st06) / full outer (st08) matrix. Semi is the mode that
+    * never amplifies: output <= left input whatever the click fanout,
+    * and no click payload crosses into results — at 100 TB that is the
+    * difference between an audit query and a join explosion. Oracle is
+    * the textbook EXISTS. */
+  val st20 = Q("st20_interval_join_semi",
+    """SELECT p.user_id, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |WHERE EXISTS (
+      |  SELECT 1 FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |  WHERE c.user_id = p.user_id
+      |    AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts)
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def side(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.UserEvent]
+    graft.streaming.StreamOps
+      .purchasesWithPriorClick(side("click"), side("purchase"))
+      .select(col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
 }

@@ -391,6 +391,27 @@ object StreamOps {
     * difference between batch and stream outer joins, and why both
     * watermarks are mandatory here (inner-join state bounds aside, the
     * outer side cannot emit at all without a horizon). */
+  /** LEFT SEMI variant — "which purchases had a prior click", each
+    * purchase emitted ONCE regardless of click count (the existence
+    * test as a streaming join; with inner/left/full this completes the
+    * supported stream-stream join-mode matrix). Same watermarks + time
+    * bound, so click state evicts identically; the semi join emits the
+    * LEFT row only and buffers no click payload into results. */
+  def purchasesWithPriorClick(clicks: Dataset[UserEvent],
+      purchases: Dataset[UserEvent]): DataFrame = {
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"), "left_semi")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   def clicksBeforePurchaseOuter(clicks: Dataset[UserEvent],
       purchases: Dataset[UserEvent]): DataFrame = {
     val c = clicks.toDF().withWatermark("ts", "10 minutes")

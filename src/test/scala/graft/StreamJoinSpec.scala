@@ -130,4 +130,33 @@ class StreamJoinSpec extends SparkSpec {
       .sortBy(_._1)
     assert(batch.toSeq == got.toSeq, s"batch ${batch.mkString(",")}")
   }
+
+  test("semi interval join: matched purchases emit once, unmatched never") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamOps.purchasesWithPriorClick(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("semi")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      UserEvent(1, "click", 1.0, ts(10, 0)),  // two qualifying clicks...
+      UserEvent(1, "click", 2.0, ts(10, 2)),  // ...must still emit ONCE
+      UserEvent(3, "click", 3.0, ts(9, 40)))  // too old for user 3
+    purchases.addData(
+      UserEvent(1, "purchase", 100.0, ts(10, 5)),
+      UserEvent(2, "purchase", 50.0, ts(10, 6)),  // no click at all
+      UserEvent(3, "purchase", 25.0, ts(10, 7)))  // click outside window
+    q.processAllAvailable()
+    // advance both watermarks so results finalise
+    clicks.addData(UserEvent(9, "click", 0.0, ts(11, 0)))
+    purchases.addData(UserEvent(9, "purchase", 0.0, ts(11, 0)))
+    q.processAllAvailable()
+    val rows = spark.table("semi").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    q.stop()
+    assert(rows.count(_._1 == 1L) == 1, s"semi must emit user 1 ONCE: ${rows.toSeq}")
+    assert(!rows.exists(_._1 == 2L) && !rows.exists(_._1 == 3L),
+      s"unmatched purchases leaked: ${rows.toSeq}")
+    assert(rows.contains((1L, 100.0)))
+  }
 }
