@@ -1644,6 +1644,90 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- mm16
+  /** Histogram equalization of a P6 PPM on the integer gray channel
+    * `(r+g+b) DIV 3`: remap each level v to
+    * `(cdf(v) − cdf_min)·255 DIV (n − cdf_min)` — the classic global
+    * tone-mapping normalisation, entirely in integer arithmetic (a
+    * constant image, `n == cdf_min`, maps to 0 by convention). Returns
+    * (levels before, levels after, min/max after, Σ remapped). */
+  def equalizePpm(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val (w, h, off) = ppmHeader(bytes)
+    val n = w * h
+    val gray = Array.tabulate(n) { p =>
+      ((bytes(off + p * 3) & 0xff) + (bytes(off + p * 3 + 1) & 0xff) +
+        (bytes(off + p * 3 + 2) & 0xff)) / 3
+    }
+    val hist = new Array[Int](256)
+    gray.foreach(hist(_) += 1)
+    val cdf = hist.scanLeft(0)(_ + _).tail // inclusive cdf per level
+    val lowest = gray.min
+    val cdfMin = cdf(lowest)
+    val denom = n - cdfMin
+    def remap(v: Int): Long =
+      if (denom == 0) 0L else (cdf(v) - cdfMin).toLong * 255 / denom
+    val present = (0 until 256).filter(hist(_) > 0)
+    val after = present.map(v => (remap(v), hist(v)))
+    (present.size.toLong, after.map(_._1).distinct.size.toLong,
+      after.map(_._1).min, after.map(_._1).max,
+      after.map { case (v2, c) => v2 * c }.sum)
+  }
+
+  /** Histogram equalization over the image corpus — the GLOBAL
+    * tone-mapping class (mm15 reads neighborhoods, this reads the
+    * image-wide intensity DISTRIBUTION): per even-doc PPM, the level
+    * count before/after, the post-map range, and the remapped checksum.
+    * Integer end to end, so the whole report hash-matches; the DuckDB
+    * twin replays the pixel LCG, folds gray per pixel, takes the cdf as
+    * a doc-keyed window sum over levels, and applies the identical
+    * floor remap. `CodecSpec` pins the laws the oracle can't state:
+    * constant → 0, any 2+-level image stretches to [0, 255], and the
+    * map is monotone (level order preserved). Map-only per image at
+    * scale; the histogram (≤256 rows/doc) is the only state. */
+  val mm16 = Q("mm16_hist_equalize",
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM lcg WHERE i < 575),
+       |g AS (
+       |  SELECT doc_id, i // 3 AS p,
+       |    CAST(sum(CAST(state // 72057594037927936 AS BIGINT)) // 3
+       |      AS BIGINT) AS v
+       |  FROM lcg GROUP BY 1, 2),
+       |hist AS (SELECT doc_id, v, count(*) AS c FROM g GROUP BY 1, 2),
+       |cdf AS (
+       |  SELECT doc_id, v, c,
+       |    sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cdf
+       |  FROM hist),
+       |mn AS (SELECT doc_id, min(cdf) AS cdfmin FROM cdf GROUP BY 1),
+       |rm AS (
+       |  SELECT c.doc_id, c.v, c.c,
+       |    CASE WHEN 192 - m.cdfmin = 0 THEN 0
+       |         ELSE (c.cdf - m.cdfmin) * 255 // (192 - m.cdfmin) END AS v2
+       |  FROM cdf c JOIN mn m ON m.doc_id = c.doc_id)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_levels_before,
+       |  CAST(count(DISTINCT v2) AS BIGINT) AS n_levels_after,
+       |  CAST(min(v2) AS BIGINT) AS min_after,
+       |  CAST(max(v2) AS BIGINT) AS max_after,
+       |  CAST(sum(v2 * c) AS BIGINT) AS sum_after
+       |FROM rm GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val (lb, la, mn, mx, sm) = equalizePpm(syntheticPpm(id))
+        (id, lb, la, mn, mx, sm)
+      })
+      .toDF("doc_id", "n_levels_before", "n_levels_after", "min_after",
+        "max_after", "sum_after")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13, mm14, mm15)
+    mm10, mm11, mm12, mm13, mm14, mm15, mm16)
 }

@@ -392,4 +392,33 @@ class CodecSpec extends SparkSpec {
     val (e2, m2, _, _) = Multimodal.sobelPpm(flipped)
     assert(e2 == e1 && m2 == m1)
   }
+
+  test("mm16 equalization laws: constant, full-stretch, monotone") {
+    import graft.multimodal.Multimodal
+    def ppm(w: Int, h: Int)(pix: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        out(header.length + (y * w + x) * 3 + c) = pix(x, y).toByte
+      out
+    }
+    // constant image: one level, maps to 0 by convention
+    val (lb0, la0, mn0, mx0, sum0) =
+      Multimodal.equalizePpm(ppm(16, 12)((_, _) => 100))
+    assert((lb0, la0, mn0, mx0, sum0) == ((1L, 1L, 0L, 0L, 0L)))
+    // any 2+-level image stretches to the full [0, 255] range
+    val (lb1, la1, mn1, mx1, _) =
+      Multimodal.equalizePpm(ppm(16, 12)((x, _) => if (x < 8) 40 else 200))
+    assert(lb1 == 2L && la1 == 2L && mn1 == 0L && mx1 == 255L)
+    // monotone: on a 4-level gradient the remapped levels keep their order
+    val levels = Array(10, 60, 120, 240)
+    val (lb2, la2, mn2, mx2, _) =
+      Multimodal.equalizePpm(ppm(16, 12)((x, _) => levels(x / 4)))
+    assert(lb2 == 4L && la2 == 4L && mn2 == 0L && mx2 == 255L)
+    // and the corpus run agrees with the codec on a real synthetic image
+    val direct = Multimodal.equalizePpm(Multimodal.syntheticPpm(42L))
+    assert(direct._3 == 0L && direct._4 == 255L,
+      s"random 192-pixel image should span the full range: $direct")
+  }
 }
