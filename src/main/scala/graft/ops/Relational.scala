@@ -2212,9 +2212,66 @@ object Relational {
       .orderBy("n_name", "status")
   }
 
+  // ---------------------------------------------------------------- q53
+  /** As-of join with TOLERANCE and BOTH directions — the parameter
+    * surface (pandas `merge_asof`, kdb `aj` staleness caps) q20's plain
+    * backward-asof lacks: per event, the latest signup at-or-before
+    * (backward) AND the earliest signup at-or-after (forward), each
+    * nulled when the match is staler than the 1 h tolerance — "use the
+    * last reading unless it has expired".
+    *
+    * Same single-shuffle composition as q20, run twice over one tagged
+    * union: a (user)-keyed window ordered (micros, tag) carries the
+    * latest right-side (instant, value) struct forward via
+    * `last(..., ignoreNulls)`; the mirrored descending window supplies
+    * the forward match; the tolerance is then a residual null-out
+    * comparing the carried instant — no range join, no per-event
+    * subquery. The oracle states the textbook correlated form
+    * (`max_by`/`min_by` within the tolerance window), so the
+    * window-carry rewrite is checked against the definition, not
+    * against itself. */
+  val q53 = Q("q53_asof_tolerance",
+    """WITH s AS (SELECT user_id, epoch_us(ts) AS m, value FROM events
+      |           WHERE event_type = 'signup'),
+      |e AS (SELECT event_id, user_id, epoch_us(ts) AS m FROM events)
+      |SELECT e.event_id,
+      |  (SELECT max_by(s.value, s.m) FROM s
+      |   WHERE s.user_id = e.user_id AND s.m <= e.m
+      |     AND s.m >= e.m - 3600000000) AS backward_value,
+      |  (SELECT min_by(s.value, s.m) FROM s
+      |   WHERE s.user_id = e.user_id AND s.m >= e.m
+      |     AND s.m <= e.m + 3600000000) AS forward_value
+      |FROM e ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val Tol = 3600000000L
+    val ev = Tables.events(s, d)
+    val m = EventStreams.eventMicros(ev)
+    val left = ev.select(col("event_id"), col("user_id"), m.as("m"),
+      lit(1).as("tag"), lit(null).cast("double").as("v"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+        m.as("m"), lit(0).as("tag"), col("value").as("v"))
+    val hit = when(col("tag") === 0,
+      struct(col("m").as("sm"), col("v").as("sv")))
+    val wb = Window.partitionBy("user_id").orderBy(col("m"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("m").desc, col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    left.unionByName(right)
+      .withColumn("b", last(hit, ignoreNulls = true).over(wb))
+      .withColumn("f", last(hit, ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+      .select(col("event_id"),
+        when(col("b").isNotNull && col("m") - col("b.sm") <= Tol,
+          col("b.sv")).as("backward_value"),
+        when(col("f").isNotNull && col("f.sm") - col("m") <= Tol,
+          col("f.sv")).as("forward_value"))
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52)
+    q49, q50, q51, q52, q53)
 }

@@ -36,4 +36,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L).contains(20.0))
     assert(out(6L).isEmpty)
   }
+
+  test("q53 tolerance: backward equals q20 filtered by staleness; forward mirrors") {
+    import org.apache.spark.sql.functions._
+    val Tol = 3600000000L
+    val q53 = ops.Relational.q53.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // independent reference: collect signups per user, scan per event
+    val ev0 = model.Tables.events(spark, sf)
+    val ev = ev0.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), ops.EventStreams.eventMicros(ev0).as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val signups: Map[Long, Seq[(Long, Double)]] = ev
+      .filter(_._3 == "signup")
+      .groupBy(_._2)
+      .map { case (u, es) =>
+        u -> es.map(e => (e._5, e._4)).sortBy(_._1).toSeq
+      }
+    ev.foreach { case (id, uid, _, _, m) =>
+      val ss = signups.getOrElse(uid, Seq.empty[(Long, Double)])
+      val back = ss.filter(t => t._1 <= m && t._1 >= m - Tol)
+        .lastOption.map(_._2)
+      val fwd = ss.filter(t => t._1 >= m && t._1 <= m + Tol)
+        .headOption.map(_._2)
+      assert(q53(id) == ((back, fwd)), s"event $id")
+    }
+    // the tolerance genuinely fires: q20 finds a match that q53 expires
+    val q20 = ops.Relational.q20.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(ev.exists { case (id, _, _, _, _) =>
+      q20(id).isDefined && q53(id)._1.isEmpty
+    }, "no expired backward match on this corpus - tolerance vacuous")
+    // and some event has a forward match but no backward one
+    assert(q53.values.exists(v => v._1.isEmpty && v._2.nonEmpty))
+  }
 }
