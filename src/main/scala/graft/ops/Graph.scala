@@ -734,5 +734,109 @@ object Graph {
       .orderBy("node")
   }
 
-  def all: Seq[Q] = Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09)
+  // ---------------------------------------------------------------- g10
+  /** Personalized PageRank (random walk with restart, Jeh & Widom 2002)
+    * — g01's global teleport replaced by restart to a SEED set: rank
+    * becomes proximity TO THE SEEDS, the recommendation / related-items
+    * measure a global PageRank cannot express (g01 answers "important
+    * overall", this answers "important relative to these suppliers").
+    * Seeds are the supplier nodes `sk % 19 = 0` (g09's congruence-class
+    * discipline) on the same bipartite part–supplier graph.
+    *
+    * Same per-round dataflow and 1e-12 integer quantisation as g01 —
+    * contributions round to the grid, sum as order-free integers, the
+    * new rank assembles in ONE fixed double expression whose teleport
+    * term is `0.15·[v ∈ S]/|S|` — so ranks stay bit-identical
+    * cross-engine by the same induction. r₀ concentrates all mass on
+    * the seeds (the restart distribution), 3 rounds unrolled to match
+    * the oracle. Scale: identical to g01 — one contrib join + one agg
+    * per round, plus a broadcast seed-indicator join. */
+  val g10 = Q("g10_personalized_pagerank", {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n2.node,
+         |    0.15 * (CASE WHEN n2.node IN (SELECT node FROM seeds)
+         |                 THEN 1.0 / ns.n ELSE 0.0 END)
+         |    + 0.85 * (CAST(coalesce(s.m, 0) AS BIGINT) / 1000000000000.0) AS pr
+         |  FROM nodes n2 CROSS JOIN ns
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      sum(CAST(round(r.pr / d.deg * 1000000000000.0) AS BIGINT)) AS m
+         |    FROM edges e
+         |    JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n2.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT 'p:' || CAST(pk AS VARCHAR) AS src,
+       |         's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's:' || CAST(sk AS VARCHAR),
+       |         'p:' || CAST(pk AS VARCHAR) FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (
+       |  SELECT DISTINCT 's:' || CAST(sk AS VARCHAR) AS node FROM pairs
+       |  WHERE sk % 19 = 0),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+       |deg AS (
+       |  SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (
+       |  SELECT node,
+       |    CASE WHEN node IN (SELECT node FROM seeds)
+       |         THEN 1.0 / ns.n ELSE 0.0 END AS pr
+       |  FROM nodes CROSS JOIN ns),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, pr FROM r3 WHERE pr > 0 ORDER BY node""".stripMargin
+  }) { (s, d) =>
+    val pr0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pNode = col("pk") * 2
+    val sNode = col("sk") * 2 + 1
+    val edges = pr0.select(pNode.as("src"), sNode.as("dst"))
+      .union(pr0.select(sNode.as("src"), pNode.as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .localCheckpoint()
+    val nodes = deg.select("node")
+    val seeds = pr0.filter(col("sk") % 19 === 0)
+      .select((col("sk") * 2 + 1).as("node")).distinct()
+      .withColumn("is_seed", lit(1.0))
+      .localCheckpoint() // joined every round
+    val nSeeds = seeds.count().toDouble // O(1) driver scalar (g01 rule)
+    var r = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0.0)) / lit(nSeeds)).as("pr"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src")
+          .withColumnRenamed("deg", "sdeg"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("pr") / col("sdeg") * lit(1000000000000.0))
+          .cast("long")).as("m"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .join(seeds, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15) * (coalesce(col("is_seed"), lit(0.0)) / lit(nSeeds)) +
+            lit(0.85) * (coalesce(col("m"), lit(0L)).cast("double") /
+              lit(1000000000000.0))).as("pr"))
+    }
+    r.filter(col("pr") > 0)
+      .select(
+        when(col("node") % 2 === 0,
+          concat(lit("p:"), expr("CAST(node DIV 2 AS STRING)")))
+          .otherwise(concat(lit("s:"), expr("CAST(node DIV 2 AS STRING)")))
+          .as("node"),
+        col("pr"))
+      .orderBy("node")
+  }
+
+  def all: Seq[Q] =
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
 }

@@ -271,4 +271,50 @@ class GraphSpec extends SparkSpec {
     info(s"|seeds|=${seeds.size}, reached ${got.size}/${nbrs.size} " +
       s"nodes, max hops ${got.values.max}")
   }
+
+  test("g10: personalized ranks equal a sequential quantised PPR recompute") {
+    import spark.implicits._
+    val pairs = model.Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = pairs.flatMap { case (p, sp) =>
+      Seq((s"p:$p", s"s:$sp"), (s"s:$sp", s"p:$p"))
+    }
+    val nodes = edges.map(_._1).distinct.sorted
+    val seeds = pairs.map(_._2).distinct.filter(_ % 19 == 0)
+      .map(sk => s"s:$sk").toSet
+    assert(seeds.nonEmpty)
+    val ns = seeds.size.toDouble
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toDouble }
+    val incoming = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    def sparkRound(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    var r = nodes.map(v => v -> (if (seeds(v)) 1.0 / ns else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      r = nodes.map { v =>
+        val m = incoming.getOrElse(v, Array.empty[String])
+          .map(u => sparkRound(r(u) / deg(u) * 1000000000000.0)).sum
+        v -> (0.15 * (if (seeds(v)) 1.0 / ns else 0.0) +
+          0.85 * (m.toDouble / 1000000000000.0))
+      }.toMap
+    }
+    val dist = ops.Graph.g10.run(spark, sf).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    val expected = r.filter(_._2 > 0)
+    assert(dist.keySet == expected.keySet,
+      s"row set: ${dist.size} vs ${expected.size}")
+    dist.foreach { case (node, pr) =>
+      assert(pr == expected(node), s"$node: $pr vs ${expected(node)}")
+    }
+    // locality: every seed holds positive rank, and the restart makes
+    // seeds outrank the median positive node
+    seeds.foreach(v => assert(dist.getOrElse(v, 0.0) > 0))
+    val med = dist.values.toSeq.sorted.apply(dist.size / 2)
+    assert(seeds.forall(v => dist(v) >= med))
+    // some node of the graph is genuinely unreached within 3 hops OR
+    // the graph is fully covered - report either way
+    info(s"positive-rank nodes ${dist.size} of ${nodes.length}, " +
+      s"|seeds|=${seeds.size}")
+  }
 }
