@@ -1208,6 +1208,58 @@ object MLClassify {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- ml12
+  /** Per-segment accuracy report — the SLICE-ANALYSIS pass (fairness /
+    * worst-group monitoring) the aggregate metrics hide: ml02's corpus
+    * accuracy can be excellent while one source segment fails entirely.
+    * Per documents.source segment, ml06's centroid predictions are
+    * scored against the teacher labels in exact ppm, with an
+    * `__overall__` row for the gap arithmetic (worst-segment gap =
+    * overall − min segment, spec-computed). Integer end to end.
+    *
+    * Scale: predictions are ml06's dataflow (one corpus pass); the
+    * segment join is doc-keyed; the report is one segment-keyed hash
+    * agg — segments-sized output. */
+  val ml12 = Q("ml12_segment_report", {
+    val ml06Sql = ml06.oracle.get
+    s"""WITH preds AS ($ml06Sql),
+       |j AS (
+       |  SELECT d.source,
+       |    CASE WHEN p.category = p.teacher_category THEN 1 ELSE 0 END AS ok
+       |  FROM preds p JOIN documents d ON d.doc_id = p.doc_id),
+       |per AS (
+       |  SELECT source, count(*) AS n_eval, sum(ok) AS n_correct
+       |  FROM j GROUP BY source)
+       |SELECT source, CAST(n_eval AS BIGINT) AS n_eval,
+       |  CAST(n_correct AS BIGINT) AS n_correct,
+       |  CAST(n_correct * 1000000 // n_eval AS BIGINT) AS acc_ppm
+       |FROM per
+       |UNION ALL
+       |SELECT '__overall__', CAST(sum(n_eval) AS BIGINT),
+       |  CAST(sum(n_correct) AS BIGINT),
+       |  CAST(sum(n_correct) * 1000000 // sum(n_eval) AS BIGINT)
+       |FROM per
+       |ORDER BY source""".stripMargin
+  }) { (s, d) =>
+    val preds = ml06.run(s, d)
+      .select(col("doc_id"),
+        (col("category") === col("teacher_category")).as("ok"))
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    val per = preds.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_eval"), count(when(col("ok"), 1)).as("n_correct"))
+      .localCheckpoint() // feeds the detail rows and the overall rollup
+    val detail = per.select(col("source"), col("n_eval").cast("long")
+        .as("n_eval"), col("n_correct").cast("long").as("n_correct"),
+      expr("(n_correct * 1000000) DIV n_eval").as("acc_ppm"))
+    val overall = per.agg(sum("n_eval").as("ne"), sum("n_correct").as("nc"))
+      .select(lit("__overall__").as("source"), col("ne").cast("long")
+          .as("n_eval"), col("nc").cast("long").as("n_correct"),
+        expr("(nc * 1000000) DIV ne").as("acc_ppm"))
+    detail.union(overall).orderBy("source")
+  }
+
   def all: Seq[Q] =
-    Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11)
+    Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
+      ml12)
 }

@@ -382,4 +382,31 @@ class MetricsSpec extends SparkSpec {
       assert(ad == math.abs(rp - cp))
     }
   }
+
+  test("ml12: segment report partitions ml06 predictions; gap arithmetic holds") {
+    val rows = ops.MLClassify.ml12.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (overall, per) = rows.partition(_._1 == "__overall__")
+    assert(overall.length == 1 && per.nonEmpty)
+    // the segments partition the eval set exactly
+    assert(per.map(_._2).sum == overall.head._2)
+    assert(per.map(_._3).sum == overall.head._3)
+    // direct recompute from ml06 + documents
+    val preds = ops.MLClassify.ml06.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == r.getString(3))).toMap
+    val src = model.Tables.documents(spark, sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    per.foreach { case (seg, ne, nc, acc) =>
+      val ids = preds.keys.filter(src(_) == seg)
+      assert(ne == ids.size.toLong, s"segment $seg n_eval")
+      assert(nc == ids.count(preds).toLong, s"segment $seg n_correct")
+      assert(acc == nc * 1000000L / ne)
+    }
+    // the report is informative: segments do not all share one accuracy
+    val gap = per.map(_._4).max - per.map(_._4).min
+    info(s"worst-group gap ${gap} ppm across ${per.length} segments")
+    assert(per.map(_._4).distinct.length > 1,
+      "all segments identical - slice analysis is vacuous on this corpus")
+  }
 }
