@@ -2269,9 +2269,106 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Point-in-time (temporal) dimension lookup — the join class the
+    * as-of family (q20/q53: nearest MEASURE) and the interval joins
+    * (q12/q42: static ranges) both miss: facts against a VERSIONED SCD2
+    * dimension, each fact matched to the version whose validity interval
+    * `[valid_from, valid_to)` contains the fact's event time. This is
+    * the warehouse "AS OF" join every fact-table enrichment runs —
+    * dimensions change (price lists, user tiers, model versions) and a
+    * 100 TB backfill must attribute each fact to the attributes in force
+    * AT ITS TIME, not the current ones.
+    *
+    * The dimension is st04's SCD2 build restricted to the non-purchase
+    * events (each user's browsing-regime history); facts are the
+    * purchases. The naive plan is a user+range join (candidate cost
+    * Σ_u versions_u · facts_u, then an interval filter + dedup); the
+    * plan here ELIMINATES the range join with the q20 union-LOCF trick:
+    * version-start rows (tag 0) union fact rows (tag 1), one user-keyed
+    * window ordered `(ts, tag, island)`, and `last(…, ignoreNulls)`
+    * carries the governing version onto each fact — version attributes
+    * travel in ONE struct so regime/valid_from/n are always the SAME
+    * row's. Equal-timestamp hazards are total-ordered away: a version
+    * starting exactly at a fact's timestamp governs it (tag 0 < tag 1 =
+    * inclusive start), and a zero-width version `[t, t)` is superseded
+    * by its successor (island ascending, later version last in frame —
+    * exactly the oracle's empty-interval semantics). Facts before the
+    * first version keep NULL attributes (left-join semantics).
+    *
+    * Scale: two user-keyed window cascades + one union — every shuffle
+    * is on user_id, nothing corpus-global, and the LOCF form is skew-
+    * safe where the range join is not (a hyperactive user costs
+    * O(rows_u log rows_u) sort, not versions_u · facts_u candidates).
+    * Event time through the dtype-adaptive accessor
+    * ([[EventStreams.eventTs]]). */
+  val q54 = Q("q54_pit_join",
+    """WITH base AS (
+      |  SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE event_type <> 'purchase'),
+      |ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS island
+      |  FROM ordered),
+      |dim AS (
+      |  SELECT user_id, event_type AS regime, island,
+      |    min(ts) AS valid_from, count(*) AS regime_n
+      |  FROM islands GROUP BY user_id, event_type, island),
+      |dim2 AS (
+      |  SELECT user_id, regime, valid_from, regime_n,
+      |    coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY island),
+      |             TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      |  FROM dim),
+      |p AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, d.regime,
+      |  d.valid_from AS regime_from, CAST(d.regime_n AS BIGINT) AS regime_n
+      |FROM p LEFT JOIN dim2 d
+      |  ON p.user_id = d.user_id
+      | AND p.ts >= d.valid_from AND p.ts < d.valid_to
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev0 = Tables.events(s, d)
+    val ev = ev0.withColumn("ts", EventStreams.eventTs(ev0))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dim = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("chg",
+        when(not(lag(col("event_type"), 1).over(wOrd) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy("user_id", "event_type", "island")
+      .agg(min("ts").as("ts"), count(lit(1)).cast("long").as("regime_n"))
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("island"),
+        lit(null).cast("long").as("event_id"),
+        struct(col("event_type").as("regime"), col("ts").as("regime_from"),
+          col("regime_n")).as("ver"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast("long").as("island"), col("event_id"),
+        lit(null).cast(dim.schema("ver").dataType).as("ver"))
+    val wLocf = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("island").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("gov", last(col("ver"), ignoreNulls = true).over(wLocf))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("gov.regime").as("regime"),
+        col("gov.regime_from").as("regime_from"),
+        col("gov.regime_n").as("regime_n"))
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53)
+    q49, q50, q51, q52, q53, q54)
 }

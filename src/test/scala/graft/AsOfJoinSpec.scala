@@ -73,4 +73,70 @@ class AsOfJoinSpec extends SparkSpec {
     // and some event has a forward match but no backward one
     assert(q53.values.exists(v => v._1.isEmpty && v._2.nonEmpty))
   }
+
+  test("q54 PIT join: LOCF plan equals an explicit interval range join") {
+    val got = ops.Relational.q54.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some((r.getString(2), r.get(3).toString, r.getLong(4))))).toMap
+    // alternative plan: materialise dim2 with valid_to and range-join it
+    val ev0 = model.Tables.events(spark, sf)
+    val ev = ev0.withColumn("ts", ops.EventStreams.eventTs(ev0))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("user_id").orderBy("island")
+    val dim2 = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("chg",
+        when(not(lag(col("event_type"), 1).over(wOrd) <=> col("event_type")), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy("user_id", "event_type", "island")
+      .agg(min("ts").as("valid_from"), count(lit(1)).cast("long").as("regime_n"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(wLead),
+          lit("9999-12-31 00:00:00")
+            .cast(org.apache.spark.sql.types.TimestampNTZType)))
+    val exp = ev.filter(col("event_type") === "purchase").as("p")
+      .join(dim2.as("v"),
+        col("p.user_id") === col("v.user_id") &&
+          col("p.ts") >= col("v.valid_from") && col("p.ts") < col("v.valid_to"),
+        "left")
+      .select(col("p.event_id"), col("v.event_type"), col("v.valid_from"),
+        col("v.regime_n"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.get(2).toString, r.getLong(3))))).toMap
+    assert(got == exp)
+    assert(got.values.exists(_.isDefined), "vacuous: no purchase matched")
+  }
+
+  test("q54 PIT edge semantics: before-first, inclusive start, zero-width version") {
+    import java.time.LocalDateTime
+    def t(sec: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(LocalDateTime.of(2024, 1, 1, 0, 0, sec))
+    // user 1: purchase before any version; purchase exactly at a version
+    // start; two versions opening at the SAME instant (zero-width first)
+    val rows = Seq(
+      (1L, 1L, t(5), "purchase", 1.0),  // before first version -> NULL
+      (2L, 1L, t(10), "view", 0.0),     // island 0: view @10
+      (3L, 1L, t(20), "purchase", 1.0), // inside view regime
+      (4L, 1L, t(30), "click", 0.0),    // island 1 opens @30
+      (5L, 1L, t(30), "error", 0.0),    // island 2 ALSO opens @30 (zero-width 1)
+      (6L, 1L, t(30), "purchase", 1.0), // at the shared boundary -> error regime
+      (7L, 1L, t(40), "purchase", 1.0)) // later -> still error regime
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast(
+        org.apache.spark.sql.types.TimestampNTZType))
+    val dir = java.nio.file.Files.createTempDirectory("q54edge").toString
+    // q54 reads dir/events.parquet via Tables.events
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Relational.q54.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString)).toMap
+    assert(out(1L).isEmpty, "purchase before first version must be NULL")
+    assert(out(3L).contains("view"))
+    assert(out(6L).contains("error"),
+      "version opening at the fact instant governs it (inclusive start)")
+    assert(out(7L).contains("error"),
+      "zero-width version is superseded by its same-instant successor")
+  }
 }
