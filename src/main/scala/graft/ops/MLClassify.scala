@@ -1259,7 +1259,136 @@ object MLClassify {
     detail.union(overall).orderBy("source")
   }
 
+  // ---------------------------------------------------------------- ml13
+  /** Multivariate linear regression (OLS, closed form) — the REGRESSION
+    * arm the ml tier lacked (ml01–ml12 are all classification-side):
+    * per-order revenue `Σ extendedprice ~ β0 + β1·n_items + β2·sum_qty`
+    * fit by the 2-feature normal equations, solved exactly via Cramer's
+    * rule over integer sufficient statistics. The q36 moment discipline scaled up: every
+    * per-order feature is an exact integer (item count; unit quantities
+    * — integral in this corpus, `round()` pins it; price in cents), the
+    * nine raw moments are order-free integer sums (BIGINT products →
+    * DECIMAL(38,0)/HUGEINT accumulation), and the centered normal-
+    * equation terms A·β = b stay EXACT through Cramer numerators/
+    * determinant (≲10³⁵ at sf 0.1 — 38-digit headroom; a 100× corpus
+    * recentres per-partition first, same dataflow). Only the final
+    * β = num/det divisions touch doubles — one correctly-rounded
+    * conversion + one division each, so coefficients are bit-identical
+    * cross-engine; they quantise to the 1e-9 grid for output.
+    *
+    * Fit quality closes the loop IN-SAMPLE (the operator is the fit;
+    * t09's splits compose for held-out evaluation): each order's
+    * prediction rounds to exact cents, residuals square-sum as integers
+    * (SSE), SST = n·Σy²−(Σy)² likewise, and R² reports in exact ppm —
+    * integer end-to-end, no float accumulation anywhere.
+    *
+    * Scale: one lineitem aggregation keyed by order (map-side partials,
+    * features and target from the same pass), ONE global 1-row moment
+    * reduce, a broadcast scalar attach (q18 pattern) for the prediction
+    * pass, and a second 1-row reduce — no window, no collect, feature
+    * count fixed. */
+  val ml13 = Q("ml13_linear_regression",
+    """WITH xy AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS x1,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM lineitem GROUP BY l_orderkey),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+      |    CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+      |    CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+      |    CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+      |    CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+      |    CAST(sum(x2 * y) AS HUGEINT) AS s2y,
+      |    CAST(sum(y * y) AS HUGEINT) AS syy
+      |  FROM xy),
+      |nrm AS (
+      |  SELECT n, s1, s2, sy, syy,
+      |    n * s11 - s1 * s1 AS a11, n * s12 - s1 * s2 AS a12,
+      |    n * s22 - s2 * s2 AS a22,
+      |    n * s1y - s1 * sy AS b1, n * s2y - s2 * sy AS b2
+      |  FROM m),
+      |beta AS (
+      |  SELECT n, s1, s2, sy, syy,
+      |    CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+      |      / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS beta1,
+      |    CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+      |      / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS beta2
+      |  FROM nrm),
+      |beta0 AS (
+      |  SELECT n, sy, syy, beta1, beta2,
+      |    (CAST(sy AS DOUBLE) - beta1 * CAST(s1 AS DOUBLE)
+      |      - beta2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE) AS beta0
+      |  FROM beta),
+      |sse AS (
+      |  SELECT CAST(sum(CAST((xy.y - CAST(round(b.beta0
+      |      + b.beta1 * CAST(xy.x1 AS DOUBLE)
+      |      + b.beta2 * CAST(xy.x2 AS DOUBLE)) AS BIGINT)) *
+      |    (xy.y - CAST(round(b.beta0
+      |      + b.beta1 * CAST(xy.x1 AS DOUBLE)
+      |      + b.beta2 * CAST(xy.x2 AS DOUBLE)) AS BIGINT)) AS HUGEINT))
+      |    AS HUGEINT) AS sse
+      |  FROM xy CROSS JOIN beta0 b)
+      |SELECT CAST(b.n AS BIGINT) AS n,
+      |  CAST(round(b.beta0 * 1000000000.0) AS BIGINT) AS beta0_nano,
+      |  CAST(round(b.beta1 * 1000000000.0) AS BIGINT) AS beta1_nano,
+      |  CAST(round(b.beta2 * 1000000000.0) AS BIGINT) AS beta2_nano,
+      |  CAST(1000000 - (b.n * e.sse * 1000000)
+      |    // (b.n * b.syy - b.sy * b.sy) AS BIGINT) AS r2_ppm
+      |FROM beta0 b CROSS JOIN sse e""".stripMargin) { (s, d) =>
+    val xy = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("long").as("x1"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).cast("long").as("x2"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).cast("long")
+          .as("y"))
+      .select("x1", "x2", "y")
+    val D = "DECIMAL(38,0)"
+    val m = xy.agg(
+      expr(s"CAST(count(*) AS $D)").as("n"),
+      expr(s"CAST(sum(CAST(x1 AS $D)) AS $D)").as("s1"),
+      expr(s"CAST(sum(CAST(x2 AS $D)) AS $D)").as("s2"),
+      expr(s"CAST(sum(CAST(y AS $D)) AS $D)").as("sy"),
+      expr(s"CAST(sum(CAST(x1 * x1 AS $D)) AS $D)").as("s11"),
+      expr(s"CAST(sum(CAST(x1 * x2 AS $D)) AS $D)").as("s12"),
+      expr(s"CAST(sum(CAST(x2 * x2 AS $D)) AS $D)").as("s22"),
+      expr(s"CAST(sum(CAST(x1 * y AS $D)) AS $D)").as("s1y"),
+      expr(s"CAST(sum(CAST(x2 * y AS $D)) AS $D)").as("s2y"),
+      expr(s"CAST(sum(CAST(y AS $D) * y) AS $D)").as("syy"))
+    val nrm = m.select(col("n"), col("s1"), col("s2"), col("sy"), col("syy"),
+      expr("n * s11 - s1 * s1").as("a11"),
+      expr("n * s12 - s1 * s2").as("a12"),
+      expr("n * s22 - s2 * s2").as("a22"),
+      expr("n * s1y - s1 * sy").as("b1"),
+      expr("n * s2y - s2 * sy").as("b2"))
+    val beta = nrm.select(col("n"), col("s1"), col("s2"), col("sy"),
+      col("syy"),
+      expr("""CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+        | / CAST(a11 * a22 - a12 * a12 AS DOUBLE)""".stripMargin).as("beta1"),
+      expr("""CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+        | / CAST(a11 * a22 - a12 * a12 AS DOUBLE)""".stripMargin).as("beta2"))
+    val beta0 = beta.select(col("n"), col("sy"), col("syy"), col("beta1"),
+      col("beta2"),
+      expr("""(CAST(sy AS DOUBLE) - beta1 * CAST(s1 AS DOUBLE)
+        | - beta2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)""".stripMargin)
+        .as("beta0"))
+    val yhat = "CAST(round(beta0 + beta1 * CAST(x1 AS DOUBLE)" +
+      " + beta2 * CAST(x2 AS DOUBLE)) AS BIGINT)"
+    val sse = xy.crossJoin(broadcast(beta0))
+      .agg(expr(s"CAST(sum(CAST((y - $yhat) * (y - $yhat) AS $D)) AS $D)")
+        .as("sse"))
+    beta0.crossJoin(broadcast(sse))
+      .select(col("n").cast("long").as("n"),
+        expr("CAST(round(beta0 * 1000000000.0) AS BIGINT)").as("beta0_nano"),
+        expr("CAST(round(beta1 * 1000000000.0) AS BIGINT)").as("beta1_nano"),
+        expr("CAST(round(beta2 * 1000000000.0) AS BIGINT)").as("beta2_nano"),
+        expr("""CAST(1000000 - (n * sse * 1000000)
+          | div (n * syy - sy * sy) AS BIGINT)""".stripMargin).as("r2_ppm"))
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12)
+      ml12, ml13)
 }

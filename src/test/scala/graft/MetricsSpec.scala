@@ -409,4 +409,49 @@ class MetricsSpec extends SparkSpec {
     assert(per.map(_._4).distinct.length > 1,
       "all segments identical - slice analysis is vacuous on this corpus")
   }
+
+  test("ml13: OLS fit equals an exact BigInt normal-equation recompute") {
+    val row = ops.MLClassify.ml13.run(spark, sf).collect().head
+    val (n, b0n, b1n, b2n, r2) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    // driver-side recompute from the raw per-order features
+    val xy = model.Tables.lineitem(spark, sf).groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("long").as("x1"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).cast("long").as("x2"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).cast("long")
+          .as("y"))
+      .collect().map(r => (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        BigInt(r.getLong(3))))
+    val bn = BigInt(xy.length)
+    val (s1, s2, sy) = (xy.map(_._1).sum, xy.map(_._2).sum, xy.map(_._3).sum)
+    val s11 = xy.map(t => t._1 * t._1).sum
+    val s12 = xy.map(t => t._1 * t._2).sum
+    val s22 = xy.map(t => t._2 * t._2).sum
+    val s1y = xy.map(t => t._1 * t._3).sum
+    val s2y = xy.map(t => t._2 * t._3).sum
+    val syy = xy.map(t => t._3 * t._3).sum
+    val (a11, a12, a22) = (bn * s11 - s1 * s1, bn * s12 - s1 * s2,
+      bn * s22 - s2 * s2)
+    val (c1, c2) = (bn * s1y - s1 * sy, bn * s2y - s2 * sy)
+    val det = a11 * a22 - a12 * a12
+    val beta1 = (a22 * c1 - a12 * c2).toDouble / det.toDouble
+    val beta2 = (a11 * c2 - a12 * c1).toDouble / det.toDouble
+    val beta0 = (sy.toDouble - beta1 * s1.toDouble - beta2 * s2.toDouble) /
+      bn.toDouble
+    assert(n == xy.length)
+    assert(b0n == math.round(beta0 * 1e9), s"beta0 $b0n vs $beta0")
+    assert(b1n == math.round(beta1 * 1e9), s"beta1 $b1n vs $beta1")
+    assert(b2n == math.round(beta2 * 1e9), s"beta2 $b2n vs $beta2")
+    // exact-integer SSE/SST replay
+    val sse = xy.map { case (x1, x2, y) =>
+      val yh = BigInt(math.round(beta0 + beta1 * x1.toDouble +
+        beta2 * x2.toDouble))
+      (y - yh) * (y - yh)
+    }.sum
+    val sst = bn * syy - sy * sy
+    assert(BigInt(r2) == BigInt(1000000) - (bn * sse * 1000000) / sst)
+    assert(r2 > 500000, s"fit explains under half the variance ($r2 ppm) - " +
+      "target/feature pairing is vacuous")
+    info(s"n=$n r2=${r2 / 10000.0}%")
+  }
 }
