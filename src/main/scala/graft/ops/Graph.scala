@@ -837,6 +837,148 @@ object Graph {
       .orderBy("node")
   }
 
+  // ---------------------------------------------------------------- g11
+  /** 2^53 — the rho=0 scale of the q10c register arithmetic (W=13). */
+  private val AnfShift = 9007199254740992L
+  /** Linear-counting table in micro units: lc[v] = round(16·ln(16/v)·1e6)
+    * for v = 1..16 empty registers — ln PRE-EVALUATED into 16 integer
+    * literals shared by both engines (ml06 rejected runtime `ln` as only
+    * faithfully rounded; a literal table has no rounding at all). */
+  private val AnfLcMicro: IndexedSeq[Long] = (1 to 16).map(v =>
+    math.round(16.0 * math.log(16.0 / v) * 1e6))
+
+  /** Neighborhood function via HLL sketches (HyperANF — Boldi, Rosa &
+    * Vigna 2011): for every node of the g01 bipartite part–supplier
+    * graph, an estimate of |ball(v, r)| — the count of distinct nodes
+    * within ≤ r hops — for r = 0, 1, 2, from a PER-NODE HLL register
+    * vector iterated by max-merge over edges. The sketch×graph
+    * composition that makes reach/centrality computable at 100 TB:
+    * exact per-node reach needs |V|-bit frontiers per node (quadratic
+    * state), while HLL state is m=16 registers per node and the merge
+    * is an order-free `max` — one edge join + one (node, reg) hash agg
+    * per round, the d08/g01 dataflow exactly.
+    *
+    * Determinism end-to-end: registers derive from md5 of the node NAME
+    * (q10c's register/rho arithmetic, W=13), max-merge is exact, and
+    * the estimator is integer fixed-point — q10c's raw-HLL quotient in
+    * micro units, switched to linear counting (Whang et al. 1990,
+    * `m·ln(m/V)` for V empty registers) below the standard 2.5m
+    * small-range threshold, with the ln values pre-evaluated into a
+    * 16-entry integer literal table ([[AnfLcMicro]]) so no runtime
+    * transcendental ever runs: both engines emit identical BIGINTs at
+    * every (node, r). Registers grow monotonically, so sketch state is
+    * bounded and merges are idempotent (re-delivery-safe — the property
+    * streaming/incremental maintenance needs). Estimates at m=16 carry
+    * ~26% standard error by design — the spec pins the REGISTERS to an
+    * exact BFS-ball recompute (a deterministic law) and only sanity-
+    * bands the estimates against exact reach. */
+  val g11 = Q("g11_neighborhood_function", {
+    val lcList = AnfLcMicro.mkString("[", ", ", "]")
+    def est(prev: String, r: Int): String =
+      s"""s$r AS (
+         |  SELECT node, count(*) AS occupied,
+         |    sum((CAST(1 AS BIGINT) << (53 - rho))) AS occ_denom
+         |  FROM $prev GROUP BY node),
+         |e$r AS (
+         |  SELECT node, $r AS r, CAST(occupied AS BIGINT) AS occupied,
+         |    CASE WHEN occupied < 16 AND raw <= 40000000
+         |         THEN ($lcList)[16 - occupied] ELSE raw END AS est_micro
+         |  FROM (
+         |    SELECT node, occupied,
+         |      CAST(least((CAST(673000 AS HUGEINT) * 256 * $AnfShift) //
+         |        (CAST(occ_denom AS HUGEINT) +
+         |         (16 - occupied) * CAST($AnfShift AS HUGEINT)),
+         |        CAST(1000000000000000 AS HUGEINT)) AS BIGINT) AS raw
+         |    FROM s$r))""".stripMargin
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, reg, max(rho) AS rho FROM (
+         |    SELECT node, reg, rho FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.reg, p.rho
+         |    FROM edges e JOIN $prev p ON p.node = e.src) u
+         |  GROUP BY node, reg)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |edges AS (
+       |  SELECT 'p:' || CAST(pk AS VARCHAR) AS src,
+       |         's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT 's:' || CAST(sk AS VARCHAR),
+       |         'p:' || CAST(pk AS VARCHAR) FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (
+       |  SELECT node,
+       |    CAST(CAST('0x' || substr(md5(node), 1, 1) AS BIGINT) AS INT)
+       |      AS reg,
+       |    CAST(CASE WHEN t = '' THEN 53
+       |         ELSE (13 - len(t)) * 4
+       |           + CASE WHEN substr(t, 1, 1) = '1' THEN 3
+       |                  WHEN substr(t, 1, 1) IN ('2', '3') THEN 2
+       |                  WHEN substr(t, 1, 1) IN ('4', '5', '6', '7') THEN 1
+       |                  ELSE 0 END + 1 END AS INT) AS rho
+       |  FROM (SELECT node, ltrim(substr(md5(node), 2, 13), '0') AS t
+       |        FROM nodes)),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${est("r0", 0)},
+       |${est("r1", 1)},
+       |${est("r2", 2)}
+       |SELECT * FROM (
+       |  SELECT * FROM e0 UNION ALL SELECT * FROM e1
+       |  UNION ALL SELECT * FROM e2)
+       |ORDER BY node, r""".stripMargin
+  }) { (s, d) =>
+    val pr0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pName = concat(lit("p:"), col("pk").cast("string"))
+    val sName = concat(lit("s:"), col("sk").cast("string"))
+    val edges = pr0.select(pName.as("src"), sName.as("dst"))
+      .union(pr0.select(sName.as("src"), pName.as("dst")))
+      .localCheckpoint()
+    val h = md5(col("node"))
+    val t = ltrim(substring(h, 2, 13), "0")
+    val d1 = substring(t, 1, 1)
+    val extra = when(d1 === "1", 3)
+      .when(d1.isin("2", "3"), 2)
+      .when(d1.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    var st = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        conv(substring(h, 1, 1), 16, 10).cast("int").as("reg"),
+        when(length(t) === 0, lit(53))
+          .otherwise((lit(13) - length(t)) * 4 + extra + 1)
+          .cast("int").as("rho"))
+      .localCheckpoint()
+    val lcList = AnfLcMicro.mkString("array(", "L, ", "L)")
+    def est(state: DataFrame, r: Int): DataFrame =
+      state.groupBy("node")
+        .agg(count(lit(1)).as("occupied"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).as("occ_denom"))
+        .select(col("node"), lit(r).as("r"),
+          col("occupied").cast("long").as("occupied"),
+          expr(s"""CAST(least((CAST(673000 AS DECIMAL(38,0)) * 256 * $AnfShift)
+            | div (CAST(occ_denom AS DECIMAL(38,0)) +
+            |   (16 - occupied) * CAST($AnfShift AS DECIMAL(38,0))),
+            | CAST(1000000000000000 AS DECIMAL(38,0))) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("raw"))
+        .select(col("node"), col("r"), col("occupied"),
+          when(col("occupied") < 16 && col("raw") <= 40000000L,
+            expr(s"element_at($lcList, CAST(16 - occupied AS INT))"))
+            .otherwise(col("raw")).as("est_micro"))
+    var out = est(st, 0)
+    for (r <- 1 to 2) {
+      st = st
+        .union(edges.join(st.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("reg"), col("rho")))
+        .groupBy("node", "reg").agg(max("rho").cast("int").as("rho"))
+        .localCheckpoint()
+      out = out.union(est(st, r))
+    }
+    out.orderBy("node", "r")
+  }
+
   def all: Seq[Q] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
 }

@@ -317,4 +317,68 @@ class GraphSpec extends SparkSpec {
     info(s"positive-rank nodes ${dist.size} of ${nodes.length}, " +
       s"|seeds|=${seeds.size}")
   }
+
+  test("g11: sketch output equals a sequential BFS-ball + HLL recompute") {
+    val got = ops.Graph.g11.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // sequential reference: exact balls, singleton registers, max-merge
+    val pairs = model.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (s"p:${r.getLong(0)}", s"s:${r.getLong(1)}"))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val nodes = adj.keySet
+    def hex(sd: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(sd.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def sketch(v: String): (Int, Int) = {
+      val h = hex(v)
+      val reg = Integer.parseInt(h.substring(0, 1), 16)
+      val t = h.substring(1, 14).dropWhile(_ == '0')
+      val rho = if (t.isEmpty) 53
+      else (13 - t.length) * 4 + (t.head match {
+        case '1' => 3
+        case '2' | '3' => 2
+        case '4' | '5' | '6' | '7' => 1
+        case _ => 0
+      }) + 1
+      (reg, rho)
+    }
+    val lc = (1 to 16).map(vv => math.round(16.0 * math.log(16.0 / vv) * 1e6))
+    def estOf(regs: Map[Int, Int]): (Long, Long) = {
+      val occupied = regs.size.toLong
+      val denom = regs.values.map(r => BigInt(1) << (53 - r)).sum +
+        BigInt(16 - regs.size) * (BigInt(1) << 53)
+      val raw = ((BigInt(673000) * 256 * (BigInt(1) << 53)) / denom)
+        .min(BigInt("1000000000000000")).toLong
+      val est = if (occupied < 16 && raw <= 40000000L)
+        lc((16 - regs.size) - 1) else raw
+      (occupied, est)
+    }
+    var ball: Map[String, Set[String]] = nodes.map(v => v -> Set(v)).toMap
+    var exact = Map.empty[(String, Int), Int]
+    for (r <- 0 to 2) {
+      if (r > 0) ball = ball.map { case (v, b) =>
+        v -> (b ++ b.flatMap(u => adj.getOrElse(u, Set.empty[String])))
+      }
+      // NOTE: ball grows by the NEIGHBOURS of the previous ball, which
+      // equals radius-r ball by induction
+      nodes.foreach { v =>
+        exact += (v, r) -> ball(v).size
+        val regs = ball(v).map(sketch).groupBy(_._1)
+          .map { case (g, rs) => g -> rs.map(_._2).max }
+        assert(got((v, r)) == estOf(regs), s"node $v r=$r")
+      }
+    }
+    assert(got.size == nodes.size * 3)
+    // estimate sanity at r=1 (pre-saturation): mean |rel err| within the
+    // m=16 sketch's expected band
+    val errs = nodes.toSeq.map { v =>
+      math.abs(got((v, 1))._2 / 1e6 - exact((v, 1))) / exact((v, 1))
+    }
+    val mare = errs.sum / errs.size
+    info(f"r=1 mean abs rel err $mare%.3f over ${nodes.size} nodes")
+    assert(mare < 0.5, f"sketch error $mare%.3f out of band")
+  }
 }
