@@ -1144,6 +1144,103 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  // ---------------------------------------------------------------- d19
+  /** Content-defined chunking dedup (Rabin/FastCDC-class, Muthitacharoen
+    * et al. 2001 LBFS) — the STORAGE-granularity dedup arm d01–d18 lack:
+    * instead of whole documents (d01) or similarity pairs (d02+), split
+    * every document at content-determined byte positions and deduplicate
+    * the CHUNKS corpus-wide — the mechanism behind dedup storage,
+    * delta-sync, and chunk-level corpus diffing, and the reason inserts
+    * don't re-shift every boundary (a fixed-width blocking would).
+    *
+    * Boundary rule: cut AFTER byte position p+7 wherever the k=8-gram
+    * hash at p (t05's md5 60-bit head family) ≡ 0 (mod 32) — expected
+    * chunk ≈ 32 bytes on random text. The predicate is position-LOCAL
+    * (no min/max-size clamp, which would make boundaries depend on
+    * earlier boundaries — this variant keeps the boundary set
+    * embarrassingly parallel and the oracle exact; a clamped FastCDC
+    * adds a per-doc sequential pass with the same downstream dataflow).
+    * Chunking is doc-local higher-order-function work — sequence →
+    * filter(hash ≡ 0) → cut arrays → zip_with spans — zero shuffle
+    * until chunks exist. Ownership: the corpus-wide first occurrence
+    * (min packed `doc_id·10⁶ + pos`) owns each distinct chunk; every
+    * other instance is dup. One shuffle keyed by chunk hash (state =
+    * distinct chunks, the dedup-storage index), one doc-keyed join for
+    * source attribution, then a ≤|sources|-row rollup: per source,
+    * chunk/byte counts, dup chunks/bytes and dup ppm — the byte-level
+    * savings ledger an archiver reports. */
+  val d19 = Q("d19_cdc_chunks",
+    """WITH b AS (
+      |  SELECT doc_id, list_sort(list(i + 8)) AS cuts FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, len(text) - 7)) AS i
+      |    FROM documents) g
+      |  WHERE CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15) AS BIGINT)
+      |        % 32 = 0
+      |  GROUP BY doc_id),
+      |c AS (
+      |  SELECT d.doc_id, d.source, d.text,
+      |    list_prepend(1, coalesce(b.cuts, [])) AS starts,
+      |    list_append(coalesce(b.cuts, []), len(d.text) + 1) AS ends
+      |  FROM documents d LEFT JOIN b USING (doc_id)),
+      |ks AS (
+      |  SELECT doc_id, source, text, starts, ends,
+      |    unnest(generate_series(1, len(starts))) AS k
+      |  FROM c),
+      |ch AS (
+      |  SELECT doc_id, source, starts[k] AS pos,
+      |    ends[k] - starts[k] AS clen,
+      |    md5(substr(text, starts[k], ends[k] - starts[k])) AS chash
+      |  FROM ks WHERE ends[k] > starts[k]),
+      |own AS (
+      |  SELECT chash, min(doc_id * 1000000 + pos) AS owner_key
+      |  FROM ch GROUP BY chash)
+      |SELECT ch.source,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(ch.clen) AS BIGINT) AS bytes,
+      |  CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.pos <> o.owner_key
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+      |  CAST(sum(CASE WHEN ch.doc_id * 1000000 + ch.pos <> o.owner_key
+      |                THEN ch.clen ELSE 0 END) AS BIGINT) AS dup_bytes,
+      |  CAST((sum(CASE WHEN ch.doc_id * 1000000 + ch.pos <> o.owner_key
+      |                 THEN ch.clen ELSE 0 END) * 1000000)
+      |    // sum(ch.clen) AS BIGINT) AS dup_bytes_ppm
+      |FROM ch JOIN own o USING (chash)
+      |GROUP BY ch.source
+      |ORDER BY ch.source""".stripMargin) { (s, d) =>
+    val gramHash = "CAST(conv(substr(md5(substring(text, p, 8)), 1, 15)," +
+      " 16, 10) AS BIGINT)"
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        expr(s"""transform(filter(sequence(1, greatest(length(text) - 7, 1)),
+          |  p -> p <= length(text) - 7 AND $gramHash % 32 = 0),
+          |  p -> p + 8)""".stripMargin.replace("\n", " ")).as("cuts"))
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("concat(array(1), cuts)").as("starts"),
+        expr("concat(cuts, array(length(text) + 1))").as("ends"))
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(expr("filter(zip_with(starts, ends," +
+          " (s, e) -> named_struct('s', s, 'e', e)), c -> c.e > c.s)"))
+          .as("span"))
+      .select(col("doc_id"), col("source"), col("span.s").as("pos"),
+        (col("span.e") - col("span.s")).as("clen"),
+        expr("md5(substring(text, span.s, span.e - span.s))").as("chash"))
+    val own = ch.groupBy("chash")
+      .agg(min(col("doc_id") * 1000000 + col("pos")).as("owner_key"))
+    val isDup = (col("doc_id") * 1000000 + col("pos")) =!= col("owner_key")
+    ch.join(own, "chash")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("clen")).cast("long").as("bytes"),
+        sum(when(isDup, 1L).otherwise(0L)).cast("long").as("dup_chunks"),
+        sum(when(isDup, col("clen")).otherwise(0L)).cast("long")
+          .as("dup_bytes"))
+      .select(col("source"), col("n_chunks"), col("bytes"), col("dup_chunks"),
+        col("dup_bytes"),
+        expr("(dup_bytes * 1000000) DIV bytes").as("dup_bytes_ppm"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19)
 }

@@ -322,4 +322,63 @@ class DedupSpec extends SparkSpec {
     assert(pref.groupBy("doc_id").count().join(counts, "doc_id")
       .filter(col("count") < col("c")).count() > 0)
   }
+
+  test("d19 CDC chunking: tiling, boundary, shift-robustness, and ledger laws") {
+    val docs = model.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def hex(sd: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(sd.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def gram60(g: String): Long =
+      java.lang.Long.parseLong(hex(g).substring(0, 15), 16)
+    // sequential reference chunker
+    def chunks(text: String): Seq[(Int, String)] = {
+      val cuts = (1 to text.length - 7)
+        .filter(p => gram60(text.substring(p - 1, p + 7)) % 32 == 0)
+        .map(_ + 8)
+      val starts = 1 +: cuts
+      val ends = cuts :+ (text.length + 1)
+      starts.zip(ends).filter { case (s, e) => e > s }
+        .map { case (s, e) => (s, text.substring(s - 1, e - 1)) }
+    }
+    val ref = docs.map { case (id, src, text) =>
+      val cs = chunks(text)
+      // tiling law: chunks reassemble the document byte for byte
+      assert(cs.map(_._2).mkString == text, s"doc $id does not tile")
+      (id, src, cs)
+    }
+    // shift-robustness: prepending a byte re-chunks only the PREFIX -
+    // every boundary-to-boundary chunk of the original survives (the
+    // property fixed-width blocking lacks, and the reason CDC exists)
+    val sample = docs.head._3
+    val shifted = "X" + sample
+    val origSet = chunks(sample).map(_._2).toSet
+    val shiftSet = chunks(shifted).map(_._2).toSet
+    val interior = chunks(sample).drop(1).map(_._2)
+    assert(interior.forall(shiftSet.contains),
+      "interior chunks must survive a 1-byte prefix insertion")
+    assert(!origSet.subsetOf(shiftSet) || chunks(sample).size <= 1 ||
+      shiftSet != origSet, "shift produced identical chunking - vacuous")
+    // ledger law: the catalog rollup equals the sequential ledger
+    val all = ref.flatMap { case (id, src, cs) =>
+      cs.map { case (pos, c) => (id, src, pos, c.length.toLong, hex(c)) }
+    }
+    val ownerOf = all.groupBy(_._5)
+      .map { case (h, is) => h -> is.map(i => i._1 * 1000000L + i._3).min }
+    val expected = all.groupBy(_._2).map { case (src, is) =>
+      val dup = is.filter(i => i._1 * 1000000L + i._3 != ownerOf(i._5))
+      val bytes = is.map(_._4).sum
+      val dupBytes = dup.map(_._4).sum
+      src -> ((is.size.toLong, bytes, dup.size.toLong, dupBytes,
+        dupBytes * 1000000L / bytes))
+    }
+    val got = ops.Dedup.d19.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 > 0), "no dup chunks anywhere - vacuous")
+    info(s"corpus dup bytes ppm range ${got.values.map(_._5).min}.." +
+      s"${got.values.map(_._5).max}")
+  }
 }
