@@ -2366,9 +2366,143 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Declarative data-quality constraint audit — the expectations pass
+    * (Great Expectations / dbt-test / Deequ class) every ingestion gate
+    * runs before publishing a 100 TB batch: a fixed rule book evaluated
+    * set-wise, one result row per rule with checked/violation counts,
+    * exact-ppm violation rate, and a DETERMINISTIC sample key (the
+    * minimum offending key — a reproducible repro pointer, not a random
+    * exemplar). Violations are REPORTED, never filtered — the audit is
+    * the publish/quarantine decision input (in03 is the row-level
+    * quarantine arm).
+    *
+    * Rule classes and their plan shapes, each the cheapest dataflow for
+    * its class:
+    *  - row-local predicates (quantity range, discount cap, flag
+    *    domain): ONE fused lineitem pass — conditional count + min
+    *    aggregates, map-side combined, then a 1-row → 3-row explode;
+    *    adding a rule adds columns, never scans;
+    *  - key uniqueness ((orderkey, linenumber)): one keyed hash agg,
+    *    groups-with-count>1;
+    *  - referential integrity (lineitem→orders, orders→customer): a
+    *    distinct-key left join probing for misses (bloom/broadcast at
+    *    scale — the q45 machinery);
+    *  - cross-table business law (no lineitem ships before its order is
+    *    placed): the co-partitioned orderkey equi join.
+    * On this corpus four rules fire (dup line numbers, early ships,
+    * range/cap breaches) and three hold — the audit distinguishes dirty
+    * from clean rather than rubber-stamping either. */
+  val q55 = Q("q55_constraint_audit",
+    """WITH rowlocal AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 40) THEN 1 ELSE 0 END) AS v_qty,
+      |    min(CASE WHEN NOT (l_quantity BETWEEN 1 AND 40) THEN l_orderkey END) AS k_qty,
+      |    sum(CASE WHEN l_discount > 0.07 THEN 1 ELSE 0 END) AS v_disc,
+      |    min(CASE WHEN l_discount > 0.07 THEN l_orderkey END) AS k_disc,
+      |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_flag,
+      |    min(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN l_orderkey END) AS k_flag
+      |  FROM lineitem),
+      |uniq AS (
+      |  SELECT count(*) AS n, sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS v,
+      |    min(CASE WHEN c > 1 THEN l_orderkey END) AS k
+      |  FROM (SELECT l_orderkey, l_linenumber, count(*) AS c
+      |        FROM lineitem GROUP BY 1, 2)),
+      |ri_li AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v,
+      |    min(CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS k
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) d
+      |  LEFT JOIN orders ON o_orderkey = d.l_orderkey),
+      |ri_ord AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS v,
+      |    min(CASE WHEN c_custkey IS NULL THEN o_orderkey END) AS k
+      |  FROM orders LEFT JOIN customer ON c_custkey = o_custkey),
+      |law AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS v,
+      |    min(CASE WHEN l_shipdate < o_orderdate THEN l_orderkey END) AS k
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |stacked AS (
+      |  SELECT 'li_qty_range' AS constraint_name, n, v_qty AS v, k_qty AS k FROM rowlocal
+      |  UNION ALL
+      |  SELECT 'li_discount_max', n, v_disc, k_disc FROM rowlocal
+      |  UNION ALL
+      |  SELECT 'li_flag_domain', n, v_flag, k_flag FROM rowlocal
+      |  UNION ALL SELECT 'li_line_unique', n, v, k FROM uniq
+      |  UNION ALL SELECT 'li_order_ri', n, v, k FROM ri_li
+      |  UNION ALL SELECT 'ord_cust_ri', n, v, k FROM ri_ord
+      |  UNION ALL SELECT 'li_ship_after_order', n, v, k FROM law)
+      |SELECT constraint_name, CAST(n AS BIGINT) AS n_checked,
+      |  CAST(v AS BIGINT) AS n_violations,
+      |  CAST((v * 1000000) // n AS BIGINT) AS violation_ppm,
+      |  CAST(k AS BIGINT) AS sample_key
+      |FROM stacked ORDER BY constraint_name""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val rowlocal = li.agg(count(lit(1)).as("n"),
+      sum(when(not(col("l_quantity").between(1, 40)), 1).otherwise(0))
+        .as("v_qty"),
+      min(when(not(col("l_quantity").between(1, 40)), col("l_orderkey")))
+        .as("k_qty"),
+      sum(when(col("l_discount") > 0.07, 1).otherwise(0)).as("v_disc"),
+      min(when(col("l_discount") > 0.07, col("l_orderkey"))).as("k_disc"),
+      sum(when(not(col("l_returnflag").isin("A", "N", "R")), 1).otherwise(0))
+        .as("v_flag"),
+      min(when(not(col("l_returnflag").isin("A", "N", "R")),
+        col("l_orderkey"))).as("k_flag"))
+    val local3 = rowlocal.select(explode(array(
+      expr("named_struct('constraint_name', 'li_qty_range', 'n', n," +
+        " 'v', v_qty, 'k', k_qty)"),
+      expr("named_struct('constraint_name', 'li_discount_max', 'n', n," +
+        " 'v', v_disc, 'k', k_disc)"),
+      expr("named_struct('constraint_name', 'li_flag_domain', 'n', n," +
+        " 'v', v_flag, 'k', k_flag)"))).as("r"))
+      .select("r.constraint_name", "r.n", "r.v", "r.k")
+    val uniq = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") > 1, 1).otherwise(0)).as("v"),
+        min(when(col("c") > 1, col("l_orderkey"))).as("k"))
+      .select(lit("li_line_unique").as("constraint_name"),
+        col("n"), col("v"), col("k"))
+    val riLi = li.select("l_orderkey").distinct()
+      .join(ord.select("o_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("v"),
+        min(when(col("o_orderkey").isNull, col("l_orderkey"))).as("k"))
+      .select(lit("li_order_ri").as("constraint_name"),
+        col("n"), col("v"), col("k"))
+    val riOrd = ord
+      .join(Tables.customer(s, d).select("c_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("v"),
+        min(when(col("c_custkey").isNull, col("o_orderkey"))).as("k"))
+      .select(lit("ord_cust_ri").as("constraint_name"),
+        col("n"), col("v"), col("k"))
+    val law = li.join(ord, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1).otherwise(0))
+          .as("v"),
+        min(when(col("l_shipdate") < col("o_orderdate"), col("l_orderkey")))
+          .as("k"))
+      .select(lit("li_ship_after_order").as("constraint_name"),
+        col("n"), col("v"), col("k"))
+    local3.unionByName(uniq).unionByName(riLi).unionByName(riOrd)
+      .unionByName(law)
+      .select(col("constraint_name"), col("n").cast("long").as("n_checked"),
+        col("v").cast("long").as("n_violations"),
+        expr("(CAST(v AS BIGINT) * 1000000L) DIV n").as("violation_ppm"),
+        col("k").cast("long").as("sample_key"))
+      .orderBy("constraint_name")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54)
+    q49, q50, q51, q52, q53, q54, q55)
 }

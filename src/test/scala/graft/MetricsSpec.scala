@@ -454,4 +454,53 @@ class MetricsSpec extends SparkSpec {
       "target/feature pairing is vacuous")
     info(s"n=$n r2=${r2 / 10000.0}%")
   }
+
+  test("q55 constraint audit equals a sequential rule-book replay") {
+    val got = ops.Relational.q55.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val li = model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        r.getDouble(2), r.getDouble(3), r.getString(4), r.get(5).toString))
+    val ord = model.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+    val cust = model.Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    def row(n: Long, viol: Seq[Long]): (Long, Long, Long, Option[Long]) =
+      (n, viol.size.toLong, viol.size.toLong * 1000000L / n,
+        viol.minOption)
+    val expected = Map(
+      "li_qty_range" -> row(li.length,
+        li.filter(r => r._3 < 1 || r._3 > 40).map(_._1).toSeq),
+      "li_discount_max" -> row(li.length,
+        li.filter(_._4 > 0.07).map(_._1).toSeq),
+      "li_flag_domain" -> row(li.length,
+        li.filterNot(r => Set("A", "N", "R")(r._5)).map(_._1).toSeq),
+      "li_line_unique" -> {
+        val g = li.groupBy(r => (r._1, r._2))
+        row(g.size.toLong, g.filter(_._2.length > 1).keys.toSeq.map(_._1))
+      },
+      "li_order_ri" -> {
+        val oks = ord.map(_._1).toSet
+        val dk = li.map(_._1).distinct
+        row(dk.length, dk.filterNot(oks).toSeq)
+      },
+      "ord_cust_ri" -> row(ord.length,
+        ord.filterNot(o => cust(o._2)).map(_._1).toSeq),
+      "li_ship_after_order" -> {
+        val od = ord.map(o => o._1 -> o._3).toMap
+        row(li.length, li.filter(r => r._6 < od(r._1)).map(_._1).toSeq)
+      })
+    assert(got == expected)
+    // the audit must separate dirty from clean on this corpus
+    assert(got.values.count(_._2 > 0) >= 3, "too few firing rules - vacuous")
+    assert(got.values.count(_._2 == 0) >= 2, "no clean rules - rule book broken")
+    // sample keys: present iff violations exist
+    got.foreach { case (c, (_, v, _, k)) =>
+      assert(k.isDefined == (v > 0), s"rule $c sample-key presence")
+    }
+  }
 }
