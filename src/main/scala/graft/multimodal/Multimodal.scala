@@ -265,6 +265,36 @@ object Multimodal {
     encodeWav(out, rate / k)
   }
 
+  /** Linear-interpolation sample-rate conversion by the rational
+    * `num/den` (the polyphase resampler's arithmetic core; a production
+    * chain adds an anti-alias convolution before it — [[decimateWav]]'s
+    * scaladoc note, upgraded from index-selection to interpolation).
+    * Output sample j sits at input position `j·den/num`: split into
+    * integer part i and remainder r, the sample is the EXACT integer
+    * convex combination `(s[i]·(num−r) + s[i+1]·r) / num` with the
+    * final division truncated toward zero via the sign-split that keeps
+    * Java and SQL floor-division in agreement ([[gainWav]]'s trick).
+    * The last input sample clamps the i+1 lookup (hold extrapolation).
+    * Interpolation never leaves [min(s), max(s)], so no clipping stage
+    * is needed. */
+  def resampleWav(bytes: Array[Byte], num: Int, den: Int): Array[Byte] = {
+    require(num > 0 && den > 0, "resample ratio must be a positive rational")
+    val (rate, s) = wavSamples(bytes)
+    val nOut = (s.length.toLong * num / den).toInt
+    val out = new Array[Short](nOut)
+    var j = 0
+    while (j < nOut) {
+      val posNum = j.toLong * den
+      val i = (posNum / num).toInt
+      val r = posNum % num
+      val s1 = s(math.min(i + 1, s.length - 1))
+      val t = s(i).toLong * (num - r) + s1.toLong * r
+      out(j) = (if (t < 0) -((-t) / num) else t / num).toShort
+      j += 1
+    }
+    encodeWav(out, (rate.toLong * num / den).toInt)
+  }
+
   /** Valid binary PPM (P6): ASCII header + seed-derived RGB bytes (LCG,
     * deterministic). */
   def syntheticPpm(seed: Long, w: Int = 16, h: Int = 12): Array[Byte] = {
@@ -1728,6 +1758,49 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- mm17
+  /** REAL audio resampling: WAV synth → 3/2 linear-interpolation
+    * sample-rate conversion (8 kHz → 12 kHz) → decode of the RESAMPLED
+    * bytes. Completes the audio-kernel set (mm04 decode, mm06 framing,
+    * mm08 gain+decimate, mm14 correlators) with the INTERPOLATING
+    * stage every mixed-rate corpus needs before batching — decimation
+    * only ever divides the rate; training audio must meet a target
+    * rate exactly. Fully oracled the mm08 way: DuckDB replays the
+    * sample LCG and applies the identical integer convex combination
+    * `(s[i]·(3−r) + s[i+1]·r) // 3` (sign-split division; i, r from
+    * `j·2 divmod 3`; last-sample hold), so interpolation arithmetic,
+    * clamping, and the re-encoded payload's stats are all cross-engine
+    * bit-exact; Σd² < 2⁵³ keeps the RMS double exact. Per-doc local
+    * work in one `mapPartitions` pass — zero shuffle before the final
+    * sort, the mm04 dataflow. */
+  val mm17 = Q("mm17_wav_resample",
+    s"""WITH RECURSIVE ${pcmCte(800)},
+       |res AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN t < 0 THEN -((-t) // 3) ELSE t // 3 END AS d
+       |  FROM (
+       |    SELECT p0.doc_id, g.j,
+       |      p0.s * (3 - (g.j * 2) % 3) + p1.s * ((g.j * 2) % 3) AS t
+       |    FROM (SELECT unnest(range(1200)) AS j) g
+       |    JOIN pcm p0 ON p0.i = (g.j * 2) // 3
+       |    JOIN pcm p1 ON p1.doc_id = p0.doc_id
+       |      AND p1.i = least((g.j * 2) // 3 + 1, 799)))
+       |SELECT doc_id, CAST(12000 AS INTEGER) AS sample_rate,
+       |  CAST(1200 AS INTEGER) AS n_samples,
+       |  CAST(max(abs(d)) AS INTEGER) AS peak,
+       |  sqrt(CAST(sum(d * d) AS DOUBLE) / 1200) AS rms
+       |FROM res GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        val info = decodeWav(resampleWav(syntheticWav(id), 3, 2))
+        (id, info.sample_rate, info.n_samples, info.peak, info.rms)
+      })
+      .toDF("doc_id", "sample_rate", "n_samples", "peak", "rms")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13, mm14, mm15, mm16)
+    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17)
 }

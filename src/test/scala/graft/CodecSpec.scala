@@ -421,4 +421,36 @@ class CodecSpec extends SparkSpec {
     assert(direct._3 == 0L && direct._4 == 255L,
       s"random 192-pixel image should span the full range: $direct")
   }
+
+  test("resampleWav laws: identity, rate, copies, midpoints, decimation") {
+    import graft.multimodal.Multimodal
+    val wav = Multimodal.syntheticWav(7L, nSamples = 100)
+    val (rate, s) = Multimodal.wavSamples(wav)
+    // identity: num = den reproduces the signal and the rate exactly
+    val (idRate, idS) = Multimodal.wavSamples(
+      Multimodal.resampleWav(wav, 5, 5))
+    assert(idRate == rate && idS.sameElements(s))
+    // 3/2 upsample: length + rate law, and every r=0 position copies
+    val (upRate, up) = Multimodal.wavSamples(
+      Multimodal.resampleWav(wav, 3, 2))
+    assert(upRate == rate * 3 / 2 && up.length == s.length * 3 / 2)
+    (0 until up.length by 3).foreach { j =>
+      assert(up(j) == s(j * 2 / 3), s"copy position $j")
+    }
+    // 2/1 upsample: odd positions are exact truncated midpoints
+    val (_, dbl) = Multimodal.wavSamples(Multimodal.resampleWav(wav, 2, 1))
+    (0 until s.length - 1).foreach { k =>
+      val t = s(k).toLong + s(k + 1)
+      val mid = if (t < 0) -((-t) / 2) else t / 2
+      assert(dbl(2 * k) == s(k) && dbl(2 * k + 1) == mid.toShort)
+    }
+    // last-sample hold: the final interpolation clamps to s.last
+    assert(dbl.last == s.last)
+    // 1/2 downsample degenerates to decimation (r is always 0)
+    val (_, half) = Multimodal.wavSamples(Multimodal.resampleWav(wav, 1, 2))
+    val (_, dec) = Multimodal.wavSamples(Multimodal.decimateWav(wav, 2))
+    assert(half.sameElements(dec))
+    // interpolation never leaves the input envelope
+    assert(up.max <= s.max && up.min >= s.min)
+  }
 }
