@@ -646,4 +646,61 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan.take(1200))
     assert(!plan.contains("SortAggregate"), plan.take(800))
   }
+
+  test("q54: PIT join is window LOCF over a union - zero joins in the plan") {
+    // the range-join formulation would show a Join with a range
+    // condition (or worse, a nested loop); the shipped plan must not
+    // contain ANY join operator - versions attach by window carry
+    val plan = executedPlan("q54_pit_join")
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      plan.take(1500))
+    // every shuffle is user-keyed (plus the final presentation sort)
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
+
+  test("q55: row-local rules fuse into ONE lineitem scan; RI probes never nested-loop") {
+    val plan = executedPlan("q55_constraint_audit")
+    // the three row-local rules must share ONE scan: l_quantity is read
+    // only by that fused pass, so exactly one scan projects it (an
+    // unfused rule-per-scan plan would show three)
+    val qtyScans = "FileScan parquet".r.findAllIn(plan).matchData
+      .count { m =>
+        val tail = plan.substring(m.start, math.min(plan.length, m.start + 600))
+        tail.contains("l_quantity")
+      }
+    assert(qtyScans == 1, s"expected 1 fused row-local scan, got $qtyScans")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1500))
+    // the explode of the fused 1-row pass is a Generate, not a re-agg
+    assert(plan.contains("Generate explode"), plan.take(1500))
+  }
+
+  test("ml13: regression is hash aggs + broadcast scalar attach - no window, no sort-agg") {
+    val plan = executedPlan("ml13_linear_regression")
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("SortAggregate"), plan.take(1200))
+    // the betas reach the scoring pass by broadcast, not a shuffle join
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+  }
+
+  test("d19: chunking is generate + one chunk-hash agg - no corpus window") {
+    val plan = executedPlan("d19_cdc_chunks")
+    assert(plan.contains("Generate explode"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
+
+  test("g11: every round is an equi-join + hash agg; registers never sort-agg") {
+    // audit one merge round's dataflow (the Q truncates lineage per
+    // round with localCheckpoint, hiding earlier rounds from the plan)
+    val plan = executedPlan("g11_neighborhood_function")
+    assert(plan.contains("HashAggregate"), plan.take(1200))
+    assert(!plan.contains("SortAggregate"), plan.take(1200))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
 }
