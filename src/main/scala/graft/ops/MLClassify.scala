@@ -1388,7 +1388,117 @@ object MLClassify {
           | div (n * syy - sy * sy) AS BIGINT)""".stripMargin).as("r2_ppm"))
   }
 
+  // ---------------------------------------------------------------- ml14
+  /** Exact decision-stump split finding — the CART/GBDT inner loop
+    * (Breiman et al. 1984; the histogram kernel of LightGBM/XGBoost):
+    * for every candidate `(feature, threshold)` partition of lineitem
+    * rows into `value ≤ θ` / `value > θ`, score class purity and elect
+    * the best split. The class is the revenue band (`extendedprice >
+    * 5000`, a fixed literal), so quantity genuinely separates it and
+    * the elected cut is informative, not a coin flip (the spec pins a
+    * measurable purity gain over the no-split baseline). The tree-learning arm the ml tier lacked — ml06
+    * fits centroids, ml13 fits a hyperplane; this finds the optimal
+    * axis-aligned CUT, the primitive every boosted-tree round calls
+    * millions of times.
+    *
+    * Purity score is the Gini-equivalent `Σ_side ⌊Σ_c n_sc²·10¹²/n_side⌋`
+    * (maximising it minimises weighted Gini impurity) — EXACT integer
+    * end-to-end: class-count histograms are integers, squares accumulate
+    * in DECIMAL(38,0)/HUGEINT, each side floors ONE division, and the
+    * winner is elected under the total order (score DESC, feature,
+    * threshold) — both engines surface the identical split table and
+    * the identical chosen row, no float ever compared.
+    *
+    * Scale shape — the LightGBM histogram trick: the ONLY corpus-sized
+    * work is one fused scan building `(feature, bin, class)` counts
+    * (both features explode from the same row → one pass; map-side
+    * combined; features here are already integral, a continuous
+    * feature first bins by the q19c quantile sketch). Everything after
+    * is bins-sized: the threshold×class grid, cumulative-left sums via
+    * a ≤bins join, and a ~59-row window for the election. Deeper trees
+    * re-run the same kernel on row subsets; more features add explode
+    * branches, never scans. */
+  val ml14 = Q("ml14_split_finding",
+    """WITH lab AS (
+      |  SELECT l_quantity, l_discount,
+      |    CASE WHEN l_extendedprice > 5000 THEN 'hi' ELSE 'lo' END AS cls
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT 'qty' AS feat, CAST(round(l_quantity) AS BIGINT) AS v, cls
+      |  FROM lab
+      |  UNION ALL
+      |  SELECT 'disc', CAST(round(l_discount * 100) AS BIGINT), cls
+      |  FROM lab),
+      |cnt AS (SELECT feat, v, cls, count(*) AS c FROM f GROUP BY 1, 2, 3),
+      |grid AS (SELECT DISTINCT feat, v FROM cnt),
+      |tot AS (SELECT feat, cls, sum(c) AS tc FROM cnt GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT g.feat, g.v AS theta, t.cls, t.tc
+      |  FROM grid g JOIN tot t ON t.feat = g.feat),
+      |cum AS (
+      |  SELECT p.feat, p.theta, p.cls, p.tc, coalesce(sum(c.c), 0) AS lc
+      |  FROM pairs p LEFT JOIN cnt c
+      |    ON c.feat = p.feat AND c.cls = p.cls AND c.v <= p.theta
+      |  GROUP BY p.feat, p.theta, p.cls, p.tc),
+      |agg AS (
+      |  SELECT feat, theta, sum(lc) AS nl, sum(tc - lc) AS nr,
+      |    sum(CAST(lc AS HUGEINT) * lc) AS sl2,
+      |    sum(CAST(tc - lc AS HUGEINT) * (tc - lc)) AS sr2
+      |  FROM cum GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT feat, theta, nl, nr,
+      |    CAST((sl2 * 1000000000000) // nl
+      |       + (sr2 * 1000000000000) // nr AS BIGINT) AS score
+      |  FROM agg WHERE nr > 0)
+      |SELECT feat AS feature, CAST(theta AS BIGINT) AS threshold,
+      |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right, score,
+      |  CAST(CASE WHEN row_number()
+      |         OVER (ORDER BY score DESC, feat, theta) = 1
+      |       THEN 1 ELSE 0 END AS INTEGER) AS chosen
+      |FROM sc ORDER BY feature, threshold""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.lineitem(s, d)
+      .withColumn("cls",
+        when(col("l_extendedprice") > 5000, "hi").otherwise("lo"))
+      .select(explode(expr(
+        """array(named_struct('feat', 'qty',
+          |  'v', CAST(round(l_quantity) AS BIGINT), 'cls', cls),
+          |named_struct('feat', 'disc',
+          |  'v', CAST(round(l_discount * 100) AS BIGINT), 'cls', cls))"""
+          .stripMargin.replace("\n", " "))).as("r"))
+      .select("r.feat", "r.v", "r.cls")
+    val cnt = f.groupBy("feat", "v", "cls").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val grid = cnt.select("feat", "v").distinct()
+    val tot = cnt.groupBy("feat", "cls").agg(sum("c").as("tc"))
+    val pairs = grid.withColumnRenamed("v", "theta")
+      .join(tot, "feat")
+    val cum = pairs
+      .join(cnt.select(col("feat"), col("cls"), col("v"), col("c")),
+        Seq("feat", "cls"), "left")
+      .withColumn("cIn", when(col("v") <= col("theta"), col("c")))
+      .groupBy("feat", "theta", "cls", "tc")
+      .agg(coalesce(sum("cIn"), lit(0L)).as("lc"))
+    val D = "DECIMAL(38,0)"
+    val agg0 = cum.groupBy("feat", "theta")
+      .agg(sum("lc").as("nl"), sum(col("tc") - col("lc")).as("nr"),
+        sum(expr(s"CAST(lc AS $D) * lc")).as("sl2"),
+        sum(expr(s"CAST(tc - lc AS $D) * (tc - lc)")).as("sr2"))
+      .filter(col("nr") > 0)
+    val w = Window.orderBy(col("score").desc, col("feat"), col("theta"))
+    agg0.select(col("feat"), col("theta"), col("nl"), col("nr"),
+      expr("""CAST((sl2 * 1000000000000) div nl
+        | + (sr2 * 1000000000000) div nr AS BIGINT)""".stripMargin)
+        .as("score"))
+      .withColumn("chosen",
+        when(row_number().over(w) === 1, 1).otherwise(0).cast("int"))
+      .select(col("feat").as("feature"), col("theta").cast("long")
+          .as("threshold"), col("nl").cast("long").as("n_left"),
+        col("nr").cast("long").as("n_right"), col("score"), col("chosen"))
+      .orderBy("feature", "threshold")
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13)
+      ml12, ml13, ml14)
 }

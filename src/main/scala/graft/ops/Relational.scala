@@ -2329,7 +2329,9 @@ object Relational {
       |p AS (SELECT event_id, user_id, ts FROM events
       |      WHERE event_type = 'purchase')
       |SELECT p.event_id, p.user_id, d.regime,
-      |  d.valid_from AS regime_from, CAST(d.regime_n AS BIGINT) AS regime_n
+      |  coalesce(d.valid_from, TIMESTAMP '9999-12-31 00:00:00')
+      |    AS regime_from,
+      |  CAST(d.regime_n AS BIGINT) AS regime_n
       |FROM p LEFT JOIN dim2 d
       |  ON p.user_id = d.user_id
       | AND p.ts >= d.valid_from AND p.ts < d.valid_to
@@ -2361,7 +2363,11 @@ object Relational {
       .withColumn("gov", last(col("ver"), ignoreNulls = true).over(wLocf))
       .filter(col("tag") === 1)
       .select(col("event_id"), col("user_id"), col("gov.regime").as("regime"),
-        col("gov.regime_from").as("regime_from"),
+        // no-match sentinel instead of a NULL timestamp (the st04
+        // convention; regime/regime_n stay NULL as the match flags)
+        coalesce(col("gov.regime_from"), lit("9999-12-31 00:00:00")
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+          .as("regime_from"),
         col("gov.regime_n").as("regime_n"))
       .orderBy("event_id")
   }

@@ -503,4 +503,49 @@ class MetricsSpec extends SparkSpec {
       assert(k.isDefined == (v > 0), s"rule $c sample-key presence")
     }
   }
+
+  test("ml14: split table equals an exact BigInt recompute; the cut is informative") {
+    val got = ops.MLClassify.ml14.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    val rows = model.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_discount", "l_extendedprice").collect()
+      .map(r => (math.round(r.getDouble(0)), math.round(r.getDouble(1) * 100),
+        if (r.getDouble(2) > 5000) "hi" else "lo"))
+    val S = BigInt(1000000000000L)
+    def splits(feat: String, vs: Array[(Long, String)]) = {
+      val hist = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val classes = vs.map(_._2).distinct.sorted
+      val thetas = vs.map(_._1).distinct.sorted
+      thetas.map { th =>
+        val lc = classes.map(c => hist.collect {
+          case ((v, `c`), n) if v <= th => n }.sum)
+        val rc = classes.map(c => hist.collect {
+          case ((v, `c`), n) if v > th => n }.sum)
+        val (nl, nr) = (lc.sum, rc.sum)
+        val score = if (nr == 0) BigInt(-1)
+        else lc.map(x => BigInt(x) * x).sum * S / nl +
+          rc.map(x => BigInt(x) * x).sum * S / nr
+        (feat, th, nl, nr, score)
+      }.filter(_._5 >= 0)
+    }
+    val exp = splits("qty", rows.map(r => (r._1, r._3))) ++
+      splits("disc", rows.map(r => (r._2, r._3)))
+    assert(got.size == exp.size)
+    val best = exp.maxBy(t => (t._5, t._1, t._2))(
+      Ordering.Tuple3(Ordering.BigInt, Ordering.String.reverse,
+        Ordering.Long.reverse))
+    exp.foreach { case (f, th, nl, nr, sc) =>
+      val chosen = if ((f, th) == ((best._1, best._2))) 1 else 0
+      assert(got((f, th)) == ((nl, nr, sc.toLong, chosen)), s"split $f<=$th")
+    }
+    // informativeness: the elected split strictly beats no-split purity
+    val n = rows.length
+    val baseline = rows.groupBy(_._3).values
+      .map(g => BigInt(g.length) * g.length).sum * S / n
+    assert(best._5 > baseline,
+      s"best split ${best._5} does not improve on baseline $baseline")
+    info(s"chosen ${best._1}<=${best._2}, gain " +
+      s"${(best._5 - baseline) / BigInt(n)} micro-purity")
+  }
 }
