@@ -1728,7 +1728,62 @@ object TextAnalysis {
       .orderBy("doc_id", "pos", "kw")
   }
 
+  // ---------------------------------------------------------------- t30
+  /** Per-document n-gram novelty — the memorization-risk diagnostic
+    * (Lee et al. 2022 "Deduplicating Training Data…", Carlini et al.
+    * 2023 extraction analyses): what fraction of a document's distinct
+    * 3-word shingles appears in NO other document? Low novelty marks
+    * the near-template documents a model memorises verbatim; the score
+    * ranks the corpus for the d-family's dedup tiers (d01/d03 decide
+    * pairs — this grades each doc's OWN overlap exposure, no pair
+    * enumeration anywhere).
+    *
+    * One corpus pass explodes the d02 shingle family (distinct per
+    * doc), one shingle-keyed hash agg computes document frequency
+    * (state = vocabulary of shingles), one doc-keyed rollup splits
+    * df=1 from df≥2 grams, and a left join keeps shingle-less docs
+    * (vacuously fully novel). Exact integer ppm; no pairwise work —
+    * the df table is exactly t11's vocabulary shape, so the pass
+    * scales like word counting, not like dedup. */
+  val t30 = Q("t30_ngram_novelty",
+    s"""WITH ${graft.ops.Dedup.shinglesSql},
+       |df AS (SELECT s, count(*) AS df FROM shingles GROUP BY s),
+       |per AS (
+       |  SELECT sh.doc_id, count(*) AS n_grams,
+       |    sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+       |  FROM shingles sh JOIN df ON df.s = sh.s
+       |  GROUP BY sh.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique,
+       |  CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 1000000
+       |       ELSE (per.n_unique * 1000000) // per.n_grams END AS BIGINT)
+       |    AS novelty_ppm
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"))
+    Tables.documents(s, d).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).cast("long").as("n_unique"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, 1000000L)
+          .otherwise(expr("(n_unique * 1000000L) DIV n_grams"))
+          .cast("long").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29)
+    t25, t26, t27, t28, t29, t30)
 }

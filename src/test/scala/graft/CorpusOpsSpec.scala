@@ -593,4 +593,36 @@ class CorpusOpsSpec extends SparkSpec {
       rows.exists(_._4.isEmpty))
     assert(rows.exists(r => r._5.split(" ").length < 3 || r._5.isEmpty))
   }
+
+  test("t30 novelty equals a sequential shingle-df recompute; dup law holds") {
+    import org.apache.spark.sql.functions._
+    val got = ops.TextAnalysis.t30.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sh.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    docs.foreach { case (id, _) =>
+      val g = sh(id)
+      val uniq = g.count(df(_) == 1).toLong
+      val ppm = if (g.isEmpty) 1000000L else uniq * 1000000L / g.size
+      assert(got(id) == ((g.size.toLong, uniq, ppm)), s"doc $id")
+    }
+    // the corpus's near-dup structure must surface: some doc shares
+    // EVERY gram (novelty 0) while others are fully original
+    assert(got.values.exists(_._3 == 0L),
+      "no fully-covered doc - near-dup structure not surfacing")
+    assert(got.values.exists(v => v._3 > 0L && v._2 == v._1 - 1 || v._3 > 600000L),
+      "no high-novelty doc")
+    // and the score genuinely spreads
+    assert(got.values.map(_._3).toSet.size > 10)
+  }
 }
