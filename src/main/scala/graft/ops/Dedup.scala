@@ -1241,6 +1241,134 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** S-curve collision probability `1 − (1 − s^r)^b` at similarity s,
+    * micro-quantised — evaluated ONCE here and emitted as the same
+    * literal into both engines (the g11 literal-table discipline: no
+    * runtime transcendental, no cross-engine rounding surface). */
+  private def sCurvePpm(s: Double, b: Int, r: Int): Long =
+    math.round((1.0 - math.pow(1.0 - math.pow(s, r), b)) * 1e6)
+
+  // ---------------------------------------------------------------- d20
+  /** LSH parameter-tuning table — the diagnostic that DECIDES d03's
+    * banding before a 100 TB dedup runs (er03's role, played for the
+    * MinHash tier): every (bands, rows) factorisation of the K=8
+    * signature family evaluated on three axes at once —
+    *  - `workload`: Σ_buckets C(n,2), the candidate-join cost the
+    *    cluster actually pays (the metric that explodes when banding
+    *    is too permissive);
+    *  - `n_candidates`: distinct surfaced pairs (the dedup's input);
+    *  - `recall_ppm`: measured coverage of the EXACT d02 ground truth
+    *    (Jaccard ≥ 0.8), the quantity banding trades against workload;
+    * plus the theoretical S-curve `1−(1−s^r)^b` at s = 0.5/0.8 in ppm
+    * (literals shared by both engines — the no-runtime-`ln` discipline)
+    * so measured recall can be read against the curve that predicted
+    * it. One signature pass (the d03 fused scan) serves ALL configs;
+    * per config the bands differ only in how the SAME K minhashes
+    * concatenate — bucket stats are hash aggs, the ground-truth join is
+    * pair-table-sized. A diagnostic pass runs on a sample at scale (the
+    * er03 convention); the (8,1) row is the cautionary tale the table
+    * exists to show. The driver touches only the seven per-config
+    * scalars (the d08 O(1)-fixpoint discipline — the output IS the
+    * 4-row report card). */
+  val d20 = Q("d20_lsh_tuning", {
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val cfgSql = configs.map { case (nb, nr) =>
+      val bands = (0 until nb).map { b =>
+        s"SELECT doc_id, $b AS band, concat_ws('_', ${(0 until nr)
+          .map(r => s"h${b * nr + r}").mkString(", ")}) AS sig FROM sigs"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""  SELECT $nb AS b, $nr AS r,
+         |    (SELECT coalesce(sum(n * (n - 1) // 2), 0) FROM (
+         |       SELECT count(*) AS n FROM ($bands) GROUP BY band, sig)) AS workload,
+         |    (SELECT count(*) FROM (
+         |       SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |       FROM ($bands) x JOIN ($bands) y
+         |         ON x.band = y.band AND x.sig = y.sig
+         |        AND x.doc_id < y.doc_id)) AS n_candidates,
+         |    (SELECT CAST(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+         |       ELSE count(*) * 1000000 // (SELECT count(*) FROM truth) END AS BIGINT)
+         |     FROM truth t JOIN (
+         |       SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |       FROM ($bands) x JOIN ($bands) y
+         |         ON x.band = y.band AND x.sig = y.sig
+         |        AND x.doc_id < y.doc_id) c
+         |       ON c.i = t.i AND c.j = t.j) AS recall_ppm,
+         |    ${sCurvePpm(0.5, nb, nr)} AS p50_ppm,
+         |    ${sCurvePpm(0.8, nb, nr)} AS p80_ppm""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $shinglesSql,
+       |sigs AS (
+       |  SELECT doc_id, ${(0 until K).map(j =>
+      s"min(${minhash64Sql(j)}) AS h$j").mkString(", ")}
+       |  FROM shingles GROUP BY doc_id),
+       |counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+       |truth AS (
+       |  SELECT p.i, p.j FROM (
+       |    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+       |    FROM shingles a JOIN shingles b USING (s)
+       |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN counts ca ON ca.doc_id = p.i
+       |  JOIN counts cb ON cb.doc_id = p.j
+       |  WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8)
+       |SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+       |  CAST(workload AS BIGINT) AS workload,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  recall_ppm, p50_ppm, p80_ppm
+       |FROM (
+       |$cfgSql)
+       |ORDER BY b DESC""".stripMargin
+  }) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val sigs = sh.groupBy("doc_id")
+      .agg(min(minhash64(col("s"), 0)).as("h0"),
+        (1 until K).map(j => min(minhash64(col("s"), j)).as(s"h$j")): _*)
+      .localCheckpoint()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val truth = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.as("ca"), col("i") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("j") === col("cb.doc_id"))
+      .filter(col("common").cast("double") /
+        (col("ca.c") + col("cb.c") - col("common")) >= 0.8)
+      .select("i", "j")
+      .localCheckpoint()
+    val nTruth = truth.count()
+    val rows = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (nb, nr) =>
+      val bands = (0 until nb).map { b =>
+        sigs.select(col("doc_id"), lit(b).as("band"),
+          concat_ws("_", (0 until nr).map(r => col(s"h${b * nr + r}")): _*)
+            .as("sig"))
+      }.reduce(_ unionByName _)
+      val workload = bands.groupBy("band", "sig")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("w"))
+      val cand = bands.as("x")
+        .join(bands.as("y"), col("x.band") === col("y.band") &&
+          col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        .distinct()
+        .localCheckpoint()
+      val nCand = cand.count()
+      val caught = cand.join(truth, Seq("i", "j")).count()
+      val recall = if (nTruth == 0) 0L else caught * 1000000L / nTruth
+      (nb.toLong, nr.toLong, workload.head().getLong(0), nCand, recall,
+        sCurvePpm(0.5, nb, nr), sCurvePpm(0.8, nb, nr))
+    }
+    import s.implicits._
+    rows.toDF("b", "r", "workload", "n_candidates", "recall_ppm",
+      "p50_ppm", "p80_ppm")
+      .orderBy(col("b").desc)
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
 }

@@ -381,4 +381,33 @@ class DedupSpec extends SparkSpec {
     info(s"corpus dup bytes ppm range ${got.values.map(_._5).min}.." +
       s"${got.values.map(_._5).max}")
   }
+
+  test("d20 tuning table: nesting monotonicity, d03 consistency, exact S-curve") {
+    val rows = ops.Dedup.d20.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((8L, 1L), (4L, 2L), (2L, 4L), (1L, 8L)))
+    // finer banding is a refinement: (1,8) pairs ⊆ (2,4) ⊆ (4,2) ⊆ (8,1),
+    // so candidates, workload, and recall are monotone down the table
+    Seq(3, 4, 5).foreach { k =>
+      val col = rows.map(t => t.productElement(k - 1).asInstanceOf[Long])
+      assert(col.zip(col.tail).forall { case (a, b) => a >= b },
+        s"column $k not monotone: ${col.toSeq}")
+    }
+    // the (4,2) row IS d03's configuration: candidate counts must agree
+    val d03n = ops.Dedup.d03.run(spark, sf).count()
+    assert(rows.find(t => t._1 == 4L && t._2 == 2L).get._4 == d03n)
+    // S-curve literals equal a direct evaluation
+    rows.foreach { case (b, r, _, _, _, p50, p80) =>
+      def p(s: Double) = math.round(
+        (1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)) * 1e6)
+      assert(p50 == p(0.5) && p80 == p(0.8), s"curve at ($b,$r)")
+    }
+    // the trade-off genuinely trades: the strictest config loses recall
+    // that the loosest keeps, at a fraction of the workload
+    assert(rows.head._5 >= rows.last._5)
+    assert(rows.head._3 > 5 * rows.last._3,
+      "workload spread too small to demonstrate the trade-off")
+  }
 }
