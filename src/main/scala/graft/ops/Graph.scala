@@ -979,6 +979,145 @@ object Graph {
     out.orderBy("node", "r")
   }
 
+  // ---------------------------------------------------------------- g12
+  /** Maximum spanning forest via Borůvka rounds (Borůvka 1926; the
+    * MST-in-MapReduce dataflow of Lattanzi et al. 2011) — the
+    * COMPONENT-MERGE iteration no other graph op exercises: g01/g10
+    * iterate values over fixed nodes, g06 labels, g08 removes nodes,
+    * d08/d10 merge by direct edges — Borůvka merges by each
+    * component's single BEST incident edge, halving component count
+    * per round (O(log n) rounds of O(m) work — the forest/backbone
+    * a 100 TB similarity graph is clustered by; single-linkage
+    * dendrograms are exactly these merge rounds).
+    *
+    * On g02's weighted co-occurrence projection (`ew`, w ≥ 2),
+    * MAXIMUM forest = strongest-ties backbone, under the total edge
+    * order (w DESC, s1, s2) so selection is deterministic. Per round:
+    * label edge endpoints with components (two keyed joins), keep
+    * cross-component edges, elect each component's best edge by a
+    * component-keyed window, then CONTRACT the selection pseudo-forest:
+    * 2-cycles root at their smaller id (`t(t(c)) = c AND t(c) > c`),
+    * then three pointer-jump squarings (`p ∘ p`) resolve chains ≤ 2³ —
+    * every step a keyed join over the COMPONENT table (≤ |V| rows,
+    * shrinking), never over edges. Two rounds unrolled to match the
+    * oracle (the g01/g06 discipline); output = chosen edges per round,
+    * the dendrogram's first two levels. GraphSpec pins the sequential
+    * Borůvka equality, forest laws (acyclic, n−c edges), and that the
+    * bounded jumps genuinely converged on this corpus. */
+  val g12 = Q("g12_boruvka_msf", {
+    def roundCtes(comp: String, suf: String): String =
+      s"""lab$suf AS (
+         |  SELECT d.v AS u, d.nb AS v2, d.w, cu.c AS cu, cv.c AS cv,
+         |    least(d.v, d.nb) AS l, greatest(d.v, d.nb) AS g
+         |  FROM dirw d
+         |  JOIN $comp cu ON cu.v = d.v
+         |  JOIN $comp cv ON cv.v = d.nb
+         |  WHERE cu.c <> cv.c),
+         |sel$suf AS (
+         |  SELECT cu AS c, cv AS tgt, l, g, w FROM (
+         |    SELECT cu, cv, l, g, w,
+         |      row_number() OVER (PARTITION BY cu
+         |        ORDER BY w DESC, l, g) AS rk
+         |    FROM lab$suf) r WHERE rk = 1),
+         |t$suf AS (
+         |  SELECT ids.c, coalesce(s.tgt, ids.c) AS tc
+         |  FROM (SELECT DISTINCT c FROM $comp) ids
+         |  LEFT JOIN sel$suf s ON s.c = ids.c),
+         |root$suf AS (
+         |  SELECT a.c,
+         |    CASE WHEN b.tc = a.c AND a.tc > a.c THEN a.c ELSE a.tc END AS p
+         |  FROM t$suf a JOIN t$suf b ON b.c = a.tc),
+         |j1$suf AS (SELECT a.c, b.p FROM root$suf a JOIN root$suf b ON b.c = a.p),
+         |j2$suf AS (SELECT a.c, b.p FROM j1$suf a JOIN j1$suf b ON b.c = a.p),
+         |j3$suf AS (SELECT a.c, b.p FROM j2$suf a JOIN j2$suf b ON b.c = a.p),
+         |comp$suf AS (
+         |  SELECT m.v, j.p AS c FROM $comp m JOIN j3$suf j ON j.c = m.c)"""
+        .stripMargin
+    s"""WITH ps AS (
+       |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |pdeg AS (SELECT pk, count(*) AS d FROM ps GROUP BY pk),
+       |kept AS (
+       |  SELECT ps.pk, ps.sk FROM ps JOIN pdeg ON pdeg.pk = ps.pk
+       |  WHERE pdeg.d <= $ProjDegCap),
+       |ew AS (
+       |  SELECT a.sk AS s1, b.sk AS s2, count(*) AS w
+       |  FROM kept a JOIN kept b ON a.pk = b.pk AND a.sk < b.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |dirw AS (
+       |  SELECT s1 AS v, s2 AS nb, w FROM ew
+       |  UNION ALL SELECT s2 AS v, s1 AS nb, w FROM ew),
+       |comp0 AS (SELECT DISTINCT v, v AS c FROM dirw),
+       |${roundCtes("comp0", "a")},
+       |${roundCtes("compa", "b")}
+       |SELECT * FROM (
+       |  SELECT 1 AS round, l AS u, g AS v, CAST(w AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT l, g, w FROM sela)
+       |  UNION ALL
+       |  SELECT 2, l, g, CAST(w AS BIGINT)
+       |  FROM (SELECT DISTINCT l, g, w FROM selb))
+       |ORDER BY round, u, v""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("deg"))
+    val kept = ps.join(pdeg.filter(col("deg") <= ProjDegCap), "pk")
+      .select("pk", "sk")
+    val ew = kept.select(col("pk"), col("sk").as("s1"))
+      .join(kept.select(col("pk"), col("sk").as("s2")), Seq("pk"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val dirw = ew.select(col("s1").as("v"), col("s2").as("nb"), col("w"))
+      .union(ew.select(col("s2").as("v"), col("s1").as("nb"), col("w")))
+      .localCheckpoint()
+    var comp = dirw.select(col("v")).distinct()
+      .select(col("v"), col("v").as("c"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (round <- 1 to 2) {
+      val lab = dirw
+        .join(comp.select(col("v"), col("c").as("cu")), "v")
+        .join(comp.select(col("v").as("nb"), col("c").as("cv")), "nb")
+        .filter(col("cu") =!= col("cv"))
+        .select(col("cu"), col("cv"),
+          least(col("v"), col("nb")).as("l"),
+          greatest(col("v"), col("nb")).as("g"), col("w"))
+      val wSel = Window.partitionBy("cu")
+        .orderBy(col("w").desc, col("l"), col("g"))
+      val sel = lab.withColumn("rk", row_number().over(wSel))
+        .filter(col("rk") === 1)
+        .select(col("cu").as("c"), col("cv").as("tgt"),
+          col("l"), col("g"), col("w"))
+        .localCheckpoint()
+      val chosen = sel.select("l", "g", "w").distinct()
+        .select(lit(round).as("round"), col("l").as("u"),
+          col("g").as("v"), col("w").cast("long").as("w"))
+      out = if (out == null) chosen else out.unionByName(chosen)
+      val t = comp.select("c").distinct()
+        .join(sel.select(col("c"), col("tgt")), Seq("c"), "left")
+        .select(col("c"), coalesce(col("tgt"), col("c")).as("tc"))
+      val t2 = t.as("a")
+        .join(t.as("b"), col("b.c") === col("a.tc"))
+        .select(col("a.c"), col("a.tc"), col("b.tc").as("ttc"))
+      var p = t2.select(col("c"),
+        when(col("ttc") === col("c") && col("tc") > col("c"), col("c"))
+          .otherwise(col("tc")).as("p"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        p = p.as("a").join(p.as("b"), col("b.c") === col("a.p"))
+          .select(col("a.c"), col("b.p").as("p"))
+          .localCheckpoint()
+      }
+      comp = comp.join(p.withColumnRenamed("c", "cOld"),
+          col("cOld") === col("c"))
+        .select(col("v"), col("p").as("c"))
+        .localCheckpoint()
+    }
+    out.orderBy("round", "u", "v")
+  }
+
   def all: Seq[Q] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12)
 }

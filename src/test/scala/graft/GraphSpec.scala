@@ -381,4 +381,51 @@ class GraphSpec extends SparkSpec {
     info(f"r=1 mean abs rel err $mare%.3f over ${nodes.size} nodes")
     assert(mare < 0.5, f"sketch error $mare%.3f out of band")
   }
+
+  test("g12: rounds equal a sequential Boruvka with full contraction; forest laws") {
+    val got = ops.Graph.g12.run(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // rebuild the weighted projection edges sequentially
+    val ps = model.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = ps.groupBy(_._1).filter(_._2.length <= 64).values.flatten.toSeq
+    val ew = kept.groupBy(_._1).values.flatMap { g =>
+      val sks = g.map(_._2).toSeq
+      for (a <- sks; b <- sks if a < b) yield (a, b)
+    }.groupBy(identity).collect { case ((a, b), es) if es.size >= 2 =>
+      (a, b, es.size.toLong)
+    }.toSeq
+    val nodes = ew.flatMap(e => Seq(e._1, e._2)).distinct
+    var comp = nodes.map(v => v -> v).toMap
+    (1 to 2).foreach { round =>
+      val cross = ew.filter(e => comp(e._1) != comp(e._2))
+      val best = (cross.map(e => (comp(e._1), e)) ++
+        cross.map(e => (comp(e._2), e)))
+        .groupBy(_._1).view.mapValues(_.map(_._2)
+          .minBy(e => (-e._3, e._1, e._2))).toMap
+      val chosen = best.values.toSet
+      assert(got.getOrElse(round, Set.empty) ==
+        chosen.map(e => (e._1, e._2, e._3)), s"round $round edge set")
+      // full contraction (union-find closure, no jump bound)
+      val parent = scala.collection.mutable.Map[Long, Long]() ++
+        comp.values.toSet.map((c: Long) => c -> c)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      chosen.foreach { e =>
+        val (a, b) = (find(comp(e._1)), find(comp(e._2)))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      comp = comp.map { case (v, c) => v -> find(c) }
+    }
+    // forest laws over both rounds together
+    val all = got.values.flatten.toSet
+    assert(all.size == nodes.size - comp.values.toSet.size,
+      "chosen edges must number n - components (forest, no cycle)")
+    info(s"|V|=${nodes.size}, rounds ${got.view.mapValues(_.size).toMap}, " +
+      s"final components ${comp.values.toSet.size}")
+    assert(got.size == 2 || comp.values.toSet.size == 1,
+      "round 2 empty but graph not fully merged")
+  }
 }
