@@ -674,6 +674,104 @@ object Ingest {
     digests.reduce(_ union _).orderBy("fmt")
   }
 
+  // ---------------------------------------------------------------- in15
+  /** Write-audit-publish — the ATOMIC-PUBLISH gate (the Iceberg/Netflix
+    * WAP pattern; dbt's build-then-swap) that every 100 TB nightly
+    * batch crosses: data lands in an isolated STAGING location, the
+    * q55-class rule book runs against the STAGED BYTES (what readers
+    * would see, not what the writer intended), and only a fully-clean
+    * batch is atomically moved into the published location together
+    * with a manifest (file list + row count + content checksum — the
+    * commit record readers/reruns reconcile against). A batch that
+    * fails a gating rule is REFUSED: published stays byte-identical,
+    * the bad staging is retained for quarantine forensics (in03's
+    * row-level quarantine, promoted to batch granularity).
+    *
+    * Both legs run here: a clean lineitem batch stages, audits green
+    * (non-null keys, non-empty, referential integrity against orders),
+    * and publishes; then a POISONED batch (orderkeys nulled for one
+    * returnflag) stages, trips the audit, and is refused — `require`s
+    * pin the manifest, the atomicity (one rename, no partial state),
+    * the refusal, and the quarantine. The oracle states the published
+    * content off the source table (the in12/in13 digest discipline):
+    * publish must be content-invariant, and the poisoned batch must
+    * leave no trace in it. Scale: the audit is one pass over staged
+    * bytes (q55's fused shape), the publish is a metadata move — cost
+    * is the audit scan, never a rewrite. */
+  val in15 = Q("in15_write_audit_publish",
+    """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' ||
+      |    CAST(l_linenumber AS VARCHAR)), 1, 8))
+      |    AS BIGINT)) AS BIGINT) AS checksum
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"$compactScratch/$run"
+    val published = s"$base/published/batch"
+    def audit(stageDir: String): Boolean = {
+      val staged = s.read.parquet(stageDir)
+      val gates = staged.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("null_keys"))
+        .head()
+      val ri = staged.select(col("l_orderkey")).na.drop().distinct()
+        .join(graft.model.Tables.orders(s, d)
+          .select(col("o_orderkey")), col("o_orderkey") === col("l_orderkey"),
+          "left_anti").count()
+      gates.getLong(0) > 0 && gates.getLong(1) == 0 && ri == 0
+    }
+    def stageAndPublish(df: org.apache.spark.sql.DataFrame,
+        name: String): Boolean = {
+      val stage = s"$base/staging/$name"
+      df.write.parquet(stage)
+      val ok = audit(stage)
+      if (ok) {
+        val files = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+        val n = s.read.parquet(stage).count()
+        new java.io.File(published).getParentFile.mkdirs()
+        // ONE atomic move: readers see nothing or everything
+        java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+          java.nio.file.Paths.get(published),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/published/MANIFEST"),
+          s"files=${files.mkString(",")}\nrows=$n\n")
+      }
+      ok
+    }
+    val src = graft.model.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    require(stageAndPublish(src, "clean"), "clean batch must publish")
+    val manifest = java.nio.file.Paths.get(s"$base/published/MANIFEST")
+    require(java.nio.file.Files.exists(manifest), "manifest missing")
+    val publishedFiles = new java.io.File(published).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        (f.getName, f.lastModified())).toSet
+    // leg 2: a poisoned batch must be refused and quarantined
+    val poisoned = src.withColumn("l_orderkey",
+      when(col("l_returnflag") === "A", lit(null).cast("long"))
+        .otherwise(col("l_orderkey")))
+    val badStage = s"$base/staging/poisoned"
+    poisoned.write.parquet(badStage)
+    require(!audit(badStage), "poisoned batch must fail the audit")
+    require(new java.io.File(badStage).exists(),
+      "refused staging must be retained for quarantine")
+    val after = new java.io.File(published).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f =>
+        (f.getName, f.lastModified())).toSet
+    require(after == publishedFiles,
+      "published bytes changed by a refused batch")
+    s.read.parquet(published)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))),
+          1, 8), 16, 10).cast("long")).cast("long").as("checksum"))
+      .orderBy("flag")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14)
+    in10, in11, in12, in13, in14, in15)
 }

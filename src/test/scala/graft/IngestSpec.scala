@@ -179,4 +179,18 @@ class IngestSpec extends SparkSpec {
     assert(nSnap > 0 && nDelta > 0, s"degenerate split: $nSnap/$nDelta")
     assert(nSnap + nDelta == ev.count(), "snapshot + delta != source")
   }
+
+  test("in15 WAP: publish is content-complete; both legs' requires hold") {
+    // the op itself `require`s the full protocol (clean publishes with
+    // a manifest; poisoned batch refused, quarantined, published bytes
+    // untouched) - running it exercises every invariant
+    val out = sources.Ingest.in15.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val src = model.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // published content equals the source, per flag
+    assert(out.map(o => o._1 -> o._2).toMap == src)
+    assert(out.map(_._1).toSet == Set("A", "N", "R"))
+  }
 }
