@@ -2506,9 +2506,96 @@ object Relational {
       .orderBy("constraint_name")
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Recursive hierarchy traversal + subtree rollup — the WITH
+    * RECURSIVE operator class Spark has no native form of (org charts,
+    * bills of materials, category trees — every warehouse has one):
+    * per node, its DEPTH (walked down from the roots) and its full
+    * SUBTREE aggregate (value and node counts rolled bottom-up). The
+    * hierarchy is the decimal-prefix forest over customers
+    * (`parent(c) = c div 10`, roots 1..9) — six levels at sf 0.1.
+    *
+    * The Spark side is the honest ITERATIVE dataflow a general edge
+    * list needs (nothing exploits the closed-form parent): depth by
+    * frontier relaxation from the roots (g09's min-plus shape — one
+    * child-keyed equi join per level), subtree sums by bottom-up
+    * fixpoint `s_{k+1}(v) = own(v) + Σ_children s_k(child)` — one
+    * parent-keyed agg join per level, lineage cut per round, six
+    * unrolled rounds to match the oracle (a production loop adds g01's
+    * convergence check; values stabilise once k reaches the tree
+    * height, so the extra rounds are no-ops). Money rolls up in exact
+    * integer cents. The ORACLE deliberately takes the other
+    * formulation — ancestor explosion in closed form — so two
+    * independent algorithms must agree on every row (the mm09
+    * two-formulations discipline). At 100 TB: per level one keyed join
+    * + one map-side-combined agg over a frontier that is
+    * level-partitioned by construction; state per node is 3 integers. */
+  val q56 = Q("q56_hierarchy_rollup",
+    """WITH nodes AS (
+      |  SELECT c_custkey + 1 AS c,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS own
+      |  FROM customer),
+      |anc AS (
+      |  SELECT n.c, n.c // t.div AS a
+      |  FROM nodes n, (SELECT unnest([1, 10, 100, 1000, 10000, 100000,
+      |                                1000000]) AS div) t
+      |  WHERE n.c // t.div > 0),
+      |st AS (
+      |  SELECT anc.a, CAST(sum(n.own) AS BIGINT) AS subtree_cents,
+      |    CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM anc JOIN nodes n ON n.c = anc.c
+      |  GROUP BY anc.a)
+      |SELECT n.c - 1 AS custkey,
+      |  CAST(len(CAST(n.c AS VARCHAR)) - 1 AS BIGINT) AS depth,
+      |  st.subtree_cents, st.n_nodes
+      |FROM nodes n JOIN st ON st.a = n.c
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    // node ids are 1-based (custkey + 1) so the decimal-prefix parent
+    // rule has no self-parent at 0; the output restores the raw key
+    val nodes = Tables.customer(s, d)
+      .select((col("c_custkey") + 1).as("c"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("own"),
+        expr("(c_custkey + 1) DIV 10").as("parent"))
+      .localCheckpoint()
+    // depth: frontier relaxation from the roots, one level per round
+    var depth = nodes.filter(col("parent") === 0)
+      .select(col("c"), lit(0L).as("depth"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val next = nodes
+        .join(depth.select(col("c").as("parent"), col("depth")), "parent")
+        .select(col("c"), (col("depth") + 1).as("depth"))
+        .join(depth.select(col("c")), Seq("c"), "left_anti")
+      depth = depth.union(next).localCheckpoint()
+    }
+    // subtree rollup: bottom-up fixpoint, one parent-keyed agg per round
+    var st = nodes.select(col("c"), col("own").as("subtree_cents"),
+      lit(1L).as("n_nodes"))
+      .localCheckpoint()
+    for (_ <- 1 to 6) {
+      val fromChildren = st
+        .join(nodes.select(col("c"), col("parent")), "c")
+        .filter(col("parent") > 0)
+        .groupBy(col("parent").as("c"))
+        .agg(sum("subtree_cents").as("cs"), sum("n_nodes").as("cn"))
+      st = nodes
+        .join(fromChildren, Seq("c"), "left")
+        .select(col("c"),
+          (col("own") + coalesce(col("cs"), lit(0L))).as("subtree_cents"),
+          (lit(1L) + coalesce(col("cn"), lit(0L))).as("n_nodes"))
+        .localCheckpoint()
+    }
+    nodes.select("c")
+      .join(depth, "c").join(st, "c")
+      .select((col("c") - 1).as("custkey"), col("depth"),
+        col("subtree_cents").cast("long").as("subtree_cents"),
+        col("n_nodes").cast("long").as("n_nodes"))
+      .orderBy("custkey")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55)
+    q49, q50, q51, q52, q53, q54, q55, q56)
 }

@@ -548,4 +548,30 @@ class MetricsSpec extends SparkSpec {
     info(s"chosen ${best._1}<=${best._2}, gain " +
       s"${(best._5 - baseline) / BigInt(n)} micro-purity")
   }
+
+  test("q56 hierarchy: recursion laws hold at every node") {
+    val got = ops.Relational.q56.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val own = model.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(got.keySet == own.keySet)
+    val children = own.keySet.groupBy(c => (c + 1) / 10 - 1)
+      .map { case (p, cs) => p -> cs.filter(c => (c + 1) / 10 >= 1) }
+    got.foreach { case (c, (depth, sub, nn)) =>
+      assert(depth == (c + 1).toString.length - 1, s"depth of $c")
+      val kids = children.getOrElse(c, Set.empty[Long])
+        .filter(k => k != c && got.contains(k))
+      // the defining recursion: subtree = own + children's subtrees
+      assert(sub == own(c) + kids.toSeq.map(k => got(k)._2).sum,
+        s"subtree sum at $c")
+      assert(nn == 1 + kids.toSeq.map(k => got(k)._3).sum, s"node count at $c")
+    }
+    // conservation: the roots partition the forest
+    val roots = got.filter { case (c, _) => c + 1 <= 9 }
+    assert(roots.values.map(_._3).sum == got.size)
+    assert(roots.values.map(_._2).sum == own.values.sum)
+    assert(got.values.map(_._1).max >= 2, "hierarchy too shallow - vacuous")
+  }
 }
