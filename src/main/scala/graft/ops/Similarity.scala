@@ -1108,6 +1108,117 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- s13
+  /** IVF probe-sweep tuning table — d20's role played for the ANN tier:
+    * the table that DECIDES s03's `nprobe` before a 100 TB index
+    * deploys. For every probe depth P ∈ {1, 2, 4, 8, 16} over the SAME
+    * C=16 coarse quantiser: the candidates examined (the per-query
+    * scan cost P·n/C that nprobe trades), and MEASURED recall@5
+    * against the exact brute-force ranking — the quantity the probe
+    * budget buys. Candidate sets NEST by construction (probe rank ≤ P
+    * filters one shared scored table), so candidates and recall are
+    * monotone in P and P=C is exhaustive (recall ≡ 1 by construction —
+    * the sweep's built-in sanity row, spec-pinned).
+    *
+    * One assignment pass + ONE scored table with the probe rank
+    * attached serve every row; per P the evaluation is a query-keyed
+    * window over the filtered candidates, truth is a queries×corpus
+    * scan (sample-sized at scale: |Q| queries, not the corpus). All
+    * cosines are the bit-identical ascending-fold doubles of the other
+    * s-queries; recall is exact integer ppm. */
+  val s13 = Q("s13_ivf_tuning", {
+    val probes = Seq(1, 2, 4, 8, 16)
+    val rowsSql = probes.map { p =>
+      s"""  SELECT $p AS nprobe,
+         |    (SELECT count(*) FROM scored WHERE prn <= $p) AS n_candidates,
+         |    (SELECT count(*) FROM truth t JOIN (
+         |       SELECT query_id, neighbor_id FROM (
+         |         SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, neighbor_id) AS rk
+         |         FROM scored WHERE prn <= $p) x WHERE rk <= 5) c
+         |       ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id)
+         |     * 1000000 // (SELECT count(*) FROM truth) AS recall_ppm"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT q.query_id, c.cid,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |                            ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS prn
+       |  FROM q, c),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.prn,
+       |         ${cosSql("q", "e")} AS cos
+       |  FROM probes p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN e ON e.vec_id = a.vec_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q", "e")} DESC, e.vec_id) AS rk
+       |    FROM q, e WHERE e.vec_id <> q.query_id) x WHERE rk <= 5)
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates,
+       |  CAST(recall_ppm AS BIGINT) AS recall_ppm
+       |FROM (
+       |$rowsSql)
+       |ORDER BY nprobe""".stripMargin
+  }) { (s, d) =>
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c = centroidTable(e)
+    val assign = assignToCentroids(e, c)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probes = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("cid"),
+        expr("cosine_sim(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .select("query_id", "q_embedding", "cid", "prn")
+    val scored = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("prn"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .localCheckpoint()
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = q.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val nTruth = truth.count()
+    import s.implicits._
+    Seq(1, 2, 4, 8, 16).map { p =>
+      val cand = scored.filter(col("prn") <= p)
+      val nCand = cand.count()
+      val top = cand.withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+      val caught = top.join(truth, Seq("query_id", "neighbor_id")).count()
+      (p.toLong, nCand, caught * 1000000L / nTruth)
+    }.toDF("nprobe", "n_candidates", "recall_ppm")
+      .orderBy("nprobe")
+  }
+
   def all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }

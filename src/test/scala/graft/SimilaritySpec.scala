@@ -266,4 +266,43 @@ class SimilaritySpec extends SparkSpec {
     assert(mmrSets.exists { case (qid, sel) => sel != plainTop5(qid) },
       "MMR never deviates from plain top-5 - lambda trade is vacuous")
   }
+
+  test("s13 probe sweep: nesting monotonicity, exhaustive row, s03 consistency") {
+    val rows = ops.Similarity.s13.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    // probe-rank filtering nests candidate sets: both columns monotone
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    // P = C probes every list: exhaustive scan, recall 1 by construction
+    val n = model.Tables.embeddings(spark, sf).count()
+    assert(rows.last._2 == 10 * (n - 1))
+    assert(rows.last._3 == 1000000L)
+    // the P=4 row must agree with s03's own output measured vs truth
+    val s03Top = ops.Similarity.s03.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      val e = model.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      q.join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("cosine_sim(q_embedding, embedding)").as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val recall4 = (s03Top & truth).size * 1000000L / truth.size
+    assert(rows.find(_._1 == 4L).get._3 == recall4,
+      "s13's P=4 row disagrees with s03's measured recall")
+    // the sweep genuinely trades: P=1 must lose recall that P=16 keeps
+    assert(rows.head._3 < rows.last._3)
+  }
 }
