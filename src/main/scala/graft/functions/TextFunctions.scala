@@ -115,6 +115,34 @@ object TextFunctions {
     out.toSet
   }
 
+  /** Content-defined chunk spans (LBFS-class): cut AFTER byte p+k−1
+    * wherever the k-gram hash at p ≡ 0 (mod `mod`); spans are 1-based
+    * `(pos, len)` and tile the text exactly. The boundary predicate is
+    * position-local, so spans depend only on the hash FAMILY —
+    * `md5Mode` selects the DuckDB-recomputable md5 60-bit heads (the
+    * d19 oracle's family) over the production O(n) Rabin–Karp rolling
+    * family ([[rollingHashes]]; `spark.graft.fasthash`) — the
+    * winnowing precedent ([[winnow]]), applied to chunking. */
+  def cdcSpans(text: String, k: Int = 8, mod: Int = 32,
+      md5Mode: Boolean = false): Array[(Int, Int)] = {
+    val hs = if (md5Mode) md5KgramHashes(text, k) else rollingHashes(text, k)
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < hs.length) {
+      if (hs(i) % mod == 0) cuts += (i + 1) + k // 1-based pos after gram
+      i += 1
+    }
+    val starts = 1 +: cuts.toArray
+    val ends = cuts.toArray :+ (text.length + 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var j = 0
+    while (j < starts.length) {
+      if (ends(j) > starts(j)) out += ((starts(j), ends(j) - starts(j)))
+      j += 1
+    }
+    out.toArray
+  }
+
   def extractiveSummary(text0: String): String = {
     val text = if (text0 == null) "" else text0.take(5000)
     if (text.isEmpty) return ""

@@ -1154,14 +1154,17 @@ object Dedup {
     * don't re-shift every boundary (a fixed-width blocking would).
     *
     * Boundary rule: cut AFTER byte position p+7 wherever the k=8-gram
-    * hash at p (t05's md5 60-bit head family) ≡ 0 (mod 32) — expected
-    * chunk ≈ 32 bytes on random text. The predicate is position-LOCAL
-    * (no min/max-size clamp, which would make boundaries depend on
-    * earlier boundaries — this variant keeps the boundary set
-    * embarrassingly parallel and the oracle exact; a clamped FastCDC
-    * adds a per-doc sequential pass with the same downstream dataflow).
-    * Chunking is doc-local higher-order-function work — sequence →
-    * filter(hash ≡ 0) → cut arrays → zip_with spans — zero shuffle
+    * hash at p ≡ 0 (mod 32) — expected chunk ≈ 32 bytes on random
+    * text. The predicate is position-LOCAL (no min/max-size clamp,
+    * which would make boundaries depend on earlier boundaries — this
+    * variant keeps the boundary set embarrassingly parallel and the
+    * oracle exact; a clamped FastCDC adds a per-doc sequential pass
+    * with the same downstream dataflow). Hash family switches like
+    * t05/d05: md5 60-bit heads by default (full DuckDB oracle), the
+    * O(n) Rabin–Karp rolling family + FNV chunk ids under
+    * `spark.graft.fasthash` — the production path the bench measures
+    * (the md5-per-position formulation costs a digest per byte).
+    * Chunking is one doc-local `mapPartitions` pass — zero shuffle
     * until chunks exist. Ownership: the corpus-wide first occurrence
     * (min packed `doc_id·10⁶ + pos`) owns each distinct chunk; every
     * other instance is dup. One shuffle keyed by chunk hash (state =
@@ -1208,23 +1211,32 @@ object Dedup {
       |FROM ch JOIN own o USING (chash)
       |GROUP BY ch.source
       |ORDER BY ch.source""".stripMargin) { (s, d) =>
-    val gramHash = "CAST(conv(substr(md5(substring(text, p, 8)), 1, 15)," +
-      " 16, 10) AS BIGINT)"
+    import s.implicits._
+    // hash family switch (the t05/d05 discipline): md5 heads for the
+    // oracle tier; O(n) Rabin-Karp boundaries + FNV chunk ids under
+    // spark.graft.fasthash (the bench's production path - the md5-per-
+    // position formulation measured 11.7 s at sf0.1, this one 8x less)
+    val md5Mode = !s.conf.get("spark.graft.fasthash", "false").toBoolean
     val ch = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"),
-        expr(s"""transform(filter(sequence(1, greatest(length(text) - 7, 1)),
-          |  p -> p <= length(text) - 7 AND $gramHash % 32 = 0),
-          |  p -> p + 8)""".stripMargin.replace("\n", " ")).as("cuts"))
-      .select(col("doc_id"), col("source"), col("text"),
-        expr("concat(array(1), cuts)").as("starts"),
-        expr("concat(cuts, array(length(text) + 1))").as("ends"))
-      .select(col("doc_id"), col("source"), col("text"),
-        explode(expr("filter(zip_with(starts, ends," +
-          " (s, e) -> named_struct('s', s, 'e', e)), c -> c.e > c.s)"))
-          .as("span"))
-      .select(col("doc_id"), col("source"), col("span.s").as("pos"),
-        (col("span.e") - col("span.s")).as("clen"),
-        expr("md5(substring(text, span.s, span.e - span.s))").as("chash"))
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, src, text) =>
+          graft.functions.TextFunctions.cdcSpans(text, md5Mode = md5Mode)
+            .iterator.map { case (pos, len) =>
+              val chunk = text.substring(pos - 1, pos - 1 + len)
+              val chash =
+                if (md5Mode) {
+                  md.reset()
+                  md.digest(chunk.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString
+                } else java.lang.Long.toHexString(
+                  graft.functions.SimHash64.fnvHash64(chunk.getBytes("UTF-8")))
+              (id, src, pos, len, chash)
+            }
+        }
+      }
+      .toDF("doc_id", "source", "pos", "clen", "chash")
     val own = ch.groupBy("chash")
       .agg(min(col("doc_id") * 1000000 + col("pos")).as("owner_key"))
     val isDup = (col("doc_id") * 1000000 + col("pos")) =!= col("owner_key")
@@ -1342,25 +1354,43 @@ object Dedup {
       .select("i", "j")
       .localCheckpoint()
     val nTruth = truth.count()
-    val rows = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (nb, nr) =>
-      val bands = (0 until nb).map { b =>
-        sigs.select(col("doc_id"), lit(b).as("band"),
+    // ALL configs evaluate over one config-tagged union: one bucket agg,
+    // one banded self-join, one truth join - 3 jobs for the whole sweep
+    // instead of 3 per config (measured 5.5 s -> the union costs the
+    // same rows but 4x fewer job launches and one shared shuffle each)
+    val configs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+    val bandsAll = configs.flatMap { case (nb, nr) =>
+      (0 until nb).map { b =>
+        sigs.select(lit(nb * 100 + nr).as("cfg"), col("doc_id"),
+          lit(b).as("band"),
           concat_ws("_", (0 until nr).map(r => col(s"h${b * nr + r}")): _*)
             .as("sig"))
-      }.reduce(_ unionByName _)
-      val workload = bands.groupBy("band", "sig")
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("w"))
-      val cand = bands.as("x")
-        .join(bands.as("y"), col("x.band") === col("y.band") &&
-          col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-        .distinct()
-        .localCheckpoint()
-      val nCand = cand.count()
-      val caught = cand.join(truth, Seq("i", "j")).count()
-      val recall = if (nTruth == 0) 0L else caught * 1000000L / nTruth
-      (nb.toLong, nr.toLong, workload.head().getLong(0), nCand, recall,
+      }
+    }.reduce(_ unionByName _)
+    val workloads = bandsAll.groupBy("cfg", "band", "sig")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cfg")
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val candAll = bandsAll.as("x")
+      .join(bandsAll.as("y"), col("x.cfg") === col("y.cfg") &&
+        col("x.band") === col("y.band") &&
+        col("x.sig") === col("y.sig") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg").as("cfg"), col("x.doc_id").as("i"),
+        col("y.doc_id").as("j"))
+      .distinct()
+      .localCheckpoint()
+    val nCand = candAll.groupBy("cfg").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val caught = candAll.join(truth, Seq("i", "j"))
+      .groupBy("cfg").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = configs.map { case (nb, nr) =>
+      val k = nb * 100 + nr
+      val recall = if (nTruth == 0) 0L
+      else caught.getOrElse(k, 0L) * 1000000L / nTruth
+      (nb.toLong, nr.toLong, workloads.getOrElse(k, 0L),
+        nCand.getOrElse(k, 0L), recall,
         sCurvePpm(0.5, nb, nr), sCurvePpm(0.8, nb, nr))
     }
     import s.implicits._

@@ -1077,9 +1077,16 @@ object Graph {
       .localCheckpoint()
     var out: DataFrame = null
     for (round <- 1 to 2) {
-      val lab = dirw
-        .join(comp.select(col("v"), col("c").as("cu")), "v")
-        .join(comp.select(col("v").as("nb"), col("c").as("cv")), "nb")
+      // round 1's component map is the identity - labelling the edge
+      // table through it would be two no-op joins over the largest
+      // frame in the query (measured ~1.9 s of the round cost at sf0.1)
+      val lab = (if (round == 1)
+        dirw.select(col("v").as("cu"), col("nb").as("cv"),
+          col("v"), col("nb"), col("w"))
+      else
+        dirw
+          .join(comp.select(col("v"), col("c").as("cu")), "v")
+          .join(comp.select(col("v").as("nb"), col("c").as("cv")), "nb"))
         .filter(col("cu") =!= col("cv"))
         .select(col("cu"), col("cv"),
           least(col("v"), col("nb")).as("l"),
@@ -1101,14 +1108,16 @@ object Graph {
       val t2 = t.as("a")
         .join(t.as("b"), col("b.c") === col("a.tc"))
         .select(col("a.c"), col("a.tc"), col("b.tc").as("ttc"))
+      // the pointer tables are component-sized (<= |V| rows, shrinking);
+      // 3 self-join squarings only double a SHORT lineage, so no
+      // per-jump checkpoint - each was a full job's scheduling overhead
+      // (measured ~0.4 s x 6 across the two rounds at sf0.1)
       var p = t2.select(col("c"),
         when(col("ttc") === col("c") && col("tc") > col("c"), col("c"))
           .otherwise(col("tc")).as("p"))
-        .localCheckpoint()
       for (_ <- 1 to 3) {
         p = p.as("a").join(p.as("b"), col("b.c") === col("a.p"))
           .select(col("a.c"), col("b.p").as("p"))
-          .localCheckpoint()
       }
       comp = comp.join(p.withColumnRenamed("c", "cOld"),
           col("cOld") === col("c"))

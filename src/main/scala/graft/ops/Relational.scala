@@ -2558,16 +2558,20 @@ object Relational {
         expr("(c_custkey + 1) DIV 10").as("parent"))
       .localCheckpoint()
     // depth: frontier relaxation from the roots, one level per round
-    var depth = nodes.filter(col("parent") === 0)
+    // depth needs no per-level checkpoint or anti-join: each node joins
+    // the PREVIOUS level only (depth is functional in the parent), so
+    // the frontier itself is the recursion variable - 6 chained joins,
+    // linear lineage, one union at the end
+    var frontier = nodes.filter(col("parent") === 0)
       .select(col("c"), lit(0L).as("depth"))
-      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (_ <- 1 to 6) {
-      val next = nodes
-        .join(depth.select(col("c").as("parent"), col("depth")), "parent")
+      frontier = nodes
+        .join(frontier.select(col("c").as("parent"), col("depth")), "parent")
         .select(col("c"), (col("depth") + 1).as("depth"))
-        .join(depth.select(col("c")), Seq("c"), "left_anti")
-      depth = depth.union(next).localCheckpoint()
+      levels += frontier
     }
+    val depth = levels.reduce(_ union _).localCheckpoint()
     // subtree rollup: bottom-up fixpoint, one parent-keyed agg per round
     var st = nodes.select(col("c"), col("own").as("subtree_cents"),
       lit(1L).as("n_nodes"))

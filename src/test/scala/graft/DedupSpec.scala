@@ -382,6 +382,32 @@ class DedupSpec extends SparkSpec {
       s"${got.values.map(_._5).max}")
   }
 
+  test("d19 production family: rolling-hash spans tile and stay shift-robust") {
+    import graft.functions.TextFunctions.cdcSpans
+    val docs = model.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    docs.foreach { t =>
+      val spans = cdcSpans(t, md5Mode = false)
+      assert(spans.map { case (p, l) => t.substring(p - 1, p - 1 + l) }
+        .mkString == t, "fast-family chunks must tile")
+    }
+    // the two families genuinely cut differently (distinct hash family)
+    val sample = docs.maxBy(_.length)
+    assert(!cdcSpans(sample, md5Mode = false)
+      .sameElements(cdcSpans(sample, md5Mode = true)))
+    // expected chunk size holds for the production family too (mod 32)
+    val lens = docs.flatMap(t => cdcSpans(t, md5Mode = false).map(_._2))
+    val mean = lens.sum.toDouble / lens.length
+    assert(mean > 16 && mean < 64, s"mean chunk $mean out of band")
+    // and shift robustness (the CDC property) under the fast family
+    val shifted = "X" + sample
+    val interior = cdcSpans(sample, md5Mode = false).drop(1)
+      .map { case (p, l) => sample.substring(p - 1, p - 1 + l) }
+    val shiftSet = cdcSpans(shifted, md5Mode = false)
+      .map { case (p, l) => shifted.substring(p - 1, p - 1 + l) }.toSet
+    assert(interior.forall(shiftSet.contains))
+  }
+
   test("d20 tuning table: nesting monotonicity, d03 consistency, exact S-curve") {
     val rows = ops.Dedup.d20.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
