@@ -1498,7 +1498,147 @@ object MLClassify {
       .orderBy("feature", "threshold")
   }
 
+  // ---------------------------------------------------------------- ml15
+  /** Quantised-model serving report — the model-COMPRESSION arm
+    * (Jacob et al. 2018 integer-quantisation class): ml06's centroid
+    * model squeezed to int8-style codes (per-class scale — each class's
+    * counts map to 0..127 by `q = ⌊(cnt·254 + max)/(2·max)⌋`, the pure-
+    * integer round-half-up, so the quantiser itself has NO float step),
+    * zero codes dropped (the sparsification win), and the corpus served
+    * by BOTH models. One summary row reports what a deployment decides
+    * on: prediction agreement in ppm, accuracy of each model against
+    * the teacher labels, and the term-count compression — measured, not
+    * assumed. Docs losing every term to quantisation count as
+    * disagreements/wrong (the ml07 no-silent-drops discipline).
+    *
+    * Scale: the fit is ml06's one aggregation; quantisation is a
+    * map over the vocab-sized model + a 7-row max broadcast; both
+    * scoring passes share the tf table and broadcast their models.
+    * Model memory drops to one byte per surviving term — the reason
+    * this tier exists at 100 TB serving fan-out. */
+  val ml15 = Q("ml15_quantized_serving", {
+    val n03Sql = NewsPipeline.n03.oracle.get
+    s"""WITH teacher AS ($n03Sql),
+       |lab AS (
+       |  SELECT doc_id, category AS teacher_category FROM teacher
+       |  WHERE category <> 'unknown'),
+       |toks AS (
+       |  SELECT d.doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+       |                       t -> t <> '')) AS term
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |ctf AS (
+       |  SELECT l.teacher_category AS category, t.term, count(*) AS cnt
+       |  FROM toks t JOIN lab l ON l.doc_id = t.doc_id
+       |  GROUP BY 1, 2),
+       |mx AS (SELECT category, max(cnt) AS m FROM ctf GROUP BY category),
+       |qtf AS (
+       |  SELECT c.category, c.term,
+       |    (c.cnt * 254 + x.m) // (2 * x.m) AS q
+       |  FROM ctf c JOIN mx x ON x.category = c.category
+       |  WHERE (c.cnt * 254 + x.m) // (2 * x.m) > 0),
+       |pick_full AS (
+       |  SELECT doc_id, category FROM (
+       |    SELECT d.doc_id, d.category,
+       |      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+       |        CAST(d.a AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE)) DESC,
+       |        d.category) AS rn
+       |    FROM (SELECT tf.doc_id, c.category, sum(tf.tf * c.cnt) AS a
+       |          FROM tf JOIN ctf c ON c.term = tf.term GROUP BY 1, 2) d
+       |    JOIN (SELECT category, sum(cnt * cnt) AS s2 FROM ctf
+       |          GROUP BY category) n ON n.category = d.category) z
+       |  WHERE rn = 1),
+       |pick_q AS (
+       |  SELECT doc_id, category FROM (
+       |    SELECT d.doc_id, d.category,
+       |      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+       |        CAST(d.a AS DOUBLE) / sqrt(CAST(n.s2 AS DOUBLE)) DESC,
+       |        d.category) AS rn
+       |    FROM (SELECT tf.doc_id, c.category, sum(tf.tf * c.q) AS a
+       |          FROM tf JOIN qtf c ON c.term = tf.term GROUP BY 1, 2) d
+       |    JOIN (SELECT category, sum(q * q) AS s2 FROM qtf
+       |          GROUP BY category) n ON n.category = d.category) z
+       |  WHERE rn = 1)
+       |SELECT CAST((SELECT count(*) FROM lab) AS BIGINT) AS n_docs,
+       |  CAST((SELECT count(*) FROM pick_full f JOIN pick_q p
+       |        ON p.doc_id = f.doc_id AND p.category = f.category)
+       |    AS BIGINT) AS n_agree,
+       |  CAST((SELECT count(*) FROM pick_full f JOIN pick_q p
+       |        ON p.doc_id = f.doc_id AND p.category = f.category)
+       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT) AS agree_ppm,
+       |  CAST((SELECT count(*) FROM pick_full f JOIN lab l
+       |        ON l.doc_id = f.doc_id AND l.teacher_category = f.category)
+       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT)
+       |    AS acc_full_ppm,
+       |  CAST((SELECT count(*) FROM pick_q f JOIN lab l
+       |        ON l.doc_id = f.doc_id AND l.teacher_category = f.category)
+       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT)
+       |    AS acc_quant_ppm,
+       |  CAST((SELECT count(*) FROM ctf) AS BIGINT) AS model_terms_full,
+       |  CAST((SELECT count(*) FROM qtf) AS BIGINT) AS model_terms_quant"""
+      .stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val lab = NewsPipeline.classify(docs)
+      .filter(col("category") =!= "unknown")
+      .select(col("doc_id"), col("category").as("teacher_category"))
+      .localCheckpoint()
+    val toks = docs.join(lab.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val ctf = toks.join(lab, "doc_id")
+      .groupBy(col("teacher_category").as("category"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val mx = ctf.groupBy("category").agg(max("cnt").as("m"))
+    val qtf = ctf.join(broadcast(mx), "category")
+      .select(col("category"), col("term"),
+        expr("(cnt * 254 + m) DIV (2 * m)").as("q"))
+      .filter(col("q") > 0)
+      .localCheckpoint()
+    def pick(model: DataFrame, weight: String): DataFrame = {
+      val s2 = model.groupBy("category")
+        .agg(sum(col(weight) * col(weight)).as("s2"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("category"))
+      tf.join(broadcast(model), "term")
+        .groupBy("doc_id", "category")
+        .agg(sum(col("tf") * col(weight)).as("a"))
+        .join(broadcast(s2), "category")
+        .select(col("doc_id"), col("category"),
+          (col("a").cast("double") / sqrt(col("s2").cast("double")))
+            .as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "category")
+    }
+    val full = pick(ctf, "cnt")
+    val quant = pick(qtf, "q")
+    val nDocs = lab.count()
+    val nAgree = full.join(quant, Seq("doc_id", "category")).count()
+    val accFull = full.join(lab,
+      full("doc_id") === lab("doc_id") &&
+        full("category") === lab("teacher_category")).count()
+    val accQ = quant.join(lab,
+      quant("doc_id") === lab("doc_id") &&
+        quant("category") === lab("teacher_category")).count()
+    val termsFull = ctf.count()
+    val termsQ = qtf.count()
+    import s.implicits._
+    Seq((nDocs, nAgree, nAgree * 1000000L / nDocs,
+      accFull * 1000000L / nDocs, accQ * 1000000L / nDocs,
+      termsFull, termsQ))
+      .toDF("n_docs", "n_agree", "agree_ppm", "acc_full_ppm",
+        "acc_quant_ppm", "model_terms_full", "model_terms_quant")
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13, ml14)
+      ml12, ml13, ml14, ml15)
 }

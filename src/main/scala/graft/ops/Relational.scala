@@ -2597,9 +2597,104 @@ object Relational {
       .orderBy("custkey")
   }
 
+  // ---------------------------------------------------------------- q57
+  /** Join-skew advisor — the diagnostic that DECIDES q43's salting
+    * before a 100 TB join runs (the d20/s13 tuning-table discipline,
+    * applied to shuffle planning): per prospective join key, the key
+    * cardinality, the hottest key's row count and identity, the
+    * max/mean imbalance in exact ppm, and the salt factor ⌈max/mean⌉ a
+    * salted two-phase plan would need to level the hot partition. An
+    * imbalance near 10⁶ ppm (max ≈ mean) says hash partitioning is
+    * fine; orders of magnitude above says the q43 form (or AQE skew
+    * splitting) is mandatory — measured here so the decision is data,
+    * not folklore.
+    *
+    * One map-side-combined count agg per audited key + a second
+    * keys-sized reduce: the advisor costs the cheapest possible pass
+    * over each join input, and its state is one row per DISTINCT key
+    * (what the shuffle would hash anyway). Hot-key identity ties break
+    * on the smallest key — fully deterministic output. */
+  val q57 = Q("q57_skew_report",
+    """WITH ek AS (SELECT user_id AS k FROM events),
+      |lk AS (SELECT l_orderkey AS k FROM lineitem),
+      |ok AS (SELECT o_custkey AS k FROM orders),
+      |stats AS (
+      |  SELECT 'events.user_id' AS key_col, count(*) AS n_rows,
+      |    count(DISTINCT k) AS n_keys FROM ek
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey', count(*), count(DISTINCT k) FROM lk
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey', count(*), count(DISTINCT k) FROM ok),
+      |hot AS (
+      |  SELECT 'events.user_id' AS key_col,
+      |    CAST((max(p) + 999999999999999999) // 1000000000000000000 AS BIGINT)
+      |      AS max_rows,
+      |    CAST((max(p) + 999999999999999999) // 1000000000000000000
+      |      * 1000000000000000000 - max(p) AS BIGINT) AS hot_key
+      |  FROM (SELECT CAST(count(*) AS HUGEINT) * 1000000000000000000 - k AS p
+      |        FROM ek GROUP BY k) x
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey',
+      |    CAST((max(p) + 999999999999999999) // 1000000000000000000 AS BIGINT),
+      |    CAST((max(p) + 999999999999999999) // 1000000000000000000
+      |      * 1000000000000000000 - max(p) AS BIGINT)
+      |  FROM (SELECT CAST(count(*) AS HUGEINT) * 1000000000000000000 - k AS p
+      |        FROM lk GROUP BY k) x
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey',
+      |    CAST((max(p) + 999999999999999999) // 1000000000000000000 AS BIGINT),
+      |    CAST((max(p) + 999999999999999999) // 1000000000000000000
+      |      * 1000000000000000000 - max(p) AS BIGINT)
+      |  FROM (SELECT CAST(count(*) AS HUGEINT) * 1000000000000000000 - k AS p
+      |        FROM ok GROUP BY k) x)
+      |SELECT s.key_col, CAST(s.n_rows AS BIGINT) AS n_rows,
+      |  CAST(s.n_keys AS BIGINT) AS n_keys,
+      |  CAST(h.hot_key AS BIGINT) AS hot_key,
+      |  CAST(h.max_rows AS BIGINT) AS max_rows,
+      |  CAST((h.max_rows * s.n_keys * 1000000) // s.n_rows AS BIGINT)
+      |    AS imbalance_ppm,
+      |  CAST((h.max_rows * s.n_keys + s.n_rows - 1) // s.n_rows AS BIGINT)
+      |    AS recommended_salt
+      |FROM stats s JOIN hot h ON h.key_col = s.key_col
+      |ORDER BY s.key_col""".stripMargin) { (s, d) =>
+    def audit(df: DataFrame, key: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("c"))
+      // hot-key election by packed-key max (the q37 DECIMAL trick: count
+      // then smallest-key tiebreak) - a keys-global WINDOW here would
+      // funnel every distinct key through one partition
+      val hot = counts
+        .agg(max(expr("CAST(c AS DECIMAL(38,0)) * 1000000000000000000 - k"))
+          .as("p"))
+        .select(expr("CAST((p + 999999999999999999) div 1000000000000000000" +
+            " AS BIGINT)").as("max_rows"),
+          // div yields BIGINT - recast to DECIMAL before re-scaling or
+          // the multiply overflows long under ANSI
+          expr("CAST(CAST((p + 999999999999999999) div 1000000000000000000" +
+            " AS DECIMAL(38,0)) * 1000000000000000000 - p AS BIGINT)")
+            .as("hot_key"))
+      counts.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(hot))
+        .select(lit(label).as("key_col"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_keys").cast("long").as("n_keys"), col("hot_key"),
+          col("max_rows").cast("long").as("max_rows"),
+          expr("(max_rows * n_keys * 1000000L) DIV n_rows")
+            .as("imbalance_ppm"),
+          expr("(max_rows * n_keys + n_rows - 1) DIV n_rows")
+            .as("recommended_salt"))
+    }
+    audit(Tables.events(s, d), "user_id", "events.user_id")
+      .unionByName(audit(Tables.lineitem(s, d), "l_orderkey",
+        "lineitem.l_orderkey"))
+      .unionByName(audit(Tables.orders(s, d), "o_custkey",
+        "orders.o_custkey"))
+      .orderBy("key_col")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -574,4 +574,60 @@ class MetricsSpec extends SparkSpec {
     assert(roots.values.map(_._2).sum == own.values.sum)
     assert(got.values.map(_._1).max >= 2, "hierarchy too shallow - vacuous")
   }
+
+  test("q57 skew report equals a sequential key-histogram recompute") {
+    val got = ops.Relational.q57.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    def ref(keys: Array[Long]): (Long, Long, Long, Long, Long, Long) = {
+      val h = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = keys.length.toLong
+      val nk = h.size.toLong
+      val mx = h.values.max
+      // smallest key among the hottest
+      val hot = h.filter(_._2 == mx).keys.min
+      (n, nk, hot, mx, mx * nk * 1000000L / n, (mx * nk + n - 1) / n)
+    }
+    assert(got("events.user_id") == ref(model.Tables.events(spark, sf)
+      .select("user_id").collect().map(_.getLong(0))))
+    assert(got("lineitem.l_orderkey") == ref(model.Tables.lineitem(spark, sf)
+      .select("l_orderkey").collect().map(_.getLong(0))))
+    assert(got("orders.o_custkey") == ref(model.Tables.orders(spark, sf)
+      .select("o_custkey").collect().map(_.getLong(0))))
+    // laws: imbalance >= 1e6 (max >= mean) and salt >= 1; and the report
+    // genuinely separates balanced from skewed keys on this corpus
+    got.values.foreach { case (_, _, _, _, imb, salt) =>
+      assert(imb >= 1000000L && salt >= 1L)
+    }
+    assert(got.values.map(_._5).max > 2 * got.values.map(_._5).min,
+      "all keys equally balanced - advisor has nothing to advise on")
+  }
+
+  test("ml15 quantised serving: quantiser laws and a non-vacuous trade") {
+    val r = ops.MLClassify.ml15.run(spark, sf).collect().head
+    val (n, agree, agreePpm, accF, accQ, tFull, tQuant) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+    assert(agreePpm == agree * 1000000L / n)
+    assert(tQuant <= tFull)
+    // quantisation must genuinely perturb the ranking on this corpus
+    // (else the report proves nothing) while staying near-faithful
+    assert(agree < n, "quantised model identical - trade is vacuous")
+    assert(agreePpm > 900000L, s"agreement $agreePpm ppm - model destroyed")
+    // accuracy moves by less than the agreement gap can explain
+    assert(math.abs(accF - accQ) <= (1000000L - agreePpm),
+      "accuracy delta exceeds the disagreement mass")
+    // quantiser law on the actual model: q = round-half-up(cnt*127/max),
+    // clamped to [0, 127], monotone in cnt
+    val cnts = Seq(1L, 3L, 64L, 127L, 128L)
+    cnts.foreach { m =>
+      (1L to m).foreach { c =>
+        val q = (c * 254 + m) / (2 * m)
+        assert(q >= 0 && q <= 127)
+        assert(q == math.round(c * 127.0 / m) ||
+          // .5 boundary: integer form rounds half UP by construction
+          (c * 254 % (2 * m) == m && q == c * 127 / m + 1))
+      }
+    }
+  }
 }
