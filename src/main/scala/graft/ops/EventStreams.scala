@@ -824,6 +824,37 @@ object EventStreams {
       .orderBy("user_id", "purchase_ts")
   }
 
+  // --------------------------------------------------------------- st21
+  /** Batch twin of the STREAMING as-of enrichment — and not a rewrite:
+    * it runs [[graft.streaming.StreamOps.asofEnrich]] itself in batch
+    * mode (the st09 discipline: `flatMapGroupsWithState` executes in
+    * both modes, so the oracle checks the exact code path the stream
+    * runs). Each purchase carries the latest same-user signup value at
+    * its event time — q20's as-of semantics with the dimension arriving
+    * ON the stream (st07 covers the static-dim case). The oracle states
+    * DuckDB's native ASOF join over the purchases. StreamJoinSpec
+    * additionally feeds the same events through a MemoryStream in two
+    * event-time-ordered batches and pins byte-equality with this twin —
+    * the state carry-over batch mode cannot exercise. */
+  val st21 = Q("st21_streaming_asof",
+    """SELECT e.event_id, e.user_id, s.value AS signup_value
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase') e
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+      |                WHERE event_type = 'signup') s
+      |  ON e.user_id = s.user_id AND e.ts >= s.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.StreamOps
+    val ds = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").cast("timestamp").as("ts"))
+      .as[StreamOps.ChangeEvent]
+    StreamOps.asofEnrich(ds)
+      .toDF("event_id", "user_id", "signup_value")
+      .orderBy("event_id")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
 }

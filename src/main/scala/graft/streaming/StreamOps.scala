@@ -511,6 +511,52 @@ object StreamOps {
       }
   }
 
+  case class AsofEnriched(event_id: Long, user_id: Long,
+      signup_value: Option[Double])
+
+  /** Streaming as-of enrichment — q20's temporal join class as KEYED
+    * STATE (the streaming arm the as-of family lacked; st07 enriches
+    * against a STATIC dim, this one against a dimension that arrives ON
+    * THE STREAM): per user, the state is the latest signup seen, and
+    * every purchase emits exactly once carrying the signup value in
+    * force at its event time. Within an invocation rows process in
+    * (ts, signup-first, event_id) order, so a signup at the purchase's
+    * exact instant is visible to it (q20's tag order); across
+    * micro-batches the state carries the high-water signup — fed in
+    * event-time order the stream reproduces the batch twin exactly
+    * (StreamJoinSpec pins it; out-of-order feeds are the CDC-guard
+    * territory of [[applyChangelog]], not silently absorbed here).
+    * State is ONE small struct per user — bounded forever, no
+    * watermark needed for correctness, only for state GC of dead keys
+    * at deployment. Runs in batch and streaming (the st09 discipline),
+    * so the oracled batch twin executes this same code path. */
+  def asofEnrich(events: Dataset[ChangeEvent]): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[KeyState]) =>
+          val ordered = rows.toSeq.sortWith { (a, b) =>
+            val c = a.ts.compareTo(b.ts)
+            c < 0 || (c == 0 && {
+              val (sa, sb) = (a.event_type == "signup", b.event_type == "signup")
+              sa != sb && sa || (sa == sb && a.event_id < b.event_id)
+            })
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+          var cur = state.getOption
+          ordered.foreach { e =>
+            if (e.event_type == "signup")
+              cur = Some(KeyState(uid, e.ts, e.event_id, e.value,
+                deleted = false))
+            else if (e.event_type == "purchase")
+              out += AsofEnriched(e.event_id, uid, cur.map(_.value))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class SessionSummary(user_id: Long, n_events: Long,
       total_value: Double, closed: Boolean)
 

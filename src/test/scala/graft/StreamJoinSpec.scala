@@ -159,4 +159,41 @@ class StreamJoinSpec extends SparkSpec {
       s"unmatched purchases leaked: ${rows.toSeq}")
     assert(rows.contains((1L, 100.0)))
   }
+
+  test("st21 streaming as-of: two ordered batches equal the batch twin") {
+    import graft.streaming.StreamOps.ChangeEvent
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    // the real corpus, split into two event-time-ordered batches so the
+    // signup state must CARRY ACROSS the batch boundary
+    val ev0 = model.Tables.events(spark, sf)
+    val all = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"),
+        ops.EventStreams.eventTs(ev0).cast("timestamp").as("ts"))
+      .as[ChangeEvent].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val src = MemoryStream[ChangeEvent]
+    val q = StreamOps.asofEnrich(src.toDS())
+      .writeStream.format("memory").queryName("st21_stream")
+      .outputMode(OutputMode.Append()).start()
+    src.addData(b1.toSeq); q.processAllAvailable()
+    src.addData(b2.toSeq); q.processAllAvailable()
+    val streamed = spark.table("st21_stream").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    q.stop()
+    val twin = ops.EventStreams.st21.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(streamed == twin)
+    // the boundary genuinely matters: some purchase in batch 2 is
+    // enriched by a signup that arrived in batch 1
+    val b2purch = b2.filter(_.event_type == "purchase").map(_.event_id).toSet
+    val b1signupUsers = b1.filter(_.event_type == "signup").map(_.user_id).toSet
+    val carried = b2.filter(e => e.event_type == "purchase" &&
+      b1signupUsers(e.user_id) && streamed(e.event_id).isDefined)
+    assert(carried.nonEmpty, "no cross-batch state carry exercised")
+    assert(b2purch.nonEmpty && streamed.size == twin.size)
+  }
 }
