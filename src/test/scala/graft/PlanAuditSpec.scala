@@ -686,9 +686,12 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan.take(1500))
   }
 
-  test("d19: chunking is generate + one chunk-hash agg - no corpus window") {
+  test("d19: chunking is one doc-local pass + chunk-hash agg - no corpus window") {
     val plan = executedPlan("d19_cdc_chunks")
-    assert(plan.contains("Generate explode"), plan.take(1200))
+    // the chunker is a mapPartitions object pass (dual hash family lives
+    // in TextFunctions.cdcSpans), never a per-position SQL digest
+    assert(plan.contains("MapPartitions"), plan.take(1200))
+    assert(plan.contains("HashAggregate"), plan.take(1200))
     assert(!plan.contains("Window"), plan.take(1200))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1200))
