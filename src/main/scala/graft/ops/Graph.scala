@@ -368,6 +368,38 @@ object Graph {
     path
   }
 
+  /** The FULL weighted projection `ew (s1 < s2, w ≥ 2)` as a second
+    * memoised artifact one level below [[ensureProjection]]'s top-k
+    * graph: the pair self-join behind it is the single corpus-scale
+    * stage every weighted-graph consumer pays (g12's Borůvka needs the
+    * un-sparsified edges, so it can't reuse the top-k artifact) —
+    * materialised once, read per query (the g05 amortisation, extended
+    * down one derivation level). */
+  private[graft] def ensureWeightedEdges(s: SparkSession, d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(12)
+      .map(b => f"${b & 0xff}%02x").mkString
+    val path = s"$projScratch/$md-ew"
+    val done = new java.io.File(s"$path/_SUCCESS")
+    if (!done.exists()) projLock.synchronized {
+      if (!done.exists()) {
+        val ps = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
+        val kept = ps.join(pdeg.filter(col("d") <= ProjDegCap), "pk")
+          .select("pk", "sk")
+        kept.select(col("pk"), col("sk").as("s1"))
+          .join(kept.select(col("pk"), col("sk").as("s2")), Seq("pk"))
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .write.mode("overwrite").parquet(path)
+      }
+    }
+    path
+  }
+
   /** The amortised graph pipeline (SCALE.md's g02/g03/g04 note made
     * executable): the co-occurrence projection — the only corpus-scale
     * stage in the graph family — is materialised ONCE per corpus dir
@@ -1058,17 +1090,7 @@ object Graph {
        |ORDER BY round, u, v""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val ps = Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
-    val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("deg"))
-    val kept = ps.join(pdeg.filter(col("deg") <= ProjDegCap), "pk")
-      .select("pk", "sk")
-    val ew = kept.select(col("pk"), col("sk").as("s1"))
-      .join(kept.select(col("pk"), col("sk").as("s2")), Seq("pk"))
-      .filter(col("s1") < col("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val ew = s.read.parquet(ensureWeightedEdges(s, d))
     val dirw = ew.select(col("s1").as("v"), col("s2").as("nb"), col("w"))
       .union(ew.select(col("s2").as("v"), col("s1").as("nb"), col("w")))
       .localCheckpoint()
