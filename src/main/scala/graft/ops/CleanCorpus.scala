@@ -880,6 +880,107 @@ object CleanCorpus {
       .orderBy("i", "j")
   }
 
+  // ---------------------------------------------------------------- p15
+  /** Filter-funnel ablation report — the per-gate accounting every
+    * curation pipeline publishes next to its corpus (what fraction did
+    * EACH filter remove, in sequence): three gates run as a funnel —
+    * near-dup removal (t30's novelty: a doc whose every 3-shingle
+    * appears elsewhere is someone's copy), a minimum length, and a
+    * lexical-diversity floor — each stage reporting in/dropped/out and
+    * the exact-ppm drop rate against ITS OWN input (sequential
+    * semantics: a gate only sees the previous gate's survivors, so the
+    * same doc is never double-charged).
+    *
+    * The scale point: the funnel is sequential SEMANTICALLY but costs
+    * ONE fused pass — per-doc gate flags come from one enrichment
+    * (novelty join + token stats), and all six funnel counts are
+    * conditional sums in a single aggregation (q55's fused-rule-book
+    * shape) — stages add `when` expressions, never scans. The report is
+    * 3 rows; gates and thresholds are the config surface. */
+  val p15 = Q("p15_filter_funnel",
+    """WITH shingles AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+      |           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |    WHERE len(w) >= 3)),
+      |df AS (SELECT s, count(*) AS df FROM shingles GROUP BY s),
+      |nov AS (
+      |  SELECT sh.doc_id,
+      |    sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+      |  FROM shingles sh JOIN df ON df.s = sh.s GROUP BY sh.doc_id),
+      |flags AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN coalesce(nov.n_unique, 0) = 0 THEN 1 ELSE 0 END AS dup,
+      |    CASE WHEN len(string_split(d.text, ' ')) < 60 THEN 1 ELSE 0 END
+      |      AS short,
+      |    CASE WHEN CAST(len(list_distinct(string_split(d.text, ' ')))
+      |           AS DOUBLE) / len(string_split(d.text, ' ')) < 0.36
+      |         THEN 1 ELSE 0 END AS lowdiv
+      |  FROM documents d LEFT JOIN nov ON nov.doc_id = d.doc_id),
+      |agg AS (
+      |  SELECT count(*) AS n0, sum(dup) AS d1,
+      |    sum(CASE WHEN dup = 0 AND short = 1 THEN 1 ELSE 0 END) AS d2,
+      |    sum(CASE WHEN dup = 0 AND short = 0 AND lowdiv = 1
+      |             THEN 1 ELSE 0 END) AS d3
+      |  FROM flags)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_no, 'near_dup' AS stage, CAST(n0 AS BIGINT) AS n_in,
+      |    CAST(d1 AS BIGINT) AS n_dropped, CAST(n0 - d1 AS BIGINT) AS n_out,
+      |    CAST(d1 * 1000000 // n0 AS BIGINT) AS drop_ppm FROM agg
+      |  UNION ALL
+      |  SELECT 2, 'min_length', CAST(n0 - d1 AS BIGINT), CAST(d2 AS BIGINT),
+      |    CAST(n0 - d1 - d2 AS BIGINT),
+      |    CAST(d2 * 1000000 // (n0 - d1) AS BIGINT) FROM agg
+      |  UNION ALL
+      |  SELECT 3, 'diversity', CAST(n0 - d1 - d2 AS BIGINT),
+      |    CAST(d3 AS BIGINT), CAST(n0 - d1 - d2 - d3 AS BIGINT),
+      |    CAST(d3 * 1000000 // (n0 - d1 - d2) AS BIGINT) FROM agg)
+      |ORDER BY stage_no""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+    val dfc = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val nov = sh.join(dfc, "s").groupBy("doc_id")
+      .agg(sum(when(col("df") === 1, 1).otherwise(0)).as("n_unique"))
+    val flags = Tables.documents(s, d).select("doc_id", "text")
+      .join(nov, Seq("doc_id"), "left")
+      .select(
+        when(coalesce(col("n_unique"), lit(0L)) === 0, 1).otherwise(0)
+          .as("dup"),
+        when(size(split(col("text"), " ")) < 60, 1).otherwise(0).as("short"),
+        when(expr("""CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+          | / size(split(text, ' '))""".stripMargin.replace("\n", " "))
+          < 0.36, 1).otherwise(0).as("lowdiv"))
+    val agg0 = flags.agg(count(lit(1)).as("n0"), sum("dup").as("d1"),
+      sum(when(col("dup") === 0 && col("short") === 1, 1).otherwise(0))
+        .as("d2"),
+      sum(when(col("dup") === 0 && col("short") === 0 &&
+        col("lowdiv") === 1, 1).otherwise(0)).as("d3"))
+    agg0.select(explode(expr(
+      """array(
+        |named_struct('stage_no', 1, 'stage', 'near_dup',
+        |  'n_in', CAST(n0 AS BIGINT), 'n_dropped', CAST(d1 AS BIGINT),
+        |  'n_out', CAST(n0 - d1 AS BIGINT),
+        |  'drop_ppm', CAST(d1 * 1000000 DIV n0 AS BIGINT)),
+        |named_struct('stage_no', 2, 'stage', 'min_length',
+        |  'n_in', CAST(n0 - d1 AS BIGINT), 'n_dropped', CAST(d2 AS BIGINT),
+        |  'n_out', CAST(n0 - d1 - d2 AS BIGINT),
+        |  'drop_ppm', CAST(d2 * 1000000 DIV (n0 - d1) AS BIGINT)),
+        |named_struct('stage_no', 3, 'stage', 'diversity',
+        |  'n_in', CAST(n0 - d1 - d2 AS BIGINT),
+        |  'n_dropped', CAST(d3 AS BIGINT),
+        |  'n_out', CAST(n0 - d1 - d2 - d3 AS BIGINT),
+        |  'drop_ppm', CAST(d3 * 1000000 DIV (n0 - d1 - d2) AS BIGINT)))"""
+        .stripMargin.replace("\n", " "))).as("r"))
+      .select("r.stage_no", "r.stage", "r.n_in", "r.n_dropped", "r.n_out",
+        "r.drop_ppm")
+      .orderBy("stage_no")
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13, p14)
+    p12, p13, p14, p15)
 }

@@ -620,6 +620,20 @@ class CorpusOpsSpec extends SparkSpec {
     // EVERY gram (novelty 0) while others are fully original
     assert(got.values.exists(_._3 == 0L),
       "no fully-covered doc - near-dup structure not surfacing")
+    // p15's first gate consumes exactly this signal: its near_dup stage
+    // must drop exactly the novelty-0 docs
+    val funnel = ops.CleanCorpus.p15.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(funnel(0)._4 == got.values.count(_._3 == 0L).toLong)
+    // funnel conservation: sequential, telescoping, never double-charged
+    funnel.foreach { case (_, _, nIn, drop, nOut, ppm) =>
+      assert(nIn - drop == nOut)
+      assert(ppm == drop * 1000000L / nIn)
+    }
+    assert(funnel(0)._5 == funnel(1)._3 && funnel(1)._5 == funnel(2)._3)
+    assert(funnel(2)._5 > 0, "funnel annihilated the corpus - thresholds broken")
+    assert(funnel.map(_._4).sum > 0, "no gate fired - funnel vacuous")
     assert(got.values.exists(v => v._3 > 0L && v._2 == v._1 - 1 || v._3 > 600000L),
       "no high-novelty doc")
     // and the score genuinely spreads
