@@ -927,15 +927,20 @@ object CleanCorpus {
       |SELECT * FROM (
       |  SELECT 1 AS stage_no, 'near_dup' AS stage, CAST(n0 AS BIGINT) AS n_in,
       |    CAST(d1 AS BIGINT) AS n_dropped, CAST(n0 - d1 AS BIGINT) AS n_out,
-      |    CAST(d1 * 1000000 // n0 AS BIGINT) AS drop_ppm FROM agg
+      |    CAST(CASE WHEN n0 = 0 THEN 0
+      |              ELSE d1 * 1000000 // n0 END AS BIGINT) AS drop_ppm
+      |  FROM agg
       |  UNION ALL
       |  SELECT 2, 'min_length', CAST(n0 - d1 AS BIGINT), CAST(d2 AS BIGINT),
       |    CAST(n0 - d1 - d2 AS BIGINT),
-      |    CAST(d2 * 1000000 // (n0 - d1) AS BIGINT) FROM agg
+      |    CAST(CASE WHEN n0 - d1 = 0 THEN 0
+      |              ELSE d2 * 1000000 // (n0 - d1) END AS BIGINT) FROM agg
       |  UNION ALL
       |  SELECT 3, 'diversity', CAST(n0 - d1 - d2 AS BIGINT),
       |    CAST(d3 AS BIGINT), CAST(n0 - d1 - d2 - d3 AS BIGINT),
-      |    CAST(d3 * 1000000 // (n0 - d1 - d2) AS BIGINT) FROM agg)
+      |    CAST(CASE WHEN n0 - d1 - d2 = 0 THEN 0
+      |              ELSE d3 * 1000000 // (n0 - d1 - d2) END AS BIGINT)
+      |  FROM agg)
       |ORDER BY stage_no""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
     val sh = Tables.documents(s, d)
@@ -965,16 +970,19 @@ object CleanCorpus {
         |named_struct('stage_no', 1, 'stage', 'near_dup',
         |  'n_in', CAST(n0 AS BIGINT), 'n_dropped', CAST(d1 AS BIGINT),
         |  'n_out', CAST(n0 - d1 AS BIGINT),
-        |  'drop_ppm', CAST(d1 * 1000000 DIV n0 AS BIGINT)),
+        |  'drop_ppm', CAST(CASE WHEN n0 = 0 THEN 0
+        |    ELSE d1 * 1000000 DIV n0 END AS BIGINT)),
         |named_struct('stage_no', 2, 'stage', 'min_length',
         |  'n_in', CAST(n0 - d1 AS BIGINT), 'n_dropped', CAST(d2 AS BIGINT),
         |  'n_out', CAST(n0 - d1 - d2 AS BIGINT),
-        |  'drop_ppm', CAST(d2 * 1000000 DIV (n0 - d1) AS BIGINT)),
+        |  'drop_ppm', CAST(CASE WHEN n0 - d1 = 0 THEN 0
+        |    ELSE d2 * 1000000 DIV (n0 - d1) END AS BIGINT)),
         |named_struct('stage_no', 3, 'stage', 'diversity',
         |  'n_in', CAST(n0 - d1 - d2 AS BIGINT),
         |  'n_dropped', CAST(d3 AS BIGINT),
         |  'n_out', CAST(n0 - d1 - d2 - d3 AS BIGINT),
-        |  'drop_ppm', CAST(d3 * 1000000 DIV (n0 - d1 - d2) AS BIGINT)))"""
+        |  'drop_ppm', CAST(CASE WHEN n0 - d1 - d2 = 0 THEN 0
+        |    ELSE d3 * 1000000 DIV (n0 - d1 - d2) END AS BIGINT)))"""
         .stripMargin.replace("\n", " "))).as("r"))
       .select("r.stage_no", "r.stage", "r.n_in", "r.n_dropped", "r.n_out",
         "r.drop_ppm")

@@ -256,7 +256,13 @@ object Graph {
     s"""WITH $projEdgeCtes,
        |$triangleCtes
        |SELECT node, triangles FROM tc ORDER BY node""".stripMargin) { (s, d) =>
-    val e = projectionEdges(s, d).localCheckpoint()
+    // r8 verdict: read the memoised projection ([[ensureProjection]])
+    // instead of re-deriving the corpus-scale sparsification live — the
+    // artifact IS the live Spark derivation (built once per corpus), and
+    // the DuckDB oracle recomputes the projection from lineitem on every
+    // run, so the hash match still verifies the sparsification
+    // end-to-end cross-engine.
+    val e = s.read.parquet(ensureProjection(s, d))
     triangleCounts(e, degreesOf(e)).orderBy("node")
   }
 
@@ -332,7 +338,11 @@ object Graph {
   }
 
   val g04 = Q("g04_clustering_coeff", clusteringSql) { (s, d) =>
-    clusteringSummary(projectionEdges(s, d).localCheckpoint())
+    // r8 verdict: like g03, read the memoised artifact rather than pay
+    // the projection a second time per run. g05 keeps its distinct role
+    // as the plan-audited amortisation entry; the oracle (live DuckDB
+    // derivation) remains the cross-engine witness for both.
+    clusteringSummary(s.read.parquet(ensureProjection(s, d)))
   }
 
   // ---------------------------------------------------------------- g05
@@ -1141,6 +1151,20 @@ object Graph {
         p = p.as("a").join(p.as("b"), col("b.c") === col("a.p"))
           .select(col("a.c"), col("b.p").as("p"))
       }
+      // r8 ADVICE: 3 squarings resolve chains ≤ 8, which covers every
+      // selection pseudo-forest on the shipped corpus but is NOT a law
+      // of the algorithm — a corpus with longer best-edge chains would
+      // mislabel components in BOTH engines and the hash compare could
+      // not catch it. Assert the fixpoint in-op (p∘p == p) so the
+      // failure is loud and names its fix. The table is
+      // component-sized, so the checkpoint + count are cheap jobs.
+      p = p.localCheckpoint()
+      val unresolved = p.as("a")
+        .join(p.as("b"), col("b.c") === col("a.p"))
+        .filter(col("b.p") =!= col("a.p")).count()
+      require(unresolved == 0,
+        s"g12 round $round: pointer jumping left $unresolved chains " +
+          "unresolved (length > 8) — raise the squaring count")
       comp = comp.join(p.withColumnRenamed("c", "cOld"),
           col("cOld") === col("c"))
         .select(col("v"), col("p").as("c"))

@@ -2572,6 +2572,19 @@ object Relational {
       levels += frontier
     }
     val depth = levels.reduce(_ union _).localCheckpoint()
+    // r8 ADVICE: the relaxation reaches a node only through an unbroken
+    // ancestor chain, which holds because custkey is 0-based dense (so
+    // every decimal prefix of c = custkey + 1 is itself a node). If the
+    // key base ever changes, gap nodes would silently vanish while the
+    // oracle (depth = digit length) still emits them — assert full
+    // frontier coverage so the divergence fails HERE, not as a
+    // cross-engine hash mismatch. Both inputs are checkpointed, so the
+    // two counts are artifact-sized reads, not plan re-executions.
+    val nNodes = nodes.count()
+    val nDepth = depth.count()
+    require(nDepth == nNodes,
+      s"q56: depth relaxation covered $nDepth of $nNodes nodes — the " +
+        "decimal-prefix ancestor chain has a gap (non-dense key base?)")
     // subtree rollup: bottom-up fixpoint, one parent-keyed agg per round
     var st = nodes.select(col("c"), col("own").as("subtree_cents"),
       lit(1L).as("n_nodes"))

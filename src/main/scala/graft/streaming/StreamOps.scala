@@ -526,6 +526,15 @@ object StreamOps {
     * event-time order the stream reproduces the batch twin exactly
     * (StreamJoinSpec pins it; out-of-order feeds are the CDC-guard
     * territory of [[applyChangelog]], not silently absorbed here).
+    * ⚠ Tie hazard at micro-batch boundaries (r8 ADVICE): the
+    * signup-first tie order holds only WITHIN an invocation. If a
+    * same-timestamp signup/purchase pair is split across batches with
+    * the purchase in the earlier batch, the purchase cannot see the
+    * not-yet-arrived signup and the stream diverges from the batch
+    * twin — "fed in event-time order" therefore means batches may only
+    * split at strict timestamp boundaries (the spec enforces exactly
+    * that); a deployment feeding ties across batches needs the
+    * event_id-keyed CDC guard instead.
     * State is ONE small struct per user — bounded forever, no
     * watermark needed for correctness, only for state GC of dead keys
     * at deployment. Runs in batch and streaming (the st09 discipline),

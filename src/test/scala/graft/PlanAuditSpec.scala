@@ -294,21 +294,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("g05: the materialised-projection pipeline never rescans the corpus") {
+  test("g03/g04/g05: the materialised-projection pipeline never rescans the corpus") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val q = SparkEntry.catalog.find(_.name == "g05_materialized_graph").get
-    // sparkPlan, not executedPlan: the AQE wrapper hides children
-    val plan = q.run(spark, sf).queryExecution.sparkPlan
-    val scans = plan.collect { case f: FileSourceScanExec => f }
-    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
-    // the amortisation claim: after the one-time projection build, the
-    // graph pipeline reads ONLY the edge artifact — a lineitem scan
-    // here means the projection is being re-derived per query
-    assert(paths.nonEmpty, "expected at least the artifact scan")
-    assert(!paths.exists(_.contains("lineitem")),
-      s"g05 rescans the corpus: $paths")
-    assert(paths.forall(_.contains("graft-proj")),
-      s"unexpected scan targets: $paths")
+    // r8 verdict closed: g03 and g04 now read the memoised artifact like
+    // g05 — all three must scan ONLY the edge artifact; a lineitem scan
+    // means the projection is being re-derived per query.
+    for (name <- Seq("g03_triangles", "g04_clustering_coeff",
+        "g05_materialized_graph")) {
+      val q = SparkEntry.catalog.find(_.name == name).get
+      // sparkPlan, not executedPlan: the AQE wrapper hides children
+      val plan = q.run(spark, sf).queryExecution.sparkPlan
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(paths.nonEmpty, s"$name: expected at least the artifact scan")
+      assert(!paths.exists(_.contains("lineitem")),
+        s"$name rescans the corpus: $paths")
+      assert(paths.forall(_.contains("graft-proj")),
+        s"$name: unexpected scan targets: $paths")
+    }
   }
 
   test("ml03: single-partition windows only ever walk the bounded score histogram") {

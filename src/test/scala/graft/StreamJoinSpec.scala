@@ -172,7 +172,18 @@ class StreamJoinSpec extends SparkSpec {
         ops.EventStreams.eventTs(ev0).cast("timestamp").as("ts"))
       .as[ChangeEvent].collect()
       .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-    val (b1, b2) = all.splitAt(all.length / 2)
+    // r8 ADVICE: split ONLY at a strict timestamp boundary — splitting
+    // a same-instant signup/purchase tie with the purchase in the
+    // earlier batch would diverge from the twin by design (asofEnrich's
+    // documented tie hazard), making the equality data-dependent. Walk
+    // forward from the middle to the first strict increase.
+    val mid = all.length / 2
+    val cut = (mid until all.length).find { i =>
+      val (a, b) = (all(i - 1).ts, all(i).ts)
+      a.compareTo(b) < 0
+    }.getOrElse(all.length)
+    val (b1, b2) = all.splitAt(cut)
+    assert(b2.nonEmpty, "degenerate split: no strict ts boundary after mid")
     val src = MemoryStream[ChangeEvent]
     val q = StreamOps.asofEnrich(src.toDS())
       .writeStream.format("memory").queryName("st21_stream")
