@@ -989,6 +989,92 @@ object CleanCorpus {
       .orderBy("stage_no")
   }
 
+  // ---------------------------------------------------------------- p16
+  /** Sub-buckets per source stratum for [[p16]] — bounds every cumsum
+    * window to ~1/B of a stratum (the parallelism knob). */
+  val PpsBuckets = 4L
+
+  /** Selection points per (source, bucket) stratum for [[p16]]. */
+  val PpsQuota = 2L
+
+  /** Systematic probability-proportional-to-size sampling (Madow 1949)
+    * — the sampling discipline the p03/p06/p09/p10 family lacks:
+    * inclusion probability proportional to an integer SIZE weight
+    * (n_chars — the "sample big docs more" a token-budgeted corpus
+    * build wants), via equally-spaced selection points walked over a
+    * per-stratum cumulative-weight line. Fully deterministic: the
+    * anchor is the midpoint `step DIV 2` (no RNG), the walk order is a
+    * salted md5 over doc_id (decorrelated from ingest order), and every
+    * quantity is exact integer arithmetic (positive operands, so Spark
+    * `DIV` == DuckDB `//` — the q51 agreement). A doc heavier than the
+    * step distance legitimately absorbs ≥ 2 selection points
+    * (`times_selected` is the importance multiplicity, the PPS analogue
+    * of sampling with replacement).
+    *
+    * Scale design: strata are (source, hash-sub-bucket) with
+    * [[PpsBuckets]] buckets, so no cumsum window ever sees more than
+    * ~1/B of one source — the stratified-systematic composition that
+    * keeps the prefix-sum parallel at 100 TB (a corpus-global cumsum is
+    * the n02 ban; even a per-source window would single-task a 10 TB
+    * stratum). One keyed window + one keyed total agg + a stratum-keyed
+    * join: every shuffle is on (source, bucket). Per stratum the sample
+    * count is exactly `⌈(W − strt) / step⌉` — spec-pinned, so quota
+    * accounting is closed-form, not approximate. */
+  val p16 = Q("p16_pps_sample",
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(concat('0x', substr(md5('p16:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8)) AS BIGINT) AS h
+       |  FROM documents),
+       |b AS (SELECT doc_id, source, n_chars, h, h % $PpsBuckets AS bucket
+       |      FROM docs),
+       |c AS (
+       |  SELECT *,
+       |    sum(n_chars) OVER (PARTITION BY source, bucket
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n_chars) OVER (PARTITION BY source, bucket) AS wtot
+       |  FROM b),
+       |p AS (
+       |  SELECT *, greatest(wtot // $PpsQuota, 1) AS step FROM c),
+       |q AS (
+       |  SELECT *, step // 2 AS strt, cum - n_chars AS prev FROM p),
+       |sel AS (
+       |  SELECT source, CAST(bucket AS BIGINT) AS bucket, doc_id,
+       |    CAST(n_chars AS BIGINT) AS weight,
+       |    CAST((CASE WHEN cum <= strt THEN 0
+       |               ELSE (cum - strt - 1) // step + 1 END)
+       |       - (CASE WHEN prev <= strt THEN 0
+       |               ELSE (prev - strt - 1) // step + 1 END)
+       |         AS BIGINT) AS times_selected
+       |  FROM q)
+       |SELECT * FROM sel WHERE times_selected > 0
+       |ORDER BY source, bucket, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("p16:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"), h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(PpsBuckets)))
+    val w = Window.partitionBy("source", "bucket").orderBy("h", "doc_id")
+    val cum = docs.withColumn("cum", sum("n_chars").over(w))
+    val tot = docs.groupBy("source", "bucket")
+      .agg(sum("n_chars").as("wtot"))
+    // cnt(x) = selection points strictly below x on the cumsum line
+    def cnt(x: String) = expr(
+      s"CASE WHEN $x <= strt THEN 0 ELSE ($x - strt - 1) DIV step + 1 END")
+    cum.join(tot, Seq("source", "bucket"))
+      .withColumn("step", greatest(expr(s"wtot DIV $PpsQuota"), lit(1L)))
+      .withColumn("strt", expr("step DIV 2"))
+      .withColumn("prev", col("cum") - col("n_chars"))
+      .withColumn("times_selected", (cnt("cum") - cnt("prev")).cast("long"))
+      .filter(col("times_selected") > 0)
+      .select(col("source"), col("bucket").cast("long").as("bucket"),
+        col("doc_id"), col("n_chars").cast("long").as("weight"),
+        col("times_selected"))
+      .orderBy("source", "bucket", "doc_id")
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13, p14, p15)
+    p12, p13, p14, p15, p16)
 }

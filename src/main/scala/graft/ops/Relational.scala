@@ -2705,9 +2705,170 @@ object Relational {
       .orderBy("key_col")
   }
 
+  // ---------------------------------------------------------------- q58
+  /** Single-pass column profiler (the Deequ/data-profiling class q55's
+    * rule audit presumes: before you can ASSERT constraints you have to
+    * SEE the data) — per profiled column: row count, null count, exact
+    * null rate in ppm, exact distinct count, canonical min/max
+    * representations, and an exact integer mean for money columns. The
+    * frame under profile is `orders` enriched with its per-order
+    * RETURNS aggregate (left join) — the mart frame where null
+    * accounting is non-vacuous by construction: `ret_lines`/`ret_cents`
+    * are genuinely NULL for the ~26% of orders with no returned lines
+    * (the sparse-enrichment-column shape every wide feature table has),
+    * while the base order columns profile dense — the report shows both
+    * regimes side by side.
+    *
+    * Scale design: ONE enrichment join (orderkey-keyed, map-side
+    * pre-aggregated returns) + ONE profile pass. Null counts, min/max,
+    * and the money
+    * sums are all map-side-combined hash-agg state (a few scalars per
+    * partition); the six exact `count(DISTINCT …)` rewrite into ONE
+    * shuffle via Catalyst's Expand (6× row replication — the documented
+    * cost of exactness; at 100 TB the config swap is q10c's HLL
+    * registers per column, same output shape, bounded state). The
+    * report is column-count-sized. Cross-engine determinism: money
+    * canonicalises to integer cents BEFORE any aggregate (the q01
+    * discipline), timestamps to a fixed `yyyy-MM-dd HH:mm:ss` format,
+    * means are exact integer floor-divisions over positive sums (the
+    * q51 positive-operand DIV == // agreement), and every ratio carries
+    * the p15 zero-denominator guard. */
+  val q58 = Q("q58_column_profile", {
+    """WITH r AS (
+      |  SELECT l_orderkey,
+      |    CAST(count(*) AS BIGINT) AS ret_lines,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |         AS BIGINT) AS ret_cents
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o.o_orderkey, o.o_orderstatus,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS tp_cents,
+      |    o.o_orderdate, r.ret_lines, r.ret_cents
+      |  FROM orders o LEFT JOIN r ON r.l_orderkey = o.o_orderkey),
+      |a AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_k,
+      |    count(DISTINCT o_orderkey) AS nd_k,
+      |    CAST(min(o_orderkey) AS VARCHAR) AS mn_k,
+      |    CAST(max(o_orderkey) AS VARCHAR) AS mx_k,
+      |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_st,
+      |    count(DISTINCT o_orderstatus) AS nd_st,
+      |    min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+      |    sum(CASE WHEN tp_cents IS NULL THEN 1 ELSE 0 END) AS nn_tp,
+      |    count(DISTINCT tp_cents) AS nd_tp,
+      |    CAST(min(tp_cents) AS VARCHAR) AS mn_tp,
+      |    CAST(max(tp_cents) AS VARCHAR) AS mx_tp,
+      |    sum(tp_cents) AS sm_tp, count(tp_cents) AS ct_tp,
+      |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn_od,
+      |    count(DISTINCT o_orderdate) AS nd_od,
+      |    strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_od,
+      |    strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_od,
+      |    sum(CASE WHEN ret_lines IS NULL THEN 1 ELSE 0 END) AS nn_nr,
+      |    count(DISTINCT ret_lines) AS nd_nr,
+      |    CAST(min(ret_lines) AS VARCHAR) AS mn_nr,
+      |    CAST(max(ret_lines) AS VARCHAR) AS mx_nr,
+      |    sum(CASE WHEN ret_cents IS NULL THEN 1 ELSE 0 END) AS nn_rc,
+      |    count(DISTINCT ret_cents) AS nd_rc,
+      |    CAST(min(ret_cents) AS VARCHAR) AS mn_rc,
+      |    CAST(max(ret_cents) AS VARCHAR) AS mx_rc,
+      |    sum(ret_cents) AS sm_rc, count(ret_cents) AS ct_rc
+      |  FROM j)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+      |    CAST(nn_k AS BIGINT) AS n_nulls,
+      |    CAST(CASE WHEN n = 0 THEN 0 ELSE nn_k * 1000000 // n END
+      |         AS BIGINT) AS null_ppm,
+      |    CAST(nd_k AS BIGINT) AS n_distinct,
+      |    mn_k AS min_repr, mx_k AS max_repr,
+      |    CAST(NULL AS BIGINT) AS mean_cents FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(nn_st AS BIGINT),
+      |    CAST(CASE WHEN n = 0 THEN 0 ELSE nn_st * 1000000 // n END
+      |         AS BIGINT),
+      |    CAST(nd_st AS BIGINT), mn_st, mx_st, CAST(NULL AS BIGINT)
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 'o_totalprice_cents', CAST(n AS BIGINT), CAST(nn_tp AS BIGINT),
+      |    CAST(CASE WHEN n = 0 THEN 0 ELSE nn_tp * 1000000 // n END
+      |         AS BIGINT),
+      |    CAST(nd_tp AS BIGINT), mn_tp, mx_tp,
+      |    CAST(CASE WHEN ct_tp = 0 THEN NULL
+      |              ELSE sm_tp // ct_tp END AS BIGINT) FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderdate', CAST(n AS BIGINT), CAST(nn_od AS BIGINT),
+      |    CAST(CASE WHEN n = 0 THEN 0 ELSE nn_od * 1000000 // n END
+      |         AS BIGINT),
+      |    CAST(nd_od AS BIGINT), mn_od, mx_od, CAST(NULL AS BIGINT) FROM a
+      |  UNION ALL
+      |  SELECT 'ret_lines', CAST(n AS BIGINT), CAST(nn_nr AS BIGINT),
+      |    CAST(CASE WHEN n = 0 THEN 0 ELSE nn_nr * 1000000 // n END
+      |         AS BIGINT),
+      |    CAST(nd_nr AS BIGINT), mn_nr, mx_nr, CAST(NULL AS BIGINT) FROM a
+      |  UNION ALL
+      |  SELECT 'ret_cents', CAST(n AS BIGINT), CAST(nn_rc AS BIGINT),
+      |    CAST(CASE WHEN n = 0 THEN 0 ELSE nn_rc * 1000000 // n END
+      |         AS BIGINT),
+      |    CAST(nd_rc AS BIGINT), mn_rc, mx_rc,
+      |    CAST(CASE WHEN ct_rc = 0 THEN NULL
+      |              ELSE sm_rc // ct_rc END AS BIGINT) FROM a)
+      |ORDER BY column_name""".stripMargin
+  }) { (s, d) =>
+    val r = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).cast("long").as("ret_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .cast("long").as("ret_cents"))
+    val j = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("tp_cents"),
+        col("o_orderdate"))
+      .join(r, col("l_orderkey") === col("o_orderkey"), "left")
+    // per-column profile aggregates: (suffix, value, repr-of-extremum,
+    // money?) — reprs apply AFTER min/max so numeric order is preserved
+    val asStr = (c: Column) => c.cast("string")
+    val asTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val profiled: Seq[(String, String, Column, Column => Column, Boolean)] =
+      Seq(
+        ("k", "o_orderkey", col("o_orderkey"), asStr, false),
+        ("st", "o_orderstatus", col("o_orderstatus"), identity[Column], false),
+        ("tp", "o_totalprice_cents", col("tp_cents"), asStr, true),
+        ("od", "o_orderdate", col("o_orderdate"), asTs, false),
+        ("nr", "ret_lines", col("ret_lines"), asStr, false),
+        ("rc", "ret_cents", col("ret_cents"), asStr, true))
+    val aggs = profiled.flatMap { case (suf, _, v, repr, money) =>
+      Seq(
+        sum(when(v.isNull, 1).otherwise(0)).as(s"nn_$suf"),
+        countDistinct(v).as(s"nd_$suf"),
+        repr(min(v)).as(s"mn_$suf"),
+        repr(max(v)).as(s"mx_$suf")) ++
+        (if (money) Seq(sum(v).as(s"sm_$suf"), count(v).as(s"ct_$suf"))
+         else Nil)
+    }
+    val a = j.agg(count(lit(1)).as("n"), aggs: _*)
+    val structs = profiled.map { case (suf, name, _, _, money) =>
+      val mean =
+        if (money)
+          s"CAST(CASE WHEN ct_$suf = 0 THEN NULL ELSE sm_$suf DIV ct_$suf END AS BIGINT)"
+        else "CAST(NULL AS BIGINT)"
+      s"""named_struct('column_name', '$name',
+         |  'n_rows', CAST(n AS BIGINT),
+         |  'n_nulls', CAST(nn_$suf AS BIGINT),
+         |  'null_ppm', CAST(CASE WHEN n = 0 THEN 0
+         |    ELSE nn_$suf * 1000000 DIV n END AS BIGINT),
+         |  'n_distinct', CAST(nd_$suf AS BIGINT),
+         |  'min_repr', mn_$suf, 'max_repr', mx_$suf,
+         |  'mean_cents', $mean)""".stripMargin.replace("\n", " ")
+    }
+    a.select(explode(expr(structs.mkString("array(", ", ", ")"))).as("r"))
+      .select("r.column_name", "r.n_rows", "r.n_nulls", "r.null_ppm",
+        "r.n_distinct", "r.min_repr", "r.max_repr", "r.mean_cents")
+      .orderBy("column_name")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

@@ -772,6 +772,82 @@ object Ingest {
       .orderBy("flag")
   }
 
+  // ---------------------------------------------------------------- in16
+  /** Manifest-driven scan planning — the metadata-PLANE pruning of the
+    * table formats (Iceberg manifests, Delta stats), one level ABOVE
+    * in13's parquet-footer zone maps: the engine consults a per-file
+    * min/max MANIFEST and never even OPENS (or lists) the files whose
+    * key range cannot match, instead of opening every footer and
+    * skipping row groups. At 100 TB this is the difference between a
+    * million-file LIST + footer reads and a manifest-table lookup that
+    * is file-count-sized — the planning cost becomes O(files-touched),
+    * not O(files-total).
+    *
+    * Mechanics: the in13 range-clustered write, then ONE metadata pass
+    * builds the manifest (file → key min/max/rowcount; in a real table
+    * format these stats are written at commit time, so the pass is
+    * free), the manifest is collected driver-side (file-count-sized —
+    * the metadata plane, never the data plane), the month predicate
+    * prunes it to the overlapping files, and ONLY those paths are
+    * handed to the reader, with the predicate still applied as the
+    * residual filter (manifest overlap is necessary, not sufficient).
+    * In-op `require`s pin that pruning genuinely dropped files; the
+    * oracle digests the same month off the SOURCE table (the in09/in13
+    * content-invariance discipline — file identities are not an
+    * oracle-stable quantity, row content is). `IngestSpec` separately
+    * proves soundness: the pruned-away files contain ZERO matching
+    * rows. */
+  val in16 = Q("in16_manifest_pruning",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)),
+      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) {
+    (s, d) =>
+    import org.apache.spark.sql.types.TimestampNTZType
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$compactScratch/$run/manifested"
+    src.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dataDir)
+    val (lo, hi) = (lit("1996-03-01 00:00:00").cast(TimestampNTZType),
+      lit("1996-04-01 00:00:00").cast(TimestampNTZType))
+    val manifest = manifestOf(s, dataDir, "l_shipdate")
+    val live = manifest.filter { case (_, mn, mx) =>
+      // overlap test on CLOSED file ranges: [mn, mx] ∩ [lo, hi) ≠ ∅ —
+      // stats are yyyy-MM-dd HH:mm:ss strings, lexically order-faithful
+      mx >= "1996-03-01 00:00:00" && mn < "1996-04-01 00:00:00"
+    }.map(_._1)
+    require(live.nonEmpty, "manifest pruned everything — predicate broken")
+    require(live.length < manifest.length,
+      s"manifest pruned nothing: ${live.length} of ${manifest.length} files")
+    s.read.parquet(live: _*)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_partkey").cast("string"))), 1, 8), 16, 10).cast("long"))
+          .cast("long").as("checksum"))
+  }
+
+  /** One metadata pass: per data file, (path, key min, key max) — the
+    * stats a table format records at commit time. Stats are canonical
+    * `yyyy-MM-dd HH:mm:ss` strings (lexically order-faithful, and
+    * indifferent to the NTZ-vs-instant row representation). Collected
+    * driver-side; file-count-sized by construction. */
+  private[graft] def manifestOf(s: SparkSession, dir: String, key: String)
+      : Array[(String, String, String)] =
+    s.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(date_format(min(key), "yyyy-MM-dd HH:mm:ss").as("mn"),
+        date_format(max(key), "yyyy-MM-dd HH:mm:ss").as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15)
+    in10, in11, in12, in13, in14, in15, in16)
 }

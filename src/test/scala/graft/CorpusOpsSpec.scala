@@ -639,4 +639,47 @@ class CorpusOpsSpec extends SparkSpec {
     // and the score genuinely spreads
     assert(got.values.map(_._3).toSet.size > 10)
   }
+
+  test("p16: per-stratum PPS counts are closed-form; sampling favors weight") {
+    import org.apache.spark.sql.functions.col
+    val sel = ops.CleanCorpus.p16.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sel.nonEmpty)
+    // recompute each stratum's expected point count in closed form:
+    // points = ceil((W - strt) / step), strt = step/2, step = max(W/q, 1)
+    val docs = model.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p16:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+      h % ops.CleanCorpus.PpsBuckets
+    }
+    val strata = docs.groupBy(d => (d._2, bucketOf(d._1)))
+    strata.foreach { case ((src, b), ds) =>
+      val w = ds.map(_._3).sum
+      val step = math.max(w / ops.CleanCorpus.PpsQuota, 1L)
+      val strt = step / 2
+      val expectPoints = (w - strt + step - 1) / step
+      val gotPoints = sel.filter(r => r._1 == src && r._2 == b).map(_._5).sum
+      assert(gotPoints == expectPoints,
+        s"stratum ($src,$b): $gotPoints points != closed-form $expectPoints")
+    }
+    // PPS law: inclusion ∝ weight, so the sampled docs' mean weight must
+    // exceed the corpus mean (deterministic on this corpus)
+    val sampleMean = sel.map(_._4).sum.toDouble / sel.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      s"PPS shows no size bias: $sampleMean <= $corpusMean")
+    // multiplicity only ever comes from a doc heavier than the step
+    sel.filter(_._5 > 1).foreach { case (src, b, id, wt, times) =>
+      val ds = strata((src, b))
+      val step = math.max(ds.map(_._3).sum / ops.CleanCorpus.PpsQuota, 1L)
+      assert(wt > (times - 1) * step,
+        s"doc $id selected $times times but weighs $wt <= ${(times - 1)} * $step")
+    }
+  }
 }

@@ -193,4 +193,43 @@ class IngestSpec extends SparkSpec {
     assert(out.map(o => o._1 -> o._2).toMap == src)
     assert(out.map(_._1).toSet == Set("A", "N", "R"))
   }
+
+  test("in16: manifest pruning is sound — pruned files hold no matching row") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    // rebuild the same layout the op writes, prune by the same manifest
+    // logic, then prove the COMPLEMENT: files the manifest dropped
+    // contain zero rows for the predicate (soundness; the op's oracle
+    // proves completeness of the files it kept)
+    val src = model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-in16-spec").toString
+    try {
+      src.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(dir)
+      val manifest = sources.Ingest.manifestOf(spark, dir, "l_shipdate")
+      assert(manifest.length > 1, "layout produced a single file")
+      val (live, pruned) = manifest.partition { case (_, mn, mx) =>
+        mx >= "1996-03-01 00:00:00" && mn < "1996-04-01 00:00:00"
+      }
+      assert(live.nonEmpty && pruned.nonEmpty,
+        s"degenerate pruning: ${live.length} live / ${pruned.length} pruned")
+      val (lo, hi) = (
+        org.apache.spark.sql.functions.lit("1996-03-01 00:00:00")
+          .cast(TimestampNTZType),
+        org.apache.spark.sql.functions.lit("1996-04-01 00:00:00")
+          .cast(TimestampNTZType))
+      val leaked = spark.read.parquet(pruned.map(_._1): _*)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi).count()
+      assert(leaked == 0, s"pruned files hid $leaked matching rows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

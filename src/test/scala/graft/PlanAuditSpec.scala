@@ -765,4 +765,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LocalTableScan") || plan.contains("HashAggregate"),
       plan.take(800))
   }
+
+  test("q58: profiler is one pass — a single Expand serves all distincts") {
+    // the multi-count(DISTINCT) must rewrite into ONE Expand-based
+    // aggregation, not a scan per profiled column; and the returns
+    // enrichment stays an equi join
+    val plan = executedPlan("q58_column_profile")
+    assert(plan.linesIterator.count(_.contains("Expand [")) == 1,
+      plan.take(2000))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+    // null accounting is non-vacuous ON THIS CORPUS and consistent with
+    // an independent recompute of the orders-without-returns population
+    val rows = SparkEntry.catalog.find(_.name == "q58_column_profile").get
+      .run(spark, sf).collect()
+    val retRow = rows.find(_.getString(0) == "ret_lines").get
+    val expected = {
+      import org.apache.spark.sql.functions.col
+      val o = model.Tables.orders(spark, sf).select("o_orderkey")
+      val withRet = model.Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      o.count() - withRet.count()
+    }
+    assert(retRow.getLong(2) == expected,
+      s"profiler null count ${retRow.getLong(2)} != recompute $expected")
+    assert(retRow.getLong(2) > 0, "null accounting is vacuous on this corpus")
+  }
 }
