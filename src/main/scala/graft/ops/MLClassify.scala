@@ -1638,7 +1638,72 @@ object MLClassify {
         "acc_quant_ppm", "model_terms_full", "model_terms_quant")
   }
 
+  // ---------------------------------------------------------------- ml16
+  /** Hashed-feature dimensionality for [[ml16]] (the hashing-trick D). */
+  val HashDims = 256L
+
+  /** Feature hashing (the hashing trick; Weinberger et al., ICML 2009)
+    * — the featurization that makes 100 TB text ML SHUFFLE-FREE: each
+    * token maps to one of [[HashDims]] dimensions by a salted hash,
+    * with a second hash bit supplying a ±1 sign so collisions cancel
+    * in expectation instead of biasing upward. No global vocabulary is
+    * ever built — the dimension is FIXED before any data arrives,
+    * which is what lets the same featurizer run over a stream, a new
+    * shard, or a serving request with zero fitting state (contrast
+    * ml10's chi2 table or t11's vocab, both of which need a corpus
+    * pass before they can score row one).
+    *
+    * Features are word BIGRAMS (the unigram vocabulary here is ~31
+    * tokens — hashing it into 256 dims would be collision-free and
+    * vacuous; the ~916-bigram space is exactly the regime the trick is
+    * for: |features| ≫ D, load ≈ 3.6 tokens/dim). The op emits the
+    * DESIGN REPORT for the hash space: per dimension, the distinct
+    * vocabulary tokens colliding into it, total token occurrences, and
+    * the signed sum — the table that decides D before a training run
+    * (collision load vs cancellation, the d20/s13/q57 tuning-table
+    * discipline for the feature plane). One generator + a token-keyed
+    * agg + a dimension-keyed agg, all map-side combined; the report is
+    * D-sized. `MLFrozenSpec` pins the near-uniform load law and that
+    * signed cancellation genuinely fires on colliding dims. */
+  val ml16 = Q("ml16_feature_hashing",
+    s"""WITH tok AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |           i -> concat_ws(' ', w[i], w[i+1]))) AS token
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |tc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |hashed AS (
+       |  SELECT token, cnt,
+       |    CAST(concat('0x', substr(md5('ml16:' || token), 1, 8))
+       |         AS BIGINT) % $HashDims AS dim,
+       |    CASE WHEN CAST(concat('0x', substr(md5('ml16#' || token), 1, 8))
+       |              AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM tc)
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cnt) AS BIGINT) AS total_count,
+       |  CAST(sum(sgn * cnt) AS BIGINT) AS signed_sum
+       |FROM hashed GROUP BY dim
+       |ORDER BY dim""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val tc = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr("word_shingles(w, 2)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val dim = pmod(conv(substring(md5(concat(lit("ml16:"), col("token"))),
+      1, 8), 16, 10).cast("long"), lit(HashDims))
+    val sgn = when(pmod(conv(substring(md5(concat(lit("ml16#"), col("token"))),
+      1, 8), 16, 10).cast("long"), lit(2L)) === 0, 1L).otherwise(-1L)
+    tc.select(dim.as("dim"), sgn.as("sgn"), col("cnt"))
+      .groupBy("dim")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("cnt").cast("long").as("total_count"),
+        sum(col("sgn") * col("cnt")).cast("long").as("signed_sum"))
+      .orderBy("dim")
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13, ml14, ml15)
+      ml12, ml13, ml14, ml15, ml16)
 }

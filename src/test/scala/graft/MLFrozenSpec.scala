@@ -133,4 +133,29 @@ class MLFrozenSpec extends SparkSpec {
     assert(out(0).getString(1) == expected)
     assert(out(0).getLong(2) == icept.map(_._2).max)
   }
+
+  test("ml16: hash space loads near-uniformly and signed collisions cancel") {
+    val rows = MLClassify.ml16.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vocab = rows.map(_._2).sum
+    assert(vocab > MLClassify.HashDims,
+      s"feature space $vocab <= D — the hashing-trick regime is vacuous")
+    // load law: no dimension hoards the vocabulary (md5 behaves
+    // uniformly; a skew here means the salt or modulus broke)
+    val meanLoad = vocab.toDouble / MLClassify.HashDims
+    assert(rows.map(_._2).max <= math.ceil(meanLoad * 4),
+      s"max load ${rows.map(_._2).max} vs mean $meanLoad")
+    // collisions are the normal case, and the ±1 sign genuinely cancels
+    // on colliding dims (|signed| < total is impossible without
+    // opposite-sign tokens sharing the dim)
+    val colliding = rows.filter(_._2 >= 2)
+    assert(colliding.length * 2 > rows.length, "collisions are rare — D too big")
+    val cancelling = colliding.count(r => math.abs(r._4) < r._3)
+    assert(cancelling * 2 > colliding.length,
+      s"cancellation fired on only $cancelling of ${colliding.length} dims")
+    // single-token dims carry their count through exactly (no smearing)
+    rows.filter(_._2 == 1).foreach { case (dim, _, tot, sgn) =>
+      assert(math.abs(sgn) == tot, s"dim $dim: lone token distorted")
+    }
+  }
 }
