@@ -974,10 +974,24 @@ object Graph {
     val pr0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
-    val pName = concat(lit("p:"), col("pk").cast("string"))
-    val sName = concat(lit("s:"), col("sk").cast("string"))
-    val edges = pr0.select(pName.as("src"), sName.as("dst"))
-      .union(pr0.select(sName.as("src"), pName.as("dst")))
+    // r9 perf: every shuffle (edge join, (node, reg) max-merge agg) used
+    // to key on the STRING node name; the iteration now runs on packed
+    // integer ids (parts even, suppliers odd) and the name — which the
+    // md5 register derivation and the output contract still need — is
+    // joined back exactly once, on the round-count-sized estimate rows.
+    // Register values are unchanged (still md5 of the NAME), so the
+    // oracle is untouched.
+    val pid = expr("pk * 2")
+    val sid = expr("sk * 2 + 1")
+    val edges = pr0.select(pid.as("src"), sid.as("dst"))
+      .union(pr0.select(sid.as("src"), pid.as("dst")))
+      .localCheckpoint()
+    val names = edges.select(col("src").as("nid")).distinct()
+      .select(col("nid"),
+        when(pmod(col("nid"), lit(2)) === 0,
+          concat(lit("p:"), expr("nid DIV 2").cast("string")))
+          .otherwise(concat(lit("s:"), expr("nid DIV 2").cast("string")))
+          .as("node"))
       .localCheckpoint()
     val h = md5(col("node"))
     val t = ltrim(substring(h, 2, 13), "0")
@@ -986,8 +1000,8 @@ object Graph {
       .when(d1.isin("2", "3"), 2)
       .when(d1.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
-    var st = edges.select(col("src").as("node")).distinct()
-      .select(col("node"),
+    var st = names
+      .select(col("nid"),
         conv(substring(h, 1, 1), 16, 10).cast("int").as("reg"),
         when(length(t) === 0, lit(53))
           .otherwise((lit(13) - length(t)) * 4 + extra + 1)
@@ -995,30 +1009,32 @@ object Graph {
       .localCheckpoint()
     val lcList = AnfLcMicro.mkString("array(", "L, ", "L)")
     def est(state: DataFrame, r: Int): DataFrame =
-      state.groupBy("node")
+      state.groupBy("nid")
         .agg(count(lit(1)).as("occupied"),
           sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).as("occ_denom"))
-        .select(col("node"), lit(r).as("r"),
+        .select(col("nid"), lit(r).as("r"),
           col("occupied").cast("long").as("occupied"),
           expr(s"""CAST(least((CAST(673000 AS DECIMAL(38,0)) * 256 * $AnfShift)
             | div (CAST(occ_denom AS DECIMAL(38,0)) +
             |   (16 - occupied) * CAST($AnfShift AS DECIMAL(38,0))),
             | CAST(1000000000000000 AS DECIMAL(38,0))) AS BIGINT)"""
             .stripMargin.replace("\n", " ")).as("raw"))
-        .select(col("node"), col("r"), col("occupied"),
+        .select(col("nid"), col("r"), col("occupied"),
           when(col("occupied") < 16 && col("raw") <= 40000000L,
             expr(s"element_at($lcList, CAST(16 - occupied AS INT))"))
             .otherwise(col("raw")).as("est_micro"))
     var out = est(st, 0)
     for (r <- 1 to 2) {
       st = st
-        .union(edges.join(st.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), col("reg"), col("rho")))
-        .groupBy("node", "reg").agg(max("rho").cast("int").as("rho"))
+        .union(edges.join(st.withColumnRenamed("nid", "src"), "src")
+          .select(col("dst").as("nid"), col("reg"), col("rho")))
+        .groupBy("nid", "reg").agg(max("rho").cast("int").as("rho"))
         .localCheckpoint()
       out = out.union(est(st, r))
     }
-    out.orderBy("node", "r")
+    out.join(names, "nid")
+      .select(col("node"), col("r"), col("occupied"), col("est_micro"))
+      .orderBy("node", "r")
   }
 
   // ---------------------------------------------------------------- g12
