@@ -775,6 +775,10 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1200))
+    // every extremum aggregates a primitive (the status profiles via its
+    // ascii dictionary code) — a string min/max buffer would demote the
+    // whole 25-agg operator to SortAggregate and sort the expanded rows
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
     // null accounting is non-vacuous ON THIS CORPUS and consistent with
     // an independent recompute of the orders-without-returns population
     val rows = SparkEntry.catalog.find(_.name == "q58_column_profile").get
