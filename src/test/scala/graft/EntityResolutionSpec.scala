@@ -86,4 +86,29 @@ class EntityResolutionSpec extends SparkSpec {
     assert(cand2 < cand1, s"cents blocking: $cand2 vs $cand1")
     info(s"candidates: wide $cand1, cents $cand2")
   }
+
+  test("er04: bands partition the scored pairs; purity laws hold per band") {
+    import org.apache.spark.sql.functions.col
+    val bands = ops.EntityResolution.er04.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val scoredN = ops.EntityResolution.scoredPairs(spark, sf).count()
+    assert(bands.values.map(_._1).sum == scoredN,
+      "bands do not partition the scored pairs")
+    // auto-link is exactly pure on this corpus (threshold unreachable
+    // without the balance agreement, which only the true master has)
+    val auto = bands("auto_link")
+    assert(auto._3 == auto._1 && auto._2 == auto._3,
+      s"auto_link band impure: $auto")
+    // review captures exactly the drifted heavy cohort's true pairs —
+    // derived from the table, not hardcoded
+    val drifted = model.Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 15 === 0).count()
+    val review = bands("review")
+    assert(review._3 == drifted,
+      s"review band holds ${review._3} truths, drifted cohort is $drifted")
+    assert(review._5 >= 8 && review._6 < 28, s"review scores out of band: $review")
+    // non-match holds zero truths (no master's evidence decays that far)
+    assert(bands("non_match")._3 == 0L)
+  }
 }
