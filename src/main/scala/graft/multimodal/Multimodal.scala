@@ -1801,6 +1801,81 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- mm18
+  /** Patch side for [[mm18]] (ViT-style square patches). */
+  val PatchSide = 4
+
+  /** Patchify a P6 PPM into [[PatchSide]]² gray patches: per patch,
+    * (row, col, Σ gray, mean gray) with gray = `(r+g+b) DIV 3` (mm16's
+    * channel fold) and mean = `Σ DIV side²` — all integer. Patches are
+    * emitted in raster order. */
+  def patchifyPpm(bytes: Array[Byte]): Seq[(Int, Int, Long, Long)] = {
+    val (w, h, off) = ppmHeader(bytes)
+    val (pc, prn) = (w / PatchSide, h / PatchSide)
+    val sums = new Array[Long](prn * pc)
+    var p = 0
+    while (p < w * h) {
+      val g = ((bytes(off + p * 3) & 0xff) + (bytes(off + p * 3 + 1) & 0xff) +
+        (bytes(off + p * 3 + 2) & 0xff)) / 3
+      val (x, y) = (p % w, p / w)
+      sums((y / PatchSide) * pc + (x / PatchSide)) += g
+      p += 1
+    }
+    val area = PatchSide.toLong * PatchSide
+    (0 until prn * pc).map(i =>
+      (i / pc, i % pc, sums(i), sums(i) / area))
+  }
+
+  /** ViT-style patch extraction (Dosovitskiy et al. 2021) — the
+    * image-to-sequence boundary every vision-transformer pipeline
+    * crosses: each image column becomes a PATCH TABLE (doc, patch_row,
+    * patch_col, Σ gray, mean gray), the serialized token sequence the
+    * model trains on, with the per-patch stats that feed downstream
+    * normalisation. The one mm-family shape missing before this: mm03
+    * samples frames from a TIME axis, mm05/mm10 resample the whole
+    * plane — patchify TILES the plane, many rows out per image, raster
+    * order pinned.
+    *
+    * Integer end to end (gray fold DIV 3, mean DIV side²), so the full
+    * patch table hash-matches the DuckDB twin, which replays the pixel
+    * LCG and groups by the same `(y DIV 4, x DIV 4)` tiling. Scale:
+    * map-only per image (`mapPartitions`), 12 bounded rows out per
+    * 16×12 image — the output is patch-count-sized and the op never
+    * shuffles; at 100 TB the patch table parquet-partitions by doc
+    * range like any fact table. */
+  val mm18 = Q("mm18_patchify",
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM lcg WHERE i < 575),
+       |g AS (
+       |  SELECT doc_id, i // 3 AS p,
+       |    CAST(sum(CAST(state // 72057594037927936 AS BIGINT)) // 3
+       |      AS BIGINT) AS v
+       |  FROM lcg GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST((p // 16) // $PatchSide AS BIGINT) AS patch_row,
+       |  CAST((p % 16) // $PatchSide AS BIGINT) AS patch_col,
+       |  CAST(sum(v) AS BIGINT) AS sum_gray,
+       |  CAST(sum(v) // ${PatchSide * PatchSide} AS BIGINT) AS mean_gray
+       |FROM g GROUP BY 1, 2, 3
+       |ORDER BY doc_id, patch_row, patch_col""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        patchifyPpm(syntheticPpm(id)).map { case (r, c, sm, mn) =>
+          (id, r.toLong, c.toLong, sm, mn)
+        }
+      })
+      .toDF("doc_id", "patch_row", "patch_col", "sum_gray", "mean_gray")
+      .orderBy("doc_id", "patch_row", "patch_col")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17)
+    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17, mm18)
 }

@@ -453,4 +453,25 @@ class CodecSpec extends SparkSpec {
     // interpolation never leaves the input envelope
     assert(up.max <= s.max && up.min >= s.min)
   }
+
+  test("mm18: patchify tiles exactly — conservation, coverage, raster order") {
+    for (id <- Seq(0L, 2L, 4L, 1234L)) {
+      val img = syntheticPpm(id)
+      val patches = patchifyPpm(img)
+      // coverage: (16/4)×(12/4) patches, raster order
+      assert(patches.size == 12)
+      assert(patches.map(p => (p._1, p._2)) ==
+        (for (r <- 0 until 3; c <- 0 until 4) yield (r, c)))
+      // conservation: patch sums partition the whole-image gray sum —
+      // a tiling that drops/duplicates a pixel breaks this
+      val off = img.length - 16 * 12 * 3
+      val total = (0 until 16 * 12).map { p =>
+        (((img(off + p * 3) & 0xff) + (img(off + p * 3 + 1) & 0xff) +
+          (img(off + p * 3 + 2) & 0xff)) / 3).toLong
+      }.sum
+      assert(patches.map(_._3).sum == total)
+      // mean is the exact floor of sum over the patch area
+      patches.foreach(p => assert(p._4 == p._3 / 16))
+    }
+  }
 }
