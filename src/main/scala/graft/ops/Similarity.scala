@@ -1219,6 +1219,123 @@ object Similarity {
       .orderBy("nprobe")
   }
 
+  // ---------------------------------------------------------------- s14
+  /** FILTERED vector search — the attribute-constrained ANN problem
+    * (vector search with a WHERE clause) that every curation query
+    * actually poses: "nearest neighbours of q AMONG vectors with q's
+    * label" (within-class near-dup hunting, same-source retrieval,
+    * same-language matching). The design decision the filtered-ANN
+    * literature centres on is WHERE the predicate applies, and this op
+    * takes the production answer — PRE-FILTER AT THE POSTING LIST: the
+    * IVF assignment carries the label, and the candidate join requires
+    * `a.label = q.label` alongside the list match, so filtered-out
+    * vectors never reach the exact re-rank (post-filtering instead
+    * would rank the full candidate set and then discard — same answer
+    * only if k is inflated by 1/selectivity, and wasted cosine work
+    * always). Candidate cost drops from P·n/C to P·n_label/C — the
+    * selectivity shows up as compute saved, not recall lost
+    * (`SimilaritySpec` pins the candidate-count ratio AND a recall
+    * floor vs the exact filtered brute force).
+    *
+    * Same deterministic centroid/probe/cosine arithmetic as s03 —
+    * fully oracled, filter included. */
+  val s14 = Q("s14_filtered_topk",
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, label, cid FROM (
+       |    SELECT e.vec_id, e.label, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding, label FROM e
+       |      WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS prn
+       |    FROM q, c)
+       |  WHERE prn <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("q", "e")} AS cos
+       |  FROM probed p
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |                AND a.label = q.label
+       |  JOIN e ON e.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val c = centroidTable(e)
+    val assign = assignToCentroids(e, c)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("q_label"), col("cid"),
+        expr("cosine_sim(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("query_id", "q_embedding", "q_label", "cid")
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val postings = assign.select(col("vec_id").as("a_vec"),
+      col("label").as("a_label"), col("cid"))
+    probed.join(postings,
+        Seq("cid"))
+      .filter(col("a_vec") =!= col("query_id") &&
+        col("a_label") === col("q_label"))
+      .join(e.select(col("vec_id").as("a_vec"), col("embedding")), Seq("a_vec"))
+      .select(col("query_id"), col("a_vec").as("neighbor_id"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Candidate count of [[s14]]'s filtered posting-list join —
+    * exposed for `SimilaritySpec`'s selectivity measurement. */
+  private[graft] def s14CandidateCount(s: SparkSession, d: String,
+      filtered: Boolean): Long = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val c = centroidTable(e)
+    val assign = assignToCentroids(e, c)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("q_label"), col("cid"),
+        expr("cosine_sim(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("query_id", "q_label", "cid")
+    val postings = assign.select(col("vec_id").as("a_vec"),
+      col("label").as("a_label"), col("cid"))
+    probed.join(postings, Seq("cid"))
+      .filter(col("a_vec") =!= col("query_id") &&
+        (if (filtered) col("a_label") === col("q_label") else lit(true)))
+      .count()
+  }
+
   def all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
 }

@@ -305,4 +305,51 @@ class SimilaritySpec extends SparkSpec {
     // the sweep genuinely trades: P=1 must lose recall that P=16 keeps
     assert(rows.head._3 < rows.last._3)
   }
+
+  test("s14: the label filter binds, prunes candidates, and keeps recall") {
+    import org.apache.spark.sql.functions.col
+    val labels = model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = ops.Similarity.s14.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // the filter BINDS: every neighbour shares its query's label
+    got.foreach { case (q, n) =>
+      assert(labels(n) == labels(q), s"query $q (label ${labels(q)}) " +
+        s"matched $n (label ${labels(n)}) — the predicate leaked")
+    }
+    // pre-filtering prunes at the posting list: with ~10 uniform labels
+    // the filtered candidate set must be several times smaller
+    val unf = ops.Similarity.s14CandidateCount(spark, sf, filtered = false)
+    val fil = ops.Similarity.s14CandidateCount(spark, sf, filtered = true)
+    info(s"candidates: unfiltered $unf, filtered $fil")
+    assert(fil * 3 < unf, s"filter barely pruned: $fil vs $unf")
+    // recall vs the exact filtered brute force (driver recompute over
+    // the same-label subset; cosine in double, the engines' arithmetic)
+    val vecs = model.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = got.map(_._1).distinct
+    val recalls = queries.map { q =>
+      val exact = vecs.keys
+        .filter(v => v != q && labels(v) == labels(q)).toSeq
+        .sortBy(v => (-cos(vecs(q), vecs(v)), v)).take(5).toSet
+      val mine = got.filter(_._1 == q).map(_._2).toSet
+      mine.intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"filtered recall@5 mean = $mean%.2f")
+    // the floor guards a dataflow regression, not hash luck (cf. s04)
+    assert(mean >= 0.5, f"filtered recall collapsed: $mean%.2f")
+  }
 }
