@@ -1783,7 +1783,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t31
+  /** Deterministic pseudonymization with REFERENTIAL INTEGRITY — the
+    * key-coding discipline (GDPR Art. 4(5) pseudonymisation) t08's
+    * regex redaction cannot provide: redaction destroys identity;
+    * analytics-grade privacy needs identity REPLACED by a stable token
+    * so joins, groupings, and longitudinal analyses still work while
+    * the raw identifier leaves the corpus. Tokens are a salted md5 of
+    * the user id — deterministic (retried tasks and later batches
+    * agree), unlinkable without the salt, and injective on any
+    * realistic id space (the in-op `require` makes the collision check
+    * a hard gate, not a hope: token cardinality must equal id
+    * cardinality or the job refuses to publish).
+    *
+    * The op emits the pseudonymized per-user aggregate (token,
+    * n_events, value cents) — the table a downstream team receives; the
+    * oracle rebuilds identical tokens, so the hash match proves
+    * tokenization commutes with aggregation (pseudonymize-then-analyze
+    * == analyze-then-pseudonymize, the property that licenses running
+    * analytics on the coded table). Scale: one map pass (token is a
+    * scalar expression) + one token-keyed agg; the integrity gate is a
+    * 2-scalar agg, not a second corpus pass. */
+  val t31 = Q("t31_pseudonymize",
+    """WITH tok AS (
+      |  SELECT 'anon-' || substr(md5('t31:' || CAST(user_id AS VARCHAR)),
+      |           1, 12) AS user_token,
+      |    user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_token,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS value_cents
+      |FROM tok GROUP BY user_token
+      |ORDER BY user_token""".stripMargin) { (s, d) =>
+    val tok = Tables.events(s, d)
+      .select(col("user_id"),
+        concat(lit("anon-"), substring(md5(concat(lit("t31:"),
+          col("user_id").cast("string"))), 1, 12)).as("user_token"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint() // two consumers: the gate and the publish agg
+    // the integrity gate: tokenization must be injective HERE, or the
+    // published table silently merges two people's histories
+    val card = tok.agg(
+      countDistinct("user_id").as("users"),
+      countDistinct("user_token").as("tokens")).collect()(0)
+    require(card.getLong(0) == card.getLong(1),
+      s"pseudonym collision: ${card.getLong(0)} users → " +
+        s"${card.getLong(1)} tokens — widen the token or re-salt")
+    tok.groupBy("user_token")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum("cents").cast("long").as("value_cents"))
+      .orderBy("user_token")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30)
+    t25, t26, t27, t28, t29, t30, t31)
 }

@@ -682,4 +682,30 @@ class CorpusOpsSpec extends SparkSpec {
         s"doc $id selected $times times but weighs $wt <= ${(times - 1)} * $step")
     }
   }
+
+  test("t31: tokenization commutes with aggregation and never leaks the id") {
+    import org.apache.spark.sql.functions.{col, concat, lit, md5, substring}
+    val got = ops.TextAnalysis.t31.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // analyze-then-pseudonymize: aggregate per RAW user, then re-key
+    // through the same token map — must equal the published table
+    val raw = model.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions
+          .sum(org.apache.spark.sql.functions
+            .expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .select(concat(lit("anon-"), substring(md5(concat(lit("t31:"),
+        col("user_id").cast("string"))), 1, 12)).as("tok"),
+        col("n"), col("cents"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == raw, "pseudonymize-then-analyze != analyze-then-pseudonymize")
+    // unlinkability sanity: no token embeds its raw id
+    val ids = model.Tables.events(spark, sf).select("user_id").distinct()
+      .collect().map(_.getLong(0).toString).toSet
+    got.keys.foreach { t =>
+      assert(t.startsWith("anon-") && !ids.contains(t.stripPrefix("anon-")),
+        s"token $t leaks its id")
+    }
+  }
 }
