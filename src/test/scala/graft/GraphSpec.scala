@@ -428,4 +428,24 @@ class GraphSpec extends SparkSpec {
     assert(got.size == 2 || comp.values.toSet.size == 1,
       "round 2 empty but graph not fully merged")
   }
+
+  test("g13: harmonic centrality is the clamped-increment fold of g11") {
+    val balls = ops.Graph.g11.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val got = ops.Graph.g13.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size * 3 == balls.size, "g13 must cover every g11 node")
+    got.foreach { case (v, (b0, b1, b2, h)) =>
+      assert(b0 == balls((v, 0)) && b1 == balls((v, 1)) &&
+        b2 == balls((v, 2)), s"node $v: ball columns drifted from g11")
+      val expect = math.max(b1 - b0, 0L) + math.max(b2 - b1, 0L) / 2
+      assert(h == expect, s"node $v: harmonic $h != $expect")
+    }
+    // centrality genuinely discriminates (not a constant column), and
+    // clamping is observable as exact-zero increments somewhere
+    // (9 distinct values at sf0.001 — the m=16 sketch quantises hard on
+    // a near-saturated small graph; >3 floors a genuinely-flat column)
+    assert(got.values.map(_._4).toSet.size > 3, "harmonic is flat")
+  }
 }

@@ -299,8 +299,10 @@ class PlanAuditSpec extends SparkSpec {
     // r8 verdict closed: g03 and g04 now read the memoised artifact like
     // g05 — all three must scan ONLY the edge artifact; a lineitem scan
     // means the projection is being re-derived per query.
+    // g11/g13 read the memoised ANF register states the same way
     for (name <- Seq("g03_triangles", "g04_clustering_coeff",
-        "g05_materialized_graph")) {
+        "g05_materialized_graph", "g11_neighborhood_function",
+        "g13_harmonic_centrality")) {
       val q = SparkEntry.catalog.find(_.name == name).get
       // sparkPlan, not executedPlan: the AQE wrapper hides children
       val plan = q.run(spark, sf).queryExecution.sparkPlan
