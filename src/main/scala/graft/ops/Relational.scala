@@ -2881,9 +2881,178 @@ object Relational {
       .orderBy("column_name")
   }
 
+  // ---------------------------------------------------------------- q59
+  /** Shared value-hash for [[q59]]'s cross-set estimator — unlike q47's
+    * per-column salt, both SIDES of a pair must hash the same key value
+    * identically or no intersection can ever register. */
+  private def q59HashSpark(c: String): String =
+    s"CAST(conv(substr(md5(concat('q59:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+  private def q59HashDuck(c: String): String =
+    s"CAST(concat('0x', substr(md5('q59:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** KMV set-operation cardinality estimation (Beyer et al., SIGMOD
+    * 2007) — the PLANNER-tier sibling of q47's single-set sketch: from
+    * two per-side k-min sketches, estimate |A|, |B|, |A ∪ B| and — the
+    * one a planner actually wants for semi/anti-join selectivity and
+    * FK inference — |A ∩ B|, without ever joining the full key sets.
+    * The combined sketch is the k smallest of the sketch UNION (a
+    * k-min of k-mins is a valid k-min of the union — the closure
+    * property that makes KMV mergeable), ρ = |L ∩ A_k ∩ B_k| / |L|
+    * scales the union estimate down to the intersection. Three audited
+    * pairs span the regimes: full FK containment (lineitem→part),
+    * partial overlap (orders' custkeys vs one segment's customers),
+    * and small-into-large containment (event users vs customers). The
+    * report carries the EXACT intersection next to every estimate (the
+    * d20/q57/er03 measured-diagnostic discipline) — at 100 TB the
+    * exact column is the one you drop, the estimator is the one you
+    * keep, and this table is the evidence it earns that trust (k=64 →
+    * ~12.5% expected relative error; spec pins the band).
+    *
+    * Cost: per side one distinct + one keyed k-min window over
+    * DISTINCT hashes (never the raw table), then everything downstream
+    * is k-sized. The exact column is one distinct semi-join, priced
+    * only in the diagnostic. */
+  val q59 = Q("q59_kmv_setops", {
+    val k = KmvK
+    s"""WITH src AS (
+       |  SELECT 'lineitem_part' AS pair, 'a' AS side,
+       |         ${q59HashDuck("l_partkey")} AS h, l_partkey AS key
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 'lineitem_part', 'b', ${q59HashDuck("p_partkey")}, p_partkey
+       |  FROM part
+       |  UNION ALL
+       |  SELECT 'orders_building', 'a', ${q59HashDuck("o_custkey")}, o_custkey
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT 'orders_building', 'b', ${q59HashDuck("c_custkey")}, c_custkey
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'
+       |  UNION ALL
+       |  SELECT 'users_customers', 'a', ${q59HashDuck("user_id")}, user_id
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'users_customers', 'b', ${q59HashDuck("c_custkey")}, c_custkey
+       |  FROM customer),
+       |d AS (SELECT DISTINCT pair, side, h FROM src),
+       |rk AS (SELECT pair, side, h,
+       |         row_number() OVER (PARTITION BY pair, side ORDER BY h) AS rn,
+       |         count(*) OVER (PARTITION BY pair, side) AS nd
+       |       FROM d),
+       |sk AS (SELECT pair, side, h, nd FROM rk WHERE rn <= $k),
+       |sidest AS (
+       |  SELECT pair, side,
+       |    CASE WHEN max(nd) < $k THEN max(nd)
+       |         ELSE CAST((CAST(${k - 1} AS HUGEINT) * 1152921504606846976)
+       |                   // max(h) AS BIGINT) END AS est
+       |  FROM sk GROUP BY pair, side),
+       |uh AS (SELECT DISTINCT pair, h FROM sk),
+       |ru AS (SELECT pair, h,
+       |         row_number() OVER (PARTITION BY pair ORDER BY h) AS rn
+       |       FROM uh),
+       |lk AS (SELECT pair, h FROM ru WHERE rn <= $k),
+       |usum AS (
+       |  SELECT pair, count(*) AS nl, max(h) AS kth FROM lk GROUP BY pair),
+       |uest AS (
+       |  SELECT pair, nl,
+       |    CASE WHEN nl < $k THEN nl
+       |         ELSE CAST((CAST(${k - 1} AS HUGEINT) * 1152921504606846976)
+       |                   // kth AS BIGINT) END AS est_union
+       |  FROM usum),
+       |kboth AS (
+       |  SELECT l.pair, count(*) AS nb
+       |  FROM lk l
+       |  JOIN sk a ON a.pair = l.pair AND a.side = 'a' AND a.h = l.h
+       |  JOIN sk b ON b.pair = l.pair AND b.side = 'b' AND b.h = l.h
+       |  GROUP BY l.pair),
+       |exact AS (
+       |  SELECT pair, count(*) AS exact_intersect FROM (
+       |    SELECT DISTINCT da.pair, da.h
+       |    FROM (SELECT pair, h FROM d WHERE side = 'a') da
+       |    JOIN (SELECT pair, h FROM d WHERE side = 'b') db
+       |      ON db.pair = da.pair AND db.h = da.h)
+       |  GROUP BY pair)
+       |SELECT u.pair,
+       |  CAST(ea.est AS BIGINT) AS est_a,
+       |  CAST(eb.est AS BIGINT) AS est_b,
+       |  CAST(u.est_union AS BIGINT) AS est_union,
+       |  CAST(coalesce(kb.nb, 0) * u.est_union // u.nl AS BIGINT)
+       |    AS est_intersect,
+       |  CAST(coalesce(x.exact_intersect, 0) AS BIGINT) AS exact_intersect
+       |FROM uest u
+       |JOIN sidest ea ON ea.pair = u.pair AND ea.side = 'a'
+       |JOIN sidest eb ON eb.pair = u.pair AND eb.side = 'b'
+       |LEFT JOIN kboth kb ON kb.pair = u.pair
+       |LEFT JOIN exact x ON x.pair = u.pair
+       |ORDER BY u.pair""".stripMargin
+  }) { (s, d) =>
+    val k = KmvK
+    def tagged(pair: String, side: String, df: DataFrame, key: String) =
+      df.selectExpr(s"'$pair' AS pair", s"'$side' AS side",
+        s"${q59HashSpark(key)} AS h")
+    val src = tagged("lineitem_part", "a", Tables.lineitem(s, d), "l_partkey")
+      .unionAll(tagged("lineitem_part", "b", Tables.part(s, d), "p_partkey"))
+      .unionAll(tagged("orders_building", "a", Tables.orders(s, d),
+        "o_custkey"))
+      .unionAll(tagged("orders_building", "b",
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey"))
+      .unionAll(tagged("users_customers", "a", Tables.events(s, d), "user_id"))
+      .unionAll(tagged("users_customers", "b", Tables.customer(s, d),
+        "c_custkey"))
+    val dset = src.distinct().localCheckpoint() // consumed by 3 branches
+    val wSide = Window.partitionBy("pair", "side").orderBy("h")
+    val sk = dset
+      .withColumn("rn", row_number().over(wSide))
+      .withColumn("nd", count(lit(1)).over(
+        Window.partitionBy("pair", "side")))
+      .filter(col("rn") <= k)
+      .localCheckpoint() // k-sized; consumed by 3 branches
+    val est = s"""CASE WHEN max(nd) < $k THEN max(nd)
+      | ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
+      |           div max(h) AS BIGINT) END""".stripMargin.replace("\n", " ")
+    val sidest = sk.groupBy("pair", "side").agg(expr(est).as("est"))
+    val wU = Window.partitionBy("pair").orderBy("h")
+    val lk = sk.select("pair", "h").distinct()
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= k)
+    val uest = lk.groupBy("pair")
+      .agg(count(lit(1)).as("nl"), max("h").as("kth"))
+      .select(col("pair"), col("nl"),
+        expr(s"""CASE WHEN nl < $k THEN nl
+          | ELSE CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)
+          |           div kth AS BIGINT) END""".stripMargin.replace("\n", " "))
+          .as("est_union"))
+    val kboth = lk.select(col("pair"), col("h"))
+      .join(sk.filter(col("side") === "a").select(col("pair"), col("h")),
+        Seq("pair", "h"), "left_semi")
+      .join(sk.filter(col("side") === "b").select(col("pair"), col("h")),
+        Seq("pair", "h"), "left_semi")
+      .groupBy("pair").agg(count(lit(1)).as("nb"))
+    val exact = dset.filter(col("side") === "a").select("pair", "h")
+      .join(dset.filter(col("side") === "b").select("pair", "h"),
+        Seq("pair", "h"), "left_semi")
+      .groupBy("pair").agg(count(lit(1)).as("exact_intersect"))
+    uest
+      .join(sidest.filter(col("side") === "a")
+        .select(col("pair"), col("est").as("est_a")), "pair")
+      .join(sidest.filter(col("side") === "b")
+        .select(col("pair"), col("est").as("est_b")), "pair")
+      .join(kboth, Seq("pair"), "left")
+      .join(exact, Seq("pair"), "left")
+      .select(col("pair"),
+        col("est_a").cast("long").as("est_a"),
+        col("est_b").cast("long").as("est_b"),
+        col("est_union").cast("long").as("est_union"),
+        expr("CAST(coalesce(nb, 0L) * est_union DIV nl AS BIGINT)")
+          .as("est_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).cast("long")
+          .as("exact_intersect"))
+      .orderBy("pair")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

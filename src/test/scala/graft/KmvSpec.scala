@@ -84,6 +84,49 @@ class KmvSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  test("q59: set-op estimates sit in the KMV error band of the exact counts") {
+    val rows = ops.Relational.q59.run(spark, sf).collect()
+    assert(rows.length == 3)
+    val pairs = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(pairs.keySet ==
+      Set("lineitem_part", "orders_building", "users_customers"))
+    // exact per-side distincts, recomputed from the raw tables
+    def nd(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).na.drop().distinct().count()
+    val exactSides = Map(
+      "lineitem_part" -> (nd(model.Tables.lineitem(spark, sf), "l_partkey"),
+        nd(model.Tables.part(spark, sf), "p_partkey")),
+      "orders_building" -> (nd(model.Tables.orders(spark, sf), "o_custkey"),
+        nd(model.Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING"), "c_custkey")),
+      "users_customers" -> (nd(model.Tables.events(spark, sf), "user_id"),
+        nd(model.Tables.customer(spark, sf), "c_custkey")))
+    def tol(exact: Long, sigma: Double = 4.0) =
+      math.max(2.0, sigma * exact / math.sqrt(K - 2.0))
+    for ((pair, (estA, estB, estU, estI, exactI)) <- pairs) {
+      val (exA, exB) = exactSides(pair)
+      assert(math.abs(estA - exA) <= tol(exA), s"$pair estA $estA vs $exA")
+      assert(math.abs(estB - exB) <= tol(exB), s"$pair estB $estB vs $exB")
+      val exU = exA + exB - exactI
+      assert(math.abs(estU - exU) <= tol(exU), s"$pair estU $estU vs $exU")
+      // intersection compounds union error with the ratio's binomial
+      // error — allow a wider 6-sigma band around the exact column
+      assert(math.abs(estI - exactI) <= tol(exactI max exU, 6.0),
+        s"$pair estI $estI vs $exactI")
+      // structural sanity independent of the band
+      assert(estU >= (estA max estB) - tol(exU).toLong, s"$pair union floor")
+      assert(estI <= (estA min estB) + tol(exU).toLong, s"$pair intersect cap")
+    }
+    // regime checks: lineitem→part is full FK containment; events'
+    // user_ids are a subset of customers
+    assert(pairs("lineitem_part")._5 ==
+      nd(model.Tables.lineitem(spark, sf), "l_partkey"))
+    assert(pairs("users_customers")._5 ==
+      nd(model.Tables.events(spark, sf), "user_id"))
+  }
+
   test("kmv: plans as two-phase ObjectHashAggregate, no distinct expand") {
     val df = ops.Relational.q47.run(spark, sf)
     val plan = df.queryExecution.sparkPlan
