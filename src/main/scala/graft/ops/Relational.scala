@@ -3050,9 +3050,192 @@ object Relational {
       .orderBy("pair")
   }
 
+  // ---------------------------------------------------------------- q60
+  /** AMS sketch parameters: [[AmsB]] = [[AmsGroups]] × [[AmsGroupSize]]
+    * ±1 counters per (pair, side); each group is averaged, the lower
+    * median across groups is the estimate (median-of-means). 60-bit
+    * sign words: bucket j's sign is bit (j mod 60) of salt word
+    * (j div 60), so each input row pays [[AmsSalts]] md5s, not B. */
+  private val AmsGroups    = 8
+  private val AmsGroupSize = 30
+  private val AmsB         = AmsGroups * AmsGroupSize // 240
+  private val AmsSalts     = AmsB / 60                // 4
+
+  /** AMS/tug-of-war sketch join-size and self-join-size estimation
+    * (Alon–Matias–Szegedy STOC'96; inner-product form Alon–Gibbons–
+    * Matias–Szegedy PODS'99) — q59's other half at the planner tier:
+    * q59 estimates KEY-SET overlap (semi-join selectivity), q60
+    * estimates JOIN OUTPUT SIZE |A ⋈ B| = Σ_k f_A(k)·f_B(k), the
+    * quantity that actually decides shuffle sizing and q43-style skew
+    * handling, and F2 = Σ_k f(k)² (self-join size), the canonical skew
+    * scalar behind q57's advisor. Sketch_s[j] = Σ_rows sign_j(key):
+    * a plain integer SUM — order-free, map-side-combined, mergeable
+    * across partitions/files by addition, so the shuffle carries B
+    * counters per side, never rows. Estimates: per group g,
+    * X_g = Σ_{j∈g} cA_j·cB_j (resp. cA_j² for F2); lower median over
+    * the [[AmsGroups]] group sums, then ONE symmetric-truncation
+    * division by the group size (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — negative medians are possible for the
+    * inner-product estimator, so both engines divide the magnitude).
+    * Signs: bit (j mod 60) of one of [[AmsSalts]] md5 words per key —
+    * heuristic 4-wise independence (documented; production would use
+    * tabulation hashing), bit-identical in both engines. The EXACT
+    * join size / F2 ride along as the audit columns (per-key count
+    * aggregation + key-space-sized join — the d20/q57/q59 discipline:
+    * at 100 TB the exact column is the one you drop).
+    *
+    * Three frequency regimes: lineitem⋈orders (FK: one side
+    * multiplicity 1), lineitem⋈part (≈30× per-key frequency — F2-heavy),
+    * events⋈orders on custkey (genuine m:n, both sides multiplicities).
+    * Cost: one projected-column pass per side with a 240-way explode of
+    * shift-and-mask ops (4 md5s per row, NOT 240), partial-agg'd to
+    * 240 counters before the exchange; everything downstream is
+    * sketch-sized. */
+  val q60 = Q("q60_ams_joinsize", {
+    val g  = AmsGroups; val m = AmsGroupSize; val b = AmsB
+    def w(s: Int, c: String) =
+      s"CAST(concat('0x', substr(md5('q60:$s:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
+    def side(pair: String, sd: String, tbl: String, c: String) =
+      s"SELECT '$pair' AS pair, '$sd' AS side, ${w(0, c)} AS w0, ${w(1, c)} AS w1, ${w(2, c)} AS w2, ${w(3, c)} AS w3 FROM $tbl"
+    s"""WITH src AS (
+       |  ${side("events_orders", "a", "events", "user_id")}
+       |  UNION ALL ${side("events_orders", "b", "orders", "o_custkey")}
+       |  UNION ALL ${side("lineitem_orders", "a", "lineitem", "l_orderkey")}
+       |  UNION ALL ${side("lineitem_orders", "b", "orders", "o_orderkey")}
+       |  UNION ALL ${side("lineitem_part", "a", "lineitem", "l_partkey")}
+       |  UNION ALL ${side("lineitem_part", "b", "part", "p_partkey")}),
+       |sk AS (
+       |  SELECT pair, side, j,
+       |    SUM(2 * ((CASE j // 60 WHEN 0 THEN w0 WHEN 1 THEN w1
+       |              WHEN 2 THEN w2 ELSE w3 END >> (j % 60)) & 1) - 1) AS c
+       |  FROM src CROSS JOIN (SELECT CAST(range AS INTEGER) AS j
+       |                       FROM range($b)) jj
+       |  GROUP BY pair, side, j),
+       |grp AS (
+       |  SELECT a.pair, a.j // $m AS g, SUM(a.c * bb.c) AS xj,
+       |    SUM(a.c * a.c) AS fa, SUM(bb.c * bb.c) AS fb
+       |  FROM (SELECT * FROM sk WHERE side = 'a') a
+       |  JOIN (SELECT * FROM sk WHERE side = 'b') bb
+       |    ON bb.pair = a.pair AND bb.j = a.j
+       |  GROUP BY a.pair, a.j // $m),
+       |med AS (
+       |  SELECT pair, g, xj, fa, fb,
+       |    row_number() OVER (PARTITION BY pair ORDER BY xj, g) AS rj,
+       |    row_number() OVER (PARTITION BY pair ORDER BY fa, g) AS ra,
+       |    row_number() OVER (PARTITION BY pair ORDER BY fb, g) AS rb
+       |  FROM grp),
+       |est AS (
+       |  SELECT pair,
+       |    MAX(CASE WHEN rj = ${g / 2} THEN xj END) AS mj,
+       |    MAX(CASE WHEN ra = ${g / 2} THEN fa END) AS ma,
+       |    MAX(CASE WHEN rb = ${g / 2} THEN fb END) AS mb
+       |  FROM med GROUP BY pair),
+       |cnts AS (
+       |  SELECT pair, side, w0 AS k, COUNT(*) AS n
+       |  FROM src GROUP BY pair, side, w0),
+       |exact AS (
+       |  SELECT a.pair, SUM(a.n * bb.n) AS ex_join
+       |  FROM (SELECT * FROM cnts WHERE side = 'a') a
+       |  JOIN (SELECT * FROM cnts WHERE side = 'b') bb
+       |    ON bb.pair = a.pair AND bb.k = a.k
+       |  GROUP BY a.pair),
+       |f2 AS (
+       |  SELECT pair,
+       |    SUM(CASE WHEN side = 'a' THEN n * n ELSE 0 END) AS ex_f2_a,
+       |    SUM(CASE WHEN side = 'b' THEN n * n ELSE 0 END) AS ex_f2_b
+       |  FROM cnts GROUP BY pair)
+       |SELECT e.pair,
+       |  CAST(CASE WHEN mj >= 0 THEN mj // $m ELSE -((-mj) // $m) END AS BIGINT) AS est_join,
+       |  CAST(coalesce(x.ex_join, 0) AS BIGINT) AS exact_join,
+       |  CAST(ma // $m AS BIGINT) AS est_f2_a,
+       |  CAST(f2.ex_f2_a AS BIGINT) AS exact_f2_a,
+       |  CAST(mb // $m AS BIGINT) AS est_f2_b,
+       |  CAST(f2.ex_f2_b AS BIGINT) AS exact_f2_b
+       |FROM est e
+       |LEFT JOIN exact x ON x.pair = e.pair
+       |JOIN f2 ON f2.pair = e.pair
+       |ORDER BY e.pair""".stripMargin
+  }) { (s, d) =>
+    val g = AmsGroups; val m = AmsGroupSize; val b = AmsB
+    def w(salt: Int, c: String) =
+      s"CAST(conv(substr(md5(concat('q60:$salt:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    def side(pair: String, sd: String, df: DataFrame, c: String) =
+      df.selectExpr(s"'$pair' AS pair", s"'$sd' AS side",
+        s"${w(0, c)} AS w0", s"${w(1, c)} AS w1",
+        s"${w(2, c)} AS w2", s"${w(3, c)} AS w3")
+    val src = side("events_orders", "a", Tables.events(s, d), "user_id")
+      .unionAll(side("events_orders", "b", Tables.orders(s, d), "o_custkey"))
+      .unionAll(side("lineitem_orders", "a", Tables.lineitem(s, d),
+        "l_orderkey"))
+      .unionAll(side("lineitem_orders", "b", Tables.orders(s, d),
+        "o_orderkey"))
+      .unionAll(side("lineitem_part", "a", Tables.lineitem(s, d),
+        "l_partkey"))
+      .unionAll(side("lineitem_part", "b", Tables.part(s, d), "p_partkey"))
+      .localCheckpoint() // consumed by the sketch AND the exact audit
+    // sketch build: ONE wide hash-aggregate pass (240 sum columns over 6
+    // groups — the buffer is 240 longs, map-side-combined), NOT an
+    // explode: the long-form groupBy(pair, side, j) twin the oracle
+    // replays would push 240× the input rows through the aggregate hash
+    // table (~17 s at sf0.1 vs seconds for this shape; results
+    // identical — the oracle proves it). The 6×240 wide result then
+    // unpivots via stack, so everything downstream is sketch-sized
+    // long-form.
+    val sums = (0 until b).map { j =>
+      sum(expr(s"2 * (shiftright(w${j / 60}, ${j % 60}) & 1) - 1"))
+        .as(s"c$j")
+    }
+    val sk = src.groupBy("pair", "side")
+      .agg(sums.head, sums.tail: _*)
+      .selectExpr("pair", "side",
+        s"stack($b, ${(0 until b).map(j => s"$j, c$j").mkString(", ")}) AS (j, c)")
+    val grp = sk.filter(col("side") === "a").select(col("pair"), col("j"),
+        col("c").as("ca"))
+      .join(sk.filter(col("side") === "b").select(col("pair"), col("j"),
+        col("c").as("cb")), Seq("pair", "j"))
+      .groupBy(col("pair"), expr(s"CAST(j div $m AS INT)").as("g"))
+      .agg(sum(col("ca") * col("cb")).as("xj"),
+        sum(col("ca") * col("ca")).as("fa"),
+        sum(col("cb") * col("cb")).as("fb"))
+    val med = grp
+      .withColumn("rj", row_number().over(
+        Window.partitionBy("pair").orderBy("xj", "g")))
+      .withColumn("ra", row_number().over(
+        Window.partitionBy("pair").orderBy("fa", "g")))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy("pair").orderBy("fb", "g")))
+      .groupBy("pair")
+      .agg(max(when(col("rj") === g / 2, col("xj"))).as("mj"),
+        max(when(col("ra") === g / 2, col("fa"))).as("ma"),
+        max(when(col("rb") === g / 2, col("fb"))).as("mb"))
+    val cnts = src.groupBy("pair", "side", "w0").agg(count(lit(1)).as("n"))
+    val exact = cnts.filter(col("side") === "a")
+      .select(col("pair"), col("w0"), col("n").as("na"))
+      .join(cnts.filter(col("side") === "b")
+        .select(col("pair"), col("w0"), col("n").as("nb")), Seq("pair", "w0"))
+      .groupBy("pair").agg(sum(col("na") * col("nb")).as("ex_join"))
+    val f2 = cnts.groupBy("pair")
+      .agg(sum(when(col("side") === "a", col("n") * col("n"))
+        .otherwise(0L)).as("ex_f2_a"),
+        sum(when(col("side") === "b", col("n") * col("n"))
+          .otherwise(0L)).as("ex_f2_b"))
+    med
+      .join(exact, Seq("pair"), "left")
+      .join(f2, "pair")
+      .select(col("pair"),
+        expr(s"CASE WHEN mj >= 0 THEN mj div $m ELSE -((-mj) div $m) END")
+          .cast("long").as("est_join"),
+        coalesce(col("ex_join"), lit(0L)).cast("long").as("exact_join"),
+        expr(s"ma div $m").cast("long").as("est_f2_a"),
+        col("ex_f2_a").cast("long").as("exact_f2_a"),
+        expr(s"mb div $m").cast("long").as("est_f2_b"),
+        col("ex_f2_b").cast("long").as("exact_f2_b"))
+      .orderBy("pair")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }
