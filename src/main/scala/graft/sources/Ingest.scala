@@ -848,6 +848,113 @@ object Ingest {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
 
+  // ---------------------------------------------------------------- in17
+  /** Z-order (Morton) clustered layout — in13's locality story in TWO
+    * dimensions (the Delta `OPTIMIZE ZORDER BY` / Iceberg sort-order
+    * pattern): a linear sort on one key gives file-level zone-map
+    * locality on THAT key and none on any other; interleaving the bits
+    * of two normalized keys and range-writing on the interleaved value
+    * gives bounded locality on BOTH. Each key is min-max-normalized to
+    * 10 bits (integer arithmetic, data-derived bounds — the one scalar
+    * broadcast), the 20-bit Morton code is a pure bit expression
+    * (Spark-side only: layout is physical, the oracle never sees it),
+    * and both layouts are written with the in13 recipe
+    * (`repartitionByRange(8).sortWithinPartitions`).
+    *
+    * Measured contract (in-op `require`s — file identities are not
+    * oracle-stable): a narrow SUPPKEY band hits strictly fewer files
+    * under z-order than under the partkey-linear layout (where it
+    * necessarily touches EVERY file — suppkey is uniform within each
+    * partkey range); a narrow PARTKEY band hits no more files under
+    * linear than under z-order (the tradeoff that defines z-order:
+    * bounded loss on the primary dimension buys pruning on the
+    * secondary). The oracle digests both predicate bands per layout off
+    * the SOURCE table — the in09/in13 content-invariance discipline:
+    * re-layout must never change row content, and the Spark side reads
+    * the digests back from the ACTUAL written files. Scale: the z-value
+    * is one map-side expression, the write is the same single
+    * range-shuffle as any clustered write — z-order costs nothing over
+    * linear at write time and converts secondary-dimension full scans
+    * into touched-files scans. */
+  val in17 = Q("in17_zorder_layout",
+    """WITH b AS (
+      |  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+      |         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT p.pred, r.l_orderkey, r.l_partkey, r.l_suppkey
+      |  FROM lineitem r CROSS JOIN b
+      |  CROSS JOIN (SELECT unnest(['partkey_band', 'suppkey_band']) AS pred) p
+      |  WHERE (p.pred = 'partkey_band'
+      |         AND r.l_partkey <= b.xmin + (b.xmax - b.xmin) // 8)
+      |     OR (p.pred = 'suppkey_band'
+      |         AND r.l_suppkey <= b.ymin + (b.ymax - b.ymin) // 4))
+      |SELECT l.layout, f.pred, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(concat('0x', substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
+      |    '|' || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
+      |    AS checksum
+      |FROM f
+      |CROSS JOIN (SELECT unnest(['linear_partkey', 'zorder']) AS layout) l
+      |GROUP BY l.layout, f.pred
+      |ORDER BY l.layout, f.pred""".stripMargin) { (s, d) =>
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val b = src.agg(min("l_partkey").as("xmin"), max("l_partkey").as("xmax"),
+      min("l_suppkey").as("ymin"), max("l_suppkey").as("ymax"))
+    val Array(bounds) = b.collect() // 4 scalars — the metadata plane
+    val (xmin, xmax) = (bounds.getLong(0), bounds.getLong(1))
+    val (ymin, ymax) = (bounds.getLong(2), bounds.getLong(3))
+    // 10-bit min-max normalization + bit interleave, all integer ops
+    val morton = (0 until 10).map(i =>
+      s"(shiftright(xn, $i) & 1) * ${1L << (2 * i)} + " +
+        s"(shiftright(yn, $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+    val zed = src
+      .withColumn("xn",
+        expr(s"((l_partkey - $xmin) * 1023) div ${math.max(1L, xmax - xmin)}"))
+      .withColumn("yn",
+        expr(s"((l_suppkey - $ymin) * 1023) div ${math.max(1L, ymax - ymin)}"))
+      .withColumn("z", expr(morton))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val linDir = s"$compactScratch/$run/linear_partkey"
+    val zDir = s"$compactScratch/$run/zorder"
+    src.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linDir)
+    zed.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(zDir)
+    val predOf = Map(
+      "partkey_band" -> (col("l_partkey") <= xmin + (xmax - xmin) / 8),
+      "suppkey_band" -> (col("l_suppkey") <= ymin + (ymax - ymin) / 4))
+    def filesHit(dir: String, pred: String): Long =
+      s.read.parquet(dir).filter(predOf(pred))
+        .select(input_file_name()).distinct().count()
+    val zSupp = filesHit(zDir, "suppkey_band")
+    val linSupp = filesHit(linDir, "suppkey_band")
+    require(zSupp < linSupp,
+      s"z-order shows no secondary-dim locality: $zSupp vs $linSupp files")
+    val zPart = filesHit(zDir, "partkey_band")
+    val linPart = filesHit(linDir, "partkey_band")
+    require(linPart <= zPart,
+      s"linear lost its own dimension: $linPart vs $zPart files")
+    def digested(dir: String, layout: String, pred: String) =
+      s.read.parquet(dir).filter(predOf(pred))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(conv(substring(md5(concat(
+            col("l_orderkey").cast("string"), lit("|"),
+            col("l_partkey").cast("string"), lit("|"),
+            col("l_suppkey").cast("string"))), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("checksum"))
+        .select(lit(layout).as("layout"), lit(pred).as("pred"),
+          col("n_rows"), col("checksum"))
+    Seq(("linear_partkey", linDir), ("zorder", zDir))
+      .flatMap { case (layout, dir) =>
+        Seq(digested(dir, layout, "partkey_band"),
+          digested(dir, layout, "suppkey_band"))
+      }.reduce(_ union _).orderBy("layout", "pred")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15, in16)
+    in10, in11, in12, in13, in14, in15, in16, in17)
 }

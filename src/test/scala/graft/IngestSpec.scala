@@ -232,4 +232,26 @@ class IngestSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("in17: z-order re-layout is content-invariant per predicate band") {
+    // the op's in-op requires pin the locality inequalities (suppkey
+    // band: z strictly beats linear; partkey band: linear never loses
+    // its own dimension) — running it at sf0.001 exercises them on the
+    // second corpus size; here we additionally prove the re-layouts
+    // returned IDENTICAL row content per band (count + order-free
+    // digest), i.e. physical clustering never touched the data plane
+    val rows = sources.Ingest.in17.run(spark, sf).collect()
+    assert(rows.length == 4)
+    val byPred = rows.groupBy(_.getString(1))
+    assert(byPred.keySet == Set("partkey_band", "suppkey_band"))
+    for ((pred, rs) <- byPred) {
+      assert(rs.map(_.getString(0)).sorted.toSeq ==
+        Seq("linear_partkey", "zorder"), s"$pred layouts")
+      assert(rs.map(_.getLong(2)).distinct.length == 1,
+        s"$pred row counts diverge across layouts")
+      assert(rs.map(_.getLong(3)).distinct.length == 1,
+        s"$pred checksums diverge across layouts")
+      assert(rs.head.getLong(2) > 0, s"$pred band is empty — vacuous")
+    }
+  }
 }
