@@ -1279,6 +1279,130 @@ object Graph {
     out.orderBy("round", "u", "v")
   }
 
+  // ---------------------------------------------------------------- g14
+  /** Unrolled peel depth per truss level (each level's chain ends in an
+    * in-op fixpoint assertion, so the depth is a proven bound for the
+    * corpus, not an assumption). */
+  private val TrussRounds = 3
+
+  /** Trussness decomposition by iterative EDGE peeling (Cohen 2008;
+    * distributed form Cohen, MapReduce 2009) — g08's peel one
+    * structural level up: k-core removes NODES by degree, k-truss
+    * removes EDGES by triangle support (an edge survives the k-level
+    * while it closes ≥ k−2 triangles with co-surviving edges), and the
+    * per-edge truss NUMBER (max k whose truss contains the edge) is
+    * the standard cohesion certificate — a star centre sails through a
+    * k-core and is shredded by a truss. Two levels are peeled (k = 3
+    * and k = 4, each to ITS fixpoint — 4-truss ⊆ 3-truss, so the
+    * levels nest and `truss_number = 2 + in3 + in4`); each peel round
+    * is one per-edge support count (the g03 edge×adjacency triangle
+    * join, on the CURRENT shrinking edge set) + one filter, with
+    * `localCheckpoint` cutting lineage per round (the g08/d08
+    * discipline). [[TrussRounds]] rounds unrolled per level (the
+    * g01/g06 convention), then an in-op FIXPOINT assertion — one more
+    * support pass must remove nothing (the g12 rule: corpus-dependence
+    * is asserted, not assumed) — so the flags are true trusses, not
+    * horizon artifacts. On this corpus the two levels exercise both
+    * regimes: the 3-peel stabilises immediately, the 4-peel CASCADES
+    * (edges that had support lose it as their triangle partners die).
+    * Runs over g05's materialised artifact; every stage is
+    * edge-table-sized with map-side-combined aggs. */
+  val g14 = Q("g14_ktruss", {
+    // one peel chain: {p}0 := em, then rounds × (support → filter).
+    // Every CTE in the truss part is MATERIALIZED: DuckDB 1.0 inlines
+    // CTEs by default, and a 3-deep chain whose every round references
+    // its predecessor 3× (twice via dx, once as z) would re-evaluate
+    // the whole projection derivation exponentially — the un-hinted
+    // form does not finish at sf0.01.
+    def chain(p: String, t: Int): String =
+      (0 until TrussRounds).map { r =>
+        s"""dx$p$r AS MATERIALIZED (
+           |  SELECT s1 AS v, s2 AS nb FROM $p$r
+           |  UNION ALL SELECT s2 AS v, s1 AS nb FROM $p$r),
+           |sp$p$r AS MATERIALIZED (
+           |  SELECT z.s1, z.s2, count(*) AS sup FROM $p$r z
+           |  JOIN dx$p$r x ON x.v = z.s1
+           |  JOIN dx$p$r y ON y.v = z.s2 AND y.nb = x.nb
+           |  GROUP BY z.s1, z.s2),
+           |$p${r + 1} AS MATERIALIZED (
+           |  SELECT z.s1, z.s2, sp.sup FROM $p$r z
+           |  JOIN sp$p$r sp ON sp.s1 = z.s1 AND sp.s2 = z.s2
+           |  WHERE sp.sup >= $t)""".stripMargin
+      }.mkString(",\n") + s",\n${p}f AS (SELECT * FROM $p$TrussRounds)"
+    s"""WITH $projEdgeCtes,
+       |em AS MATERIALIZED (SELECT s1, s2 FROM e),
+       |dxe AS MATERIALIZED (
+       |  SELECT s1 AS v, s2 AS nb FROM em
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM em),
+       |spe AS MATERIALIZED (
+       |  SELECT em.s1, em.s2, count(*) AS sup FROM em
+       |  JOIN dxe x ON x.v = em.s1
+       |  JOIN dxe y ON y.v = em.s2 AND y.nb = x.nb
+       |  GROUP BY em.s1, em.s2),
+       |f0 AS MATERIALIZED (
+       |  SELECT em.s1, em.s2, coalesce(spe.sup, 0) AS sup0 FROM em
+       |  LEFT JOIN spe ON spe.s1 = em.s1 AND spe.s2 = em.s2),
+       |t30 AS MATERIALIZED (SELECT s1, s2 FROM em),
+       |${chain("t3", 1)},
+       |t40 AS MATERIALIZED (SELECT s1, s2 FROM em),
+       |${chain("t4", 2)}
+       |SELECT f0.s1, f0.s2, CAST(f0.sup0 AS BIGINT) AS sup0,
+       |  t3f.s1 IS NOT NULL AS in_truss3,
+       |  t4f.s1 IS NOT NULL AS in_truss4,
+       |  CAST(2 + (t3f.s1 IS NOT NULL)::INT + (t4f.s1 IS NOT NULL)::INT
+       |       AS BIGINT) AS truss_number,
+       |  CAST(coalesce(t3f.sup, 0) AS BIGINT) AS truss3_sup
+       |FROM f0
+       |LEFT JOIN t3f ON t3f.s1 = f0.s1 AND t3f.s2 = f0.s2
+       |LEFT JOIN t4f ON t4f.s1 = f0.s1 AND t4f.s2 = f0.s2
+       |ORDER BY f0.s1, f0.s2""".stripMargin
+  }) { (s, d) =>
+    val e0 = s.read.parquet(ensureProjection(s, d))
+      .select("s1", "s2").localCheckpoint()
+    def support(e: DataFrame): DataFrame = {
+      val dx = e.select(col("s1").as("v"), col("s2").as("nb"))
+        .union(e.select(col("s2").as("v"), col("s1").as("nb")))
+      e.join(dx.select(col("v").as("s1"), col("nb").as("w")), "s1")
+        .join(dx.select(col("v").as("s2"), col("nb").as("w")),
+          Seq("s2", "w"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("sup"))
+    }
+    // peel to the asserted fixpoint: rounds × (support → inner-join
+    // filter), then one EXTRA support pass that must remove nothing
+    def truss(t: Int): DataFrame = {
+      var cur = e0
+      for (_ <- 0 until TrussRounds)
+        cur = cur.select("s1", "s2")
+          .join(support(cur.select("s1", "s2")), Seq("s1", "s2"))
+          .filter(col("sup") >= t)
+          .localCheckpoint()
+      val again = cur.select("s1", "s2")
+        .join(support(cur.select("s1", "s2")), Seq("s1", "s2"))
+        .filter(col("sup") >= t).count()
+      require(again == cur.count(),
+        s"truss level $t did not converge in $TrussRounds rounds")
+      cur
+    }
+    val f0 = e0.join(support(e0), Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"),
+        coalesce(col("sup"), lit(0L)).as("sup0"))
+    val t3 = truss(1)
+    val t4 = truss(2)
+    f0
+      .join(t3.select(col("s1"), col("s2"), lit(true).as("in3"),
+        col("sup").as("t3sup")), Seq("s1", "s2"), "left")
+      .join(t4.select(col("s1"), col("s2"), lit(true).as("in4")),
+        Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("sup0").cast("long"),
+        coalesce(col("in3"), lit(false)).as("in_truss3"),
+        coalesce(col("in4"), lit(false)).as("in_truss4"),
+        (lit(2) + coalesce(col("in3"), lit(false)).cast("int") +
+          coalesce(col("in4"), lit(false)).cast("int")).cast("long")
+          .as("truss_number"),
+        coalesce(col("t3sup"), lit(0L)).cast("long").as("truss3_sup"))
+      .orderBy("s1", "s2")
+  }
+
   def all: Seq[Q] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14)
 }

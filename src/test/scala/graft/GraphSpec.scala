@@ -448,4 +448,48 @@ class GraphSpec extends SparkSpec {
     // a near-saturated small graph; >3 floors a genuinely-flat column)
     assert(got.values.map(_._4).toSet.size > 3, "harmonic is flat")
   }
+
+  test("g14: truss membership equals an unbounded sequential peel") {
+    import spark.implicits._
+    val got = ops.Graph.g14.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty)
+    // reference k-truss: peel edges with in-truss support < k-2 until
+    // NOTHING changes — no round bound, so the op's fixpoint assertion
+    // (TrussRounds suffice on this corpus) is independently re-proven
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    def supportIn(es: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val nbrs = (es.toSeq ++ es.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.toSeq.map { case (a, b) =>
+        (a, b) -> (nbrs(a) & nbrs(b)).size
+      }.toMap
+    }
+    def truss(t: Int): Set[(Long, Long)] = {
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val keep = supportIn(cur).filter(_._2 >= t).keySet
+        changed = keep != cur
+        cur = keep
+      }
+      cur
+    }
+    val (t3, t4) = (truss(1), truss(2))
+    assert(got.keySet == edges, "one row per projection edge")
+    for ((e, (sup0, in3, in4, tn)) <- got) {
+      assert(in3 == t3(e), s"$e in_truss3")
+      assert(in4 == t4(e), s"$e in_truss4")
+      assert(tn == 2 + (if (in3) 1 else 0) + (if (in4) 1 else 0))
+    }
+    // initial supports equal the brute-force recompute on the full set
+    val sup = supportIn(edges)
+    for ((e, (sup0, _, _, _)) <- got)
+      assert(sup0 == sup(e), s"$e sup0")
+    // nesting law + non-vacuity: 4-truss ⊆ 3-truss ⊊ edges, 3-truss ≠ ∅
+    assert(t4.subsetOf(t3) && t3.nonEmpty && t3 != edges)
+  }
 }
