@@ -111,4 +111,28 @@ class EntityResolutionSpec extends SparkSpec {
     // non-match holds zero truths (no master's evidence decays that far)
     assert(bands("non_match")._3 == 0L)
   }
+
+  test("er05: multi-pass SNM links ⊆ er01, high recall, diagnostics lawful") {
+    val snm = ops.EntityResolution.er05.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val equi = ops.EntityResolution.links(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: the 28 threshold is unreachable for wrong pairs, so
+    // any pair SNM scores into a link must be an er01 link too
+    assert(snm.keySet.subsetOf(equi), "SNM produced a non-er01 link")
+    // recall: the multi-pass union must recover ≥95% of the equi-block
+    // links (the cents pass is name-independent; only same-cent rank
+    // collisions beyond the window can cost a link)
+    assert(snm.size * 100 >= equi.size * 95,
+      s"multi-pass recall ${snm.size}/${equi.size}")
+    for (((b, a), (score, gap, passes)) <- snm) {
+      assert(score >= 28 && a == b - 10000000L, s"($b,$a) not a true link")
+      assert(gap >= 1 && gap < ops.EntityResolution.SnWindow, s"gap $gap")
+      assert(passes >= 1 && passes <= 3, s"n_passes $passes")
+    }
+    // the pass set is not redundant on this corpus: some link is seen
+    // by fewer than all three passes (single-key SNM would miss links)
+    assert(snm.values.exists(_._3 < 3), "all links found by all passes")
+  }
 }
