@@ -3233,9 +3233,105 @@ object Relational {
       .orderBy("pair")
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Minimum support (baskets) for frequent items AND pairs — one
+    * threshold for both is what makes the item prune LOSSLESS
+    * (Apriori: sup(pair) ≤ min item sup). */
+  private val MinSup = 2
+  /** Mega-basket guard: baskets above this size are excluded from pair
+    * generation (the d06 cap discipline — one pathological basket of
+    * 10⁵ items would contribute 5·10⁹ pairs). No-op on TPC-H's ≤7-line
+    * orders; the guard is the 100 TB contract. */
+  private val MaxBasket = 32
+
+  /** Market-basket association rules — Apriori-pruned frequent pairs
+    * (Agrawal–Srikant VLDB'94) with confidence and lift in exact ppm:
+    * baskets are orders, items are parts, and the classic retail
+    * question ("what co-occurs, and does it co-occur MORE than chance")
+    * lands as three hash-agg/join stages. Pipeline: distinct
+    * (basket, item) pairs → item supports → the Apriori PRUNE (items
+    * below [[MinSup]] leave before pair generation — lossless because
+    * the pair threshold equals the item threshold, sup(pair) ≤ min
+    * item sup; the spec proves no pair is missed) → per-basket pair
+    * self-join (equi on basket, i1 < i2 — bounded by [[MaxBasket]]²
+    * per basket, never corpus-quadratic) → pair supports ≥ [[MinSup]]
+    * → both rule directions with conf = sup(p)·10⁶ div sup(ant) and
+    * lift = conf·n_baskets div sup(cons) (all-integer — the er04 ppm
+    * discipline; lift > 10⁶ means positively associated). This is the
+    * counting form of SON/distributed Apriori: partial aggregation IS
+    * the map-side candidate counting, the shuffle carries (item) and
+    * (pair) keys only — no partition-local mining pass needed because
+    * the 2-itemset lattice level fits the groupBy dataflow exactly.
+    * At 100 TB the item-support table is dimension-sized (broadcast
+    * candidate) and the pair table is output-sized; nothing holds a
+    * basket in memory beyond the capped self-join. */
+  val q61 = Q("q61_assoc_rules",
+    s"""WITH b0 AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |bsz AS (SELECT ok FROM b0 GROUP BY ok HAVING count(*) <= $MaxBasket),
+       |b AS (SELECT b0.ok, b0.pk FROM b0 JOIN bsz ON bsz.ok = b0.ok),
+       |isup AS (SELECT pk, count(*) AS sup FROM b GROUP BY pk),
+       |freq AS (SELECT pk, sup FROM isup WHERE sup >= $MinSup),
+       |bf AS (SELECT b.ok, b.pk FROM b JOIN freq ON freq.pk = b.pk),
+       |psup AS (
+       |  SELECT a.pk AS p1, c.pk AS p2, count(*) AS sup
+       |  FROM bf a JOIN bf c ON c.ok = a.ok AND a.pk < c.pk
+       |  GROUP BY a.pk, c.pk
+       |  HAVING count(*) >= $MinSup),
+       |nb AS (SELECT count(DISTINCT ok) AS n FROM b),
+       |rules AS (
+       |  SELECT p1 AS antecedent, p2 AS consequent, sup FROM psup
+       |  UNION ALL
+       |  SELECT p2, p1, sup FROM psup)
+       |SELECT r.antecedent, r.consequent,
+       |  CAST(r.sup AS BIGINT) AS pair_sup,
+       |  CAST(fa.sup AS BIGINT) AS ant_sup,
+       |  CAST(fc.sup AS BIGINT) AS cons_sup,
+       |  CAST(r.sup * 1000000 // fa.sup AS BIGINT) AS conf_ppm,
+       |  CAST((r.sup * 1000000 // fa.sup) * nb.n // fc.sup AS BIGINT)
+       |    AS lift_ppm
+       |FROM rules r
+       |JOIN freq fa ON fa.pk = r.antecedent
+       |JOIN freq fc ON fc.pk = r.consequent
+       |CROSS JOIN nb
+       |ORDER BY r.antecedent, r.consequent""".stripMargin) { (s, d) =>
+    val b0 = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val bsz = b0.groupBy("ok").agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= MaxBasket).select("ok")
+    val b = b0.join(bsz, "ok").localCheckpoint() // 3 consumers
+    val isup = b.groupBy("pk").agg(count(lit(1)).as("sup"))
+    val freq = isup.filter(col("sup") >= MinSup).localCheckpoint()
+    val bf = b.join(freq.select("pk"), "pk").select("ok", "pk")
+    val psup = bf.select(col("ok"), col("pk").as("p1"))
+      .join(bf.select(col("ok"), col("pk").as("p2")), "ok")
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= MinSup)
+    val nb = b.agg(countDistinct("ok").as("n"))
+    val rules = psup.select(col("p1").as("antecedent"),
+        col("p2").as("consequent"), col("sup"))
+      .unionAll(psup.select(col("p2"), col("p1"), col("sup")))
+    rules
+      .join(broadcast(freq.select(col("pk").as("antecedent"),
+        col("sup").as("ant_sup"))), "antecedent")
+      .join(broadcast(freq.select(col("pk").as("consequent"),
+        col("sup").as("cons_sup"))), "consequent")
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"),
+        col("sup").cast("long").as("pair_sup"),
+        col("ant_sup").cast("long"),
+        col("cons_sup").cast("long"),
+        expr("sup * 1000000 div ant_sup").cast("long").as("conf_ppm"),
+        expr("(sup * 1000000 div ant_sup) * n div cons_sup").cast("long")
+          .as("lift_ppm"))
+      .orderBy("antecedent", "consequent")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }
