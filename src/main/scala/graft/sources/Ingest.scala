@@ -955,6 +955,112 @@ object Ingest {
       }.reduce(_ union _).orderBy("layout", "pred")
   }
 
+  // ---------------------------------------------------------------- in18
+  /** Per-file Bloom index skipping — the POINT-predicate complement of
+    * in16's min/max manifests (and the file-level form of Parquet's
+    * column bloom filters / Iceberg's bloom stats): a min/max manifest
+    * prunes NOTHING for a point lookup on a column the layout was not
+    * sorted by (every shipdate-clustered file spans the whole orderkey
+    * range — the manifest overlaps everywhere), but a per-file Bloom
+    * over that column prunes to the files that actually hold the key,
+    * with no false negatives by construction. The blooms reuse t14's
+    * distributed build (explode K positions → partial-combined
+    * `bit_or` per 64-bit word → collect O(m/64) words per file — the
+    * metadata plane, sized by files × bloom words, never rows; in a
+    * real table format these bits are written at commit time).
+    *
+    * Five data-derived probes span the regimes: kmin/kmid/kmax
+    * (present keys — must land in few files and digest correctly) and
+    * two absent keys past kmax (must prune to zero files modulo the
+    * designed ~0.1% FPP). In-op `require`s pin that every probe
+    * touches strictly fewer files than the layout holds; the oracle
+    * states each probe's row count + order-free content digest off the
+    * SOURCE table (the in13/in16 discipline — bloom bits and file
+    * identities are physical, row content is the contract), with
+    * absent probes pinning the (0, 0) row. Scale: probe cost is
+    * files-hit × point-scan; the bloom consult itself is driver-side
+    * bit math over the manifest. */
+  val in18 = Q("in18_bloom_file_skipping",
+    """WITH kb AS (
+      |  SELECT min(l_orderkey) AS kmin, max(l_orderkey) AS kmax
+      |  FROM lineitem),
+      |pk AS (
+      |  SELECT 'k1_min' AS probe, kmin AS k FROM kb
+      |  UNION ALL SELECT 'k2_mid',
+      |    (SELECT max(l_orderkey) FROM lineitem
+      |     WHERE l_orderkey <= (SELECT (kmin + kmax) // 2 FROM kb)) FROM kb
+      |  UNION ALL SELECT 'k3_max', kmax FROM kb
+      |  UNION ALL SELECT 'k4_absent', kmax + 1 FROM kb
+      |  UNION ALL SELECT 'k5_absent', kmax + 17 FROM kb)
+      |SELECT pk.probe, CAST(count(l.l_orderkey) AS BIGINT) AS n_rows,
+      |  CAST(coalesce(sum(
+      |    CASE WHEN l.l_orderkey IS NULL THEN NULL
+      |    ELSE CAST(concat('0x', substr(md5(
+      |      CAST(l.l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) END), 0)
+      |    AS BIGINT) AS checksum
+      |FROM pk
+      |LEFT JOIN lineitem l ON l.l_orderkey = pk.k
+      |GROUP BY pk.probe
+      |ORDER BY pk.probe""".stripMargin) { (s, d) =>
+    import graft.ops.TextAnalysis.{bloomBitsOf, bloomHit}
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$compactScratch/$run/bloom_indexed"
+    src.repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dataDir)
+    val data = s.read.parquet(dataDir)
+    // the bloom manifest: one build pass per file (all files in one
+    // job), m sized from the largest file at ~16 bits/key
+    val perFile = data.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(perFile.length > 1, "layout produced a single file")
+    val mBits = math.max(1L << 13,
+      java.lang.Long.highestOneBit(
+        math.max(1L, 2 * 16L * perFile.map(_._2).max - 1)))
+    val blooms: Map[String, Array[Long]] = perFile.map { case (f, _) =>
+      f -> bloomBitsOf(
+        s.read.parquet(f).select(col("l_orderkey").cast("string").as("s"))
+          .distinct(), mBits)
+    }.toMap
+    // data-derived probe keys (scalar metadata pass)
+    val Array(kb) = src.agg(min("l_orderkey"), max("l_orderkey")).collect()
+    val (kmin, kmax) = (kb.getLong(0), kb.getLong(1))
+    val kmid = src.filter(col("l_orderkey") <= (kmin + kmax) / 2)
+      .agg(max("l_orderkey")).collect()(0).getLong(0)
+    val probes = Seq("k1_min" -> kmin, "k2_mid" -> kmid, "k3_max" -> kmax,
+      "k4_absent" -> (kmax + 1), "k5_absent" -> (kmax + 17))
+    import s.implicits._
+    val probeDf = probes.map { case (p, k) => (p, k.toString) }
+      .toDF("probe", "s").localCheckpoint()
+    // one tiny job per FILE evaluates all probes against its bloom
+    val hitsByFile: Map[String, Set[String]] = blooms.map { case (f, bits) =>
+      f -> probeDf.filter(bloomHit(bits, col("s")))
+        .select("probe").collect().map(_.getString(0)).toSet
+    }
+    val digests = probes.map { case (p, k) =>
+      val hit = hitsByFile.keys.toSeq.sorted.filter(hitsByFile(_)(p))
+      require(hit.length < perFile.length,
+        s"bloom pruned nothing for $p: ${hit.length}/${perFile.length}")
+      if (hit.isEmpty)
+        probeDf.filter(col("probe") === p)
+          .select(col("probe"), lit(0L).as("n_rows"),
+            lit(0L).as("checksum"))
+      else
+        s.read.parquet(hit: _*).filter(col("l_orderkey") === k)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            coalesce(sum(conv(substring(md5(concat(
+              col("l_orderkey").cast("string"), lit("|"),
+              col("l_partkey").cast("string"))), 1, 8), 16, 10)
+              .cast("long")), lit(0L)).cast("long").as("checksum"))
+          .select(lit(p).as("probe"), col("n_rows"), col("checksum"))
+    }
+    digests.reduce(_ union _).orderBy("probe")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15, in16, in17)
+    in10, in11, in12, in13, in14, in15, in16, in17, in18)
 }

@@ -233,6 +233,30 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("in18: bloom skipping returns exactly the source's point-lookup rows") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    // the op's requires pin the pruning (every probe touches strictly
+    // fewer files than the layout holds); here the content contract is
+    // re-proven against the raw table: present probes return the full
+    // row set for their key (no false negatives — a bloom may only
+    // over-read, never under-read), absent probes return the (0, 0) row
+    val got = sources.Ingest.in18.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("k1_min", "k2_mid", "k3_max", "k4_absent",
+      "k5_absent"))
+    val li = model.Tables.lineitem(spark, sf)
+    val Array(kb) = li.agg(min("l_orderkey"), max("l_orderkey")).collect()
+    val (kmin, kmax) = (kb.getLong(0), kb.getLong(1))
+    val kmid = li.filter(col("l_orderkey") <= (kmin + kmax) / 2)
+      .agg(max("l_orderkey")).collect()(0).getLong(0)
+    def cnt(k: Long) = li.filter(col("l_orderkey") === k).count()
+    assert(got("k1_min")._1 == cnt(kmin) && cnt(kmin) > 0)
+    assert(got("k2_mid")._1 == cnt(kmid) && cnt(kmid) > 0)
+    assert(got("k3_max")._1 == cnt(kmax) && cnt(kmax) > 0)
+    assert(got("k4_absent") == (0L, 0L))
+    assert(got("k5_absent") == (0L, 0L))
+  }
+
   test("in17: z-order re-layout is content-invariant per predicate band") {
     // the op's in-op requires pin the locality inequalities (suppkey
     // band: z strictly beats linear; partkey band: linear never loses
