@@ -1403,6 +1403,81 @@ object Graph {
       .orderBy("s1", "s2")
   }
 
+  // ---------------------------------------------------------------- g15
+  /** Link prediction over the projection — the WEDGE-ENUMERATION
+    * dataflow (common-neighbor scoring of non-adjacent pairs) that
+    * closes the classic neighborhood-method family (Liben-Nowell &
+    * Kleinberg 2003): for every pair at distance exactly 2, four
+    * standard scores, all in exact integers — `cn` (common neighbor
+    * count), `jaccard_ppm` = cn·10⁶ div (deg(a)+deg(b)−cn),
+    * `ra_ppm` = Σ_w 10⁶ div deg(w) (Zhou et al. 2009's resource
+    * allocation — the 1/deg sum quantised PER TERM to the ppm grid, so
+    * the sum is order-free integer addition; Adamic-Adar's 1/log deg
+    * is the same shape with a non-replayable transcendental, RA is the
+    * standard drop-in), and `pa` = deg(a)·deg(b) (preferential
+    * attachment). Dataflow: one wedge join (dirx(w,a) ⋈ dirx(w,b),
+    * a < b — per-hub cost deg², bounded by the projection's
+    * [[TriTopK]] degree cap, the g03 sparsify-first discipline), one
+    * per-pair agg, one ANTI join against the edge set (predicted links
+    * must NOT already exist), two degree joins. Every stage is
+    * edge-table-sized; the degree table is node-sized (broadcast
+    * candidate at 100 TB). Runs over g05's materialised artifact. */
+  val g15 = Q("g15_link_prediction",
+    s"""WITH $projEdgeCtes,
+       |dirx AS (
+       |  SELECT s1 AS v, s2 AS nb FROM e
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM dirx GROUP BY v),
+       |wedge AS (
+       |  SELECT a.nb AS s1, b.nb AS s2,
+       |    count(*) AS cn,
+       |    sum(1000000 // dw.d) AS ra_ppm
+       |  FROM dirx a
+       |  JOIN dirx b ON b.v = a.v AND a.nb < b.nb
+       |  JOIN deg dw ON dw.v = a.v
+       |  GROUP BY a.nb, b.nb),
+       |cand AS (
+       |  SELECT w.* FROM wedge w
+       |  LEFT JOIN e ON e.s1 = w.s1 AND e.s2 = w.s2
+       |  WHERE e.s1 IS NULL)
+       |SELECT c.s1, c.s2, CAST(c.cn AS BIGINT) AS cn,
+       |  CAST(c.cn * 1000000 // (da.d + db.d - c.cn) AS BIGINT)
+       |    AS jaccard_ppm,
+       |  CAST(c.ra_ppm AS BIGINT) AS ra_ppm,
+       |  CAST(da.d * db.d AS BIGINT) AS pa
+       |FROM cand c
+       |JOIN deg da ON da.v = c.s1
+       |JOIN deg db ON db.v = c.s2
+       |ORDER BY c.s1, c.s2""".stripMargin) { (s, d) =>
+    val e = s.read.parquet(ensureProjection(s, d))
+      .select("s1", "s2").localCheckpoint()
+    val dirx = e.select(col("s1").as("v"), col("s2").as("nb"))
+      .union(e.select(col("s2").as("v"), col("s1").as("nb")))
+      .localCheckpoint()
+    val deg = dirx.groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint() // consumed by the wedge join + both endpoints
+    val wedge = dirx.select(col("v").as("w"), col("nb").as("s1"))
+      .join(dirx.select(col("v").as("w"), col("nb").as("s2")), "w")
+      .filter(col("s1") < col("s2"))
+      .join(broadcast(deg.select(col("v").as("w"), col("d").as("dw"))), "w")
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div dw")).as("ra_ppm"))
+    val cand = wedge.join(e, Seq("s1", "s2"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("v").as("s1"), col("d").as("da"))),
+        "s1")
+      .join(broadcast(deg.select(col("v").as("s2"), col("d").as("db"))),
+        "s2")
+      .select(col("s1"), col("s2"), col("cn").cast("long"),
+        expr("cn * 1000000 div (da + db - cn)").cast("long")
+          .as("jaccard_ppm"),
+        col("ra_ppm").cast("long"),
+        (col("da") * col("db")).cast("long").as("pa"))
+      .orderBy("s1", "s2")
+  }
+
   def all: Seq[Q] =
-    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13, g14)
+    Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13,
+      g14, g15)
 }

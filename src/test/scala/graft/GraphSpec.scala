@@ -492,4 +492,36 @@ class GraphSpec extends SparkSpec {
     // nesting law + non-vacuity: 4-truss ⊆ 3-truss ⊊ edges, 3-truss ≠ ∅
     assert(t4.subsetOf(t3) && t3.nonEmpty && t3 != edges)
   }
+
+  test("g15: link-prediction scores equal a brute-force wedge recompute") {
+    import spark.implicits._
+    val got = ops.Graph.g15.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val nbrs = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    // expected candidate set: distance-exactly-2 pairs (≥1 common
+    // neighbor, not adjacent), canonically ordered
+    val expected = (for {
+      (w, ns) <- nbrs.toSeq
+      a <- ns; b <- ns if a < b
+      if !edges((a, b))
+    } yield (a, b)).toSet
+    assert(got.keySet == expected, "candidate pair set differs")
+    for (((a, b), (cn, jac, ra, pa)) <- got) {
+      val common = nbrs(a) & nbrs(b)
+      assert(cn == common.size.toLong, s"($a,$b) cn")
+      assert(jac == cn * 1000000L / (deg(a) + deg(b) - cn), s"($a,$b) jac")
+      assert(ra == common.toSeq.map(w => 1000000L / deg(w)).sum,
+        s"($a,$b) ra")
+      assert(pa == deg(a) * deg(b), s"($a,$b) pa")
+    }
+    // scores genuinely discriminate on this corpus
+    assert(got.values.map(_._1).toSet.size > 1, "cn is constant")
+    assert(got.values.map(_._2).toSet.size > 1, "jaccard is constant")
+  }
 }
