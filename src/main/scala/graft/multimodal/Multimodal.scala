@@ -1876,6 +1876,123 @@ object Multimodal {
       .orderBy("doc_id", "patch_row", "patch_col")
   }
 
+  // --------------------------------------------------------------- mm19
+  /** Fixed-point DCT-II basis: C[u][x] = round(4096·cos((2x+1)uπ/16)).
+    * Computed ONCE via StrictMath (bit-specified on the JVM), then the
+    * 64 INTEGERS are the single source of truth for both engines — the
+    * oracle gets them as literal VALUES, so no transcendental is ever
+    * evaluated cross-engine. */
+  private[graft] val DctBasis: Array[Array[Long]] =
+    Array.tabulate(8, 8)((u, x) =>
+      Math.round(4096.0 *
+        StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)))
+
+  /** Per-document 8×8 integer DCT coefficients: gray = r+g+b over the
+    * synthetic PPM, two horizontal blocks from rows 0–7, and
+    * `F[u][v] = Σ_{x,y} g·C[u][x]·C[v][y]` in exact Longs (|F| ≤
+    * 765·64·4096² ≈ 8.2·10¹⁴ — headroom ×10⁴). */
+  private def dctBlocks(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
+    val (w, h, off) = ppmHeader(bytes)
+    require(w >= 16 && h >= 8, s"image too small for 2 DCT blocks: $w x $h")
+    def gray(x: Int, y: Int): Long = {
+      val p = off + (y * w + x) * 3
+      (bytes(p) & 0xff).toLong + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+    }
+    for {
+      blk <- 0 to 1
+      u <- 0 to 7
+      v <- 0 to 7
+    } yield {
+      var f = 0L
+      var lx = 0
+      while (lx < 8) {
+        var y = 0
+        while (y < 8) {
+          f += gray(blk * 8 + lx, y) * DctBasis(u)(lx) * DctBasis(v)(y)
+          y += 1
+        }
+        lx += 1
+      }
+      (blk, u, v, f)
+    }
+  }
+
+  /** 8×8 integer DCT spectrum report — the transform-CODING tier the
+    * JPEG/video family (mm09–mm13) stands on, as a measured table: per
+    * frequency (u, v), the corpus-wide absolute coefficient mass, its
+    * share of total spectral mass in ppm, and the max coefficient.
+    * The DCT itself is FIXED-POINT (the [[DctBasis]] integer basis —
+    * how every hardware/JPEG integer DCT works), so coefficients are
+    * exact Longs and the whole report hash-matches; the DuckDB twin
+    * replays the pixel LCG and performs the IDENTICAL Σ g·C·C contraction
+    * via two joins against the literal basis table. On this corpus the
+    * report MEASURES the textbook facts: DC dominates by orders of
+    * magnitude (pixels are non-negative), and the AC mass is flat —
+    * white-noise pixels have no spatial correlation to compact, which
+    * is exactly why codecs transform RESIDUALS, not raw noise
+    * (`CodecSpec` pins DC dominance + AC flatness quantitatively).
+    * Scale: per-image work is a fixed 2×64×64 integer contraction in
+    * one `mapPartitions` pass (the mm09 codec discipline); the
+    * spectrum agg is 64 keys with map-side combine; share_ppm divides
+    * through DECIMAL(38)/HUGEINT (the q59 wide-integer convention). */
+  val mm19 = Q("mm19_dct_spectrum", {
+    val basisRows = (for (u <- 0 to 7; x <- 0 to 7)
+      yield s"($u, $x, ${DctBasis(u)(x)})").mkString(", ")
+    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+       |  SELECT doc_id, 0,
+       |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
+       |     * $LcgA + $LcgC) % $LcgM
+       |  FROM documents WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, (state * $LcgA + $LcgC) % $LcgM
+       |  FROM lcg WHERE i < 575),
+       |gray AS (
+       |  SELECT doc_id, (i // 3) % 16 AS x, i // 48 AS y,
+       |    sum(CAST(state // 72057594037927936 AS BIGINT)) AS g
+       |  FROM lcg GROUP BY 1, 2, 3),
+       |basis(u, x, c) AS (SELECT * FROM (VALUES $basisRows)),
+       |coef AS (
+       |  SELECT g8.doc_id, g8.blk, cu.u, cv.u AS v,
+       |    sum(g8.g * cu.c * cv.c) AS f
+       |  FROM (SELECT doc_id, x // 8 AS blk, x % 8 AS lx, y, g
+       |        FROM gray WHERE y < 8) g8
+       |  JOIN basis cu ON cu.x = g8.lx
+       |  JOIN basis cv ON cv.x = g8.y
+       |  GROUP BY 1, 2, 3, 4),
+       |freq AS (
+       |  SELECT u, v, sum(abs(f)) AS sum_abs, max(abs(f)) AS max_abs
+       |  FROM coef GROUP BY u, v),
+       |tot AS (SELECT sum(sum_abs) AS t FROM freq)
+       |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs,
+       |  CAST(max_abs AS BIGINT) AS max_abs,
+       |  CAST(CAST(sum_abs AS HUGEINT) * 1000000 // t AS BIGINT)
+       |    AS share_ppm
+       |FROM freq CROSS JOIN tot
+       |ORDER BY u, v""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val coef = Tables.documents(s, d).filter(col("doc_id") % 4 === 1)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        dctBlocks(syntheticPpm(id)).map { case (blk, u, v, f) =>
+          (id, blk, u, v, f)
+        }
+      })
+      .toDF("doc_id", "blk", "u", "v", "f")
+    val freq = coef.groupBy("u", "v")
+      .agg(sum(abs(col("f"))).as("sum_abs"),
+        max(abs(col("f"))).as("max_abs"))
+    val tot = freq.agg(sum("sum_abs").as("t"))
+    freq.crossJoin(broadcast(tot))
+      .select(col("u").cast("long"), col("v").cast("long"),
+        col("sum_abs").cast("long"),
+        col("max_abs").cast("long"),
+        expr("CAST(CAST(sum_abs AS DECIMAL(38,0)) * 1000000 DIV t AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("u", "v")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17, mm18)
+    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17, mm18, mm19)
 }

@@ -474,4 +474,39 @@ class CodecSpec extends SparkSpec {
       patches.foreach(p => assert(p._4 == p._3 / 16))
     }
   }
+
+  test("mm19: DCT spectrum — DC law, DC dominance, AC flatness") {
+    val rows = multimodal.Multimodal.mm19.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size == 64)
+    // DC law: F[0,0] = 4096² · Σ gray over the block, so the corpus
+    // sum_abs at (0,0) equals 4096² times the recomputed gray mass of
+    // rows 0–7 across the selected docs
+    val ids = model.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 1)
+      .select("doc_id").collect().map(_.getLong(0))
+    val grayMass = ids.map { id =>
+      val img = multimodal.Multimodal.syntheticPpm(id)
+      val off = img.length - 16 * 12 * 3
+      (0 until 16 * 8).map { p =>
+        val y = p / 16; val x = p % 16
+        val q = off + (y * 16 + x) * 3
+        ((img(q) & 0xff) + (img(q + 1) & 0xff) + (img(q + 2) & 0xff)).toLong
+      }.sum
+    }.sum
+    assert(rows((0L, 0L))._1 == 4096L * 4096L * grayMass, "DC law")
+    // DC dominance: non-negative pixels concentrate mass at (0,0)
+    val dc = rows((0L, 0L))._3
+    val ac = rows.filter(_._1 != (0L, 0L)).values.map(_._3)
+    assert(dc > 20 * ac.max, s"DC $dc vs max AC ${ac.max}")
+    // AC flatness: white-noise pixels → no AC frequency stands out
+    // (max within 3× of min — there is nothing spatial to compact,
+    // which is why codecs transform residuals, not raw noise)
+    assert(ac.max <= 3 * math.max(1L, ac.min),
+      s"AC spread ${ac.min}..${ac.max}")
+    // shares are a partition of (almost) the whole ppm scale
+    val total = rows.values.map(_._3).sum
+    assert(total <= 1000000L && total >= 1000000L - 64)
+  }
 }
