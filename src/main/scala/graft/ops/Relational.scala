@@ -3329,9 +3329,101 @@ object Relational {
       .orderBy("antecedent", "consequent")
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Shared double-finishing fragments for [[q62]] — ONE text, spliced
+    * verbatim into BOTH engines, so both parse the identical expression
+    * tree over the exact integer power sums. Every operation in these
+    * fragments is IEEE-deterministic (+, −, ×, / are correctly-rounded
+    * by the standard; sqrt is too — the ONE transcendental-adjacent op
+    * that is) — no pow(), no ln(), nothing implementation-defined. */
+  private val MeanD = "(CAST(s1 AS DOUBLE) / n)"
+  private val M2D =
+    s"((CAST(s2 AS DOUBLE) / n) - $MeanD * $MeanD)"
+  private val M3D =
+    s"((CAST(s3 AS DOUBLE) / n) - 3.0 * $MeanD * (CAST(s2 AS DOUBLE) / n)" +
+      s" + 2.0 * $MeanD * $MeanD * $MeanD)"
+  private val M4D =
+    s"((CAST(s4 AS DOUBLE) / n) - 4.0 * $MeanD * (CAST(s3 AS DOUBLE) / n)" +
+      s" + 6.0 * $MeanD * $MeanD * (CAST(s2 AS DOUBLE) / n)" +
+      s" - 3.0 * $MeanD * $MeanD * $MeanD * $MeanD)"
+  private val StdMicroSql =
+    s"CAST(round(sqrt($M2D) * 1000000) AS BIGINT) AS stddev_micro"
+  private val SkewMicroSql =
+    s"CAST(round(($M3D / ($M2D * sqrt($M2D))) * 1000000) AS BIGINT)" +
+      " AS skew_micro"
+  private val KurtMicroSql =
+    s"CAST(round((($M4D / ($M2D * $M2D)) - 3.0) * 1000000) AS BIGINT)" +
+      " AS kurt_micro"
+
+  /** Exact higher-moment profiling — q58's profiler extended to the
+    * DISTRIBUTION-SHAPE tier (the Deequ/TFDV statistics a feature-store
+    * publishes before anyone trains on a column): per money column,
+    * stddev, skewness, and excess kurtosis to the micro grid. The
+    * split that makes it cross-engine exact: the PASS is pure integers
+    * — cents via DECIMAL(12,2)·100 (the repo money convention), then
+    * power sums S1…S4 accumulated in 38-digit integers (Spark
+    * DECIMAL(38,0) ↔ DuckDB HUGEINT; S4 ≤ (5.5·10⁷)⁴·6·10⁵ ≈ 5·10³⁶ —
+    * headroom proven, order-free, map-side-combined, mergeable by
+    * addition like q60's sketches) — and only the 5-scalar FINISHING
+    * runs in doubles, through the [[StdMicroSql]]-family shared text where
+    * every op is IEEE-correctly-rounded (incl. sqrt; no pow/ln). One
+    * scan per table, 4 columns profiled in one union'd pass, output is
+    * 4 rows. The moment-from-power-sums identities are the standard
+    * one-pass (parallel) moment formulas — no second centering pass
+    * over the data, which at 100 TB is the difference between one scan
+    * and two. */
+  val q62 = Q("q62_moments_profile",
+    s"""WITH src AS (
+       |  SELECT 'l_discount' AS c,
+       |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+       |  FROM lineitem
+       |  UNION ALL SELECT 'l_extendedprice',
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL SELECT 'l_quantity',
+       |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |  FROM lineitem
+       |  UNION ALL SELECT 'o_totalprice',
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |  FROM orders),
+       |agg AS (
+       |  SELECT c, count(*) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS s1,
+       |    sum(CAST(x AS HUGEINT) * x) AS s2,
+       |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+       |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+       |  FROM src GROUP BY c)
+       |SELECT c AS column_name, CAST(n AS BIGINT) AS n_rows,
+       |  CAST(s1 AS BIGINT) AS sum_cents,
+       |  CAST(s1 // n AS BIGINT) AS mean_cents,
+       |  $StdMicroSql, $SkewMicroSql, $KurtMicroSql
+       |FROM agg
+       |ORDER BY column_name""".stripMargin) { (s, d) =>
+    def cents(c: String) = s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    val li = Tables.lineitem(s, d)
+    val src = li.selectExpr("'l_discount' AS c",
+        s"${cents("l_discount")} AS x")
+      .unionAll(li.selectExpr("'l_extendedprice'",
+        cents("l_extendedprice")))
+      .unionAll(li.selectExpr("'l_quantity'", cents("l_quantity")))
+      .unionAll(Tables.orders(s, d).selectExpr("'o_totalprice'",
+        cents("o_totalprice")))
+    src.groupBy("c")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("s1"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("s3"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
+      .selectExpr("c AS column_name", "CAST(n AS BIGINT) AS n_rows",
+        "CAST(s1 AS BIGINT) AS sum_cents",
+        "CAST(s1 div n AS BIGINT) AS mean_cents",
+        StdMicroSql, SkewMicroSql, KurtMicroSql)
+      .orderBy("column_name")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }
