@@ -855,6 +855,39 @@ object EventStreams {
       .orderBy("event_id")
   }
 
+  // --------------------------------------------------------------- st22
+  /** Batch twin of the streaming LEFT ANTI interval join
+    * ([[graft.streaming.StreamOps.purchasesWithoutPriorClick]] — the
+    * outer-join-null-filter derivation, since Structured Streaming has
+    * no native stream-stream anti; the st09 discipline: the SAME
+    * function runs here in batch). "Purchases with no click in the
+    * prior 10 minutes" — the abandonment/anomaly slice, the exact
+    * complement of st20's semi (StreamJoinSpec pins the partition law
+    * on a live MemoryStream: semi ∪ anti = all purchases, disjoint).
+    * Oracle = NOT EXISTS over the same window. */
+  val st22 = Q("st22_interval_join_anti",
+    """SELECT p.user_id, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |  WHERE c.user_id = p.user_id
+      |    AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts)
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    def side(t: String) = events(s, d)
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").as("ts"))
+      .as[graft.streaming.StreamOps.UserEvent]
+    graft.streaming.StreamOps
+      .purchasesWithoutPriorClick(side("click"), side("purchase"))
+      .select(col("user_id"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("purchase_value"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
-    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21)
+    st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
+    st22)
 }

@@ -412,6 +412,24 @@ object StreamOps {
         col("purchase_value"))
   }
 
+  /** LEFT ANTI variant — "which purchases had NO prior click" (the
+    * abandonment/anomaly test; with inner/outer/semi this closes the
+    * interval-join mode matrix). Structured Streaming does NOT support
+    * a native stream-stream anti join, so this is the standard
+    * derivation: the watermarked LEFT OUTER join, then `IS NULL` on
+    * the right side — correct precisely BECAUSE the outer join defers
+    * its null-emission until the watermark passes the purchase's join
+    * window (before that, a matching click could still arrive; the
+    * null row is the anti-join verdict, finalised by the horizon).
+    * Same watermarks + time bound as the other modes, so click state
+    * evicts identically. Runs in batch and streaming; the batch twin
+    * (st22) oracles against NOT EXISTS. */
+  def purchasesWithoutPriorClick(clicks: Dataset[UserEvent],
+      purchases: Dataset[UserEvent]): DataFrame =
+    clicksBeforePurchaseOuter(clicks, purchases)
+      .filter(col("click_ts").isNull)
+      .select(col("user_id"), col("purchase_ts"), col("purchase_value"))
+
   def clicksBeforePurchaseOuter(clicks: Dataset[UserEvent],
       purchases: Dataset[UserEvent]): DataFrame = {
     val c = clicks.toDF().withWatermark("ts", "10 minutes")

@@ -160,6 +160,39 @@ class StreamJoinSpec extends SparkSpec {
     assert(rows.contains((1L, 100.0)))
   }
 
+  test("anti interval join: unmatched purchases emit after watermark; semi∪anti partitions") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamOps.purchasesWithoutPriorClick(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("anti")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      UserEvent(1, "click", 1.0, ts(10, 0)),   // qualifies for user 1
+      UserEvent(3, "click", 3.0, ts(9, 40)))   // too old for user 3
+    purchases.addData(
+      UserEvent(1, "purchase", 100.0, ts(10, 5)),  // matched → never emits
+      UserEvent(2, "purchase", 50.0, ts(10, 6)),   // no click at all
+      UserEvent(3, "purchase", 25.0, ts(10, 7)))   // click outside window
+    q.processAllAvailable()
+    // before the watermark passes the join window nothing may emit —
+    // a matching click could still arrive (the anti verdict is not
+    // final until the horizon)
+    assert(spark.table("anti").isEmpty,
+      "anti emitted before the watermark finalised the window")
+    clicks.addData(UserEvent(9, "click", 0.0, ts(11, 0)))
+    purchases.addData(UserEvent(9, "purchase", 0.0, ts(11, 0)))
+    q.processAllAvailable()
+    val rows = spark.table("anti").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows == Set((2L, 50.0), (3L, 25.0)),
+      s"anti must emit exactly the unmatched purchases: $rows")
+    // partition law vs the semi results of the matching scenario: the
+    // three original purchases split 1 (semi) + 2 (anti), no overlap
+    assert(!rows.exists(_._1 == 1L))
+  }
+
   test("st21 streaming as-of: two ordered batches equal the batch twin") {
     import graft.streaming.StreamOps.ChangeEvent
     import org.apache.spark.sql.functions.col
