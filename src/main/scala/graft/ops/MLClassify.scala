@@ -1516,9 +1516,13 @@ object MLClassify {
     * scoring passes share the tf table and broadcast their models.
     * Model memory drops to one byte per surviving term — the reason
     * this tier exists at 100 TB serving fan-out. */
-  val ml15 = Q("ml15_quantized_serving", {
+  /** Shared oracle CTE block: teacher labels, tf, both models (full
+    * counts + int8-style quantised), and each model's per-doc argmax
+    * pick — spliced into ml15's serving report AND ml17's McNemar
+    * test, so both state the identical model pair. */
+  private lazy val FullQuantCtes: String = {
     val n03Sql = NewsPipeline.n03.oracle.get
-    s"""WITH teacher AS ($n03Sql),
+    s"""teacher AS ($n03Sql),
        |lab AS (
        |  SELECT doc_id, category AS teacher_category FROM teacher
        |  WHERE category <> 'unknown'),
@@ -1560,26 +1564,14 @@ object MLClassify {
        |          FROM tf JOIN qtf c ON c.term = tf.term GROUP BY 1, 2) d
        |    JOIN (SELECT category, sum(q * q) AS s2 FROM qtf
        |          GROUP BY category) n ON n.category = d.category) z
-       |  WHERE rn = 1)
-       |SELECT CAST((SELECT count(*) FROM lab) AS BIGINT) AS n_docs,
-       |  CAST((SELECT count(*) FROM pick_full f JOIN pick_q p
-       |        ON p.doc_id = f.doc_id AND p.category = f.category)
-       |    AS BIGINT) AS n_agree,
-       |  CAST((SELECT count(*) FROM pick_full f JOIN pick_q p
-       |        ON p.doc_id = f.doc_id AND p.category = f.category)
-       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT) AS agree_ppm,
-       |  CAST((SELECT count(*) FROM pick_full f JOIN lab l
-       |        ON l.doc_id = f.doc_id AND l.teacher_category = f.category)
-       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT)
-       |    AS acc_full_ppm,
-       |  CAST((SELECT count(*) FROM pick_q f JOIN lab l
-       |        ON l.doc_id = f.doc_id AND l.teacher_category = f.category)
-       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT)
-       |    AS acc_quant_ppm,
-       |  CAST((SELECT count(*) FROM ctf) AS BIGINT) AS model_terms_full,
-       |  CAST((SELECT count(*) FROM qtf) AS BIGINT) AS model_terms_quant"""
-      .stripMargin
-  }) { (s, d) =>
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Spark twin of [[FullQuantCtes]]: teacher labels, both models, and
+    * each model's per-doc pick — shared by ml15 and ml17. Returns
+    * (lab, full picks, quant picks, full model, quant model). */
+  private def fullQuantPicks(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val lab = NewsPipeline.classify(docs)
@@ -1618,8 +1610,30 @@ object MLClassify {
         .filter(col("rn") === 1)
         .select("doc_id", "category")
     }
-    val full = pick(ctf, "cnt")
-    val quant = pick(qtf, "q")
+    (lab, pick(ctf, "cnt"), pick(qtf, "q"), ctf, qtf)
+  }
+
+  val ml15 = Q("ml15_quantized_serving",
+    s"""WITH $FullQuantCtes
+       |SELECT CAST((SELECT count(*) FROM lab) AS BIGINT) AS n_docs,
+       |  CAST((SELECT count(*) FROM pick_full f JOIN pick_q p
+       |        ON p.doc_id = f.doc_id AND p.category = f.category)
+       |    AS BIGINT) AS n_agree,
+       |  CAST((SELECT count(*) FROM pick_full f JOIN pick_q p
+       |        ON p.doc_id = f.doc_id AND p.category = f.category)
+       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT) AS agree_ppm,
+       |  CAST((SELECT count(*) FROM pick_full f JOIN lab l
+       |        ON l.doc_id = f.doc_id AND l.teacher_category = f.category)
+       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT)
+       |    AS acc_full_ppm,
+       |  CAST((SELECT count(*) FROM pick_q f JOIN lab l
+       |        ON l.doc_id = f.doc_id AND l.teacher_category = f.category)
+       |    * 1000000 // (SELECT count(*) FROM lab) AS BIGINT)
+       |    AS acc_quant_ppm,
+       |  CAST((SELECT count(*) FROM ctf) AS BIGINT) AS model_terms_full,
+       |  CAST((SELECT count(*) FROM qtf) AS BIGINT) AS model_terms_quant"""
+      .stripMargin) { (s, d) =>
+    val (lab, full, quant, ctf, qtf) = fullQuantPicks(s, d)
     val nDocs = lab.count()
     val nAgree = full.join(quant, Seq("doc_id", "category")).count()
     val accFull = full.join(lab,
@@ -1703,7 +1717,82 @@ object MLClassify {
       .orderBy("dim")
   }
 
+  // ---------------------------------------------------------------- ml17
+  /** χ²₁ critical value at α = 0.05, on the micro grid. */
+  private val Chi2Crit = 3841459L
+
+  /** McNemar's paired test (McNemar 1947, continuity-corrected) — the
+    * STATISTICAL backbone ml15's agreement report stops short of: two
+    * models serving the SAME corpus must be compared on the PAIRED
+    * disagreement cells, not on marginal accuracies (two models can
+    * share an accuracy yet err on disjoint docs — the b/c cells see
+    * that, accuracy can't). Cells against the teacher labels:
+    * n11/n00 (both right/wrong), n10 (full right, quant wrong), n01
+    * (quant right, full wrong); the statistic uses ONLY the
+    * discordant pair — χ² = (|b−c|−1)²/(b+c) — because concordant
+    * docs carry no evidence either way. Everything is exact integers:
+    * the statistic lands on the micro grid by `·10⁶ div (b+c)` (the
+    * er04 ppm discipline; zero-guard per the p15/t30 convention), and
+    * the verdict is an integer compare against [[Chi2Crit]]. On this
+    * corpus quantisation's few flips are ~symmetric → not
+    * significant: the REPORT is the evidence that the int8 model is
+    * deployable, which is the decision this test exists to gate.
+    * Cost: the two ml15 serving passes + two tiny joins + one 1-row
+    * agg — the test itself is free. */
+  val ml17 = Q("ml17_mcnemar",
+    s"""WITH $FullQuantCtes,
+       |cells AS (
+       |  SELECT
+       |    CASE WHEN f.category = l.teacher_category THEN 1 ELSE 0 END AS fr,
+       |    CASE WHEN q.category = l.teacher_category THEN 1 ELSE 0 END AS qr
+       |  FROM lab l
+       |  LEFT JOIN pick_full f ON f.doc_id = l.doc_id
+       |  LEFT JOIN pick_q q ON q.doc_id = l.doc_id),
+       |m AS (
+       |  SELECT
+       |    sum(fr * qr) AS n11,
+       |    sum(fr * (1 - qr)) AS n10,
+       |    sum((1 - fr) * qr) AS n01,
+       |    sum((1 - fr) * (1 - qr)) AS n00
+       |  FROM cells)
+       |SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+       |  CAST(CASE WHEN n10 + n01 = 0 THEN 0
+       |       ELSE (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+       |            // (n10 + n01) END AS BIGINT) AS chi2_micro,
+       |  CASE WHEN n10 + n01 = 0 THEN FALSE
+       |       ELSE (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+       |            // (n10 + n01) > $Chi2Crit END AS significant
+       |FROM m""".stripMargin) { (s, d) =>
+    val (lab, full, quant, _, _) = fullQuantPicks(s, d)
+    val cells = lab
+      .join(full.select(col("doc_id"), col("category").as("fc")),
+        Seq("doc_id"), "left")
+      .join(quant.select(col("doc_id"), col("category").as("qc")),
+        Seq("doc_id"), "left")
+      .select(
+        when(col("fc") === col("teacher_category"), 1L).otherwise(0L)
+          .as("fr"),
+        when(col("qc") === col("teacher_category"), 1L).otherwise(0L)
+          .as("qr"))
+    cells.agg(
+        sum(col("fr") * col("qr")).as("n11"),
+        sum(col("fr") * (lit(1L) - col("qr"))).as("n10"),
+        sum((lit(1L) - col("fr")) * col("qr")).as("n01"),
+        sum((lit(1L) - col("fr")) * (lit(1L) - col("qr"))).as("n00"))
+      .selectExpr("CAST(n11 AS BIGINT) AS n11", "CAST(n10 AS BIGINT) AS n10",
+        "CAST(n01 AS BIGINT) AS n01", "CAST(n00 AS BIGINT) AS n00",
+        s"""CAST(CASE WHEN n10 + n01 = 0 THEN 0
+           | ELSE (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+           |      DIV (n10 + n01) END AS BIGINT) AS chi2_micro"""
+          .stripMargin.replace("\n", " "),
+        s"""CASE WHEN n10 + n01 = 0 THEN FALSE
+           | ELSE (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) * 1000000
+           |      DIV (n10 + n01) > $Chi2Crit END AS significant"""
+          .stripMargin.replace("\n", " "))
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13, ml14, ml15, ml16)
+      ml12, ml13, ml14, ml15, ml16, ml17)
 }

@@ -158,4 +158,30 @@ class MLFrozenSpec extends SparkSpec {
       assert(math.abs(sgn) == tot, s"dim $dim: lone token distorted")
     }
   }
+
+  test("ml17: McNemar cells reconcile with ml15's marginals; statistic lawful") {
+    val Array(mc) = ops.MLClassify.ml17.run(spark, sf).collect()
+    val (n11, n10, n01, n00) =
+      (mc.getLong(0), mc.getLong(1), mc.getLong(2), mc.getLong(3))
+    val (chi2, sig) = (mc.getLong(4), mc.getBoolean(5))
+    val Array(m15) = ops.MLClassify.ml15.run(spark, sf).collect()
+    val nDocs = m15.getLong(0)
+    // the 2×2 table partitions the eval corpus
+    assert(n11 + n10 + n01 + n00 == nDocs, "cells don't partition")
+    // marginal reconciliation: each model's accuracy ppm from the
+    // cells must equal ml15's independently computed accuracy columns
+    assert((n11 + n10) * 1000000L / nDocs == m15.getLong(3),
+      "full-model marginal mismatch")
+    assert((n11 + n01) * 1000000L / nDocs == m15.getLong(4),
+      "quant-model marginal mismatch")
+    // continuity-corrected statistic recompute
+    val d = n10 + n01
+    val expect =
+      if (d == 0) 0L
+      else (math.abs(n10 - n01) - 1) * (math.abs(n10 - n01) - 1) * 1000000L / d
+    assert(chi2 == expect, s"chi2 $chi2 vs $expect")
+    assert(sig == (d != 0 && expect > 3841459L))
+    // the test is non-vacuous: some disagreement exists on this corpus
+    assert(d > 0, "no discordant pairs — vacuous")
+  }
 }
