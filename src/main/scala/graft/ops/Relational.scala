@@ -3189,6 +3189,8 @@ object Relational {
       .agg(sums.head, sums.tail: _*)
       .selectExpr("pair", "side",
         s"stack($b, ${(0 until b).map(j => s"$j, c$j").mkString(", ")}) AS (j, c)")
+      .localCheckpoint() // 1440 rows; both sketch-join sides read it —
+      // without this the wide-agg subtree (and its stack) runs twice
     val grp = sk.filter(col("side") === "a").select(col("pair"), col("j"),
         col("c").as("ca"))
       .join(sk.filter(col("side") === "b").select(col("pair"), col("j"),

@@ -798,4 +798,42 @@ class PlanAuditSpec extends SparkSpec {
       s"profiler null count ${retRow.getLong(2)} != recompute $expected")
     assert(retRow.getLong(2) > 0, "null accounting is vacuous on this corpus")
   }
+
+  test("q60: sketch build is ONE wide aggregate — no 240-way explode reaches a shuffle") {
+    val plan = executedPlan("q60_ams_joinsize")
+    // the explode/stack long form would show a Generate feeding an
+    // Exchange; the wide form aggregates 240 columns BEFORE any
+    // exchange, and the 1440-row stack unpivot is checkpointed, so the
+    // final plan contains NO Generate at all
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    val gens = "Generate ".r.findAllIn(plan).length
+    assert(gens == 0, s"corpus-side generate leaked into the plan: $gens")
+  }
+
+  test("q61: rule enrichment joins broadcast the dimension-sized supports") {
+    val plan = executedPlan("q61_assoc_rules")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(800))
+  }
+
+  test("er05: sorted-neighborhood candidates come from an equi-join, never a range join") {
+    val plan = executedPlan("er05_sorted_neighborhood")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(1200))
+  }
+
+  test("g15: wedge join and anti join are hash joins; degree tables broadcast") {
+    val plan = executedPlan("g15_link_prediction")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q62: the four power sums evaluate in ONE aggregation pass per scan") {
+    val plan = executedPlan("q62_moments_profile")
+    // one partial+final HashAggregate pair over the union — no
+    // per-moment re-aggregation
+    assert(!plan.contains("Expand"), plan.take(800))
+  }
 }
