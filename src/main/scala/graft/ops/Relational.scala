@@ -3173,24 +3173,30 @@ object Relational {
         "l_partkey"))
       .unionAll(side("lineitem_part", "b", Tables.part(s, d), "p_partkey"))
       .localCheckpoint() // consumed by the sketch AND the exact audit
-    // sketch build: ONE wide hash-aggregate pass (240 sum columns over 6
-    // groups — the buffer is 240 longs, map-side-combined), NOT an
-    // explode: the long-form groupBy(pair, side, j) twin the oracle
-    // replays would push 240× the input rows through the aggregate hash
-    // table (~17 s at sf0.1 vs seconds for this shape; results
-    // identical — the oracle proves it). The 6×240 wide result then
-    // unpivots via stack, so everything downstream is sketch-sized
-    // long-form.
-    val sums = (0 until b).map { j =>
-      sum(expr(s"2 * (shiftright(w${j / 60}, ${j % 60}) & 1) - 1"))
-        .as(s"c$j")
-    }
-    val sk = src.groupBy("pair", "side")
-      .agg(sums.head, sums.tail: _*)
-      .selectExpr("pair", "side",
-        s"stack($b, ${(0 until b).map(j => s"$j, c$j").mkString(", ")}) AS (j, c)")
+    // sketch build: wide hash-aggregate passes (plain long sum buffers,
+    // map-side-combined), NOT an explode: the long-form
+    // groupBy(pair, side, j) twin the oracle replays would push 240×
+    // the input rows through the aggregate hash table (~17 s at
+    // sf0.1; results identical — the oracle proves it). The pass is
+    // CHUNKED per 60-bit salt word: ONE 240-column aggregate exceeds
+    // spark.sql.codegen.maxFields (100) and falls back to interpreted
+    // eval (measured 11.7 s at sf0.1); four 60-column passes — each
+    // reading ONLY its word column off the checkpointed src — stay
+    // inside whole-stage codegen. Each pass unpivots its 6×60 result
+    // via stack; everything downstream is sketch-sized long-form.
+    val sk = (0 until AmsSalts).map { salt =>
+      val sums = (0 until 60).map { i =>
+        sum(expr(s"2 * (shiftright(w$salt, $i) & 1) - 1")).as(s"c$i")
+      }
+      src.select(col("pair"), col("side"), col(s"w$salt"))
+        .groupBy("pair", "side")
+        .agg(sums.head, sums.tail: _*)
+        .selectExpr("pair", "side",
+          s"stack(60, ${(0 until 60)
+            .map(i => s"${salt * 60 + i}, c$i").mkString(", ")}) AS (j, c)")
+    }.reduce(_ unionAll _)
       .localCheckpoint() // 1440 rows; both sketch-join sides read it —
-      // without this the wide-agg subtree (and its stack) runs twice
+      // without this the agg subtrees (and their stacks) run twice
     val grp = sk.filter(col("side") === "a").select(col("pair"), col("j"),
         col("c").as("ca"))
       .join(sk.filter(col("side") === "b").select(col("pair"), col("j"),
