@@ -887,7 +887,107 @@ object EventStreams {
       .orderBy("user_id", "purchase_ts")
   }
 
+  // --------------------------------------------------------------- st23
+  /** Candidate watermark delays (seconds) for the advisor sweep. */
+  private val WmCandidates = Seq(0L, 60L, 300L, 600L)
+  /** Arrival-order bucket width (micros) for the two-phase prefix max. */
+  private val ArrBucketUs = 600000000L
+
+  /** Watermark-lateness advisor — the q57/d20 measured-advisor
+    * discipline applied to the ONE streaming config every st-family
+    * deployment must choose: `withWatermark`'s delay. For each
+    * candidate delay, how many events would the watermark drop? An
+    * event is dropped when it arrives after the high-water mark (the
+    * max event time seen so far in ARRIVAL order) has advanced past
+    * its timestamp by more than the delay — so the whole question
+    * reduces to an exclusive PREFIX MAX over arrival order, the scan
+    * dataflow none of st01–st22 exercise. The corpus stores no arrival
+    * order (events land pre-sorted — measured zero lateness), so
+    * arrival is DERIVED deterministically: event time plus an
+    * md5-seeded jitter in (−300 s, +300 s] (the er01/ml04 frozen-
+    * derivation discipline — DuckDB rebuilds the identical arrival
+    * stream, and the survival curve is non-trivial at every SF).
+    *
+    * Scale: a corpus-global window would single-task the scan (the
+    * n02 ban), so the prefix max is TWO-PHASE, exactly n02's shape:
+    * arrival-time buckets → per-bucket max → a bucket-count-sized
+    * exclusive cummax (the one tiny single-partition window, over
+    * bucket SUMMARIES) broadcast back → a bucket-PARTITIONED keyed
+    * window for the within-bucket prefix, combined with `greatest`.
+    * Ties order by (arrival, event_id) — a total order, so both
+    * engines see the same high-water sequence row for row. The sweep
+    * itself is one conditional agg + a 4-row unpivot. */
+  val st23 = Q("st23_watermark_advisor", {
+    val cands = WmCandidates
+    s"""WITH e AS (
+       |  SELECT event_id, epoch_us(ts) AS em,
+       |    epoch_us(ts)
+       |      + (CAST(concat('0x', substr(md5('st23:' ||
+       |           CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |         % 600000000) - 300000000 AS arr
+       |  FROM events),
+       |l AS (
+       |  SELECT event_id,
+       |    greatest(0, coalesce(
+       |      max(em) OVER (ORDER BY arr, event_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING
+       |                    AND 1 PRECEDING) - em, 0)) AS lat
+       |  FROM e),
+       |w(wm_seconds) AS (
+       |  SELECT * FROM (VALUES ${cands.map(c => s"($c)").mkString(", ")}))
+       |SELECT CAST(w.wm_seconds AS BIGINT) AS wm_seconds,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN l.lat > w.wm_seconds * 1000000
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN l.lat > w.wm_seconds * 1000000
+       |                THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+       |    AS dropped_ppm
+       |FROM l CROSS JOIN w
+       |GROUP BY w.wm_seconds
+       |ORDER BY wm_seconds""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.events(s, d)
+    val ev = raw.selectExpr("event_id",
+        s"${eventMicrosSql(raw)} AS em")
+      .selectExpr("event_id", "em",
+        """em + (CAST(conv(substr(md5(concat('st23:',
+          | CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
+          | % 600000000) - 300000000 AS arr"""
+          .stripMargin.replace("\n", " "))
+      .withColumn("bkt", expr(s"arr div $ArrBucketUs"))
+      .localCheckpoint() // read by the bucket summary AND the scan
+    // phase 1: bucket summaries; exclusive cummax over the TINY
+    // bucket table (the n02 two-phase discipline)
+    val bkts = ev.groupBy("bkt").agg(max("em").as("bmax"))
+      .withColumn("prevmax", max(col("bmax")).over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("bkt", "prevmax")
+    // phase 2: within-bucket exclusive prefix max, keyed by bucket
+    val wIn = Window.partitionBy("bkt").orderBy("arr", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lat = ev.join(broadcast(bkts), "bkt")
+      .withColumn("wmax", max(col("em")).over(wIn))
+      .selectExpr("event_id",
+        """greatest(0, coalesce(
+          | greatest(coalesce(wmax, -1), coalesce(prevmax, -1)) - em,
+          | 0)) AS lat""".stripMargin.replace("\n", " "))
+    val cands = WmCandidates
+    val aggExprs = count(lit(1)).as("n") +:
+      cands.map(c => sum(when(col("lat") > c * 1000000L, 1L).otherwise(0L))
+        .as(s"d$c"))
+    val aggs = lat.agg(aggExprs.head, aggExprs.tail: _*)
+    aggs.selectExpr("n",
+        s"stack(${cands.size}, ${cands.map(c => s"${c}L, d$c").mkString(", ")})" +
+          " AS (wm_seconds, n_dropped)")
+      .selectExpr("CAST(wm_seconds AS BIGINT) AS wm_seconds",
+        "CAST(n AS BIGINT) AS n_events",
+        "CAST(n_dropped AS BIGINT) AS n_dropped",
+        "CAST(n_dropped * 1000000 DIV n AS BIGINT) AS dropped_ppm")
+      .orderBy("wm_seconds")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22)
+    st22, st23)
 }
