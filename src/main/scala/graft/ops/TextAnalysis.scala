@@ -1836,7 +1836,89 @@ object TextAnalysis {
       .orderBy("user_token")
   }
 
+  // ---------------------------------------------------------------- t32
+  /** floor(log2(rank)) as a generated CASE chain — ONE text for both
+    * engines, no float log (log2 is not correctly-rounded-guaranteed;
+    * a 2.999… at an octave boundary would bucket differently per
+    * engine). Covers ranks < 2^21. */
+  private val OctaveSql: String =
+    (0 until 21).map(o => s"WHEN rank < ${1L << (o + 1)} THEN $o")
+      .mkString("CASE ", " ", " ELSE 21 END")
+
+  /** Zipf rank-frequency octave report — t28's Heaps curve's sibling
+    * corpus-QA statistic (the OTHER power law every natural corpus is
+    * checked against): bigram types ranked by frequency, grouped into
+    * rank OCTAVES [2^o, 2^{o+1}), per octave the type count, total
+    * token mass, frequency range, and the octave-over-octave mass
+    * ratio in ppm. Under Zipf (s = 1) per-octave mass is CONSTANT
+    * (Σ 1/r over an octave ≈ ln 2) → ratio ≈ 10⁶; a uniform corpus
+    * doubles mass per octave → ratio ≈ 2·10⁶. The report MEASURES
+    * which regime the corpus is in — the synthetic generator is
+    * measured near-UNIFORM (mid-octave ratios ~1.9·10⁶; the last
+    * octave drops to ~1.2·10⁶ on the singleton tail), and that number is exactly what a data-quality
+    * gate reads before trusting frequency-based heuristics (t02's
+    * stopword ratios, t13's idf) on a new corpus. Ranking is one
+    * window over the VOCAB-sized frequency table (dimension plane —
+    * the q02/st23 documented exception to the corpus-global-window
+    * ban; the corpus-scale stages are the token generator and one
+    * map-side-combined count). Octaves via a generated CASE chain —
+    * no float log crosses an engine boundary. */
+  val t32 = Q("t32_zipf_octaves",
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+       |tok AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+       |           i -> concat(w[i], ' ', w[i+1]))) AS token
+       |  FROM w WHERE len(w) >= 2),
+       |tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+       |ranked AS (
+       |  SELECT token, c,
+       |    row_number() OVER (ORDER BY c DESC, token) AS rank
+       |  FROM tc),
+       |oct AS (
+       |  SELECT $OctaveSql AS octave,
+       |    count(*) AS n_types, sum(c) AS mass,
+       |    max(c) AS max_freq, min(c) AS min_freq
+       |  FROM ranked GROUP BY 1),
+       |lagd AS (
+       |  SELECT octave, n_types, mass, max_freq, min_freq,
+       |    lag(mass) OVER (ORDER BY octave) AS prev_mass
+       |  FROM oct)
+       |SELECT CAST(octave AS BIGINT) AS octave,
+       |  CAST(n_types AS BIGINT) AS n_types,
+       |  CAST(mass AS BIGINT) AS mass,
+       |  CAST(max_freq AS BIGINT) AS max_freq,
+       |  CAST(min_freq AS BIGINT) AS min_freq,
+       |  CAST(CASE WHEN prev_mass IS NULL THEN 0
+       |       ELSE mass * 1000000 // prev_mass END AS BIGINT)
+       |    AS mass_ratio_ppm
+       |FROM lagd
+       |ORDER BY octave""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val tc = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr("word_shingles(w, 2)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ranked = tc.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("token"))))
+    val oct = ranked.groupBy(expr(OctaveSql).as("octave"))
+      .agg(count(lit(1)).as("n_types"), sum("c").as("mass"),
+        max("c").as("max_freq"), min("c").as("min_freq"))
+    oct.withColumn("prev_mass",
+        lag(col("mass"), 1).over(Window.orderBy("octave")))
+      .selectExpr("CAST(octave AS BIGINT) AS octave",
+        "CAST(n_types AS BIGINT) AS n_types",
+        "CAST(mass AS BIGINT) AS mass",
+        "CAST(max_freq AS BIGINT) AS max_freq",
+        "CAST(min_freq AS BIGINT) AS min_freq",
+        """CAST(CASE WHEN prev_mass IS NULL THEN 0
+          | ELSE mass * 1000000 DIV prev_mass END AS BIGINT)
+          | AS mass_ratio_ppm""".stripMargin.replace("\n", " "))
+      .orderBy("octave")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31)
+    t25, t26, t27, t28, t29, t30, t31, t32)
 }
