@@ -1399,6 +1399,126 @@ object Dedup {
       .orderBy(col("b").desc)
   }
 
+  // ---------------------------------------------------------------- d21
+  /** Dup verdict threshold in ppm ( = d02's 0.8 Jaccard, integerised). */
+  private val IncDupPpm = 800000L
+
+  /** Incremental dedup against a fingerprint INDEX — the production
+    * ingest shape none of d01–d20 exercise: a new batch (doc_id % 4 = 0,
+    * the frozen-derivation split) is deduped against the ALREADY-INDEXED
+    * corpus (the other ¾) without ever rescanning it. The old side
+    * exists only as its LSH band index (band, sig, doc_id — d03's exact
+    * signature definition, shared so the index cannot drift from the
+    * batch dedup); new docs compute their own bands (batch-sized work),
+    * probe the index with an equi-join on (band, sig), and ONLY the
+    * candidate old docs get their shingles recomputed for the exact
+    * Jaccard confirm (a semi-join pushdown — at 100 TB this reads
+    * |candidates| old docs, not the corpus; in deployment the index is
+    * the stored artifact a nightly build maintains, and novel docs'
+    * bands are appended to it as the next increment's index). Verdict
+    * per new doc: `dup` when the best exact Jaccard ≥ [[IncDupPpm]]
+    * (integer ppm — no float crosses engines), carrying the best old
+    * doc (max Jaccard, ties → min id) as `dup_of`; else `novel` with
+    * the sentinel −1. Candidates that fail the confirm stay novel —
+    * LSH may only over-generate, never decide. */
+  val d21 = Q("d21_incremental_dedup",
+    s"""WITH $shinglesSql,
+       |$lshCandSql,
+       |cross_cand AS (
+       |  SELECT CASE WHEN i % 4 = 0 THEN i ELSE j END AS new_id,
+       |         CASE WHEN i % 4 = 0 THEN j ELSE i END AS old_id
+       |  FROM lshcand
+       |  WHERE (i % 4 = 0) <> (j % 4 = 0)),
+       |counts AS (SELECT doc_id, count(*) AS c FROM shingles GROUP BY doc_id),
+       |jacc AS (
+       |  SELECT cc.new_id, cc.old_id,
+       |    count(*) * 1000000 // (ca.c + cb.c - count(*)) AS jac_ppm
+       |  FROM cross_cand cc
+       |  JOIN shingles sa ON sa.doc_id = cc.new_id
+       |  JOIN shingles sb ON sb.doc_id = cc.old_id AND sb.s = sa.s
+       |  JOIN counts ca ON ca.doc_id = cc.new_id
+       |  JOIN counts cb ON cb.doc_id = cc.old_id
+       |  GROUP BY cc.new_id, cc.old_id, ca.c, cb.c),
+       |best AS (
+       |  SELECT new_id, old_id, jac_ppm FROM (
+       |    SELECT new_id, old_id, jac_ppm,
+       |      row_number() OVER (PARTITION BY new_id
+       |                         ORDER BY jac_ppm DESC, old_id) AS rn
+       |    FROM jacc) z
+       |  WHERE rn = 1 AND jac_ppm >= $IncDupPpm)
+       |SELECT d.doc_id,
+       |  CASE WHEN b.new_id IS NOT NULL THEN 'dup' ELSE 'novel' END
+       |    AS verdict,
+       |  CAST(coalesce(b.old_id, -1) AS BIGINT) AS dup_of,
+       |  CAST(coalesce(b.jac_ppm, 0) AS BIGINT) AS jaccard_ppm
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+       |LEFT JOIN best b ON b.new_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    def shinglesOf(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+    def bandsOf(df: DataFrame) = {
+      val sigs = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
+        .groupBy("doc_id")
+        .agg(min(minhash64(col("s"), 0)).as("h0"),
+          (1 until K).map(j => min(minhash64(col("s"), j)).as(s"h$j")): _*)
+      (0 until B).map { b =>
+        sigs.select(col("doc_id"), lit(b).as("band"),
+          concat_ws("_", (0 until R).map(r => col(s"h${b * R + r}")): _*)
+            .as("sig"))
+      }.reduce(_ unionByName _)
+    }
+    val newDocs = docs.filter(col("doc_id") % 4 === 0).localCheckpoint()
+    // the index: old-side bands only — in deployment this is the stored
+    // artifact; here it is derived so the oracle can replay it
+    val index = bandsOf(docs.filter(col("doc_id") % 4 =!= 0))
+    val cand = bandsOf(newDocs)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(index.withColumnRenamed("doc_id", "old_id"),
+        Seq("band", "sig"))
+      .select("new_id", "old_id").distinct()
+      .localCheckpoint() // tiny; drives both shingle recomputes
+    // exact confirm: shingles only for docs that are candidates
+    val shNew = shinglesOf(newDocs.join(
+      cand.select(col("new_id").as("doc_id")).distinct(), "doc_id"))
+    val shOld = shinglesOf(docs.join(
+      cand.select(col("old_id").as("doc_id")).distinct(), "doc_id"))
+    val cNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val cOld = shOld.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val jacc = cand
+      .join(shNew.select(col("doc_id").as("new_id"), col("s")), "new_id")
+      .join(shOld.select(col("doc_id").as("old_id"), col("s")),
+        Seq("old_id", "s"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("common"))
+      .join(cNew.select(col("doc_id").as("new_id"), col("c").as("ca")),
+        "new_id")
+      .join(cOld.select(col("doc_id").as("old_id"), col("c").as("cb")),
+        "old_id")
+      .select(col("new_id"), col("old_id"),
+        expr("common * 1000000 DIV (ca + cb - common)").as("jac_ppm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("new_id")
+      .orderBy(col("jac_ppm").desc, col("old_id"))
+    val best = jacc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("jac_ppm") >= IncDupPpm)
+      .select("new_id", "old_id", "jac_ppm")
+    newDocs.select("doc_id")
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("old_id").isNotNull, "dup").otherwise("novel")
+          .as("verdict"),
+        coalesce(col("old_id"), lit(-1L)).cast("long").as("dup_of"),
+        coalesce(col("jac_ppm"), lit(0L)).cast("long").as("jaccard_ppm"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
 }

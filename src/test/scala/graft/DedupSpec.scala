@@ -436,4 +436,36 @@ class DedupSpec extends SparkSpec {
     assert(rows.head._3 > 5 * rows.last._3,
       "workload spread too small to demonstrate the trade-off")
   }
+
+  test("d21 incremental dedup: complete and sound vs the brute-force cross-split truth") {
+    val got = ops.Dedup.d21.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // ground truth: d02's exact-Jaccard ≥ 0.8 pairs, restricted to
+    // pairs crossing the old/new split
+    val truth = ops.Dedup.d02.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (i, j) => (i % 4 == 0) != (j % 4 == 0) }
+      .map { case (i, j) => if (i % 4 == 0) (i, j) else (j, i) }
+    // every new doc is verdicted exactly once
+    val newIds = model.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == newIds)
+    // COMPLETE: every new doc with a true cross-split partner is 'dup'
+    // (d03's band curve admits every Jaccard-0.8 pair — the d03 spec's
+    // containment law — and the exact confirm cannot reject a true one)
+    val withPartner = truth.map(_._1).toSet
+    for (id <- withPartner)
+      assert(got(id)._1 == "dup", s"true dup $id verdicted novel")
+    // SOUND: every 'dup' verdict carries a partner at ≥ the threshold,
+    // and that partner really is an old-side doc
+    for ((id, ("dup", of, ppm)) <- got) {
+      assert(of % 4 != 0 && of >= 0, s"$id dup_of $of not old-side")
+      assert(ppm >= 800000L, s"$id confirmed below threshold: $ppm")
+    }
+    for ((id, ("novel", of, ppm)) <- got)
+      assert(of == -1L && ppm < 800000L, s"novel $id carries $of/$ppm")
+    assert(withPartner.nonEmpty, "no cross-split dups — vacuous corpus")
+  }
 }
