@@ -1075,6 +1075,87 @@ object CleanCorpus {
       .orderBy("source", "bucket", "doc_id")
   }
 
+  // ---------------------------------------------------------------- p17
+  /** Inter-source contamination matrix — p14's split-leakage audit
+    * turned sideways: not train-vs-eval but SOURCE-vs-SOURCE, the
+    * question a mixture designer (p04/p05/p10) must answer before
+    * treating sources as independent — which pairs share content, and
+    * how far beyond the background? Per source pair: shared distinct
+    * 3-gram shingles, containment of each side in ppm (overlap ÷ that
+    * side's shingle vocabulary — asymmetric by design: a small source
+    * swallowed by a big one shows high containment on ITS side), and
+    * an `elevated` flag = overlap ≥ 2× the matrix's lower-median (the
+    * data-derived background level — the er04/d20 measured-threshold
+    * discipline; on this corpus background ≈ 60 shared shingles, the
+    * cross-source near-dup pairs sit at 2–3.5×). Dataflow: ONE
+    * distinct (source, shingle) pass (the only corpus-scale stage),
+    * then the shingle-keyed inverted index fans out pairs with
+    * per-shingle fan-out ≤ |sources| (a DIMENSION, dozens at 100 TB —
+    * the pair table is output-sized by construction); the median runs
+    * over the |sources|²-row matrix (tiny — the q02/t32 window
+    * exception). */
+  val p17 = Q("p17_source_contamination",
+    """WITH w AS (
+      |  SELECT source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(generate_series(1, len(w) - 2),
+      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+      |  FROM w WHERE len(w) >= 3),
+      |vocab AS (SELECT source, count(*) AS v FROM sh GROUP BY source),
+      |ov AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS overlap
+      |  FROM sh a JOIN sh b ON b.s = a.s AND a.source < b.source
+      |  GROUP BY a.source, b.source),
+      |med AS (
+      |  SELECT overlap AS m FROM (
+      |    SELECT overlap, row_number() OVER (ORDER BY overlap, src_a,
+      |      src_b) AS rn, count(*) OVER () AS n
+      |    FROM ov) z
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT ov.src_a, ov.src_b, CAST(ov.overlap AS BIGINT) AS overlap,
+      |  CAST(ov.overlap * 1000000 // va.v AS BIGINT) AS contain_a_ppm,
+      |  CAST(ov.overlap * 1000000 // vb.v AS BIGINT) AS contain_b_ppm,
+      |  ov.overlap >= 2 * med.m AS elevated
+      |FROM ov
+      |JOIN vocab va ON va.source = ov.src_a
+      |JOIN vocab vb ON vb.source = ov.src_b
+      |CROSS JOIN med
+      |ORDER BY ov.src_a, ov.src_b""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct()
+      .localCheckpoint() // one corpus pass; vocab + both join sides
+    val vocab = sh.groupBy("source").agg(count(lit(1)).as("v"))
+    val ov = sh.select(col("source").as("src_a"), col("s"))
+      .join(sh.select(col("source").as("src_b"), col("s")), "s")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("overlap"))
+      .localCheckpoint() // |sources|² rows; median + output read it
+    val med = ov
+      .withColumn("rn", row_number().over(
+        Window.orderBy("overlap", "src_a", "src_b")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("overlap").as("m"))
+    ov
+      .join(broadcast(vocab.select(col("source").as("src_a"),
+        col("v").as("va"))), "src_a")
+      .join(broadcast(vocab.select(col("source").as("src_b"),
+        col("v").as("vb"))), "src_b")
+      .crossJoin(broadcast(med))
+      .select(col("src_a"), col("src_b"),
+        col("overlap").cast("long").as("overlap"),
+        expr("overlap * 1000000 DIV va").cast("long").as("contain_a_ppm"),
+        expr("overlap * 1000000 DIV vb").cast("long").as("contain_b_ppm"),
+        (col("overlap") >= lit(2) * col("m")).as("elevated"))
+      .orderBy("src_a", "src_b")
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13, p14, p15, p16)
+    p12, p13, p14, p15, p16, p17)
 }

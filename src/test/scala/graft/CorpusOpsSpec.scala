@@ -708,4 +708,40 @@ class CorpusOpsSpec extends SparkSpec {
         s"token $t leaks its id")
     }
   }
+
+  test("p17: contamination matrix — completeness, recompute, threshold law") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.CleanCorpus.p17.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    val sources = model.Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    // completeness: every unordered source pair appears exactly once,
+    // canonically ordered
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+    } yield (a, b)).toSet
+    assert(rows.keySet == expected)
+    // brute-force recompute of one row (the lexicographic first pair)
+    graft.functions.GraftFunctions.register(spark)
+    def shs(src: String): Set[String] = model.Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr("word_shingles(w, 3)")).as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (a, b) = (sources(0), sources(1))
+    val (sa, sb) = (shs(a), shs(b))
+    val (ov, ca, cb, _) = rows((a, b))
+    assert(ov == (sa & sb).size.toLong, s"($a,$b) overlap")
+    assert(ca == ov * 1000000L / sa.size, s"($a,$b) contain_a")
+    assert(cb == ov * 1000000L / sb.size, s"($a,$b) contain_b")
+    // threshold law: elevated ⟺ overlap ≥ 2 × lower-median overlap
+    val overlaps = rows.values.map(_._1).toSeq.sorted
+    val m = overlaps((overlaps.size + 1) / 2 - 1)
+    for (((x, y), (o, _, _, e)) <- rows)
+      assert(e == (o >= 2 * m), s"($x,$y) elevated at $o vs median $m")
+    // the audit is non-vacuous: both verdicts occur on this corpus
+    assert(rows.values.exists(_._4) && rows.values.exists(!_._4))
+  }
 }
