@@ -987,7 +987,88 @@ object EventStreams {
       .orderBy("wm_seconds")
   }
 
+  // --------------------------------------------------------------- st24
+  /** Coverage target for the recommended session gap (ppm). */
+  private val GapCoveragePpm = 900000L
+  /** floor-log2 octave of a gap in seconds, as a generated CASE chain
+    * (t32's no-float-log rule). Covers gaps < 2^21 s ≈ 24 days. */
+  private val GapOctaveSql: String =
+    (0 until 21).map(o => s"WHEN gap_s < ${1L << o} THEN $o")
+      .mkString("CASE ", " ", " ELSE 21 END")
+
+  /** Session-gap advisor — the third measured-advisor (q57 picks the
+    * skew salt, st23 the watermark delay; this picks st03's SESSION
+    * TIMEOUT, the other free parameter every sessionising deployment
+    * guesses): the per-user inter-event gap distribution as a log2
+    * histogram, with cumulative coverage and the recommendation read
+    * off the curve — the smallest octave boundary covering ≥
+    * [[GapCoveragePpm]] of observed gaps (gaps BELOW the chosen
+    * timeout stay intra-session; the ppm above it is exactly the
+    * session-split rate you accept). Dataflow: gaps are one
+    * user-KEYED lag window (ordered by (event time, event_id) — a
+    * total order, both engines see identical gaps); the histogram is
+    * a 22-key agg with map-side combine; coverage is a window over
+    * the 22-row histogram (the t32/q02 tiny-summary exception).
+    * Integer end to end: micros → seconds by integer division,
+    * octaves via the t32 CASE chain, coverage in ppm. */
+  val st24 = Q("st24_session_gap_advisor",
+    s"""WITH g AS (
+       |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |    AS gap_us
+       |  FROM events),
+       |b AS (
+       |  SELECT $GapOctaveSql AS bucket, count(*) AS n_gaps
+       |  FROM (SELECT gap_us // 1000000 AS gap_s FROM g
+       |        WHERE gap_us IS NOT NULL)
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT bucket, n_gaps,
+       |    sum(n_gaps) OVER (ORDER BY bucket) AS cum,
+       |    sum(n_gaps) OVER () AS tot
+       |  FROM b),
+       |r AS (
+       |  SELECT min(bucket) AS rb FROM c
+       |  WHERE cum * 1000000 // tot >= $GapCoveragePpm)
+       |SELECT CAST(c.bucket AS BIGINT) AS bucket,
+       |  CAST(CASE WHEN c.bucket = 0 THEN 1
+       |       ELSE (CAST(1 AS BIGINT) << c.bucket) END AS BIGINT)
+       |    AS gap_ceil_s,
+       |  CAST(c.n_gaps AS BIGINT) AS n_gaps,
+       |  CAST(c.cum * 1000000 // c.tot AS BIGINT) AS cum_ppm,
+       |  c.bucket = r.rb AS recommended
+       |FROM c CROSS JOIN r
+       |ORDER BY bucket""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val raw = Tables.events(s, d)
+    val em = eventMicrosSql(raw)
+    val g = raw
+      .selectExpr("user_id", "event_id", s"$em AS em")
+      .withColumn("gap_us", col("em") - lag(col("em"), 1).over(
+        Window.partitionBy("user_id").orderBy("em", "event_id")))
+      .filter(col("gap_us").isNotNull)
+      .selectExpr("gap_us div 1000000 AS gap_s")
+    val b = g.groupBy(expr(GapOctaveSql).as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+      .localCheckpoint() // 22 rows; coverage + recommendation read it
+    val c = b
+      .withColumn("cum", sum(col("n_gaps")).over(
+        Window.orderBy("bucket")))
+      .withColumn("tot", sum(col("n_gaps")).over(Window.partitionBy()))
+    val r = c.filter(expr(s"cum * 1000000 div tot >= $GapCoveragePpm"))
+      .agg(min("bucket").as("rb"))
+    c.crossJoin(broadcast(r))
+      .selectExpr("CAST(bucket AS BIGINT) AS bucket",
+        """CAST(CASE WHEN bucket = 0 THEN 1
+          | ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) END
+          | AS BIGINT) AS gap_ceil_s""".stripMargin.replace("\n", " "),
+        "CAST(n_gaps AS BIGINT) AS n_gaps",
+        "CAST(cum * 1000000 div tot AS BIGINT) AS cum_ppm",
+        "bucket = rb AS recommended")
+      .orderBy("bucket")
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23)
+    st22, st23, st24)
 }

@@ -41,5 +41,61 @@ object TypedOps {
       .orderBy("o_custkey", "rank")
   }
 
-  def all: Seq[Q] = Seq(ty01)
+  /** Typed views for [[ty02]] — schema-checked at analysis time by the
+    * Encoders (a misspelled column fails the `.as[]`, not a night-3
+    * production run). */
+  case class COrder(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  case class Cust(c_custkey: Long, c_name: String)
+  case class CustOrders(c_custkey: Long, c_name: String, n_orders: Long,
+      total_cents: Long, max_order_cents: Long)
+
+  /** Typed joinWith + groupByKey/mapGroups — the OTHER §2.9 typed-tier
+    * dataflow (ty01 covers the custom Aggregator): `joinWith` keeps
+    * both sides as CASE CLASSES through the join (no Row field-index
+    * arithmetic), and `mapGroups` folds each customer's order group in
+    * plain Scala. The honest scale note is IN the op: `mapGroups`
+    * cannot partial-aggregate — every order row crosses the shuffle,
+    * where ty01's Aggregator (and any untyped agg) combines map-side;
+    * the spec pins BOTH that this typed plan carries no partial
+    * aggregate and that its result equals the untyped aggregation
+    * row-for-row — the API-choice cost, measured, which is exactly
+    * what §2.9 says to know before reaching for typed groups. Money
+    * folds through cents Longs (the repo money convention) so the
+    * Scala fold is order-free-exact like the engines' DECIMAL sums. */
+  val ty02 = Q("ty02_typed_join_groups",
+    """SELECT c.c_custkey, c.c_name,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+      |           AS BIGINT)) AS BIGINT) AS total_cents,
+      |  CAST(max(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+      |           AS BIGINT)) AS BIGINT) AS max_order_cents
+      |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice").as[COrder]
+    val custs = Tables.customer(s, d)
+      .select("c_custkey", "c_name").as[Cust]
+    orders
+      .joinWith(custs, orders("o_custkey") === custs("c_custkey"))
+      .groupByKey { case (_, c) => (c.c_custkey, c.c_name) }
+      .mapGroups { (key: (Long, String), rows: Iterator[(COrder, Cust)]) =>
+        var n = 0L; var total = 0L; var mx = Long.MinValue
+        rows.foreach { case (o, _) =>
+          // valueOf = shortest-decimal, the same reading Spark's
+          // double→DECIMAL cast takes, so the fold agrees with the
+          // oracle's CAST(... AS DECIMAL(12,2)) on every stored value
+          val cents = java.math.BigDecimal.valueOf(o.o_totalprice)
+            .setScale(2, java.math.RoundingMode.HALF_UP)
+            .movePointRight(2).longValueExact()
+          n += 1; total += cents; if (cents > mx) mx = cents
+        }
+        CustOrders(key._1, key._2, n, total, mx)
+      }
+      .toDF()
+      .orderBy("c_custkey")
+  }
+
+  def all: Seq[Q] = Seq(ty01, ty02)
 }

@@ -166,4 +166,32 @@ class TypedAndMLSpec extends SparkSpec {
       }
     }
   }
+
+  test("ty02: typed mapGroups equals the untyped agg; plan carries no partial aggregate") {
+    import org.apache.spark.sql.functions._
+    val typed = ops.TypedOps.ty02.run(spark, sf)
+    // untyped twin: broadcast-joined, map-side-combined aggregation
+    val cents = expr(
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val untyped = model.Tables.orders(spark, sf)
+      .join(model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(cents).cast("long").as("total_cents"),
+        max(cents).cast("long").as("max_order_cents"))
+      .orderBy("c_custkey")
+    val a = typed.collect().map(_.toSeq).toSeq
+    val b = untyped.collect().map(_.toSeq).toSeq
+    assert(a == b, "typed and untyped results diverge")
+    // the honest cost, pinned: mapGroups cannot partial-aggregate —
+    // every order row crosses the shuffle; the untyped twin combines
+    // map-side (partial HashAggregate before its exchange)
+    val typedPlan = typed.queryExecution.executedPlan.toString
+    assert(typedPlan.contains("MapGroups"), typedPlan.take(600))
+    assert(!typedPlan.contains("partial_"), "typed plan grew a combiner?")
+    val untypedPlan = untyped.queryExecution.executedPlan.toString
+    assert(untypedPlan.contains("partial_"),
+      "untyped twin lost its map-side combine")
+  }
 }

@@ -53,4 +53,42 @@ class WatermarkAdvisorSpec extends SparkSpec {
     for (c <- cands)
       assert(rows(c)._3 == rows(c)._2 * 1000000L / n, s"ppm at $c")
   }
+
+  test("st24: gap histogram laws and a sequential per-user recompute") {
+    val rows = ops.EventStreams.st24.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // ceil law + coverage monotone to exactly 1e6 on the last bucket
+    rows.foreach { case (b, ceil, _, _, _) =>
+      assert(ceil == (if (b == 0) 1L else 1L << b.toInt), s"ceil at $b")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    assert(rows.last._4 == 1000000L)
+    // exactly one recommended bucket: the first covering >= 90%
+    val rec = rows.filter(_._5)
+    assert(rec.length == 1)
+    assert(rec.head._4 >= 900000L)
+    rows.takeWhile(!_._5).foreach(r => assert(r._4 < 900000L))
+    // gap count conservation: every user contributes (events - 1) gaps
+    val raw = model.Tables.events(spark, sf)
+    val perUser = raw.groupBy("user_id").count().collect()
+      .map(_.getLong(1))
+    assert(rows.map(_._3).sum == perUser.map(_ - 1).sum)
+    // sequential recompute of one user's gaps lands in the right buckets
+    import org.apache.spark.sql.functions.col
+    val uid = raw.select("user_id").limit(1).collect()(0).getLong(0)
+    val times = raw.filter(col("user_id") === uid)
+      .selectExpr(s"${ops.EventStreams.eventMicrosSql(raw)} AS em",
+        "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val gaps = times.sliding(2).map { case Array(a, b) => (b._1 - a._1) / 1000000L }.toSeq
+    def bucketOf(g: Long): Long =
+      (0 until 21).find(o => g < (1L << o)).getOrElse(21).toLong
+    val expect = gaps.groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    val hist = rows.map(r => r._1 -> r._3).toMap
+    expect.foreach { case (b, n) =>
+      assert(hist.getOrElse(b, 0L) >= n, s"bucket $b holds fewer than user $uid's $n")
+    }
+  }
 }
