@@ -615,6 +615,11 @@ object TextAnalysis {
   val BloomK = 5
   val BloomBitsPerElem = 16L
 
+  /** Cross-module access point for the position family (in18's
+    * per-file bloom manifest reuses the exact t14 hashing). */
+  private[graft] def bloomPositionsOf(s: Column, mBits: Long): Seq[Column] =
+    bloomPositions(s, mBits)
+
   private def bloomPositions(s: Column, mBits: Long): Seq[Column] = {
     require((mBits & (mBits - 1)) == 0, s"mBits must be a power of 2: $mBits")
     val mask = lit(mBits - 1)

@@ -1003,7 +1003,7 @@ object Ingest {
       |LEFT JOIN lineitem l ON l.l_orderkey = pk.k
       |GROUP BY pk.probe
       |ORDER BY pk.probe""".stripMargin) { (s, d) =>
-    import graft.ops.TextAnalysis.{bloomBitsOf, bloomHit}
+    import graft.ops.TextAnalysis.bloomHit
     val src = graft.model.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
     val run = java.util.UUID.randomUUID().toString.take(8)
@@ -1021,11 +1021,29 @@ object Ingest {
     val mBits = math.max(1L << 13,
       java.lang.Long.highestOneBit(
         math.max(1L, 2 * 16L * perFile.map(_._2).max - 1)))
-    val blooms: Map[String, Array[Long]] = perFile.map { case (f, _) =>
-      f -> bloomBitsOf(
-        s.read.parquet(f).select(col("l_orderkey").cast("string").as("s"))
-          .distinct(), mBits)
-    }.toMap
+    // ALL files' blooms in ONE distributed pass (per-file reads would
+    // pay one job per file — measured 2× the whole op's cost): explode
+    // the K positions, partial-combine bit_or per (file, word), collect
+    // O(files · m/64) words — still the metadata plane
+    val blooms: Map[String, Array[Long]] = {
+      val words = data
+        .select(input_file_name().as("f"),
+          col("l_orderkey").cast("string").as("s"))
+        .distinct()
+        .select(col("f"), explode(array(
+          graft.ops.TextAnalysis.bloomPositionsOf(col("s"), mBits): _*))
+          .as("p"))
+        .select(col("f"), shiftright(col("p"), 6).as("w"),
+          call_function("shiftleft", lit(1L),
+            col("p").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+        .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
+        .collect()
+      words.groupBy(_.getString(0)).map { case (f, rs) =>
+        val arr = new Array[Long]((mBits / 64).toInt)
+        rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+        f -> arr
+      }
+    }
     // data-derived probe keys (scalar metadata pass)
     val Array(kb) = src.agg(min("l_orderkey"), max("l_orderkey")).collect()
     val (kmin, kmax) = (kb.getLong(0), kb.getLong(1))
