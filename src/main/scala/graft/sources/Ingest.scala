@@ -1079,6 +1079,80 @@ object Ingest {
     digests.reduce(_ union _).orderBy("probe")
   }
 
+  // ---------------------------------------------------------------- in19
+  /** Target bytes per output file (the 128 MiB every table-format
+    * maintenance job aims at). */
+  private val TargetFileBytes = 134217728L
+
+  /** File-sizing advisor — the STORAGE member of the measured-advisor
+    * family (q57 → skew salt, st23 → watermark, st24 → session gap;
+    * this → the write-side partition count): the small-files problem
+    * is the most common self-inflicted wound of a 100 TB estate (a
+    * nightly job writing 32-task output of a 100-row dimension makes
+    * 32 files of 300 bytes; a year later LIST dominates every scan),
+    * and the fix is always the same arithmetic — estimate bytes,
+    * divide by the 128 MiB target, `coalesce`/`repartition` to that
+    * BEFORE the write. Per table: rows, estimated logical row width
+    * (fixed column widths + measured mean string lengths — integer
+    * division, no sampling, ONE map-side-combined agg per table),
+    * estimated total MiB, the recommended file count
+    * (ceil(total/target), floored at 1), and rows per file. The
+    * estimate is deliberately LOGICAL (uncompressed): compression
+    * ratios are data- and codec-dependent (in10's matrix measures
+    * them), so the advisor reports the conservative figure a job can
+    * divide by its measured ratio. */
+  val in19 = Q("in19_file_sizing_advisor", {
+    def tbl(name: String, fixed: Long, strCols: Seq[String]) = {
+      val strEst = strCols
+        .map(c => s"(4 + sum(length($c)) // count(*))").mkString(" + ")
+      s"""SELECT '$name' AS table_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST($fixed + $strEst AS BIGINT) AS est_row_bytes,
+         |  CAST(count(*) * ($fixed + $strEst) // 1048576 AS BIGINT)
+         |    AS est_total_mb,
+         |  CAST(greatest(1, (count(*) * ($fixed + $strEst)
+         |       + ${TargetFileBytes - 1}) // $TargetFileBytes) AS BIGINT)
+         |    AS recommended_files,
+         |  CAST(count(*) // greatest(1, (count(*) * ($fixed + $strEst)
+         |       + ${TargetFileBytes - 1}) // $TargetFileBytes) AS BIGINT)
+         |    AS rows_per_file
+         |FROM $name""".stripMargin
+    }
+    Seq(
+      tbl("documents", 16, Seq("text", "lang", "source")),
+      tbl("events", 32, Seq("event_type", "props")),
+      tbl("lineitem", 68, Seq("l_returnflag", "l_linestatus")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }) { (s, d) =>
+    // one agg per table, assembled with selectExpr so the estimator
+    // text matches the oracle fragment exactly
+    def row(df: DataFrame, name: String, fixed: Long,
+        strCols: Seq[String]): DataFrame = {
+      val strEst = strCols
+        .map(c => s"(4 + sum(length($c)) div count(1))").mkString(" + ")
+      val rowB = s"$fixed + $strEst"
+      val files = s"greatest(1, (count(1) * ($rowB) + " +
+        s"${TargetFileBytes - 1}) div $TargetFileBytes)"
+      df.selectExpr((strCols :+ "1"): _*)
+        .selectExpr(s"'$name' AS table_name", "*")
+        .groupBy("table_name")
+        .agg(expr("CAST(count(1) AS BIGINT)").as("n_rows"),
+          expr(s"CAST($rowB AS BIGINT)").as("est_row_bytes"),
+          expr(s"CAST(count(1) * ($rowB) div 1048576 AS BIGINT)")
+            .as("est_total_mb"),
+          expr(s"CAST($files AS BIGINT)").as("recommended_files"),
+          expr(s"CAST(count(1) div ($files) AS BIGINT)")
+            .as("rows_per_file"))
+    }
+    row(graft.model.Tables.documents(s, d), "documents", 16,
+        Seq("text", "lang", "source"))
+      .unionAll(row(graft.model.Tables.events(s, d), "events", 32,
+        Seq("event_type", "props")))
+      .unionAll(row(graft.model.Tables.lineitem(s, d), "lineitem", 68,
+        Seq("l_returnflag", "l_linestatus")))
+      .orderBy("table_name")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15, in16, in17, in18)
+    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19)
 }

@@ -233,6 +233,33 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("in19: sizing advisor arithmetic recomputes from raw tables") {
+    import org.apache.spark.sql.functions.{col, length, sum}
+    val rows = sources.Ingest.in19.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("documents", "events", "lineitem"))
+    // recompute documents' estimate independently
+    val docs = model.Tables.documents(spark, sf)
+    val n = docs.count()
+    val Array(lens) = docs.agg(sum(length(col("text"))),
+      sum(length(col("lang"))), sum(length(col("source")))).collect()
+    val est = 16 + (4 + lens.getLong(0) / n) + (4 + lens.getLong(1) / n) +
+      (4 + lens.getLong(2) / n)
+    val (gn, gb, gmb, gf, grpf) = rows("documents")
+    assert(gn == n && gb == est, s"documents: $gb vs $est")
+    assert(gmb == n * est / 1048576L)
+    val files = math.max(1L, (n * est + 134217727L) / 134217728L)
+    assert(gf == files && grpf == n / files)
+    // structural laws for every table: width ≥ fixed floor, files ≥ 1,
+    // and the recommendation never splits below the target unless a
+    // single file would exceed it
+    for ((t, (nn, b, _, f, rpf)) <- rows) {
+      assert(b > 0 && f >= 1 && rpf >= 1, s"$t degenerate")
+      assert(f == 1 || nn * b > 134217728L, s"$t split without need")
+    }
+  }
+
   test("in18: bloom skipping returns exactly the source's point-lookup rows") {
     import org.apache.spark.sql.functions.{col, max, min}
     // the op's requires pin the pruning (every probe touches strictly
