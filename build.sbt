@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r9 verdict #6: the driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as JSON (BENCH_r09 "parsed": null). Two
+// sbt behaviors break that: the "[success] Total time" trailer printed
+// after main returns, and the "[info] " prefix on forked-run output.
+// Suppress the trailer and let the forked JVM inherit stdout directly
+// so graft.Bench's headline JSON is byte-for-byte the final line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// exclude it from the unused-key lint so compile output stays clean
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

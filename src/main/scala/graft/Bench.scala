@@ -38,6 +38,12 @@ import org.apache.spark.sql.SparkSession
   *    change — the r4 d06/p01 "regressions" (host-level drift, every
   *    query's numbers up a median 1.26×) were undiagnosable from mins
   *    alone;
+  *  - an in-run CONTROL BAND ([[controlSet]]) re-times five frozen
+  *    queries before and after the catalog and emits pre/post/ratio
+  *    (+ max ratio as `control_drift`) into both JSON lines: a catalog
+  *    swing with control ratios ≈1.0 is a plan change, a swing that
+  *    tracks elevated controls is host drift — attribution happens
+  *    in-run, not by postmortem;
   *  - `SPARK_GRAFT_BENCH_ONLY=name,name` filters the catalog for
   *    isolated single-query reruns under the exact bench conditions
   *    (same master/caps/fasthash/warmup) — for pinning swings without
@@ -81,6 +87,21 @@ object Bench {
     "st02_sliding_window", "st03_session_window", "st04_scd2_intervals",
     "ty01_topk_aggregator", "ml01_mllib_classify", "mm01_media_schema",
     "mm02_decode_features", "mm03_frame_sample")
+
+  /** Fixed in-run control set (r8/r9 verdict ask): five queries —
+    * light scalar + heavy agg/window/graph/LSH, spanning the plan
+    * families the catalog exercises — are re-run min-of-3 BEFORE and
+    * AFTER the catalog (and around BENCH_ONLY isolated reruns too).
+    * Their code is frozen within a round, so their post/pre ratios
+    * measure the HOST, not the catalog: a catalog query that swings
+    * >2× between rounds while the control ratios sit near 1.0 is a
+    * plan change; a swing that tracks elevated control ratios is
+    * scheduler/GC/host drift — classifiable in-run, no postmortem
+    * needed (the r4 d06/p01 and r9 s04 swings were exactly this,
+    * argued after the fact for lack of this band). */
+  val controlSet: Seq[String] = Seq("q01_pricing_summary",
+    "q13_scalar_pack", "t01_token_stats", "g01_pagerank",
+    "d03_minhash_lsh")
 
   /** Times `body` over `reps` repetitions. Returns the sorted timings iff
     * EVERY rep succeeded, else Seq.empty (= the query is failed): a
@@ -129,6 +150,15 @@ object Bench {
       require(bad.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the catalog: ${bad.toSeq.sorted.mkString(", ")}")
     }
+    val byName = SparkEntry.catalog.map(q => q.name -> q).toMap
+    def runControls(tag: String): Seq[(String, Double)] = controlSet.map { n =>
+      val q = byName(n)
+      val rs = timeReps(s"control-$tag:$n",
+        () => q.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      n -> rs.headOption.getOrElse(-1.0)
+    }
+    val ctlPre = runControls("pre")
     val picked0 = SparkEntry.catalog
       .filter(q => only.forall(_.contains(q.name)))
     val reps = picked0.map { q =>
@@ -144,10 +174,23 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       rs
     }
+    val ctlPost = runControls("post")
     val failed = reps.collect { case (k, rs) if rs.isEmpty => k }
     val results = reps.map { case (k, rs) => k -> rs.headOption.getOrElse(-1.0) }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // control band: post/pre min-of-3 ratio per control query, plus the
+    // max ratio as the one-number drift verdict for this run
+    val ctlRatio = ctlPre.zip(ctlPost).map { case ((n, pre), (_, post)) =>
+      n -> (if (pre > 0 && post > 0) post / pre else -1.0)
+    }
+    val ctlDrift = ctlRatio.map(_._2).filter(_ > 0)
+      .foldLeft(-1.0)(math.max)
+    def ctlJson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val controlJson =
+      s""""control_pre":${ctlJson(ctlPre)},"control_post":${ctlJson(ctlPost)},"control_ratio":${ctlJson(ctlRatio)},"control_drift":${fmt(ctlDrift)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val meds = reps.map { case (k, rs) =>
@@ -157,7 +200,7 @@ object Bench {
     val total = ok.map(_._2).sum
     // Full per-query detail first (may exceed harness tail windows)...
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,$controlJson,"sf":"$sfDir"}"""
     println(detail)
     // ...and the SAME complete line to a file (r06 verdict: the stdout
     // tail truncates the detail line, so per-query history for most of
@@ -186,8 +229,9 @@ object Bench {
     }
     // ...then a compact headline line LAST, kept under ~1500 chars so it
     // survives a last-2000-chars output tail intact: slowest queries
-    // individually, the rest summed under "_rest".
-    val budget = 1300
+    // individually, the rest summed under "_rest". Budget shrunk from
+    // 1300 when the ~420-char control band joined the line.
+    val budget = 850
     val bySlowest = ok.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = 0
@@ -199,7 +243,10 @@ object Bench {
     val compactQs = (picked.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) } :+
       ("\"_rest\":" + fmt(math.max(rest, 0.0)))).mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$compactQs,"sf":"$sfDir"}""")
+    // quiet Spark's stop-time warnings BEFORE the final line so the
+    // headline stays the last stdout line (the driver parses it)
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$compactQs,$controlJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1805,7 +1805,8 @@ object Multimodal {
   /** Patch side for [[mm18]] (ViT-style square patches). */
   val PatchSide = 4
 
-  /** Patchify a P6 PPM into [[PatchSide]]² gray patches: per patch,
+  /** Patchify a P6 PPM into (w/[[PatchSide]])×(h/[[PatchSide]]) patches
+    * of [[PatchSide]]² pixels each: per patch,
     * (row, col, Σ gray, mean gray) with gray = `(r+g+b) DIV 3` (mm16's
     * channel fold) and mean = `Σ DIV side²` — all integer. Patches are
     * emitted in raster order. */
@@ -1982,7 +1983,23 @@ object Multimodal {
       .toDF("doc_id", "blk", "u", "v", "f")
     val freq = coef.groupBy("u", "v")
       .agg(sum(abs(col("f"))).as("sum_abs"),
-        max(abs(col("f"))).as("max_abs"))
+        max(abs(col("f"))).as("max_abs"),
+        count(lit(1)).as("n_coef"))
+      .localCheckpoint() // 64 rows; read by the guard AND both branches
+    // r9 ADVICE: sum_abs is a BIGINT sum whose headroom claim (×10⁴ per
+    // coefficient) shrinks linearly with corpus size, and a long-sum
+    // wrap in Spark is SILENT (no null, unlike decimal). Prove no wrap
+    // was reachable, in-op: Σ|f| ≤ n_coef·max_abs, so if that product
+    // fits in a signed 64-bit long the sum cannot have wrapped. The
+    // guard reads the 64-row checkpoint artifact, never the corpus.
+    freq.collect().foreach { r =>
+      val bound = BigInt(r.getLong(r.fieldIndex("n_coef"))) *
+        BigInt(r.getLong(r.fieldIndex("max_abs")))
+      require(bound <= BigInt(Long.MaxValue),
+        s"mm19: n_coef*max_abs = $bound exceeds Long range for frequency " +
+          s"(${r.getInt(r.fieldIndex("u"))},${r.getInt(r.fieldIndex("v"))})" +
+          " — sum_abs could wrap on this corpus; widen to DECIMAL(38,0)")
+    }
     val tot = freq.agg(sum("sum_abs").as("t"))
     freq.crossJoin(broadcast(tot))
       .select(col("u").cast("long"), col("v").cast("long"),

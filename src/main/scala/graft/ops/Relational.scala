@@ -3370,8 +3370,10 @@ object Relational {
     * split that makes it cross-engine exact: the PASS is pure integers
     * — cents via DECIMAL(12,2)·100 (the repo money convention), then
     * power sums S1…S4 accumulated in 38-digit integers (Spark
-    * DECIMAL(38,0) ↔ DuckDB HUGEINT; S4 ≤ (5.5·10⁷)⁴·6·10⁵ ≈ 5·10³⁶ —
-    * headroom proven, order-free, map-side-combined, mergeable by
+    * DECIMAL(38,0) ↔ DuckDB HUGEINT; S4 ≤ (5.5·10⁷)⁴·6·10⁵ ≈ 5·10³⁶ at
+    * the test corpus, and the bound grows with rows — so it is asserted
+    * IN-OP below via n·xmax⁴ < 10³⁸, not just claimed here), with sums
+    * order-free, map-side-combined, mergeable by
     * addition like q60's sketches) — and only the 5-scalar FINISHING
     * runs in doubles, through the [[StdMicroSql]]-family shared text where
     * every op is IEEE-correctly-rounded (incl. sqrt; no pow/ln). One
@@ -3416,12 +3418,38 @@ object Relational {
       .unionAll(li.selectExpr("'l_quantity'", cents("l_quantity")))
       .unionAll(Tables.orders(s, d).selectExpr("'o_totalprice'",
         cents("o_totalprice")))
-    src.groupBy("c")
+    val agg = src.groupBy("c")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(x AS DECIMAL(38,0))")).as("s1"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("s3"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"),
+        max(expr("abs(x)")).as("xmax"))
+      .localCheckpoint() // 4 rows; read by the guard AND the finishing
+    // r9 ADVICE: the "S4 headroom proven" claim above is computed at the
+    // test corpus's row count and grows linearly with rows — and in
+    // non-ANSI Spark a DECIMAL(38,0) sum overflow yields NULL silently,
+    // so on a much larger corpus the moments would go null with no loud
+    // failure. Assert the corpus-size assumption in-op (the q56/g12/g14
+    // discipline): (a) every power sum is non-null — catches the actual
+    // Spark overflow signature; (b) n·xmax⁴ < 10³⁸ — since
+    // S4 ≤ n·xmax⁴, this PROVES no intermediate 38-digit overflow was
+    // even reachable, failing loudly one growth step before the sum
+    // itself could wrap/null. Guard reads the 4-row checkpoint artifact.
+    agg.collect().foreach { r =>
+      val c = r.getString(r.fieldIndex("c"))
+      require(!r.isNullAt(r.fieldIndex("s1")) && !r.isNullAt(r.fieldIndex("s2"))
+          && !r.isNullAt(r.fieldIndex("s3")) && !r.isNullAt(r.fieldIndex("s4")),
+        s"q62: power sum overflowed DECIMAL(38,0) to null for column $c — " +
+          "the corpus outgrew the 38-digit power-sum headroom")
+      val n = BigInt(r.getLong(r.fieldIndex("n")))
+      val xmax = BigInt(r.getLong(r.fieldIndex("xmax")))
+      require(n * xmax.pow(4) < BigInt(10).pow(38),
+        s"q62: n*xmax^4 = ${n * xmax.pow(4)} for column $c no longer fits " +
+          "DECIMAL(38,0) — S4 could overflow on this corpus; widen the " +
+          "accumulator (split sums) before trusting the moments")
+    }
+    agg
       .selectExpr("c AS column_name", "CAST(n AS BIGINT) AS n_rows",
         "CAST(s1 AS BIGINT) AS sum_cents",
         "CAST(s1 div n AS BIGINT) AS mean_cents",

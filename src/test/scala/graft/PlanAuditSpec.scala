@@ -812,9 +812,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q61: rule enrichment joins broadcast the dimension-sized supports") {
     val plan = executedPlan("q61_assoc_rules")
+    // support enrichments must hash-join against broadcast dimensions
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
-    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+    // r9 ADVICE: the old `!cartesian || bnlj` disjunct was vacuous (the
+    // broadcast crossJoin of the basket-count scalar ALWAYS plans a
+    // BNLJ, so the guard could never fire). Allow exactly that BNLJ via
+    // the t27 replace trick, and assert no cartesian independently.
+    assert(!plan.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop"),
       plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
   test("er05: sorted-neighborhood candidates come from an equi-join, never a range join") {
