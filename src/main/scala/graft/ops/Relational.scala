@@ -3082,7 +3082,10 @@ object Relational {
     * tabulation hashing), bit-identical in both engines. The EXACT
     * join size / F2 ride along as the audit columns (per-key count
     * aggregation + key-space-sized join — the d20/q57/q59 discipline:
-    * at 100 TB the exact column is the one you drop).
+    * at 100 TB the exact column is the one you drop — and dropping it
+    * is a CONF, not a rewrite: `spark.graft.ams.audit=false` emits the
+    * sketch-only production form; `Q60AuditSpec` pins that both forms
+    * agree on the estimates).
     *
     * Three frequency regimes: lineitem⋈orders (FK: one side
     * multiplicity 1), lineitem⋈part (≈30× per-key frequency — F2-heavy),
@@ -3216,29 +3219,42 @@ object Relational {
       .agg(max(when(col("rj") === g / 2, col("xj"))).as("mj"),
         max(when(col("ra") === g / 2, col("fa"))).as("ma"),
         max(when(col("rb") === g / 2, col("fb"))).as("mb"))
-    val cnts = src.groupBy("pair", "side", "w0").agg(count(lit(1)).as("n"))
-    val exact = cnts.filter(col("side") === "a")
-      .select(col("pair"), col("w0"), col("n").as("na"))
-      .join(cnts.filter(col("side") === "b")
-        .select(col("pair"), col("w0"), col("n").as("nb")), Seq("pair", "w0"))
-      .groupBy("pair").agg(sum(col("na") * col("nb")).as("ex_join"))
-    val f2 = cnts.groupBy("pair")
-      .agg(sum(when(col("side") === "a", col("n") * col("n"))
-        .otherwise(0L)).as("ex_f2_a"),
-        sum(when(col("side") === "b", col("n") * col("n"))
-          .otherwise(0L)).as("ex_f2_b"))
-    med
-      .join(exact, Seq("pair"), "left")
-      .join(f2, "pair")
-      .select(col("pair"),
-        expr(s"CASE WHEN mj >= 0 THEN mj div $m ELSE -((-mj) div $m) END")
-          .cast("long").as("est_join"),
-        coalesce(col("ex_join"), lit(0L)).cast("long").as("exact_join"),
-        expr(s"ma div $m").cast("long").as("est_f2_a"),
-        col("ex_f2_a").cast("long").as("exact_f2_a"),
-        expr(s"mb div $m").cast("long").as("est_f2_b"),
-        col("ex_f2_b").cast("long").as("exact_f2_b"))
-      .orderBy("pair")
+    val ests = med.select(col("pair"),
+      expr(s"CASE WHEN mj >= 0 THEN mj div $m ELSE -((-mj) div $m) END")
+        .cast("long").as("est_join"),
+      expr(s"ma div $m").cast("long").as("est_f2_a"),
+      expr(s"mb div $m").cast("long").as("est_f2_b"))
+    // r9 verdict #4: the exact audit (per-key count agg + key-space join)
+    // is the column a 100 TB deployment drops — config-gated behind the
+    // spark.graft.* convention (the fasthash precedent) so the
+    // sketch-only production plan is RUNNABLE, not a scaladoc claim.
+    // Default ON: the DuckDB oracle replays the audited form. `AmsSpec`
+    // pins that both forms agree on the estimate columns and that the
+    // production plan contains no audit stage.
+    if (!s.conf.get("spark.graft.ams.audit", "true").toBoolean) {
+      ests.select("pair", "est_join", "est_f2_a", "est_f2_b")
+        .orderBy("pair")
+    } else {
+      val cnts = src.groupBy("pair", "side", "w0").agg(count(lit(1)).as("n"))
+      val exact = cnts.filter(col("side") === "a")
+        .select(col("pair"), col("w0"), col("n").as("na"))
+        .join(cnts.filter(col("side") === "b")
+          .select(col("pair"), col("w0"), col("n").as("nb")), Seq("pair", "w0"))
+        .groupBy("pair").agg(sum(col("na") * col("nb")).as("ex_join"))
+      val f2 = cnts.groupBy("pair")
+        .agg(sum(when(col("side") === "a", col("n") * col("n"))
+          .otherwise(0L)).as("ex_f2_a"),
+          sum(when(col("side") === "b", col("n") * col("n"))
+            .otherwise(0L)).as("ex_f2_b"))
+      ests
+        .join(exact, Seq("pair"), "left")
+        .join(f2, "pair")
+        .select(col("pair"), col("est_join"),
+          coalesce(col("ex_join"), lit(0L)).cast("long").as("exact_join"),
+          col("est_f2_a"), col("ex_f2_a").cast("long").as("exact_f2_a"),
+          col("est_f2_b"), col("ex_f2_b").cast("long").as("exact_f2_b"))
+        .orderBy("pair")
+    }
   }
 
   // ---------------------------------------------------------------- q61
