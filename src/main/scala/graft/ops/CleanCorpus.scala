@@ -1156,6 +1156,117 @@ object CleanCorpus {
       .orderBy("src_a", "src_b")
   }
 
+  // ---------------------------------------------------------------- p18
+  /** The END-TO-END curation pipeline as ONE query (r9 verdict ask #3) —
+    * the integration the catalog previously stated only piecewise:
+    * t15 Gopher quality gates → d09 simhash near-dup removal (banded
+    * production tier) → t14 bloom decontamination → p04 token-budget
+    * mix → p02 sequence packing, emitting the CURATED CORPUS (doc_id,
+    * source, shard, bin, n_tokens), not just accounting (p15's funnel
+    * reports; this op ships the corpus).
+    *
+    * Single-scan discipline (PlanAuditSpec pins it): every per-doc
+    * enrichment the cascade needs — token array, the five Gopher gate
+    * counts, the simhash fingerprint, the token count — is computed in
+    * ONE projection pass over documents and checkpointed; every stage
+    * below reads that artifact. No stage rescans the parquet, and the
+    * three expensive intermediates (near-dup drop set, contamination
+    * set, mix selection) are checkpointed at their natural small sizes
+    * so no cascade prefix ever re-executes.
+    *
+    * Stage semantics (each the oracled op's own fragment, spliced):
+    *  - gate: [[TextAnalysis.gopherKeepCol]] ≡ t15's `keep`;
+    *  - near-dup: drop any gated doc with a smaller-id gated doc at
+    *    simhash Hamming ≤ 3. Candidates come from d09's 16-bit-block
+    *    pigeonhole equi-join, which provably covers every Hamming ≤ 3
+    *    pair (4 blocks, ≤ 3 differing bits → some block equal), so the
+    *    banded drop set EQUALS the oracle's all-pairs drop set;
+    *  - decontamination: t14's production tier — eval (full-corpus
+    *    `doc_id % 10 = 0`) 8-shingles fold into a bloom probed inside
+    *    the scan, exact confirm join restores exactness; eval docs
+    *    themselves leave the corpus here too;
+    *  - mix/pack: [[budgetMix]] → [[packSequences]], p05's shapes.
+    *
+    * 100 TB: one corpus scan + persisted projection; simhash self-join
+    * is 4 rows/doc equi-keyed; bloom sheds clean shingles map-side;
+    * mix/pack windows are source-/shard-partitioned — nothing global,
+    * nothing quadratic, no driver-side row data beyond the bloom words
+    * (O(bits/64)) and the artifact-sized stage counts. */
+  val p18 = Q("p18_curation_pipeline",
+    s"""WITH ${TextAnalysis.gopherStatsCteSql("documents")},
+       |gated AS (
+       |  SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN gm USING (doc_id)
+       |  WHERE ${TextAnalysis.gopherKeepPredSql("gm.")}),
+       |${Dedup.simhashSqlFor("gated", "g")},
+       |gdrop AS (
+       |  SELECT DISTINCT b.doc_id FROM gfp a JOIN gfp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+       |deduped AS (
+       |  SELECT g.doc_id, g.source, g.text FROM gated g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM gdrop)),
+       |${TextAnalysis.sh8Sql("documents")},
+       |ev AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 10 = 0),
+       |contam AS (
+       |  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN ev USING (s)
+       |  WHERE doc_id % 10 <> 0),
+       |clean AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |  FROM deduped
+       |  WHERE doc_id % 10 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |${mixCtes("clean")},
+       |${packCtes("msel")}
+       |SELECT p.doc_id, m.source, p.shard,
+       |  CAST(p.cum // $PackBudget AS BIGINT) AS bin,
+       |  CAST(p.n_tokens AS BIGINT) AS n_tokens
+       |FROM pc p JOIN msel m ON m.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    // ONE corpus scan: stats + fingerprint + token array in a single
+    // projection, checkpointed — the cascade's sole parquet read
+    val corpus = TextAnalysis.gopherStats(Tables.documents(s, d),
+      "source" -> col("source"),
+      "w" -> split(col("text"), " "),
+      "h" -> Dedup.simhashCol(s))
+      .localCheckpoint()
+    val gated = corpus.filter(TextAnalysis.gopherKeepCol)
+    // near-dup drop set: d09's pigeonhole candidates + exact verifier
+    val keyed = Dedup.simhash16Keys(gated.select(col("doc_id"), col("h")))
+    val drops = keyed.as("a").join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.h ^ b.h)") <= 3)
+      .select(col("b.doc_id").as("doc_id")).distinct()
+      .localCheckpoint() // dup-set-sized
+    val deduped = gated.join(drops, Seq("doc_id"), "left_anti")
+    // decontamination: bloom prefilter (t14's tier) + exact confirm
+    val evalSh = corpus.filter(col("doc_id") % 10 === 0)
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 8)")).as("s"))
+      .select("s").distinct()
+      .localCheckpoint() // feeds count, bloom build, AND confirm join
+    val bits = TextAnalysis.bloomFor(evalSh)
+    val contam = deduped.filter(col("doc_id") % 10 =!= 0)
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr("word_shingles(w, 8)")).as("s"))
+      .distinct()
+      .filter(TextAnalysis.bloomHit(bits, col("s")))
+      .join(broadcast(evalSh), "s")
+      .select("doc_id").distinct()
+      .localCheckpoint() // contaminated-set-sized
+    val clean = deduped.filter(col("doc_id") % 10 =!= 0)
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_words").as("n_tokens"))
+    val mixed = budgetMix(clean)
+      .localCheckpoint() // budget-bounded; feeds packing AND the rejoin
+    val packed = packSequences(mixed.select("doc_id", "n_tokens"))
+    packed.join(mixed.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("shard"), col("bin"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13, p14, p15, p16, p17)
+    p12, p13, p14, p15, p16, p17, p18)
 }

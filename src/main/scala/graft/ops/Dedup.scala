@@ -53,7 +53,7 @@ object Dedup {
     * switches to the production FNV-1a family, whose 3-op-per-byte token
     * hash is what the fingerprint pass pays at corpus scale (md5 is a
     * per-token digest allocation — measured +34% on d05 at sf0.1). */
-  private def simhashCol(s: SparkSession): Column = {
+  private[ops] def simhashCol(s: SparkSession): Column = {
     graft.functions.GraftFunctions.register(s)
     if (s.conf.get("spark.graft.fasthash", "false").toBoolean)
       expr("simhash64(split(text, ' '))")

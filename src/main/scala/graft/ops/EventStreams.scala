@@ -917,6 +917,20 @@ object EventStreams {
     * Ties order by (arrival, event_id) — a total order, so both
     * engines see the same high-water sequence row for row. The sweep
     * itself is one conditional agg + a 4-row unpivot. */
+  /** The st23 derived arrival stream `(event_id, em, arr)` — event time
+    * and md5-jittered arrival time, both epoch micros. Shared by st23,
+    * its replay spec, and the observed-lateness runtime twin
+    * (`WatermarkAdvisorSpec`), so the three can never drift. */
+  private[graft] def arrivalStream(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    raw.selectExpr("event_id", s"${eventMicrosSql(raw)} AS em")
+      .selectExpr("event_id", "em",
+        """em + (CAST(conv(substr(md5(concat('st23:',
+          | CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
+          | % 600000000) - 300000000 AS arr"""
+          .stripMargin.replace("\n", " "))
+  }
+
   val st23 = Q("st23_watermark_advisor", {
     val cands = WmCandidates
     s"""WITH e AS (
@@ -947,14 +961,7 @@ object EventStreams {
        |ORDER BY wm_seconds""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val raw = Tables.events(s, d)
-    val ev = raw.selectExpr("event_id",
-        s"${eventMicrosSql(raw)} AS em")
-      .selectExpr("event_id", "em",
-        """em + (CAST(conv(substr(md5(concat('st23:',
-          | CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
-          | % 600000000) - 300000000 AS arr"""
-          .stripMargin.replace("\n", " "))
+    val ev = arrivalStream(s, d)
       .withColumn("bkt", expr(s"arr div $ArrBucketUs"))
       .localCheckpoint() // read by the bucket summary AND the scan
     // phase 1: bucket summaries; exclusive cummax over the TINY

@@ -277,16 +277,22 @@ object TextAnalysis {
     * distinct shingles broadcast — the corpus never shuffles, one
     * map-side hash probe per shingle, then a per-doc count. This is the
     * legitimate broadcast case the fact-table joins must NOT use. */
+  /** Distinct 8-gram shingles per doc as a CTE `${p}sh8` over any
+    * `(doc_id, text)` source — the fragment t07/t14/p01 and the p18
+    * composition share (one definition, no drift). */
+  private[ops] def sh8Sql(src: String, p: String = ""): String =
+    s"""${p}sh8 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+       |                          w[i+4], w[i+5], w[i+6], w[i+7]))) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
+       |    WHERE len(w) >= 8))""".stripMargin
+
   /** CTE chain 8-gram shingles → eval-slice shingles → contaminated
     * docs; shared by the t07 oracle and the p01 composition. */
   private[ops] val contaminationSql =
-    """sh8 AS (
-      |  SELECT DISTINCT doc_id, s FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
-      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
-      |                          w[i+4], w[i+5], w[i+6], w[i+7]))) AS s
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-      |    WHERE len(w) >= 8)),
+    s"""${sh8Sql("documents")},
       |ev AS (SELECT DISTINCT s FROM sh8 WHERE doc_id % 10 = 0),
       |contaminated AS (
       |  SELECT doc_id, count(*) AS n_shared
@@ -715,9 +721,11 @@ object TextAnalysis {
     * trivially passes — the operator, not the lexicon, is the
     * deliverable). Map-only: one projection pass that pipelines with
     * the scan at 100 TB. */
-  val t15 = Q("t15_gopher_rules", {
+  /** t15's five integer gate counts as a CTE `${p}gm` over any
+    * `(doc_id, text)` source — shared with the p18 composition. */
+  private[ops] def gopherStatsCteSql(src: String, p: String = ""): String = {
     val stopArr = stopwords.map("'" + _ + "'").mkString(", ")
-    s"""WITH m AS (
+    s"""${p}gm AS (
        |  SELECT doc_id,
        |    len(string_split(text, ' ')) AS n_words,
        |    length(text) - (len(string_split(text, ' ')) - 1) AS n_chars,
@@ -726,7 +734,59 @@ object TextAnalysis {
        |    len(list_intersect(string_split(text, ' '), [$stopArr])) AS n_stop,
        |    (length(text) - length(replace(text, '#', '')))
        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
-       |  FROM documents)
+       |  FROM $src)""".stripMargin
+  }
+
+  /** The AND of the five Gopher gates over [[gopherStatsCteSql]]'s
+    * columns, each reference qualified with `q` (e.g. `"gm."`). */
+  private[ops] def gopherKeepPredSql(q: String = ""): String =
+    s"""(${q}n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |    AND ${q}n_chars >= 3 * ${q}n_words AND ${q}n_chars <= 10 * ${q}n_words
+       |    AND 10 * ${q}n_sym <= ${q}n_words AND 5 * ${q}n_alpha >= 4 * ${q}n_words
+       |    AND ${q}n_stop >= 2""".stripMargin
+
+  /** Spark twin of [[gopherStatsCteSql]]: one projection pass emitting
+    * `doc_id` + the five gate counts + any caller-supplied enrichment
+    * columns (`name -> expr`) — so a composition can ride every per-doc
+    * stat on ONE corpus scan. One named_struct lambda → the split is
+    * tokenised once per row (t02's trick); every count is integral. */
+  private[ops] def gopherStats(docs: DataFrame,
+      extra: (String, Column)*): DataFrame = {
+    val stopArr = stopwords.map("'" + _ + "'").mkString(", ")
+    val statsExpr =
+      s"""element_at(transform(array(split(text, ' ')), w -> named_struct(
+         |  'n_words', CAST(size(w) AS BIGINT),
+         |  'n_alpha', CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT),
+         |  'n_stop', CAST(size(array_intersect(w, array($stopArr))) AS BIGINT))), 1)
+         |""".stripMargin
+    docs
+      .select(Seq(col("doc_id"), expr(statsExpr).as("__t"),
+        (length(col("text")) -
+          (size(split(col("text"), " ")) - 1)).cast("long").as("n_chars"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long") +
+          expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+          .as("n_sym")) ++ extra.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("doc_id"), col("__t.n_words").as("n_words"),
+        col("__t.n_alpha").as("n_alpha"), col("__t.n_stop").as("n_stop"),
+        col("n_chars"), col("n_sym")) ++ extra.map(e => col(e._1)): _*)
+  }
+
+  /** The five Gopher gates as named Columns over [[gopherStats]]'s
+    * output, plus their AND — shared by t15 and the p18 composition. */
+  private[ops] val gopherGates: Seq[(String, Column)] = Seq(
+    "keep_wordcount" -> col("n_words").between(GopherMinWords, GopherMaxWords),
+    "keep_meanlen" -> (col("n_chars") >= lit(3) * col("n_words") &&
+      col("n_chars") <= lit(10) * col("n_words")),
+    "keep_symbol" -> (lit(10) * col("n_sym") <= col("n_words")),
+    "keep_alpha" -> (lit(5) * col("n_alpha") >= lit(4) * col("n_words")),
+    "keep_stop" -> (col("n_stop") >= 2))
+
+  private[ops] val gopherKeepCol: Column =
+    gopherGates.map(_._2).reduce(_ && _)
+
+  val t15 = Q("t15_gopher_rules", {
+    s"""WITH ${gopherStatsCteSql("documents")}
        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        |  CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
        |  CAST(n_sym AS DOUBLE) / n_words AS symbol_ratio,
@@ -737,47 +797,17 @@ object TextAnalysis {
        |  10 * n_sym <= n_words AS keep_symbol,
        |  5 * n_alpha >= 4 * n_words AS keep_alpha,
        |  n_stop >= 2 AS keep_stop,
-       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
-       |    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
-       |    AND 10 * n_sym <= n_words AND 5 * n_alpha >= 4 * n_words
-       |    AND n_stop >= 2 AS keep
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  ${gopherKeepPredSql()} AS keep
+       |FROM gm ORDER BY doc_id""".stripMargin
   }) { (s, d) =>
-    val stopArr = stopwords.map("'" + _ + "'").mkString(", ")
-    // one named_struct lambda → the split is tokenised once per row
-    // (t02's trick); every count is integral
-    val statsExpr =
-      s"""element_at(transform(array(split(text, ' ')), w -> named_struct(
-         |  'n_words', CAST(size(w) AS BIGINT),
-         |  'n_alpha', CAST(size(filter(w, x -> x rlike '[a-z]')) AS BIGINT),
-         |  'n_stop', CAST(size(array_intersect(w, array($stopArr))) AS BIGINT))), 1)
-         |""".stripMargin
-    val m = Tables.documents(s, d)
-      .select(col("doc_id"), expr(statsExpr).as("__t"),
-        (length(col("text")) -
-          (size(split(col("text"), " ")) - 1)).cast("long").as("n_chars"),
-        ((length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-          .cast("long") +
-          expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
-          .as("n_sym"))
-      .select(col("doc_id"), col("__t.n_words").as("n_words"),
-        col("__t.n_alpha").as("n_alpha"), col("__t.n_stop").as("n_stop"),
-        col("n_chars"), col("n_sym"))
-    val keepWc = col("n_words").between(GopherMinWords, GopherMaxWords)
-    val keepMl = col("n_chars") >= lit(3) * col("n_words") &&
-      col("n_chars") <= lit(10) * col("n_words")
-    val keepSym = lit(10) * col("n_sym") <= col("n_words")
-    val keepAl = lit(5) * col("n_alpha") >= lit(4) * col("n_words")
-    val keepStop = col("n_stop") >= 2
-    m.select(col("doc_id"), col("n_words"),
+    val m = gopherStats(Tables.documents(s, d))
+    m.select(Seq(col("doc_id"), col("n_words"),
       (col("n_chars").cast("double") / col("n_words")).as("mean_word_len"),
       (col("n_sym").cast("double") / col("n_words")).as("symbol_ratio"),
       (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
-      col("n_stop"),
-      keepWc.as("keep_wordcount"), keepMl.as("keep_meanlen"),
-      keepSym.as("keep_symbol"), keepAl.as("keep_alpha"),
-      keepStop.as("keep_stop"),
-      (keepWc && keepMl && keepSym && keepAl && keepStop).as("keep"))
+      col("n_stop")) ++
+      gopherGates.map { case (n, c) => c.as(n) } :+
+      gopherKeepCol.as("keep"): _*)
       .orderBy("doc_id")
   }
 

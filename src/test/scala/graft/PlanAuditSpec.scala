@@ -836,6 +836,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("p18: the curation cascade reads ONE checkpointed corpus projection") {
+    val plan = executedPlan("p18_curation_pipeline")
+    // the single parquet scan happens inside run() when the enrichment
+    // projection is checkpointed; the final plan must read artifacts
+    // only — any FileScan here means a stage went back to the table
+    assert(!plan.contains("FileScan"),
+      s"a stage rescanned parquet:\n${plan.take(1200)}")
+    // gate cascade is filters + equi-joins + windows — nothing quadratic
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(1200))
+    // near-dup candidates and the decontamination confirm are hash joins
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+  }
+
   test("q43 boundary: AQE skew split does NOT engage on the plain corpus join") {
     // r9 verdict #5: q43 demonstrates MANUAL salting; this pins where
     // AQE's runtime skew split actually sits on the SAME corpus join

@@ -12,14 +12,7 @@ class WatermarkAdvisorSpec extends SparkSpec {
     .toMap
 
   test("st23: two-phase prefix max equals a sequential arrival replay") {
-    val raw = model.Tables.events(spark, sf)
-    val ev = raw.selectExpr("event_id",
-        s"${ops.EventStreams.eventMicrosSql(raw)} AS em")
-      .selectExpr("event_id", "em",
-        """em + (CAST(conv(substr(md5(concat('st23:',
-          | CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)
-          | % 600000000) - 300000000 AS arr"""
-          .stripMargin.replace("\n", " "))
+    val ev = ops.EventStreams.arrivalStream(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // sequential replay in (arr, event_id) order — the ground truth
     // the bucketed two-phase computation must reproduce exactly
@@ -52,6 +45,75 @@ class WatermarkAdvisorSpec extends SparkSpec {
     assert(rows(0L)._2 > 0L, "no late events — advisor is vacuous")
     for (c <- cands)
       assert(rows(c)._3 == rows(c)._2 * 1000000L / n, s"ppm at $c")
+  }
+
+  test("st23 observed twin: the runtime's watermark drops match the advisor's rule") {
+    // r9 verdict #7: st23 PREDICTS drops from a model of the watermark
+    // (exclusive prefix max over arrival order). This drives the ACTUAL
+    // Structured Streaming runtime over the same derived arrival stream
+    // and reads StreamingQueryProgress.stateOperators
+    // .numRowsDroppedByWatermark. One event per micro-batch makes
+    // Spark's batch-end watermark coincide with the advisor's per-row
+    // high-water mark, with ONE documented divergence: the runtime
+    // tracks the high-water mark at MILLISECOND granularity (event
+    // times floor to ms in EventTimeStats; the drop predicate is
+    // em < wm_ms·1000), while the advisor is micro-exact. The spec
+    // therefore recomputes expected drops under BOTH rules, asserts no
+    // prefix event sits inside the sub-ms divergence window, and then
+    // requires observed == ms-rule == advisor-rule.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val W = 60L // seconds; a mid candidate with nonzero drops (st23 row)
+    val prefix = ops.EventStreams.arrivalStream(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._3, e._1))
+      .take(80)
+    var hwUs = Long.MinValue // advisor model: micro-exact prefix max
+    var hwMs = Long.MinValue // runtime model: ms-floored prefix max
+    var expAdvisor = 0L
+    var expRuntime = 0L
+    for ((_, em, _) <- prefix) {
+      if (hwUs != Long.MinValue) {
+        if (hwUs - em > W * 1000000L) expAdvisor += 1
+        if (em < (hwMs - W * 1000L) * 1000L) expRuntime += 1
+        // no event may sit within the 1 ms window where the two rules
+        // could disagree (or exactly on the advisor boundary)
+        assert(math.abs((hwUs - em) - W * 1000000L) > 1000L,
+          s"event at ${hwUs - em} us lateness is inside the ms-floor " +
+            "divergence window — pick a different prefix/candidate")
+      }
+      hwUs = math.max(hwUs, em)
+      hwMs = math.max(hwMs, em / 1000L)
+    }
+    assert(expAdvisor == expRuntime,
+      s"ms-floor semantics diverged: advisor $expAdvisor vs runtime-rule " +
+        s"$expRuntime despite the guard")
+    assert(expAdvisor > 0, "prefix has no late events — twin is vacuous")
+    val in = MemoryStream[(Long, Long)]
+    val agg = in.toDF().toDF("event_id", "em")
+      .selectExpr("timestamp_micros(em) AS ts")
+      .withWatermark("ts", s"$W seconds")
+      .groupBy("ts").count()
+    val q = agg.writeStream.format("memory").queryName("st23_observed")
+      .outputMode("update").start()
+    try {
+      // recentProgress retains ~100 entries and each feed can produce a
+      // data batch + a no-data watermark batch — harvest per iteration,
+      // keyed by batchId, so nothing scrolls out of the buffer
+      val dropsByBatch = scala.collection.mutable.Map.empty[Long, Long]
+      prefix.foreach { case (id, em, _) =>
+        in.addData((id, em))
+        q.processAllAvailable()
+        q.recentProgress.foreach { p =>
+          dropsByBatch(p.batchId) =
+            p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+        }
+      }
+      val observed = dropsByBatch.values.sum
+      assert(observed == expAdvisor,
+        s"runtime dropped $observed, the advisor's rule predicts $expAdvisor")
+    } finally q.stop()
   }
 
   test("st24: gap histogram laws and a sequential per-user recompute") {
