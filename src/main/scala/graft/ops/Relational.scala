@@ -3473,9 +3473,160 @@ object Relational {
       .orderBy("column_name")
   }
 
+  // ---------------------------------------------------------------- q63
+  /** CMS geometry: [[CmsRows]] independent md5-salted hash rows ×
+    * [[CmsW]] counters. ε = e/w ≈ 1.1% of the stream length, δ = e^-d
+    * ≈ 1.8% — the textbook Count-Min guarantees. */
+  private val CmsRows = 4
+  private val CmsW    = 256
+
+  private def cmsBucketSql(r: Int, c: String) =
+    s"CAST(concat('0x', substr(md5('q63:$r:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) % $CmsW"
+  private def cmsBucketSpark(r: Int, c: String) =
+    s"CAST(conv(substr(md5(concat('q63:$r:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT) % $CmsW"
+
+  /** Count-Min sketch heavy hitters (Cormode–Muthukrishnan 2005) —
+    * q60's other canonical planner sketch: per-KEY frequency point
+    * estimates from a fixed [[CmsRows]]×[[CmsW]] counter grid, where
+    * q60 estimates whole-join aggregates. Build: one projected pass
+    * over lineitem (4 md5s/row, the q60 budget), long-form (row,
+    * bucket) explode — only 4×, not q60's 240× — into a map-side-
+    * combined 1024-key count aggregate; the grid is sketch-sized and
+    * broadcast. Query: every part key (the DIMENSION — candidate
+    * generation is the dimension scan, the standard CMS deployment
+    * against a known key domain) hashes into its 4 cells, est =
+    * min over rows (left join + coalesce 0: an empty cell means the
+    * key was never seen), top-20 by (est DESC, key). CMS NEVER
+    * underestimates (every cell ≥ the key's true count), so est ≥
+    * exact is a structural law, not a probabilistic one —
+    * `SketchSpec` pins it along with the ε·N error ceiling. The exact
+    * audit column follows the q60 convention: `spark.graft.cms.audit
+    * =false` drops the per-key exact count aggregation — the 100 TB
+    * production form — while the estimate pipeline is unchanged
+    * (selection orders by est alone, so both forms agree on rows). */
+  val q63 = Q("q63_cms_heavy_hitters", {
+    s"""WITH src AS (
+       |  SELECT l_partkey AS k, ${(0 until CmsRows).map(r =>
+            s"${cmsBucketSql(r, "l_partkey")} AS b$r").mkString(", ")}
+       |  FROM lineitem),
+       |cnt AS (
+       |  SELECT r, b, count(*) AS c FROM (
+       |    ${(0 until CmsRows).map(r =>
+            s"SELECT $r AS r, b$r AS b FROM src").mkString("\n    UNION ALL ")})
+       |  GROUP BY r, b),
+       |keys AS (
+       |  SELECT p_partkey AS k, ${(0 until CmsRows).map(r =>
+            s"${cmsBucketSql(r, "p_partkey")} AS b$r").mkString(", ")}
+       |  FROM part),
+       |est AS (
+       |  SELECT keys.k, min(coalesce(cnt.c, 0)) AS est_count FROM (
+       |    ${(0 until CmsRows).map(r =>
+            s"SELECT k, $r AS r, b$r AS b FROM keys").mkString("\n    UNION ALL ")}) keys
+       |  LEFT JOIN cnt ON cnt.r = keys.r AND cnt.b = keys.b
+       |  GROUP BY keys.k),
+       |exact AS (SELECT k, count(*) AS exact_count FROM src GROUP BY k)
+       |SELECT CAST(e.k AS BIGINT) AS p_partkey,
+       |  CAST(e.est_count AS BIGINT) AS est_count,
+       |  CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+       |FROM est e LEFT JOIN exact x ON x.k = e.k
+       |ORDER BY e.est_count DESC, e.k
+       |LIMIT 20""".stripMargin
+  }) { (s, d) =>
+    val audit = s.conf.get("spark.graft.cms.audit", "true").toBoolean
+    val src = Tables.lineitem(s, d).selectExpr(
+      Seq("l_partkey AS k") ++ (0 until CmsRows).map(r =>
+        s"${cmsBucketSpark(r, "l_partkey")} AS b$r"): _*)
+      .localCheckpoint() // read by the counter build AND the exact audit
+    val cnt = src.selectExpr(
+        s"stack($CmsRows, ${(0 until CmsRows)
+          .map(r => s"$r, b$r").mkString(", ")}) AS (r, b)")
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val keys = Tables.part(s, d).selectExpr(
+      Seq("p_partkey AS k") ++ (0 until CmsRows).map(r =>
+        s"${cmsBucketSpark(r, "p_partkey")} AS b$r"): _*)
+    val est = keys.selectExpr("k",
+        s"stack($CmsRows, ${(0 until CmsRows)
+          .map(r => s"$r, b$r").mkString(", ")}) AS (r, b)")
+      .join(broadcast(cnt), Seq("r", "b"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+    val top = est
+      .select(col("k").cast("long").as("p_partkey"),
+        col("est_count").cast("long"))
+      .orderBy(col("est_count").desc, col("p_partkey"))
+      .limit(20)
+    if (!audit) top
+    else {
+      val exact = src.groupBy("k").agg(count(lit(1)).as("exact_count"))
+        .select(col("k").cast("long").as("p_partkey"), col("exact_count"))
+      top.join(exact, Seq("p_partkey"), "left")
+        .select(col("p_partkey"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).cast("long")
+            .as("exact_count"))
+        .orderBy(col("est_count").desc, col("p_partkey"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Equi-depth buckets for [[q64]]. */
+  private val EqdB = 8
+
+  /** Equi-depth histogram construction — the ANALYZE-statistics op the
+    * profiling tier (q58 basic profile, q62 moments) still lacked, and
+    * the statistic a cost-based optimizer actually consumes for range-
+    * predicate selectivity (Spark's own `ANALYZE ... FOR COLUMNS`
+    * builds exactly this shape). Boundaries are the 7 interior octile
+    * values of o_totalprice in cents via the EXACT interpolated
+    * quantile (q19's cross-engine-pinned arithmetic: integer-valued
+    * inputs make the interpolation formula exact in both engines); at
+    * 100 TB the drop-in is `approx_percentile` (KLL, mergeable) with
+    * an identical plan shape — the q19/q19b tier split. Assignment is
+    * one broadcast of the 1-row boundary array and a higher-order
+    * `filter` count (`1 + |{i : cents ≥ b_i}|`) inside the scan
+    * projection — no per-bucket scans, no global sort, no window at
+    * all (the n02 ban): one pass for boundaries, one pass for the
+    * 8-row report. Per bucket: bounds, row count, exact NDV, mass.
+    * Depths are equal up to duplicate-value mass at the boundaries
+    * (`SketchSpec` pins the balance law and a driver recompute). */
+  val q64 = Q("q64_equidepth_histogram", {
+    val ps = (1 until EqdB).map(i => s"${i.toDouble / EqdB}").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    AS cents FROM orders),
+       |bnd AS (SELECT quantile_cont(cents, [$ps]) AS b FROM c),
+       |assigned AS (
+       |  SELECT cents, 1 + len(list_filter(b, x -> cents >= x)) AS bucket
+       |  FROM c CROSS JOIN bnd)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(min(cents) AS BIGINT) AS lo_cents,
+       |  CAST(max(cents) AS BIGINT) AS hi_cents,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT cents) AS BIGINT) AS ndv,
+       |  CAST(sum(cents) AS BIGINT) AS mass_cents
+       |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
+  }) { (s, d) =>
+    val ps = (1 until EqdB).map(i => s"${i.toDouble / EqdB}D").mkString(", ")
+    val c = Tables.orders(s, d).selectExpr(
+      "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .localCheckpoint() // read by the boundary pass AND the assignment
+    val bnd = c.agg(expr(s"percentile(cents, array($ps))").as("b"))
+    c.crossJoin(broadcast(bnd))
+      .selectExpr("cents",
+        "1 + size(filter(b, x -> cents >= x)) AS bucket")
+      .groupBy("bucket")
+      .agg(min("cents").as("lo_cents"), max("cents").as("hi_cents"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("cents")).as("ndv"),
+        sum("cents").as("mass_cents"))
+      .selectExpr("CAST(bucket AS BIGINT) AS bucket", "lo_cents", "hi_cents",
+        "n_rows", "ndv", "mass_cents")
+      .orderBy("bucket")
+  }
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q10b, q10c, q11, q12, q13, q14, q15, q16, q17, q18, q19, q19b, q19c,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
-    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62,
+    q63, q64)
 }

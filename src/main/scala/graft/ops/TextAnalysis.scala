@@ -1953,7 +1953,116 @@ object TextAnalysis {
       .orderBy("octave")
   }
 
+  // ---------------------------------------------------------------- t33
+  /** (n, kind, num, den) per repetition gate: fraction ≤ num/den in
+    * exact integers (t15's no-float-threshold rule). `top` gates bound
+    * the single most frequent n-gram's character mass (Gopher: 0.20 /
+    * 0.18 / 0.16 for n = 2/3/4); `dup` gates bound the total character
+    * mass inside n-grams occurring ≥ 2× (Gopher: 0.15 / 0.14 for
+    * n = 5/6). */
+  private val RepGates: Seq[(Int, String, Long, Long)] = Seq(
+    (2, "top", 1L, 5L), (3, "top", 9L, 50L), (4, "top", 4L, 25L),
+    (5, "dup", 3L, 20L), (6, "dup", 7L, 50L))
+
+  /** Gopher REPETITION gates (Rae et al. 2021 §A1.1, the half t15's
+    * quality gates leave out): per document, the character-mass share
+    * of (a) the single most frequent {2,3,4}-gram and (b) all
+    * duplicated {5,6}-grams, each against Gopher's threshold in exact
+    * integer arithmetic, plus the AND verdict. Character mass counts
+    * token characters only (gram length minus its n−1 joining spaces),
+    * against t15's space-free `n_chars` denominator, so mass and
+    * denominator measure the same characters. On this corpus the
+    * top-2-gram gate REJECTS (measured: 24 docs above 0.20 at sf0.01,
+    * max 0.36) while the dup-{5,6} gates trivially pass (synthetic
+    * docs repeat bigrams, never 5-grams) — t15's symbol-gate precedent:
+    * the operator is the deliverable, and `CorpusOpsSpec` pins both the
+    * non-vacuity and the documented triviality so a corpus change
+    * surfaces. Dataflow: the token array is projected ONCE and
+    * checkpointed; five compiled word_shingles explodes (ALL
+    * occurrences — repetition needs multiplicity, so no distinct)
+    * union long-form into one (doc, n, gram) count aggregate with
+    * map-side combine; per-doc masses are a second keyed aggregate;
+    * the 5-gate pivot is conditional sums; docs too short for an n
+    * zero-fill through the final left join. No window, nothing
+    * corpus-global, gram tables are (doc × distinct-gram)-sized. */
+  val t33 = Q("t33_gopher_repetition", {
+    def gramSql(n: Int) =
+      s"""SELECT doc_id, $n AS n,
+         |    unnest(list_transform(generate_series(1, len(w) - ${n - 1}),
+         |      i -> concat_ws(' ', ${(0 until n).map(j => s"w[i+$j]").mkString(", ")}))) AS s
+         |  FROM ws WHERE len(w) >= $n""".stripMargin
+    val gateSql = RepGates.map { case (n, kind, num, den) =>
+      s"coalesce(${den} * m_${kind}_$n <= ${num} * nc, TRUE)" }
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    length(text) - (len(string_split(text, ' ')) - 1) AS nc
+       |  FROM documents),
+       |grams AS (
+       |  ${RepGates.map(g => gramSql(g._1)).mkString("\n  UNION ALL\n  ")}),
+       |cnt AS (
+       |  SELECT doc_id, n, s, count(*) AS c, len(s) - (n - 1) AS gl
+       |  FROM grams GROUP BY doc_id, n, s),
+       |mass AS (
+       |  SELECT doc_id,
+       |    ${RepGates.map { case (n, kind, _, _) =>
+            if (kind == "top")
+              s"max(CASE WHEN n = $n THEN c * gl END) AS m_top_$n"
+            else
+              s"sum(CASE WHEN n = $n AND c >= 2 THEN c * gl ELSE 0 END) AS m_dup_$n"
+          }.mkString(",\n    ")}
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  ${RepGates.map { case (n, kind, _, _) =>
+          s"CAST(coalesce(m_${kind}_$n, 0) * 1000000 // nc AS BIGINT) AS ${kind}${n}_ppm"
+        }.mkString(",\n  ")},
+       |  ${RepGates.map { case (n, kind, num, den) =>
+          s"coalesce($den * m_${kind}_$n <= $num * nc, TRUE) AS keep_${kind}$n"
+        }.mkString(",\n  ")},
+       |  ${gateSql.mkString("(", ") AND (", ")")} AS keep
+       |FROM ws d LEFT JOIN mass ON mass.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }) { (s, d) =>
+    graft.functions.GraftFunctions.register(s)
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        (length(col("text")) -
+          (size(split(col("text"), " ")) - 1)).cast("long").as("nc"))
+      .localCheckpoint() // read by all five explodes AND the zero-fill
+    val grams = RepGates.map { case (n, _, _, _) =>
+      ws.filter(size(col("w")) >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(expr(s"word_shingles(w, $n)")).as("s"))
+    }.reduce(_ unionAll _)
+    val cnt = grams.groupBy("doc_id", "n", "s")
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"), col("c"),
+        (length(col("s")) - (col("n") - 1)).cast("long").as("gl"))
+    val massAggs = RepGates.map { case (n, kind, _, _) =>
+      if (kind == "top")
+        max(when(col("n") === n, col("c") * col("gl"))).as(s"m_top_$n")
+      else
+        sum(when(col("n") === n && col("c") >= 2, col("c") * col("gl"))
+          .otherwise(0L)).as(s"m_dup_$n")
+    }
+    val mass = cnt.groupBy("doc_id").agg(massAggs.head, massAggs.tail: _*)
+    val gateExprs = RepGates.map { case (n, kind, num, den) =>
+      coalesce(lit(den) * col(s"m_${kind}_$n") <= lit(num) * col("nc"),
+        lit(true))
+    }
+    val ppmCols = RepGates.map { case (n, kind, _, _) =>
+      expr(s"CAST(coalesce(m_${kind}_$n, 0) * 1000000 DIV nc AS BIGINT)")
+        .as(s"$kind${n}_ppm")
+    }
+    ws.select("doc_id", "nc")
+      .join(mass, Seq("doc_id"), "left")
+      .select(Seq(col("doc_id")) ++ ppmCols ++
+        gateExprs.zip(RepGates).map { case (c, (n, kind, _, _)) =>
+          c.as(s"keep_$kind$n") } :+
+        gateExprs.reduce(_ && _).as("keep"): _*)
+      .orderBy("doc_id")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33)
 }

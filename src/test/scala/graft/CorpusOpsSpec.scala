@@ -744,4 +744,46 @@ class CorpusOpsSpec extends SparkSpec {
     // the audit is non-vacuous: both verdicts occur on this corpus
     assert(rows.values.exists(_._4) && rows.values.exists(!_._4))
   }
+
+  test("t33: repetition gates — brute-force recompute, non-vacuity, documented trivial gates") {
+    val rows = ops.TextAnalysis.t33.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == docs.keySet)
+    // brute-force recompute of every doc's top-2-gram and dup-5-gram
+    // character masses (token chars only, against the space-free
+    // denominator)
+    for ((id, text) <- docs) {
+      val w = text.split(" ", -1)
+      val nc = text.length - (w.length - 1)
+      def grams(n: Int) = w.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+      val top2 = if (w.length < 2) 0L else grams(2).groupBy(identity)
+        .map { case (g, os) => os.size.toLong * (g.length - 1) }.max
+      val dup5 = if (w.length < 5) 0L else grams(5).groupBy(identity)
+        .collect { case (g, os) if os.size >= 2 =>
+          os.size.toLong * (g.length - 4) }.sum
+      val r = rows(id)
+      assert(r.getLong(r.fieldIndex("top2_ppm")) == top2 * 1000000L / nc,
+        s"doc $id top2")
+      assert(r.getLong(r.fieldIndex("dup5_ppm")) == dup5 * 1000000L / nc,
+        s"doc $id dup5")
+      assert(r.getBoolean(r.fieldIndex("keep_top2")) == (5 * top2 <= nc))
+      assert(r.getBoolean(r.fieldIndex("keep")) ==
+        Seq("keep_top2", "keep_top3", "keep_top4", "keep_dup5", "keep_dup6")
+          .forall(c => r.getBoolean(r.fieldIndex(c))))
+    }
+    // the top-2 gate rejects on this corpus (non-vacuous) ...
+    assert(rows.values.exists(r => !r.getBoolean(r.fieldIndex("keep_top2"))),
+      "no doc fails the top-2-gram gate — repetition gates are vacuous")
+    // ... while the dup-{5,6} gates pass trivially (documented in the
+    // scaladoc; this assertion is the tripwire if the corpus changes)
+    assert(rows.values.forall(r =>
+      r.getLong(r.fieldIndex("dup5_ppm")) == 0L &&
+        r.getLong(r.fieldIndex("dup6_ppm")) == 0L),
+      "corpus now has within-doc 5/6-gram repetition — update the t33 " +
+        "scaladoc's triviality note")
+  }
 }

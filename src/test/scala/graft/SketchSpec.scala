@@ -210,4 +210,66 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
   }
+
+  test("q63: CMS laws — never underestimates, eps*N ceiling, audit gate parity") {
+    val audited = ops.Relational.q63.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(audited.length == 20)
+    val n = model.Tables.lineitem(spark, sf).count()
+    // structural guarantee: every cell counts a superset of the key's
+    // occurrences, so the min over rows is >= the true count — always
+    audited.foreach { case (k, est, exact) =>
+      assert(est >= exact, s"CMS underestimated key $k: $est < $exact")
+    }
+    // Cormode–Muthukrishnan error ceiling at w=256: est - true <= (e/w)*N
+    // with prob 1-e^-d per key; on this fixed corpus it must simply hold
+    val eps = math.E / 256.0
+    audited.foreach { case (k, est, exact) =>
+      assert(est - exact <= math.ceil(eps * n).toLong,
+        s"key $k error ${est - exact} above eps*N=${eps * n}")
+    }
+    // non-vacuity: at least one key collides somewhere (else the sketch
+    // tier is indistinguishable from exact counting on this corpus)
+    assert(audited.exists { case (_, est, exact) => est > exact },
+      "no CMS collisions at all — error-law checks are vacuous")
+    // audit gate: production form drops the exact column, keeps the rows
+    spark.conf.set("spark.graft.cms.audit", "false")
+    try {
+      val prod = ops.Relational.q63.run(spark, sf)
+      assert(prod.columns.toSeq == Seq("p_partkey", "est_count"))
+      val plan = prod.queryExecution.executedPlan.toString
+      assert(!plan.contains("exact_count"), plan.take(800))
+      assert(prod.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        audited.map(t => (t._1, t._2)).toSeq)
+    } finally spark.conf.unset("spark.graft.cms.audit")
+  }
+
+  test("q64: equi-depth laws — conservation, contiguity, balance up to ties") {
+    import spark.implicits._
+    val rows = ops.Relational.q64.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    val cents = model.Tables.orders(spark, sf)
+      .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .as[Long].collect()
+    // row and mass conservation against the raw column
+    assert(rows.map(_._4).sum == cents.length)
+    assert(rows.map(_._6).sum == cents.sum)
+    // buckets are value-contiguous and strictly ordered (same value can
+    // never straddle a boundary — assignment is a pure function of it)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"bucket ${a._1} hi ${a._3} !< ${b._2}")
+    }
+    rows.foreach { case (b, lo, hi, n, ndv, _) =>
+      assert(lo <= hi && ndv >= 1 && ndv <= n, s"bucket $b bounds/ndv")
+    }
+    // equal depths up to duplicate mass at the boundaries: each of a
+    // bucket's 2 boundaries can shift at most (maxMult - 1) rows, plus
+    // the integer split rounding
+    val maxMult = cents.groupBy(identity).values.map(_.length).max.toLong
+    val depths = rows.map(_._4)
+    assert(depths.max - depths.min <= 2 * maxMult + 1,
+      s"depths $depths vs max duplicate multiplicity $maxMult")
+  }
 }
