@@ -1477,7 +1477,73 @@ object Graph {
       .orderBy("s1", "s2")
   }
 
+  // ---------------------------------------------------------------- g16
+  /** Degree assortativity (Newman 2002) — the one-number mixing report
+    * every graph release publishes (do hubs attach to hubs, r > 0, or
+    * to leaves, r < 0?), over the SAME mutual top-k projection the
+    * triangle/k-core family reads. For an undirected graph the Pearson
+    * correlation over edge-endpoint degree pairs (each edge counted in
+    * both orientations, so x and y are exchangeable) collapses to
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — NO square roots, so the
+    * whole statistic is exact integer arithmetic up to ONE final
+    * symmetric-truncation division to micros (q60's signed-div
+    * convention). Dataflow: the memoised projection artifact (g05's
+    * amortisation — no lineitem scan), one degree agg, two broadcast
+    * degree attaches, one 6-scalar fold. The report also carries the
+    * raw integer sums so a consumer can re-derive r at any precision.
+    * Zero-guard: a REGULAR graph has den = 0 (assortativity undefined);
+    * the op emits 0 with the den column making the case visible (the
+    * p15 convention). */
+  val g16 = Q("g16_degree_assortativity",
+    s"""WITH $projEdgeCtes,
+       |du AS (SELECT s1 AS v FROM e UNION ALL SELECT s2 FROM e),
+       |deg AS (SELECT v, count(*) AS d FROM du GROUP BY v),
+       |pairs AS (
+       |  SELECT d1.d AS x, d2.d AS y
+       |  FROM e JOIN deg d1 ON d1.v = e.s1 JOIN deg d2 ON d2.v = e.s2
+       |  UNION ALL
+       |  SELECT d2.d, d1.d
+       |  FROM e JOIN deg d1 ON d1.v = e.s1 JOIN deg d2 ON d2.v = e.s2),
+       |agg AS (
+       |  SELECT count(*) AS m, sum(x * y) AS sxy, sum(x) AS sx,
+       |    sum(x * x) AS sx2
+       |  FROM pairs)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       |  CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+       |  CAST(m * sxy - sx * sx AS BIGINT) AS num,
+       |  CAST(m * sx2 - sx * sx AS BIGINT) AS den,
+       |  CAST(CASE WHEN m * sx2 - sx * sx = 0 THEN 0
+       |    WHEN m * sxy - sx * sx >= 0
+       |      THEN (m * sxy - sx * sx) * 1000000 // (m * sx2 - sx * sx)
+       |    ELSE -((sx * sx - m * sxy) * 1000000 // (m * sx2 - sx * sx))
+       |  END AS BIGINT) AS assortativity_micro
+       |FROM agg""".stripMargin) { (s, d) =>
+    val e = s.read.parquet(ensureProjection(s, d))
+      .select(col("s1"), col("s2"))
+    val deg = e.select(col("s1").as("v"))
+      .unionAll(e.select(col("s2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withD = e
+      .join(broadcast(deg.select(col("v").as("s1"), col("d").as("d1"))), "s1")
+      .join(broadcast(deg.select(col("v").as("s2"), col("d").as("d2"))), "s2")
+    val pairs = withD.select(col("d1").as("x"), col("d2").as("y"))
+      .unionAll(withD.select(col("d2").as("x"), col("d1").as("y")))
+    val nNodes = deg.count()
+    pairs.agg(count(lit(1)).as("m"), sum(expr("x * y")).as("sxy"),
+        sum("x").as("sx"), sum(expr("x * x")).as("sx2"))
+      .selectExpr("CAST(m div 2 AS BIGINT) AS n_edges",
+        s"CAST($nNodes AS BIGINT) AS n_nodes",
+        "CAST(m * sxy - sx * sx AS BIGINT) AS num",
+        "CAST(m * sx2 - sx * sx AS BIGINT) AS den",
+        """CAST(CASE WHEN m * sx2 - sx * sx = 0 THEN 0
+          | WHEN m * sxy - sx * sx >= 0
+          |   THEN (m * sxy - sx * sx) * 1000000 DIV (m * sx2 - sx * sx)
+          | ELSE -((sx * sx - m * sxy) * 1000000 DIV (m * sx2 - sx * sx))
+          | END AS BIGINT) AS assortativity_micro"""
+          .stripMargin.replace("\n", " "))
+  }
+
   def all: Seq[Q] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13,
-      g14, g15)
+      g14, g15, g16)
 }

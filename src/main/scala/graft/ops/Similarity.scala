@@ -1437,7 +1437,83 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- s16
+  /** Coreset size for [[s16]]. */
+  private val KCenters = 8
+
+  /** Full-vector squared L2, ascending-index double fold — the s04
+    * subspace distance extended to all [[Dims]] dims; bit-identical in
+    * both engines. */
+  private def d2FullSpark(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b,
+       |  (p, q) -> (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))
+       |          * (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))),
+       |CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+  private def d2FullSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, $Dims),
+       |  k -> (CAST($a.embedding[k] AS DOUBLE) - CAST($b.embedding[k] AS DOUBLE))
+       |     * (CAST($a.embedding[k] AS DOUBLE) - CAST($b.embedding[k] AS DOUBLE))))""".stripMargin
+
+  /** Greedy k-center coreset (Gonzalez 1985 farthest-point traversal,
+    * the classic 2-approximation) — the DIVERSITY-selection member the
+    * similarity family lacked: s12's MMR diversifies a query's top-k,
+    * this selects [[KCenters]] vectors that cover the WHOLE corpus
+    * (coreset/landmark selection for training-data diversity sampling
+    * or as seed centroids one tier above s05's Lloyd step). Seed = min
+    * vec_id; each round picks the vector FARTHEST from the chosen set
+    * (exact squared-L2, ascending fold, ties → min vec_id) — its
+    * distance is the selection radius, and greedy FPS guarantees the
+    * radii are non-increasing with the final one 2-approximating the
+    * optimal k-center cost (`SimilaritySpec` pins both laws plus a
+    * sequential replay). Dataflow per round: corpus × (≤ k)-row
+    * broadcast center table → keyed min → ONE argmax row collected
+    * (struct-max, no window); k rounds = k linear passes over the
+    * checkpointed projection — the k-pass trade every distributed FPS
+    * makes (Gonzalez parallelizes per round, never across rounds,
+    * because round r+1's scores depend on round r's pick). */
+  val s16 = Q("s16_kcenter_coreset", {
+    val rounds = (2 to KCenters).map { r =>
+      s"""m${r - 1} AS (
+         |  SELECT e.vec_id, min(${d2FullSql("e", "ce")}) AS dmin
+         |  FROM e
+         |  JOIN c${r - 1} cs ON TRUE
+         |  JOIN e ce ON ce.vec_id = cs.cid
+         |  GROUP BY e.vec_id),
+         |n$r AS (SELECT vec_id AS cid, dmin FROM m${r - 1}
+         |        ORDER BY dmin DESC, vec_id LIMIT 1),
+         |c$r AS (SELECT * FROM c${r - 1}
+         |        UNION ALL SELECT $r, cid, dmin FROM n$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c1(round, cid, radius) AS (
+       |  SELECT 1, min(vec_id), CAST(0 AS DOUBLE) FROM e),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(cid AS BIGINT) AS center_id, radius
+       |FROM c$KCenters ORDER BY round""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // read once per round; the corpus' only scan
+    val seed = e.agg(min("vec_id")).head.getLong(0)
+    var centers = Seq((1L, seed, 0.0))
+    for (r <- 2 to KCenters) {
+      val cdf = centers.map(_._2).toDF("cid")
+        .join(e, col("cid") === col("vec_id"))
+        .select(col("embedding").as("c_embedding"))
+      val sel = e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"),
+          expr(d2FullSpark("embedding", "c_embedding")).as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("dmin"))
+        .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.dmin"), (-col("m.nid")).as("cid"))
+        .head
+      centers :+= ((r.toLong, sel.getLong(1), sel.getDouble(0)))
+    }
+    centers.toDF("round", "center_id", "radius").orderBy("round")
+  }
+
   def all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15)
+      s14, s15, s16)
 }

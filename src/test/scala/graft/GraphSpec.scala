@@ -524,4 +524,30 @@ class GraphSpec extends SparkSpec {
     assert(got.values.map(_._1).toSet.size > 1, "cn is constant")
     assert(got.values.map(_._2).toSet.size > 1, "jaccard is constant")
   }
+
+  test("g16: assortativity equals a driver recompute; non-degenerate; in range") {
+    val r = ops.Graph.g16.run(spark, sf).collect()(0)
+    val (nE, nV, num, den, micro) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val edges = ops.Graph.projectionEdges(spark, sf)
+      .select("s1", "s2").collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (v, os) => v -> os.length.toLong }
+    val xs = edges.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m = xs.length.toLong
+    val (sxy, sx, sx2) = (xs.map(p => p._1 * p._2).sum,
+      xs.map(_._1).sum, xs.map(p => p._1 * p._1).sum)
+    assert(nE == edges.length && nV == deg.size)
+    assert(num == m * sxy - sx * sx && den == m * sx2 - sx * sx)
+    // non-degenerate on this corpus (a regular graph would zero den)
+    assert(den > 0, "projection is degree-regular — assortativity vacuous")
+    // symmetric-truncation division, and the Pearson range bound
+    val expMicro = if (num >= 0) num * 1000000L / den
+      else -((-num) * 1000000L / den)
+    assert(micro == expMicro)
+    assert(micro >= -1000000L && micro <= 1000000L)
+    assert((micro >= 0) == (num >= 0), "sign disagrees with the numerator")
+  }
 }
