@@ -1892,7 +1892,7 @@ object Multimodal {
     * synthetic PPM, two horizontal blocks from rows 0–7, and
     * `F[u][v] = Σ_{x,y} g·C[u][x]·C[v][y]` in exact Longs (|F| ≤
     * 765·64·4096² ≈ 8.2·10¹⁴ — headroom ×10⁴). */
-  private def dctBlocks(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
+  private[graft] def dctBlocks(bytes: Array[Byte]): Seq[(Int, Int, Int, Long)] = {
     val (w, h, off) = ppmHeader(bytes)
     require(w >= 16 && h >= 8, s"image too small for 2 DCT blocks: $w x $h")
     def gray(x: Int, y: Int): Long = {
@@ -1936,10 +1936,13 @@ object Multimodal {
     * one `mapPartitions` pass (the mm09 codec discipline); the
     * spectrum agg is 64 keys with map-side combine; share_ppm divides
     * through DECIMAL(38)/HUGEINT (the q59 wide-integer convention). */
-  val mm19 = Q("mm19_dct_spectrum", {
+  /** The mm19 per-block integer DCT as a CTE chain ending in
+    * `coef (doc_id, blk, u, v, f)` — shared by the mm19 and mm20
+    * oracles (one definition of the transform, no drift). */
+  private def dctCoefSql: String = {
     val basisRows = (for (u <- 0 to 7; x <- 0 to 7)
       yield s"($u, $x, ${DctBasis(u)(x)})").mkString(", ")
-    s"""WITH RECURSIVE lcg(doc_id, i, state) AS (
+    s"""RECURSIVE lcg(doc_id, i, state) AS (
        |  SELECT doc_id, 0,
        |    ((CAST(doc_id AS HUGEINT) * $LcgA + $LcgC) % $LcgM
        |     * $LcgA + $LcgC) % $LcgM
@@ -1959,7 +1962,25 @@ object Multimodal {
        |        FROM gray WHERE y < 8) g8
        |  JOIN basis cu ON cu.x = g8.lx
        |  JOIN basis cv ON cv.x = g8.y
-       |  GROUP BY 1, 2, 3, 4),
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  /** Spark twin of [[dctCoefSql]]: the sampled docs' exact Long DCT
+    * coefficients via [[dctBlocks]] in one mapPartitions pass. */
+  private def dctCoefDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).filter(col("doc_id") % 4 === 1)
+      .select("doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        dctBlocks(syntheticPpm(id)).map { case (blk, u, v, f) =>
+          (id, blk, u, v, f)
+        }
+      })
+      .toDF("doc_id", "blk", "u", "v", "f")
+  }
+
+  val mm19 = Q("mm19_dct_spectrum", {
+    s"""WITH $dctCoefSql,
        |freq AS (
        |  SELECT u, v, sum(abs(f)) AS sum_abs, max(abs(f)) AS max_abs
        |  FROM coef GROUP BY u, v),
@@ -1972,15 +1993,7 @@ object Multimodal {
        |FROM freq CROSS JOIN tot
        |ORDER BY u, v""".stripMargin
   }) { (s, d) =>
-    import s.implicits._
-    val coef = Tables.documents(s, d).filter(col("doc_id") % 4 === 1)
-      .select("doc_id").as[Long]
-      .mapPartitions(_.flatMap { id =>
-        dctBlocks(syntheticPpm(id)).map { case (blk, u, v, f) =>
-          (id, blk, u, v, f)
-        }
-      })
-      .toDF("doc_id", "blk", "u", "v", "f")
+    val coef = dctCoefDf(s, d)
     val freq = coef.groupBy("u", "v")
       .agg(sum(abs(col("f"))).as("sum_abs"),
         max(abs(col("f"))).as("max_abs"),
@@ -2010,6 +2023,99 @@ object Multimodal {
       .orderBy("u", "v")
   }
 
+  // --------------------------------------------------------------- mm20
+  /** JPEG Annex K luminance quantisation table (row u, col v) — the
+    * public standard constants. */
+  private val JpegQuant: Array[Array[Long]] = Array(
+    Array(16, 11, 10, 16, 24, 40, 51, 61),
+    Array(12, 12, 14, 19, 26, 58, 60, 55),
+    Array(14, 13, 16, 24, 40, 57, 69, 56),
+    Array(14, 17, 22, 29, 51, 87, 80, 62),
+    Array(18, 22, 37, 56, 68, 109, 103, 77),
+    Array(24, 35, 55, 64, 81, 104, 113, 92),
+    Array(49, 64, 78, 87, 103, 121, 120, 101),
+    Array(72, 92, 95, 98, 112, 100, 103, 99))
+
+  /** JPEG zigzag scan position of frequency (u, v). */
+  private val ZigZag: Array[Array[Int]] = Array(
+    Array(0, 1, 5, 6, 14, 15, 27, 28),
+    Array(2, 4, 7, 13, 16, 26, 29, 42),
+    Array(3, 8, 12, 17, 25, 30, 41, 43),
+    Array(9, 11, 18, 24, 31, 40, 44, 53),
+    Array(10, 19, 23, 32, 39, 45, 52, 54),
+    Array(20, 22, 33, 38, 46, 51, 55, 60),
+    Array(21, 34, 37, 47, 50, 56, 59, 61),
+    Array(35, 36, 48, 49, 57, 58, 62, 63))
+
+  /** Quantisation + zigzag run-length accounting — the two JPEG stages
+    * after mm19's DCT, closing the transform-coding story: coefficients
+    * divide by the Annex K luminance table (scaled by the 4096² fixed-
+    * point basis gain; SIGNED symmetric-truncation division, the q60
+    * convention — DuckDB's `//` floors negatives), then scan in zigzag
+    * order, and each block reports what an entropy coder would see:
+    * surviving (nonzero) coefficients, the end-of-block position, and
+    * the longest zero run. On white-noise pixels quantisation kills
+    * almost nothing low-frequency — the measured counterpart of mm19's
+    * AC-flatness note (codecs transform residuals, not noise), and
+    * `CodecSpec` pins DC survival + the RLE accounting laws. Dataflow:
+    * mm19's one-pass coefficient table joins the BROADCAST 64-row
+    * (quant, zigzag) literal table; run lengths are one lag window
+    * KEYED by (doc, blk) over ≤ 64 rows per key; all-zero blocks
+    * re-attach with eob = -1 and a full-length run. All integer. */
+  val mm20 = Q("mm20_quant_zigzag_rle", {
+    val qtRows = (for (u <- 0 to 7; v <- 0 to 7)
+      yield s"($u, $v, ${JpegQuant(u)(v)}, ${ZigZag(u)(v)})").mkString(", ")
+    s"""WITH $dctCoefSql,
+       |qt(u, v, qv, zz) AS (SELECT * FROM (VALUES $qtRows)),
+       |qc AS (
+       |  SELECT c.doc_id, c.blk, qt.zz,
+       |    CASE WHEN c.f >= 0 THEN c.f // (qt.qv * 16777216)
+       |         ELSE -((-c.f) // (qt.qv * 16777216)) END AS q
+       |  FROM coef c JOIN qt ON qt.u = c.u AND qt.v = c.v),
+       |nz AS (
+       |  SELECT doc_id, blk, zz,
+       |    lag(zz) OVER (PARTITION BY doc_id, blk ORDER BY zz) AS prev
+       |  FROM qc WHERE q <> 0),
+       |st AS (
+       |  SELECT doc_id, blk, count(*) AS n_nonzero, max(zz) AS eob,
+       |    greatest(max(zz - coalesce(prev, -1) - 1), 63 - max(zz))
+       |      AS max_zero_run
+       |  FROM nz GROUP BY doc_id, blk),
+       |blocks AS (SELECT DISTINCT doc_id, blk FROM qc)
+       |SELECT b.doc_id, CAST(b.blk AS BIGINT) AS blk,
+       |  CAST(coalesce(st.n_nonzero, 0) AS BIGINT) AS n_nonzero,
+       |  CAST(coalesce(st.eob, -1) AS BIGINT) AS eob,
+       |  CAST(coalesce(st.max_zero_run, 64) AS BIGINT) AS max_zero_run
+       |FROM blocks b LEFT JOIN st ON st.doc_id = b.doc_id AND st.blk = b.blk
+       |ORDER BY b.doc_id, b.blk""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qt = (for (u <- 0 to 7; v <- 0 to 7)
+      yield (u, v, JpegQuant(u)(v), ZigZag(u)(v)))
+      .toDF("u", "v", "qv", "zz")
+    val qc = dctCoefDf(s, d).join(broadcast(qt), Seq("u", "v"))
+      .selectExpr("doc_id", "blk", "zz",
+        """CASE WHEN f >= 0 THEN f div (qv * 16777216)
+          | ELSE -((-f) div (qv * 16777216)) END AS q"""
+          .stripMargin.replace("\n", " "))
+      .localCheckpoint() // read by the nonzero stats AND the block list
+    val w = Window.partitionBy("doc_id", "blk").orderBy("zz")
+    val st = qc.filter(col("q") =!= 0)
+      .withColumn("prev", lag("zz", 1).over(w))
+      .groupBy("doc_id", "blk")
+      .agg(count(lit(1)).as("n_nonzero"), max("zz").as("eob"),
+        greatest(max(expr("zz - coalesce(prev, -1) - 1")),
+          lit(63) - max(col("zz"))).as("max_zero_run"))
+    qc.select("doc_id", "blk").distinct()
+      .join(st, Seq("doc_id", "blk"), "left")
+      .selectExpr("doc_id", "CAST(blk AS BIGINT) AS blk",
+        "CAST(coalesce(n_nonzero, 0) AS BIGINT) AS n_nonzero",
+        "CAST(coalesce(eob, -1) AS BIGINT) AS eob",
+        "CAST(coalesce(max_zero_run, 64) AS BIGINT) AS max_zero_run")
+      .orderBy("doc_id", "blk")
+  }
+
   def all: Seq[Q] = Seq(mm01, mm02, mm03, mm04, mm05, mm06, mm07, mm08, mm09,
-    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17, mm18, mm19)
+    mm10, mm11, mm12, mm13, mm14, mm15, mm16, mm17, mm18, mm19, mm20)
 }

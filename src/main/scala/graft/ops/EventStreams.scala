@@ -1075,7 +1075,68 @@ object EventStreams {
       .orderBy("bucket")
   }
 
+  // --------------------------------------------------------------- st25
+  /** Session gap / dedup horizon for [[st25]] (seconds). */
+  private[graft] val DedupGapSec = 600L
+
+  /** Event-time deduplication with bounded state — the batch twin of
+    * the streaming dedup tier. Semantics: per user, ADMIT an event iff
+    * it starts a `session_window(ts, 600s)` session; every later
+    * same-user event whose gap chain stays under the horizon is a
+    * duplicate and drops. This is exactly what a
+    * `session_window`-grouped stream admits once the watermark closes
+    * each session (emission timing changes, assignment does not — the
+    * split is strict-overlap: a gap of EXACTLY the horizon starts a
+    * new session), so the batch and streaming forms are the same
+    * computation; `StreamDedupSpec` replays this query through
+    * MemoryStream and gets row-identical output, and separately pins
+    * the WEAKER contract of Spark's cheaper
+    * `dropDuplicatesWithinWatermark` (admission there also depends on
+    * watermark-driven state eviction — under in-order arrival, admitted
+    * same-key events are ≥ 2× the delay apart, and a duplicate chain
+    * can extend suppression indefinitely). Dataflow: one user-keyed
+    * session aggregation, min-struct per session — no corpus-global
+    * window, state per live session only. The oracle states the
+    * gaps-and-islands form (first row of each ≥-gap island); the hash
+    * compare proves it equals session_window's assignment. */
+  val st25 = Q("st25_session_dedup",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS em FROM events),
+       |l AS (
+       |  SELECT user_id, event_id, em,
+       |    lag(em) OVER (PARTITION BY user_id ORDER BY em, event_id) AS prev
+       |  FROM e)
+       |SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+       |  CAST(em AS BIGINT) AS em
+       |FROM l
+       |WHERE prev IS NULL OR em - prev >= $DedupGapSec * 1000000
+       |ORDER BY user_id, em, event_id""".stripMargin) { (s, d) =>
+    sessionDedup(eventFrame(s, d))
+  }
+
+  /** `(user_id, event_id, em, ts)` projection shared by [[st25]] and its
+    * streaming replay. */
+  private[graft] def eventFrame(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    raw.selectExpr("user_id", "event_id", s"${eventMicrosSql(raw)} AS em")
+      .withColumn("ts", expr("timestamp_micros(em)"))
+  }
+
+  /** The st25 dedup over any `(user_id, event_id, em, ts)` frame —
+    * batch and MemoryStream replays run THIS code (unsorted: a
+    * streaming plan cannot sort; the batch wrapper orders for the
+    * oracle). */
+  private[graft] def sessionDedupCore(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), s"$DedupGapSec seconds"),
+        col("user_id"))
+      .agg(min(struct(col("em"), col("event_id"))).as("first"))
+      .select(col("user_id"),
+        col("first.event_id").cast("long").as("event_id"),
+        col("first.em").cast("long").as("em"))
+
+  private[graft] def sessionDedup(ev: DataFrame): DataFrame =
+    sessionDedupCore(ev).orderBy("user_id", "em", "event_id")
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24)
+    st22, st23, st24, st25)
 }

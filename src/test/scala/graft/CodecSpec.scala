@@ -509,4 +509,52 @@ class CodecSpec extends SparkSpec {
     val total = rows.values.map(_._3).sum
     assert(total <= 1000000L && total >= 1000000L - 64)
   }
+
+  test("mm20: quant+zigzag RLE equals a per-block driver recompute; RLE laws") {
+    val got = multimodal.Multimodal.mm20.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val quant = Array(
+      Array(16L, 11, 10, 16, 24, 40, 51, 61), Array(12L, 12, 14, 19, 26, 58, 60, 55),
+      Array(14L, 13, 16, 24, 40, 57, 69, 56), Array(14L, 17, 22, 29, 51, 87, 80, 62),
+      Array(18L, 22, 37, 56, 68, 109, 103, 77), Array(24L, 35, 55, 64, 81, 104, 113, 92),
+      Array(49L, 64, 78, 87, 103, 121, 120, 101), Array(72L, 92, 95, 98, 112, 100, 103, 99))
+    val zig = Array(
+      Array(0, 1, 5, 6, 14, 15, 27, 28), Array(2, 4, 7, 13, 16, 26, 29, 42),
+      Array(3, 8, 12, 17, 25, 30, 41, 43), Array(9, 11, 18, 24, 31, 40, 44, 53),
+      Array(10, 19, 23, 32, 39, 45, 52, 54), Array(20, 22, 33, 38, 46, 51, 55, 60),
+      Array(21, 34, 37, 47, 50, 56, 59, 61), Array(35, 36, 48, 49, 57, 58, 62, 63))
+    val ids = model.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 4 = 1"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == ids.flatMap(id => Seq((id, 0L), (id, 1L))).toSet)
+    for (id <- ids; blk <- 0 to 1) {
+      val nzZz = multimodal.Multimodal
+        .dctBlocks(multimodal.Multimodal.syntheticPpm(id))
+        .filter(_._1 == blk)
+        .map { case (_, u, v, f) =>
+          val d = quant(u)(v) * 16777216L
+          val q = if (f >= 0) f / d else -((-f) / d)
+          (zig(u)(v), q)
+        }
+        .filter(_._2 != 0L).map(_._1).sorted
+      val exp =
+        if (nzZz.isEmpty) (0L, -1L, 64L)
+        else {
+          val gaps = (-1 +: nzZz).sliding(2).map { case Seq(a, b) => b - a - 1 }
+          (nzZz.length.toLong, nzZz.last.toLong,
+            math.max(gaps.max, 63 - nzZz.last).toLong)
+        }
+      assert(got((id, blk.toLong)) == exp, s"block ($id, $blk)")
+    }
+    // RLE laws: zero mass bounds the longest run; empty-block coherence
+    got.values.foreach { case (nnz, eob, run) =>
+      assert(nnz >= 0 && nnz <= 64 && eob >= -1 && eob <= 63)
+      assert(run <= 64 - nnz, s"run $run exceeds zero mass ${64 - nnz}")
+      assert((nnz == 0) == (eob == -1))
+    }
+    // DC survives quantisation on every block of this corpus (mm19's
+    // DC-dominance note made quantitative)
+    assert(got.values.forall(_._1 >= 1), "a block lost its DC coefficient")
+  }
 }
