@@ -1792,177 +1792,7 @@ object MLClassify {
           .stripMargin.replace("\n", " "))
   }
 
-  // ---------------------------------------------------------------- ml18
-  /** Score buckets for [[ml18]]'s two-phase global rank (quality ∈
-    * [0, 1] → 17 buckets incl. the exact-1.0 edge). */
-  private val AucBuckets = 16
-
-  /** Exact ROC AUC via the tie-corrected Mann–Whitney U — the
-    * threshold-free ranking metric the eval tier (ml05 confusion, ml13
-    * PR points, ml17 McNemar) still lacked. Scorer = t02's quality,
-    * truth = t15's Gopher verdict: "does the cheap quality score rank
-    * keep-docs above drop-docs?" — a real curation calibration
-    * question, and both inputs are already-oracled operators (zero
-    * drift). AUC = U / (n⁺·n⁻) with U = Σ_v n⁺(v)·n⁻(<v) + ½·n⁺(v)·n⁻(v)
-    * over distinct scores v; everything is computed as 2U in exact
-    * integers (the midrank ½ never materialises as a float).
-    *
-    * The scale content is the GLOBAL RANK: a corpus-wide
-    * `ORDER BY score` window is the n02 ban, so negatives-below is
-    * two-phase exactly like st23's prefix max — per-score pairs group
-    * map-side; score buckets (⌊q·16⌋) summarise; the exclusive bucket
-    * prefix runs over a 17-row summary (the tiny-summary exception);
-    * the within-bucket prefix is a bucket-KEYED window. The oracle
-    * replays the same counts with a plain global window — the oracle
-    * may single-thread, the engine may not. */
-  val ml18 = Q("ml18_exact_auc", {
-    val t02Sql = graft.ops.TextAnalysis.t02.oracle.get
-    val t15Sql = graft.ops.TextAnalysis.t15.oracle.get
-    s"""WITH t02r AS ($t02Sql),
-       |t15r AS ($t15Sql),
-       |lab AS (
-       |  SELECT q.quality, CASE WHEN k.keep THEN 1 ELSE 0 END AS y
-       |  FROM t02r q JOIN t15r k ON k.doc_id = q.doc_id),
-       |per AS (
-       |  SELECT quality, sum(y) AS np, sum(1 - y) AS nn
-       |  FROM lab GROUP BY quality),
-       |ord AS (
-       |  SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY quality
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
-       |  FROM per),
-       |agg AS (
-       |  SELECT sum(np) AS npos, sum(nn) AS nneg,
-       |    sum(2 * np * nb + np * nn) AS u2
-       |  FROM ord)
-       |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
-       |  CAST(u2 AS BIGINT) AS u2,
-       |  CAST(CASE WHEN npos * nneg = 0 THEN 0
-       |            ELSE u2 * 1000000 // (2 * npos * nneg) END AS BIGINT)
-       |    AS auc_ppm
-       |FROM agg""".stripMargin
-  }) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val q = TextAnalysis.t02.run(s, d).select(col("doc_id"), col("quality"))
-    val k = TextAnalysis.t15.run(s, d).select(col("doc_id"), col("keep"))
-    val per = q.join(k, "doc_id")
-      .select(col("quality"), when(col("keep"), 1L).otherwise(0L).as("y"))
-      .groupBy("quality")
-      .agg(sum("y").as("np"), sum(expr("1 - y")).as("nn"))
-      .withColumn("bkt", expr(s"CAST(floor(quality * $AucBuckets) AS INT)"))
-      .localCheckpoint() // read by the bucket summary AND the detail pass
-    val bkts = per.groupBy("bkt").agg(sum("nn").as("bn"))
-      .withColumn("prev", coalesce(sum("bn").over(
-        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("bkt", "prev")
-    val wIn = Window.partitionBy("bkt").orderBy("quality")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    per.join(broadcast(bkts), "bkt")
-      .withColumn("nb", col("prev") + coalesce(sum("nn").over(wIn), lit(0L)))
-      .agg(sum("np").cast("long").as("n_pos"),
-        sum("nn").cast("long").as("n_neg"),
-        sum(expr("2 * np * nb + np * nn")).cast("long").as("u2"))
-      .selectExpr("n_pos", "n_neg", "u2",
-        """CAST(CASE WHEN n_pos * n_neg = 0 THEN 0
-          | ELSE u2 * 1000000 DIV (2 * n_pos * n_neg) END AS BIGINT)
-          | AS auc_ppm""".stripMargin.replace("\n", " "))
-  }
-
-  // ---------------------------------------------------------------- ml19
-  /** Calibration / reliability report — ml18's AUC says the quality
-    * score RANKS correctly; this says whether its VALUE means anything
-    * as a probability (the reliability diagram + Brier score every
-    * model card publishes): scores land in 10 bins (⌊q·10⌋, the 1.0
-    * edge folded into bin 9), each bin reports size, mean score,
-    * empirical positive rate, and |gap|; the summary row (bin = -1)
-    * reports the corpus totals with gap_ppm = ECE (the bin-size-
-    * weighted mean gap — the same semantics, aggregated) and the Brier
-    * score. All integer: scores quantise once via ⌊q·10⁶⌋ (floor of a
-    * double — no rounding-mode hazard), the Brier numerator
-    * Σ(q_ppm − y·10⁶)² accumulates in DECIMAL(38,0) (the q62 headroom
-    * convention — 10¹² per doc would wrap a long at 10⁷ rows), and
-    * every published ratio is one integer division. One corpus pass →
-    * 10-row bin table → summary derived FROM the bins (Brier and ECE
-    * are bin-sums, so the corpus is never rescanned). */
-  val ml19 = Q("ml19_calibration_report", {
-    val t02Sql = graft.ops.TextAnalysis.t02.oracle.get
-    val t15Sql = graft.ops.TextAnalysis.t15.oracle.get
-    s"""WITH t02r AS ($t02Sql),
-       |t15r AS ($t15Sql),
-       |lab AS (
-       |  SELECT least(CAST(floor(q.quality * 10) AS BIGINT), 9) AS bin,
-       |    CAST(floor(q.quality * 1000000) AS BIGINT) AS qp,
-       |    CASE WHEN k.keep THEN 1 ELSE 0 END AS y
-       |  FROM t02r q JOIN t15r k ON k.doc_id = q.doc_id),
-       |bins AS (
-       |  SELECT bin, count(*) AS n, sum(qp) // count(*) AS mean_score_ppm,
-       |    sum(y) * 1000000 // count(*) AS pos_rate_ppm,
-       |    sum(CAST((qp - y * 1000000) AS HUGEINT)
-       |        * (qp - y * 1000000)) AS bnum
-       |  FROM lab GROUP BY bin),
-       |b2 AS (
-       |  SELECT bin, n, mean_score_ppm, pos_rate_ppm,
-       |    abs(mean_score_ppm - pos_rate_ppm) AS gap_ppm,
-       |    CAST(bnum // (n * 1000000) AS BIGINT) AS brier_ppm, bnum
-       |  FROM bins),
-       |tot AS (
-       |  SELECT CAST(-1 AS BIGINT) AS bin, sum(n) AS n,
-       |    CAST(sum(n * mean_score_ppm) // sum(n) AS BIGINT)
-       |      AS mean_score_ppm,
-       |    CAST(sum(n * pos_rate_ppm) // sum(n) AS BIGINT) AS pos_rate_ppm,
-       |    CAST(sum(n * gap_ppm) // sum(n) AS BIGINT) AS gap_ppm,
-       |    CAST(sum(bnum) // (sum(n) * 1000000) AS BIGINT) AS brier_ppm
-       |  FROM b2)
-       |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
-       |  CAST(mean_score_ppm AS BIGINT) AS mean_score_ppm,
-       |  CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm,
-       |  CAST(gap_ppm AS BIGINT) AS gap_ppm,
-       |  CAST(brier_ppm AS BIGINT) AS brier_ppm
-       |FROM (SELECT bin, n, mean_score_ppm, pos_rate_ppm, gap_ppm,
-       |        brier_ppm FROM b2
-       |      UNION ALL
-       |      SELECT bin, n, mean_score_ppm, pos_rate_ppm, gap_ppm,
-       |        brier_ppm FROM tot)
-       |ORDER BY bin""".stripMargin
-  }) { (s, d) =>
-    val q = TextAnalysis.t02.run(s, d).select(col("doc_id"), col("quality"))
-    val k = TextAnalysis.t15.run(s, d).select(col("doc_id"), col("keep"))
-    val bins = q.join(k, "doc_id")
-      .selectExpr(
-        "least(CAST(floor(quality * 10) AS BIGINT), 9L) AS bin",
-        "CAST(floor(quality * 1000000) AS BIGINT) AS qp",
-        "CASE WHEN keep THEN 1L ELSE 0L END AS y")
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        expr("sum(qp) div count(*)").as("mean_score_ppm"),
-        expr("sum(y) * 1000000 div count(*)").as("pos_rate_ppm"),
-        sum(expr("CAST(qp - y * 1000000 AS DECIMAL(38,0)) " +
-          "* (qp - y * 1000000)")).as("bnum"))
-      .selectExpr("bin", "n", "mean_score_ppm", "pos_rate_ppm",
-        "abs(mean_score_ppm - pos_rate_ppm) AS gap_ppm",
-        "CAST(bnum div (n * 1000000) AS BIGINT) AS brier_ppm", "bnum")
-      .localCheckpoint() // 10 rows; read by the output AND the summary
-    val tot = bins.agg(sum("n").as("n"),
-        expr("CAST(sum(n * mean_score_ppm) div sum(n) AS BIGINT)")
-          .as("mean_score_ppm"),
-        expr("CAST(sum(n * pos_rate_ppm) div sum(n) AS BIGINT)")
-          .as("pos_rate_ppm"),
-        expr("CAST(sum(n * gap_ppm) div sum(n) AS BIGINT)").as("gap_ppm"),
-        expr("CAST(sum(bnum) div (sum(n) * 1000000) AS BIGINT)")
-          .as("brier_ppm"))
-      .selectExpr("CAST(-1 AS BIGINT) AS bin", "n", "mean_score_ppm",
-        "pos_rate_ppm", "gap_ppm", "brier_ppm")
-    bins.select("bin", "n", "mean_score_ppm", "pos_rate_ppm", "gap_ppm",
-        "brier_ppm")
-      .unionAll(tot)
-      .selectExpr("bin", "CAST(n AS BIGINT) AS n",
-        "CAST(mean_score_ppm AS BIGINT) AS mean_score_ppm",
-        "CAST(pos_rate_ppm AS BIGINT) AS pos_rate_ppm",
-        "CAST(gap_ppm AS BIGINT) AS gap_ppm", "brier_ppm")
-      .orderBy("bin")
-  }
-
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13, ml14, ml15, ml16, ml17, ml18, ml19)
+      ml12, ml13, ml14, ml15, ml16, ml17)
 }

@@ -631,63 +631,4 @@ class MetricsSpec extends SparkSpec {
     }
   }
 
-  /** (quality, keep) pairs shared by the ml18/ml19 recomputes. */
-  private lazy val scoredLabels: Array[(Double, Boolean)] = {
-    val q = ops.TextAnalysis.t02.run(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
-    ops.TextAnalysis.t15.run(spark, sf).collect()
-      .map(r => (q(r.getLong(0)),
-        r.getBoolean(r.fieldIndex("keep"))))
-  }
-
-  test("ml18: exact AUC equals the brute-force pairwise Mann–Whitney count") {
-    val r = ops.MLClassify.ml18.run(spark, sf).collect()(0)
-    val (nPos, nNeg, u2, auc) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    val pos = scoredLabels.filter(_._2).map(_._1)
-    val neg = scoredLabels.filterNot(_._2).map(_._1)
-    assert(nPos == pos.length && nNeg == neg.length)
-    assert(nPos > 0 && nNeg > 0, "degenerate classes — AUC is vacuous")
-    // brute force: 2U = 2·wins + ties over all (pos, neg) pairs
-    var u2Brute = 0L
-    for (p <- pos; n <- neg) {
-      if (p > n) u2Brute += 2
-      else if (p == n) u2Brute += 1
-    }
-    assert(u2 == u2Brute, s"u2 $u2 != brute $u2Brute")
-    assert(auc == u2Brute * 1000000L / (2L * nPos * nNeg))
-    assert(auc >= 0L && auc <= 1000000L)
-  }
-
-  test("ml19: calibration bins equal a driver recompute; summary is the bin fold") {
-    val rows = ops.MLClassify.ml19.run(spark, sf).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toMap
-    val byBin = scoredLabels.groupBy { case (q, _) =>
-      math.min(math.floor(q * 10).toLong, 9L) }
-    // every occupied bin is reported with exactly the integer arithmetic
-    for ((b, members) <- byBin) {
-      val n = members.length.toLong
-      val qps = members.map(m => math.floor(m._1 * 1000000).toLong)
-      val ys = members.map(m => if (m._2) 1L else 0L)
-      val mean = qps.sum / n
-      val rate = ys.sum * 1000000L / n
-      val bnum = qps.zip(ys).map { case (qp, y) =>
-        val dd = BigInt(qp - y * 1000000L); dd * dd }.sum
-      val (gn, gm, gr, gg, gb) = rows(b)
-      assert(gn == n && gm == mean && gr == rate, s"bin $b counts")
-      assert(gg == math.abs(mean - rate), s"bin $b gap")
-      assert(BigInt(gb) == bnum / (BigInt(n) * 1000000), s"bin $b brier")
-    }
-    assert(rows.keySet == byBin.keySet + (-1L), "bin coverage")
-    // summary row: ECE = bin-size-weighted gap; Brier = bin-sum
-    val (tn, _, _, tg, tb) = rows(-1L)
-    assert(tn == scoredLabels.length)
-    val binRows = rows.filter(_._1 >= 0).values
-    assert(tg == binRows.map(b => b._1 * b._4).sum / tn, "ECE fold")
-    val totNum = byBin.values.flatten.map { case (q, y) =>
-      val dd = BigInt(math.floor(q * 1000000).toLong - (if (y) 1000000L else 0L))
-      dd * dd }.sum
-    assert(BigInt(tb) == totNum / (BigInt(tn) * 1000000), "Brier fold")
-  }
 }

@@ -851,6 +851,29 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("q63: CMS grid lookups broadcast; no cartesian anywhere") {
+    val plan = executedPlan("q63_cms_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(800))
+  }
+
+  test("q64: bucket assignment rides the scan — no window, boundaries broadcast") {
+    val plan = executedPlan("q64_equidepth_histogram")
+    // equi-depth via percentile boundaries, NOT a global sort/ntile
+    assert(!plan.contains("Window"), s"window crept in:\n${plan.take(800)}")
+    // the 1-row boundary attach is the one allowed broadcast nested loop
+    assert(!plan.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop")
+      && !plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("t33: repetition masses are hash aggs — no corpus window") {
+    val plan = executedPlan("t33_gopher_repetition")
+    assert(!plan.contains("Window"), s"window crept in:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(800))
+  }
+
   test("q43 boundary: AQE skew split does NOT engage on the plain corpus join") {
     // r9 verdict #5: q43 demonstrates MANUAL salting; this pins where
     // AQE's runtime skew split actually sits on the SAME corpus join
