@@ -1192,8 +1192,11 @@ object CleanCorpus {
     * mix/pack windows are source-/shard-partitioned — nothing global,
     * nothing quadratic, no driver-side row data beyond the bloom words
     * (O(bits/64)) and the artifact-sized stage counts. */
-  val p18 = Q("p18_curation_pipeline",
-    s"""WITH ${TextAnalysis.gopherStatsCteSql("documents")},
+  /** p18's full CTE chain (gate → near-dup → decontaminate → mix →
+    * pack), ending in `pc`/`msel` — shared with [[p19]]'s release card
+    * so the card accounts the SAME corpus the pipeline emits. */
+  private def p18CtesSql: String =
+    s"""${TextAnalysis.gopherStatsCteSql("documents")},
        |gated AS (
        |  SELECT d.doc_id, d.source, d.text
        |  FROM documents d JOIN gm USING (doc_id)
@@ -1216,12 +1219,22 @@ object CleanCorpus {
        |  WHERE doc_id % 10 <> 0
        |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
        |${mixCtes("clean")},
-       |${packCtes("msel")}
-       |SELECT p.doc_id, m.source, p.shard,
-       |  CAST(p.cum // $PackBudget AS BIGINT) AS bin,
-       |  CAST(p.n_tokens AS BIGINT) AS n_tokens
-       |FROM pc p JOIN msel m ON m.doc_id = p.doc_id
-       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+       |${packCtes("msel")},
+       |curated AS (
+       |  SELECT p.doc_id, m.source, p.shard,
+       |    CAST(p.cum // $PackBudget AS BIGINT) AS bin,
+       |    CAST(p.n_tokens AS BIGINT) AS n_tokens
+       |  FROM pc p JOIN msel m ON m.doc_id = p.doc_id)""".stripMargin
+
+  val p18 = Q("p18_curation_pipeline",
+    s"""WITH $p18CtesSql
+       |SELECT doc_id, source, shard, bin, n_tokens
+       |FROM curated ORDER BY doc_id""".stripMargin) { (s, d) =>
+    curatedCorpus(s, d).orderBy("doc_id")
+  }
+
+  /** p18's dataflow, unsorted — shared by [[p18]] and [[p19]]. */
+  private def curatedCorpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // ONE corpus scan: stats + fingerprint + token array in a single
     // projection, checkpointed — the cascade's sole parquet read
@@ -1264,9 +1277,45 @@ object CleanCorpus {
     packed.join(mixed.select("doc_id", "source"), "doc_id")
       .select(col("doc_id"), col("source"), col("shard"), col("bin"),
         col("n_tokens"))
-      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- p19
+  /** Release card for the [[p18]] corpus — the per-source manifest a
+    * curated dataset ships with (the p11 report-card discipline applied
+    * to the PIPELINE OUTPUT, not the raw corpus): per source, curated
+    * docs, tokens, packed-bin spread, and exact token-share ppm of the
+    * release. The oracle splices p18's ENTIRE CTE chain and aggregates
+    * its `curated` CTE, so the card can never describe a different
+    * corpus than the pipeline emits (the zero-drift composition rule);
+    * the Spark side folds the same [[curatedCorpus]] frame. Cost past
+    * p18 itself: one sources-sized agg + a 1-row broadcast total. */
+  val p19 = Q("p19_corpus_card",
+    s"""WITH $p18CtesSql,
+       |card AS (
+       |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       |    count(DISTINCT (shard, bin)) AS n_bins
+       |  FROM curated GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS t FROM card)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_bins AS BIGINT) AS n_bins,
+       |  CAST(n_tokens * 1000000 // t AS BIGINT) AS token_share_ppm
+       |FROM card CROSS JOIN tot
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val card = curatedCorpus(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        countDistinct(col("shard"), col("bin")).as("n_bins"))
+      .localCheckpoint() // sources-sized; read by the total AND the card
+    val tot = card.agg(sum("n_tokens").as("t"))
+    card.crossJoin(broadcast(tot))
+      .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(n_bins AS BIGINT) AS n_bins",
+        "CAST(n_tokens * 1000000 DIV t AS BIGINT) AS token_share_ppm")
+      .orderBy("source")
   }
 
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13, p14, p15, p16, p17, p18)
+    p12, p13, p14, p15, p16, p17, p18, p19)
 }

@@ -3588,29 +3588,37 @@ object Relational {
     * 8-row report. Per bucket: bounds, row count, exact NDV, mass.
     * Depths are equal up to duplicate-value mass at the boundaries
     * (`SketchSpec` pins the balance law and a driver recompute). */
-  val q64 = Q("q64_equidepth_histogram", {
+  /** q64's CTE chain ending in `hist (bucket, lo_cents, hi_cents,
+    * n_rows, ndv, mass_cents)` — shared with [[q65]], which CONSUMES
+    * the histogram, so estimator and statistic can never drift. */
+  private def eqdHistSql: String = {
     val ps = (1 until EqdB).map(i => s"${i.toDouble / EqdB}").mkString(", ")
-    s"""WITH c AS (
+    s"""c AS (
        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
        |    AS cents FROM orders),
        |bnd AS (SELECT quantile_cont(cents, [$ps]) AS b FROM c),
        |assigned AS (
        |  SELECT cents, 1 + len(list_filter(b, x -> cents >= x)) AS bucket
-       |  FROM c CROSS JOIN bnd)
-       |SELECT CAST(bucket AS BIGINT) AS bucket,
-       |  CAST(min(cents) AS BIGINT) AS lo_cents,
-       |  CAST(max(cents) AS BIGINT) AS hi_cents,
-       |  CAST(count(*) AS BIGINT) AS n_rows,
-       |  CAST(count(DISTINCT cents) AS BIGINT) AS ndv,
-       |  CAST(sum(cents) AS BIGINT) AS mass_cents
-       |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
-  }) { (s, d) =>
+       |  FROM c CROSS JOIN bnd),
+       |hist AS (
+       |  SELECT CAST(bucket AS BIGINT) AS bucket,
+       |    CAST(min(cents) AS BIGINT) AS lo_cents,
+       |    CAST(max(cents) AS BIGINT) AS hi_cents,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(count(DISTINCT cents) AS BIGINT) AS ndv,
+       |    CAST(sum(cents) AS BIGINT) AS mass_cents
+       |  FROM assigned GROUP BY bucket)""".stripMargin
+  }
+
+  /** Spark twin of [[eqdHistSql]]: the checkpointed cents projection and
+    * the 8-row histogram built from it. */
+  private def eqdHist(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ps = (1 until EqdB).map(i => s"${i.toDouble / EqdB}D").mkString(", ")
     val c = Tables.orders(s, d).selectExpr(
       "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
       .localCheckpoint() // read by the boundary pass AND the assignment
     val bnd = c.agg(expr(s"percentile(cents, array($ps))").as("b"))
-    c.crossJoin(broadcast(bnd))
+    val hist = c.crossJoin(broadcast(bnd))
       .selectExpr("cents",
         "1 + size(filter(b, x -> cents >= x)) AS bucket")
       .groupBy("bucket")
@@ -3620,7 +3628,90 @@ object Relational {
         sum("cents").as("mass_cents"))
       .selectExpr("CAST(bucket AS BIGINT) AS bucket", "lo_cents", "hi_cents",
         "n_rows", "ndv", "mass_cents")
-      .orderBy("bucket")
+    (c, hist)
+  }
+
+  val q64 = Q("q64_equidepth_histogram",
+    s"""WITH $eqdHistSql
+       |SELECT * FROM hist ORDER BY bucket""".stripMargin) { (s, d) =>
+    eqdHist(s, d)._2.orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Range-predicate thresholds (cents) swept by [[q65]] — fixed
+    * literals spanning the o_totalprice domain. */
+  private val SelThresholds: Seq[Long] =
+    Seq(1000000L, 5000000L, 10000000L, 20000000L, 30000000L, 40000000L)
+
+  /** Histogram-driven selectivity estimation WITH measured error — the
+    * loop a cost-based optimizer closes over q64's statistic: for each
+    * range predicate `cents >= T`, the estimate a planner derives from
+    * the 8-bucket equi-depth histogram (full buckets above T count
+    * whole; the straddling bucket contributes
+    * `n·(hi − T + 1) div (hi − lo + 1)` — the textbook value-uniformity
+    * interpolation, exact integer arithmetic), next to the exact row
+    * count and the absolute error in ppm of the table. This is the
+    * statistic-CONSUMER q64 was built for, and the error column is the
+    * number that justifies (or indicts) the uniformity assumption on a
+    * real column — on TPC-H's near-uniform totalprice the measured
+    * errors sit at a few thousand ppm (`SketchSpec` pins the ceiling
+    * and the estimator's laws). Cost: the histogram build (two passes,
+    * q64) + ONE conditional-sum pass for all exact counts (the q60
+    * chunked-agg trick: 6 sums, one stack unpivot) + a 6×8 literal
+    * fold — nothing per-predicate ever rescans. */
+  val q65 = Q("q65_selectivity_estimate", {
+    val contrib = (t: String) =>
+      s"""CASE WHEN lo_cents >= $t THEN n_rows
+         |     WHEN hi_cents < $t THEN 0
+         |     ELSE n_rows * (hi_cents - $t + 1) // (hi_cents - lo_cents + 1)
+         |END""".stripMargin.replace("\n", " ")
+    s"""WITH $eqdHistSql,
+       |preds(t) AS (SELECT * FROM (VALUES ${SelThresholds.map(t => s"($t)").mkString(", ")})),
+       |est AS (
+       |  SELECT p.t, sum(${contrib("p.t")}) AS est_rows
+       |  FROM hist CROSS JOIN preds p GROUP BY p.t),
+       |exact AS (
+       |  SELECT ${SelThresholds.zipWithIndex.map { case (t, i) =>
+            s"sum(CASE WHEN cents >= $t THEN 1 ELSE 0 END) AS x$i" }
+            .mkString(", ")}, count(*) AS total
+       |  FROM c),
+       |exl AS (
+       |  ${SelThresholds.zipWithIndex.map { case (t, i) =>
+            s"SELECT CAST($t AS BIGINT) AS t, x$i AS exact_rows, total FROM exact" }
+            .mkString("\n  UNION ALL ")})
+       |SELECT e.t AS threshold_cents,
+       |  CAST(e.est_rows AS BIGINT) AS est_rows,
+       |  CAST(x.exact_rows AS BIGINT) AS exact_rows,
+       |  CAST(abs(e.est_rows - x.exact_rows) * 1000000 // x.total AS BIGINT)
+       |    AS err_ppm
+       |FROM est e JOIN exl x ON x.t = e.t
+       |ORDER BY e.t""".stripMargin
+  }) { (s, d) =>
+    import s.implicits._
+    val (c, hist0) = eqdHist(s, d)
+    val hist = hist0.localCheckpoint() // 8 rows; folded once per threshold
+    val preds = SelThresholds.toDF("t")
+    val est = hist.crossJoin(broadcast(preds))
+      .selectExpr("t",
+        """CASE WHEN lo_cents >= t THEN n_rows
+          |     WHEN hi_cents < t THEN 0
+          |     ELSE n_rows * (hi_cents - t + 1) DIV (hi_cents - lo_cents + 1)
+          |END AS contrib""".stripMargin.replace("\n", " "))
+      .groupBy("t").agg(sum("contrib").as("est_rows"))
+    val exactAggs = SelThresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("cents") >= t, 1L).otherwise(0L)).as(s"x$i")
+    } :+ count(lit(1)).as("total")
+    val exact = c.agg(exactAggs.head, exactAggs.tail: _*)
+      .selectExpr("total",
+        s"stack(${SelThresholds.size}, ${SelThresholds.zipWithIndex
+          .map { case (t, i) => s"${t}L, x$i" }.mkString(", ")})" +
+          " AS (t, exact_rows)")
+    est.join(broadcast(exact), "t")
+      .selectExpr("t AS threshold_cents",
+        "CAST(est_rows AS BIGINT) AS est_rows",
+        "CAST(exact_rows AS BIGINT) AS exact_rows",
+        "CAST(abs(est_rows - exact_rows) * 1000000 DIV total AS BIGINT) AS err_ppm")
+      .orderBy("threshold_cents")
   }
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -3628,5 +3719,5 @@ object Relational {
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32, q33,
     q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47, q48,
     q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62,
-    q63, q64)
+    q63, q64, q65)
 }

@@ -786,4 +786,26 @@ class CorpusOpsSpec extends SparkSpec {
       "corpus now has within-doc 5/6-gram repetition — update the t33 " +
         "scaladoc's triviality note")
   }
+
+  test("p19: the release card folds exactly from p18's curated corpus") {
+    val corpus = ops.CleanCorpus.p18.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val card = ops.CleanCorpus.p19.run(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val bySource = corpus.groupBy(_._2)
+    assert(card.keySet == bySource.keySet, "card sources != corpus sources")
+    val total = corpus.map(_._5).sum
+    for ((src, docs) <- bySource) {
+      val (n, tok, bins, share) = card(src)
+      assert(n == docs.length, s"$src docs")
+      assert(tok == docs.map(_._5).sum, s"$src tokens")
+      assert(bins == docs.map(d => (d._3, d._4)).distinct.length, s"$src bins")
+      assert(share == docs.map(_._5).sum * 1000000L / total, s"$src share")
+    }
+    // shares partition (almost) the whole ppm scale
+    val shares = card.values.map(_._4).sum
+    assert(shares <= 1000000L && shares >= 1000000L - card.size)
+  }
 }

@@ -272,4 +272,37 @@ class SketchSpec extends SparkSpec {
     assert(depths.max - depths.min <= 2 * maxMult + 1,
       s"depths $depths vs max duplicate multiplicity $maxMult")
   }
+
+  test("q65: estimates fold from q64's histogram; error bounded by one bucket") {
+    val hist = ops.Relational.q64.run(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = ops.Relational.q65.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val total = hist.map(_._3).sum
+    // estimator recompute from the published histogram — the consumer
+    // and the statistic must be the same arithmetic
+    for ((t, est, exact, err) <- rows) {
+      val expEst = hist.map { case (lo, hi, n) =>
+        if (lo >= t) n else if (hi < t) 0L
+        else n * (hi - t + 1) / (hi - lo + 1)
+      }.sum
+      assert(est == expEst, s"t=$t est $est != fold $expEst")
+      assert(err == math.abs(est - exact) * 1000000L / total, s"t=$t err")
+    }
+    // exact counts are monotone non-increasing in the threshold
+    val exacts = rows.map(_._3).toSeq
+    assert(exacts == exacts.sorted.reverse, s"not monotone: $exacts")
+    // equi-depth structural bound: a >= predicate misestimates only
+    // inside the one straddling bucket, so the error can never exceed
+    // one bucket's depth (~1/8 of the table)
+    val maxDepth = hist.map(_._3).max
+    rows.foreach { case (t, est, exact, _) =>
+      assert(math.abs(est - exact) <= maxDepth,
+        s"t=$t error ${math.abs(est - exact)} exceeds a bucket $maxDepth")
+    }
+    // the uniformity assumption is being tested, not assumed: at least
+    // one threshold has nonzero error on this corpus
+    assert(rows.exists(_._4 > 0), "all estimates exact — error law vacuous")
+  }
 }
