@@ -1487,10 +1487,17 @@ object Graph {
     * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — NO square roots, so the
     * whole statistic is exact integer arithmetic up to ONE final
     * symmetric-truncation division to micros (q60's signed-div
-    * convention). Dataflow: the memoised projection artifact (g05's
-    * amortisation — no lineitem scan), one degree agg, two broadcast
-    * degree attaches, one 6-scalar fold. The report also carries the
-    * raw integer sums so a consumer can re-derive r at any precision.
+    * convention). Exactness at scale (r10 ADVICE): the sums and the
+    * M·Σ−(Σ)² products accumulate in DECIMAL(38,0) — the same headroom
+    * as DuckDB's HUGEINT sum path — never in Long, which would wrap
+    * silently at M ≳ 10¹⁰ pairs; a q62-style in-op guard then proves
+    * num/den are non-null (the Spark decimal-overflow signature) and
+    * still fit the report's BIGINT columns, failing loudly one growth
+    * step before either engine could misreport. Dataflow: the memoised
+    * projection artifact (g05's amortisation — no lineitem scan), one
+    * degree agg, two broadcast degree attaches, one 6-scalar fold.
+    * The report also carries the raw integer sums so a consumer can
+    * re-derive r at any precision.
     * Zero-guard: a REGULAR graph has den = 0 (assortativity undefined);
     * the op emits 0 with the den column making the case visible (the
     * p15 convention). */
@@ -1529,16 +1536,39 @@ object Graph {
     val pairs = withD.select(col("d1").as("x"), col("d2").as("y"))
       .unionAll(withD.select(col("d2").as("x"), col("d1").as("y")))
     val nNodes = deg.count()
-    pairs.agg(count(lit(1)).as("m"), sum(expr("x * y")).as("sxy"),
-        sum("x").as("sx"), sum(expr("x * x")).as("sx2"))
+    // DECIMAL(38,0) accumulation end-to-end (the DuckDB-HUGEINT-parity
+    // path): Long would wrap silently in m*sxy / m*sx2 / sx*sx at scale
+    val agg = pairs.agg(count(lit(1)).as("m"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
+      .selectExpr("m",
+        "CAST(m AS DECIMAL(38,0)) * sxy - sx * sx AS num",
+        "CAST(m AS DECIMAL(38,0)) * sx2 - sx * sx AS den")
+      .localCheckpoint() // 1 row; read by the guard AND the finishing
+    // q62 discipline: a null here is the Spark decimal-overflow
+    // signature; a 64-bit misfit means the BIGINT report columns (and
+    // DuckDB's CAST(HUGEINT AS BIGINT)) would be the next thing to
+    // break — fail loudly first
+    agg.collect().foreach { r =>
+      require(!r.isNullAt(r.fieldIndex("num")) &&
+          !r.isNullAt(r.fieldIndex("den")),
+        "g16: num/den overflowed DECIMAL(38,0) to null — the graph " +
+          "outgrew the 38-digit assortativity headroom")
+      val num = BigInt(r.getDecimal(r.fieldIndex("num")).toBigInteger)
+      val den = BigInt(r.getDecimal(r.fieldIndex("den")).toBigInteger)
+      require(num.abs <= Long.MaxValue && den.abs <= Long.MaxValue,
+        s"g16: num=$num den=$den no longer fit the report's BIGINT " +
+          "columns — widen the report schema before trusting r")
+    }
+    agg
       .selectExpr("CAST(m div 2 AS BIGINT) AS n_edges",
         s"CAST($nNodes AS BIGINT) AS n_nodes",
-        "CAST(m * sxy - sx * sx AS BIGINT) AS num",
-        "CAST(m * sx2 - sx * sx AS BIGINT) AS den",
-        """CAST(CASE WHEN m * sx2 - sx * sx = 0 THEN 0
-          | WHEN m * sxy - sx * sx >= 0
-          |   THEN (m * sxy - sx * sx) * 1000000 DIV (m * sx2 - sx * sx)
-          | ELSE -((sx * sx - m * sxy) * 1000000 DIV (m * sx2 - sx * sx))
+        "CAST(num AS BIGINT) AS num",
+        "CAST(den AS BIGINT) AS den",
+        """CAST(CASE WHEN den = 0 THEN 0
+          | WHEN num >= 0 THEN (num * 1000000) DIV den
+          | ELSE -((-num * 1000000) DIV den)
           | END AS BIGINT) AS assortativity_micro"""
           .stripMargin.replace("\n", " "))
   }

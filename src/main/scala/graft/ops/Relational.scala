@@ -3084,7 +3084,7 @@ object Relational {
     * aggregation + key-space-sized join — the d20/q57/q59 discipline:
     * at 100 TB the exact column is the one you drop — and dropping it
     * is a CONF, not a rewrite: `spark.graft.ams.audit=false` emits the
-    * sketch-only production form; `Q60AuditSpec` pins that both forms
+    * sketch-only production form; `AmsSpec` pins that both forms
     * agree on the estimates).
     *
     * Three frequency regimes: lineitem⋈orders (FK: one side
@@ -3501,9 +3501,12 @@ object Relational {
     * exact is a structural law, not a probabilistic one —
     * `SketchSpec` pins it along with the ε·N error ceiling. The exact
     * audit column follows the q60 convention: `spark.graft.cms.audit
-    * =false` drops the per-key exact count aggregation — the 100 TB
-    * production form — while the estimate pipeline is unchanged
-    * (selection orders by est alone, so both forms agree on rows). */
+    * =false` drops the per-key exact count aggregation AND the src
+    * checkpoint (whose only reuse was that second consumer) — the
+    * 100 TB production form is a single unmaterialized pass — while
+    * the estimate pipeline is unchanged (selection orders by est
+    * alone, so both forms agree on rows; AmsSpec-style parity pinned
+    * in SketchSpec). */
   val q63 = Q("q63_cms_heavy_hitters", {
     s"""WITH src AS (
        |  SELECT l_partkey AS k, ${(0 until CmsRows).map(r =>
@@ -3533,10 +3536,14 @@ object Relational {
        |LIMIT 20""".stripMargin
   }) { (s, d) =>
     val audit = s.conf.get("spark.graft.cms.audit", "true").toBoolean
-    val src = Tables.lineitem(s, d).selectExpr(
+    val src0 = Tables.lineitem(s, d).selectExpr(
       Seq("l_partkey AS k") ++ (0 until CmsRows).map(r =>
         s"${cmsBucketSpark(r, "l_partkey")} AS b$r"): _*)
-      .localCheckpoint() // read by the counter build AND the exact audit
+    // checkpoint ONLY when the exact audit gives the projection a
+    // second consumer (r10 ADVICE): the sketch-only production form has
+    // one pass over src and must not materialize a fact-table-sized
+    // intermediate to executor storage for no reuse benefit
+    val src = if (audit) src0.localCheckpoint() else src0
     val cnt = src.selectExpr(
         s"stack($CmsRows, ${(0 until CmsRows)
           .map(r => s"$r, b$r").mkString(", ")}) AS (r, b)")

@@ -1956,7 +1956,9 @@ object TextAnalysis {
   // ---------------------------------------------------------------- t33
   /** (n, kind, num, den) per repetition gate: fraction ≤ num/den in
     * exact integers (t15's no-float-threshold rule). `top` gates bound
-    * the single most frequent n-gram's character mass (Gopher: 0.20 /
+    * the character mass of the single MOST FREQUENT n-gram — the
+    * count-argmax gram is selected first, ties broken toward the
+    * larger character mass, and only ITS mass is gated (Gopher: 0.20 /
     * 0.18 / 0.16 for n = 2/3/4); `dup` gates bound the total character
     * mass inside n-grams occurring ≥ 2× (Gopher: 0.15 / 0.14 for
     * n = 5/6). */
@@ -1966,14 +1968,23 @@ object TextAnalysis {
 
   /** Gopher REPETITION gates (Rae et al. 2021 §A1.1, the half t15's
     * quality gates leave out): per document, the character-mass share
-    * of (a) the single most frequent {2,3,4}-gram and (b) all
-    * duplicated {5,6}-grams, each against Gopher's threshold in exact
-    * integer arithmetic, plus the AND verdict. Character mass counts
-    * token characters only (gram length minus its n−1 joining spaces),
-    * against t15's space-free `n_chars` denominator, so mass and
-    * denominator measure the same characters. On this corpus the
-    * top-2-gram gate REJECTS (measured: 24 docs above 0.20 at sf0.01,
-    * max 0.36) while the dup-{5,6} gates trivially pass (synthetic
+    * of (a) the single most frequent {2,3,4}-gram — selected by count
+    * argmax, ties toward the larger character mass, so the gate
+    * measures exactly the paper's "fraction of characters contained
+    * within the most frequently-occurring n-gram" (r10 ADVICE: the
+    * earlier form gated max-over-grams of count×mass, a conservative
+    * superset) — and (b) all duplicated {5,6}-grams, each against
+    * Gopher's threshold in exact integer arithmetic, plus the AND
+    * verdict. The argmax is a lexicographic `max(struct(c, gl))`
+    * inside the SAME hash aggregate (no window, no second pass); both
+    * engines and the CorpusOpsSpec brute force share the tie rule.
+    * Character mass counts token characters only (gram length minus
+    * its n−1 joining spaces), against t15's space-free `n_chars`
+    * denominator, so mass and denominator measure the same characters.
+    * On this corpus the top-2-gram gate REJECTS (measured: 24 docs
+    * above 0.20 at sf0.01, max 0.36 — unchanged by the argmax fix: on
+    * synthetic bigram-repeating docs the most frequent bigram IS the
+    * mass-max one) while the dup-{5,6} gates trivially pass (synthetic
     * docs repeat bigrams, never 5-grams) — t15's symbol-gate precedent:
     * the operator is the deliverable, and `CorpusOpsSpec` pins both the
     * non-vacuity and the documented triviality so a corpus change
@@ -2002,15 +2013,23 @@ object TextAnalysis {
        |cnt AS (
        |  SELECT doc_id, n, s, count(*) AS c, len(s) - (n - 1) AS gl
        |  FROM grams GROUP BY doc_id, n, s),
+       |mass0 AS (
+       |  SELECT doc_id,
+       |    ${RepGates.map { case (n, kind, _, _) =>
+            if (kind == "top")
+              s"max(CASE WHEN n = $n THEN {'c': c, 'gl': gl} END) AS s_top_$n"
+            else
+              s"sum(CASE WHEN n = $n AND c >= 2 THEN c * gl ELSE 0 END) AS m_dup_$n"
+          }.mkString(",\n    ")}
+       |  FROM cnt GROUP BY doc_id),
        |mass AS (
        |  SELECT doc_id,
        |    ${RepGates.map { case (n, kind, _, _) =>
             if (kind == "top")
-              s"max(CASE WHEN n = $n THEN c * gl END) AS m_top_$n"
-            else
-              s"sum(CASE WHEN n = $n AND c >= 2 THEN c * gl ELSE 0 END) AS m_dup_$n"
+              s"s_top_$n.c * s_top_$n.gl AS m_top_$n"
+            else s"m_dup_$n"
           }.mkString(",\n    ")}
-       |  FROM cnt GROUP BY doc_id)
+       |  FROM mass0)
        |SELECT d.doc_id,
        |  ${RepGates.map { case (n, kind, _, _) =>
           s"CAST(coalesce(m_${kind}_$n, 0) * 1000000 // nc AS BIGINT) AS ${kind}${n}_ppm"
@@ -2039,12 +2058,20 @@ object TextAnalysis {
         (length(col("s")) - (col("n") - 1)).cast("long").as("gl"))
     val massAggs = RepGates.map { case (n, kind, _, _) =>
       if (kind == "top")
-        max(when(col("n") === n, col("c") * col("gl"))).as(s"m_top_$n")
+        // count-argmax gram via lexicographic struct max (ties → larger
+        // mass); its mass is derived AFTER the aggregate, same hash agg
+        max(when(col("n") === n, struct(col("c"), col("gl"))))
+          .as(s"s_top_$n")
       else
         sum(when(col("n") === n && col("c") >= 2, col("c") * col("gl"))
           .otherwise(0L)).as(s"m_dup_$n")
     }
     val mass = cnt.groupBy("doc_id").agg(massAggs.head, massAggs.tail: _*)
+      .select(col("doc_id") +: RepGates.map { case (n, kind, _, _) =>
+        if (kind == "top")
+          (col(s"s_top_$n.c") * col(s"s_top_$n.gl")).as(s"m_top_$n")
+        else col(s"m_dup_$n")
+      }: _*)
     val gateExprs = RepGates.map { case (n, kind, num, den) =>
       coalesce(lit(den) * col(s"m_${kind}_$n") <= lit(num) * col("nc"),
         lit(true))

@@ -760,8 +760,16 @@ class CorpusOpsSpec extends SparkSpec {
       val nc = text.length - (w.length - 1)
       def grams(n: Int) = w.sliding(n).filter(_.length == n)
         .map(_.mkString(" ")).toSeq
-      val top2 = if (w.length < 2) 0L else grams(2).groupBy(identity)
-        .map { case (g, os) => os.size.toLong * (g.length - 1) }.max
+      // count-argmax gram first (ties → larger char mass), THEN its
+      // mass — the paper's "most frequently-occurring n-gram" rule
+      val top2 = if (w.length < 2) 0L else {
+        // iterator, not Map.map: tuple results into a Map would collapse
+        // equal counts and lose all but one gram's length
+        val (c, gl) = grams(2).groupBy(identity).iterator
+          .map { case (g, os) => (os.size.toLong, (g.length - 1).toLong) }
+          .max
+        c * gl
+      }
       val dup5 = if (w.length < 5) 0L else grams(5).groupBy(identity)
         .collect { case (g, os) if os.size >= 2 =>
           os.size.toLong * (g.length - 4) }.sum
