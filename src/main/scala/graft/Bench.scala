@@ -61,7 +61,32 @@ import org.apache.spark.sql.SparkSession
   *    totals while per-query cost was 0.84× baseline. BENCH_r01's tail
   *    window truncated q01's entry, so the recorded 60.1 s covers these
   *    58 names (q02..mm03) and q01 is deliberately excluded here to keep
-  *    the comparison like-for-like with what the judge can recompute.
+  *    the comparison like-for-like with what the judge can recompute;
+  *  - ABSOLUTE control anchors (r10 verdict ask #1): the relative
+  *    pre/post control band cannot see a UNIFORMLY pressured run (r10:
+  *    `control_drift` read 0.98 while the whole run sat 2× above clean
+  *    numbers, because pre and post were elevated alike). The repo
+  *    carries frozen clean-run min-of-3 times for the five control
+  *    queries (`tools/bench_anchors.json`, refreshed each round); each
+  *    run emits `control_vs_anchor` = max(pre, post)/anchor per control
+  *    (max, not post alone — r10's elevated window was BEFORE the
+  *    catalog) and `anchor_drift` = the worst ratio. Anchors are
+  *    sf-tagged and skipped (-1) on any other scale factor;
+  *  - AUTOMATIC isolated re-measure (r10 verdict ask #1): after a full
+  *    catalog pass, any query whose min-of-3 exceeds 2× its previous
+  *    recorded clean value (`tools/bench_prev.json`, refreshed each
+  *    round) AND reads ≥ 1 s (sub-second doublings are scheduler noise,
+  *    not attribution work) is re-run ONCE in a FRESH forked JVM under
+  *    `SPARK_GRAFT_BENCH_ONLY` — the exact procedure the r10 judge ran
+  *    by hand for er01 (29.5 s in-catalog → 2.44 s isolated). The
+  *    child's min-of-3 times land in the emitted JSON as `isolated`
+  *    (with the child's own control band as `isolated_control_drift`),
+  *    so a swing's host-vs-plan verdict is IN the artifact: isolated
+  *    back-in-band ⇒ shared-JVM/host pressure; isolated still >2× ⇒
+  *    a real plan change. At most the 10 slowest flagged queries are
+  *    re-run (one JVM, one pass; the cap is logged when it bites);
+  *    `SPARK_GRAFT_BENCH_NO_ISOLATE=1` disables the subprocess (used
+  *    by the child itself via BENCH_ONLY, and by quick local runs).
   */
 object Bench {
 
@@ -102,6 +127,130 @@ object Bench {
   val controlSet: Seq[String] = Seq("q01_pricing_summary",
     "q13_scalar_pack", "t01_token_stats", "g01_pagerank",
     "d03_minhash_lsh")
+
+  /** Minimal extractors for the bench's OWN JSON artifacts (anchors,
+    * prev-round queries, the child run's detail line) — the files are
+    * written by this object in a known flat shape, so a real JSON
+    * parser (unavailable offline) is not needed. */
+  private[graft] def parseJsonMap(text: String, key: String): Map[String, Double] = {
+    val i = text.indexOf("\"" + key + "\":{")
+    if (i < 0) Map.empty
+    else {
+      val start = text.indexOf('{', i)
+      val end = text.indexOf('}', start)
+      if (end < 0) Map.empty
+      else {
+        val Pair = """"([^"]+)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+        Pair.findAllMatchIn(text.substring(start + 1, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  }
+  private[graft] def parseJsonNum(text: String, key: String): Option[Double] = {
+    val P = ("\"" + key + "\":(-?[0-9]+(?:\\.[0-9]+)?)").r
+    P.findFirstMatchIn(text).map(_.group(1).toDouble)
+  }
+  private[graft] def parseJsonStr(text: String, key: String): Option[String] = {
+    val P = ("\"" + key + "\":\"([^\"]+)\"").r
+    P.findFirstMatchIn(text).map(_.group(1))
+  }
+
+  /** Swing-flagging rule for the automatic isolated re-measure: the
+    * current min-of-3 exceeds `factor`× its previous recorded clean
+    * value AND reads at least `floorSec` (a 0.1 s → 0.3 s "swing" is
+    * scheduler noise — re-measuring it buys no attribution). Returns
+    * flagged names, slowest-current first. */
+  private[graft] def flagSwings(cur: Seq[(String, Double)],
+      prev: Map[String, Double], factor: Double = 2.0,
+      floorSec: Double = 1.0): Seq[String] =
+    cur.filter { case (k, v) =>
+      v >= floorSec && prev.get(k).exists(p => p > 0 && v > factor * p)
+    }.sortBy(-_._2).map(_._1)
+
+  /** Reads an sf-tagged artifact (`tools/bench_anchors.json` /
+    * `tools/bench_prev.json`): returns its `key` map iff the file
+    * exists and its "sf" tag matches the running scale factor's
+    * directory basename — anchors measured at sf0.1 say nothing about
+    * a run at sf1.0. */
+  private def loadSfTagged(path: String, sfName: String,
+      key: String): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (!parseJsonStr(text, "sf").contains(sfName)) {
+          System.err.println(
+            s"[bench] $path is for sf '${parseJsonStr(text, "sf")
+              .getOrElse("?")}', run is '$sfName' — skipping")
+          Map.empty
+        } else parseJsonMap(text, key)
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not read $path: ${e.getMessage}")
+      Map.empty
+    }
+
+  /** ONE fresh-JVM `SPARK_GRAFT_BENCH_ONLY` re-run of `names` — the
+    * judge's manual isolation procedure, automated. The child inherits
+    * this JVM's binary, JVM args (add-opens, -Xmx, -D props) and
+    * classpath, so conditions match a by-hand `sbt runMain` rerun; its
+    * per-query mins and control drift are read back from its
+    * `SPARK_GRAFT_BENCH_OUT` detail file. Returns (per-query seconds,
+    * child control_drift), empty on any subprocess failure — isolation
+    * is attribution evidence, never a reason to fail the bench run. */
+  private def runIsolated(names: Seq[String], sfDir: String,
+      cpus: String): (Map[String, Double], Double) = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val mx = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+      // -cp may or may not surface in InputArguments depending on JVM;
+      // strip any form of it and pass our own
+      val jvmArgs = mx.foldLeft((Seq.empty[String], false)) {
+        case ((acc, true), _) => (acc, false)
+        case ((acc, false), a) if a == "-cp" || a == "-classpath" =>
+          (acc, true)
+        case ((acc, false), a) => (acc :+ a, false)
+      }._1
+      val out = java.io.File.createTempFile("bench_isolated", ".json")
+      val log = new java.io.File("target/bench_isolated.log")
+      Option(log.getParentFile).foreach(_.mkdirs())
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
+      // child must never fork a grandchild (BENCH_ONLY already gates
+      // isolation off, this is belt-and-braces)
+      pb.environment().put("SPARK_GRAFT_BENCH_NO_ISOLATE", "1")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      System.err.println(s"[bench] isolated re-measure of " +
+        s"${names.size} swing(s) in a fresh JVM: ${names.mkString(", ")}")
+      val proc = pb.start()
+      val done = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) {
+        proc.destroyForcibly()
+        System.err.println("[bench] isolated rerun timed out after 20 min")
+        (Map.empty, -1.0)
+      } else {
+        val text = new String(java.nio.file.Files.readAllBytes(out.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        out.delete(): Unit
+        (parseJsonMap(text, "queries"),
+          parseJsonNum(text, "control_drift").getOrElse(-1.0))
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] isolated rerun failed: ${e.getMessage}")
+      (Map.empty, -1.0)
+    }
+  }
 
   /** Times `body` over `reps` repetitions. Returns the sorted timings iff
     * EVERY rep succeeded, else Seq.empty (= the query is failed): a
@@ -189,8 +338,45 @@ object Bench {
     def ctlJson(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+    // absolute anchors: worst of pre/post per control against the
+    // frozen clean-run time — catches the uniformly-pressured run the
+    // relative band is blind to (r10: drift 0.98 on a 2×-elevated host)
+    val sfName = new java.io.File(sfDir).getName
+    val anchors = loadSfTagged(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHORS",
+        "tools/bench_anchors.json"), sfName, "anchors")
+    val preMap = ctlPre.toMap
+    val postMap = ctlPost.toMap
+    val anchorRatio = controlSet.map { n =>
+      val worst = math.max(preMap.getOrElse(n, -1.0),
+        postMap.getOrElse(n, -1.0))
+      n -> (anchors.get(n) match {
+        case Some(a) if a > 0 && worst > 0 => worst / a
+        case _ => -1.0
+      })
+    }
+    val anchorDrift = anchorRatio.map(_._2).filter(_ > 0)
+      .foldLeft(-1.0)(math.max)
     val controlJson =
-      s""""control_pre":${ctlJson(ctlPre)},"control_post":${ctlJson(ctlPost)},"control_ratio":${ctlJson(ctlRatio)},"control_drift":${fmt(ctlDrift)}"""
+      s""""control_pre":${ctlJson(ctlPre)},"control_post":${ctlJson(ctlPost)},"control_ratio":${ctlJson(ctlRatio)},"control_drift":${fmt(ctlDrift)},"control_vs_anchor":${ctlJson(anchorRatio)},"anchor_drift":${fmt(anchorDrift)}"""
+    // automatic isolated re-measure of >2× swings vs the previous
+    // recorded clean run — the r10 judge's by-hand er01 procedure,
+    // in-artifact (see scaladoc)
+    val noIso = sys.env.get("SPARK_GRAFT_BENCH_NO_ISOLATE").contains("1")
+    val prev = loadSfTagged(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "tools/bench_prev.json"),
+      sfName, "queries")
+    val flaggedAll =
+      if (only.nonEmpty || noIso) Seq.empty else flagSwings(results, prev)
+    val (toIso, droppedIso) = flaggedAll.splitAt(10)
+    if (droppedIso.nonEmpty)
+      System.err.println(s"[bench] isolation cap (10): ${droppedIso.size} " +
+        s"further swing(s) NOT re-run: ${droppedIso.mkString(", ")}")
+    val (isoTimes, isoDrift) =
+      if (toIso.isEmpty) (Map.empty[String, Double], -1.0)
+      else runIsolated(toIso, sfDir, cpus)
+    val isolatedJson =
+      s""""isolated":${ctlJson(toIso.map(n => n -> isoTimes.getOrElse(n, -1.0)))},"isolated_control_drift":${fmt(isoDrift)}"""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val meds = reps.map { case (k, rs) =>
@@ -200,7 +386,7 @@ object Bench {
     val total = ok.map(_._2).sum
     // Full per-query detail first (may exceed harness tail windows)...
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,$controlJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,$controlJson,$isolatedJson,"sf":"$sfDir"}"""
     println(detail)
     // ...and the SAME complete line to a file (r06 verdict: the stdout
     // tail truncates the detail line, so per-query history for most of
@@ -230,8 +416,10 @@ object Bench {
     // ...then a compact headline line LAST, kept under ~1500 chars so it
     // survives a last-2000-chars output tail intact: slowest queries
     // individually, the rest summed under "_rest". Budget shrunk from
-    // 1300 when the ~420-char control band joined the line.
-    val budget = 850
+    // 1300 when the ~420-char control band joined the line, and again
+    // from 850 when the anchor band + isolated map joined (isolated
+    // entries only exist when swings were re-run, so leave headroom).
+    val budget = 550
     val bySlowest = ok.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var len = 0
@@ -246,7 +434,7 @@ object Bench {
     // quiet Spark's stop-time warnings BEFORE the final line so the
     // headline stays the last stdout line (the driver parses it)
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$compactQs,$controlJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$compactQs,$controlJson,$isolatedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
