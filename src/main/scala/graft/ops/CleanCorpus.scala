@@ -1316,6 +1316,158 @@ object CleanCorpus {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- p20
+  /** Per-process scratch base for p20's staging/published release dirs,
+    * removed on JVM exit (the GraftSession warehouse-dir discipline). */
+  private lazy val releaseScratch: String = {
+    val dir = s"/tmp/graft-release-${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
+  /** Curated-release PUBLISH (r10 verdict ask #2) — the one command from
+    * raw documents to an atomically-published, audited, carded corpus
+    * release, chaining the three pieces the catalog held separately:
+    * [[p18]] EMITS the curated corpus, in15's write-audit-publish gate
+    * DECIDES whether those staged bytes ship, and [[p19]]'s release
+    * card — extended with a per-source content checksum — is written as
+    * the COMMIT MANIFEST the atomic move publishes alongside.
+    *
+    * Protocol (in15's, with a corpus rule book instead of lineitem's):
+    *  1. the p18 cascade writes the curated corpus to an isolated
+    *     STAGING dir;
+    *  2. the audit runs against the STAGED BYTES (what a reader would
+    *     see): non-empty; doc_id non-null AND unique; every n_tokens
+    *     > 0; NO eval-split doc (doc_id % 10 = 0 — the decontamination
+    *     invariant p18 promises); referential integrity — every staged
+    *     doc_id exists in the source documents table;
+    *  3. a green batch gets its release card computed FROM THE STAGED
+    *     BYTES, the card + file list + row count written as MANIFEST,
+    *     then ONE ATOMIC_MOVE into published — readers see nothing or
+    *     a complete, carded release;
+    *  4. the REFUSAL leg: a poisoned batch (forged doc_ids landing in
+    *     the eval split — the exact leak the decontamination stage
+    *     exists to prevent) stages, trips the audit, is refused:
+    *     published stays byte-identical, the bad staging is retained
+    *     for forensics (`require`s pin all of it);
+    *  5. the emitted card is recomputed from the PUBLISHED bytes and
+    *     `require`d row-for-row equal to the MANIFEST card — the card
+    *     can never describe a different corpus than was published.
+    *
+    * The oracle splices p18's ENTIRE CTE chain (the p19 zero-drift
+    * rule) and states the card off the SOURCE table — publish must be
+    * content-invariant end-to-end. 100 TB: the cascade is p18's
+    * (one corpus scan); the audit is ONE pass over staged bytes plus a
+    * doc_id-only anti-join; the card is a sources-sized agg; the
+    * publish is a metadata move — nothing rewrites data. */
+  val p20 = Q("p20_curated_release",
+    s"""WITH $p18CtesSql,
+       |card AS (
+       |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+       |    count(DISTINCT (shard, bin)) AS n_bins,
+       |    sum(CAST(concat('0x', substr(md5(
+       |      CAST(doc_id AS VARCHAR) || '|' || CAST(shard AS VARCHAR) ||
+       |      '|' || CAST(bin AS VARCHAR) || '|' ||
+       |      CAST(n_tokens AS VARCHAR)), 1, 8)) AS BIGINT)) AS checksum
+       |  FROM curated GROUP BY source),
+       |tot AS (SELECT sum(n_tokens) AS t FROM card)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_bins AS BIGINT) AS n_bins,
+       |  CAST(n_tokens * 1000000 // t AS BIGINT) AS token_share_ppm,
+       |  CAST(checksum AS BIGINT) AS checksum
+       |FROM card CROSS JOIN tot
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"$releaseScratch/$run"
+    val staging = s"$base/staging/release"
+    val published = s"$base/published/release"
+    def cardOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val card = df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+          countDistinct(col("shard"), col("bin")).as("n_bins"),
+          sum(conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("|"),
+            col("shard").cast("string"), lit("|"),
+            col("bin").cast("string"), lit("|"),
+            col("n_tokens").cast("string"))), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("checksum"))
+        .localCheckpoint() // sources-sized; read by the total AND the card
+      val tot = card.agg(sum("n_tokens").as("t"))
+      card.crossJoin(broadcast(tot))
+        .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+          "CAST(n_tokens AS BIGINT) AS n_tokens",
+          "CAST(n_bins AS BIGINT) AS n_bins",
+          "CAST(n_tokens * 1000000 DIV t AS BIGINT) AS token_share_ppm",
+          "CAST(checksum AS BIGINT) AS checksum")
+        .orderBy("source")
+    }
+    def cardLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      cardOf(df).collect().toSeq.map(r =>
+        (0 until 6).map(r.get(_).toString).mkString("|"))
+    def audit(dir: String): Boolean = {
+      val staged = s.read.parquet(dir)
+      val g = staged.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id").isNull, 1).otherwise(0)).as("null_ids"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(when(col("n_tokens") <= 0, 1).otherwise(0)).as("bad_tokens"),
+        sum(when(col("doc_id") % 10 === 0, 1).otherwise(0)).as("eval_leaks"))
+        .head()
+      val orphans = staged.select(col("doc_id")).na.drop().distinct()
+        .join(Tables.documents(s, d).select(col("doc_id")), Seq("doc_id"),
+          "left_anti").count()
+      g.getLong(0) > 0 && g.getLong(1) == 0 && g.getLong(2) == g.getLong(0) &&
+        g.getLong(3) == 0 && g.getLong(4) == 0 && orphans == 0
+    }
+    // 1. the p18 cascade stages the curated corpus
+    curatedCorpus(s, d).write.parquet(staging)
+    // 2.-3. audit the staged bytes; green -> card as commit manifest,
+    // ONE atomic move
+    require(audit(staging), "p20: the curated batch must audit green")
+    val manifestCard = cardLines(s.read.parquet(staging))
+    val files = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    val nRows = s.read.parquet(staging).count()
+    new java.io.File(published).getParentFile.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/published/MANIFEST"),
+      s"files=${files.mkString(",")}\nrows=$nRows\n" +
+        manifestCard.mkString("card=", "\ncard=", "\n"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(published),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val pubFiles = new java.io.File(published).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    // 4. refusal leg: forged eval-split doc_ids must be refused and
+    // leave published byte-identical, staging retained for forensics
+    val poisoned = s.read.parquet(published).limit(20)
+      .withColumn("doc_id", col("doc_id") * 10)
+    val badStage = s"$base/staging/poisoned"
+    poisoned.write.parquet(badStage)
+    require(!audit(badStage), "p20: the eval-leak batch must be refused")
+    require(new java.io.File(badStage).exists(),
+      "p20: refused staging must be retained for quarantine")
+    require(new java.io.File(published).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified(), f.length())).toSet == pubFiles,
+      "p20: published bytes changed by a refused batch")
+    // 5. the shipped card: recomputed from PUBLISHED bytes, pinned to
+    // the commit manifest row-for-row
+    val shipped = cardOf(s.read.parquet(published))
+    require(shipped.collect().toSeq.map(r =>
+        (0 until 6).map(r.get(_).toString).mkString("|")) == manifestCard,
+      "p20: the published card drifted from the commit manifest")
+    shipped
+  }
+
   def all: Seq[Q] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11,
-    p12, p13, p14, p15, p16, p17, p18, p19)
+    p12, p13, p14, p15, p16, p17, p18, p19, p20)
 }

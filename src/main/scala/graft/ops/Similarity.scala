@@ -641,17 +641,24 @@ object Similarity {
     * made explicit for the graph case). Fully oracled: the DuckDB
     * oracle replays assignment, probing, and ranking with the
     * bit-identical cosine. */
-  val s08 = Q("s08_knn_graph",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** s08's full kNN-graph CTE chain ending in `ranked(vec_id,
+    * neighbor_id, rank)` — shared with [[s17]]'s traversal so the
+    * searched graph can never drift from the s08 artifact (the p18/p19
+    * zero-drift splicing rule). The two n×C / probe CTEs carry DuckDB
+    * `MATERIALIZED` hints: s17 references the chain from every hop,
+    * and un-materialized CTE inlining re-evaluates the heavy cosine
+    * pass once per reference. */
+  private def knnGraphCtesSql: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
-       |cellrank AS (
+       |cellrank AS MATERIALIZED (
        |  SELECT e.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
        |                            ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
        |  FROM e, c),
        |assign AS (SELECT vec_id, cid FROM cellrank WHERE rn = 1),
        |probes AS (SELECT vec_id, cid FROM cellrank WHERE rn <= 4),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT p.vec_id, a.vec_id AS neighbor_id, ${cosSql("x", "y")} AS cos
        |  FROM probes p
        |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
@@ -661,12 +668,22 @@ object Similarity {
        |  SELECT vec_id, neighbor_id,
        |         row_number() OVER (PARTITION BY vec_id
        |                            ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM pairs)
+       |  FROM pairs)""".stripMargin
+
+  val s08 = Q("s08_knn_graph",
+    s"""WITH $knnGraphCtesSql
        |SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    knnGraphEdges(s, e).orderBy("vec_id", "rank")
+  }
+
+  /** s08's dataflow, unsorted — (vec_id, neighbor_id, rank ≤ 3);
+    * shared by [[s08]] and [[s17]]. */
+  private def knnGraphEdges(s: SparkSession,
+      e: DataFrame): DataFrame = {
     val c = centroidTable(e)
     // ONE broadcast cosine pass + ranking window serves both roles:
     // assign = rn 1, probes = rn <= 4 (review finding: the earlier form
@@ -694,7 +711,6 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= 3)
       .select("vec_id", "neighbor_id", "rank")
-      .orderBy("vec_id", "rank")
   }
 
   // ---------------------------------------------------------------- s09
@@ -1513,7 +1529,133 @@ object Similarity {
     centers.toDF("round", "center_id", "radius").orderBy("round")
   }
 
+  // ---------------------------------------------------------------- s17
+  /** Beam width and hop budget for the s17 graph traversal. B=16, H=8
+    * measured 0.82 mean recall@5 at sf0.01 visiting ~167 of 2000
+    * vectors; the visit bound B·3·H is CORPUS-SIZE-INDEPENDENT — the
+    * property that makes graph ANN the deployed index class at 10⁹+
+    * vectors. */
+  val GraphBeam = 16
+  val GraphHops = 8
+
+  /** Graph-ANN search over the [[s08]] kNN graph (the flat best-first
+    * core of HNSW, Malkov–Yashunin 2016, and the search loop of
+    * DiskANN, Subramanya et al. 2019) — the one deployed ANN index
+    * class the family lacked: IVF probes cells (s03), PQ/SQ8 compress
+    * (s04/s09), LSH buckets (s02), Hamming shortlists (s15); graph
+    * search WALKS a prebuilt neighbour graph toward the query and its
+    * cost per query is O(B·deg·H) — independent of corpus size —
+    * versus IVF's O(n/C · probes). Semantics, replayed hop-by-hop in
+    * both engines (the s16 discipline):
+    *  - graph: s08's top-3 kNN edges, spliced from the SAME CTE chain;
+    *  - entry: vec_id 0 for every query (the fixed entry point of a
+    *    graph index; queries are the s01 set, vec_id < 10);
+    *  - each hop EXPANDS the best [[GraphBeam]] visited-but-unexpanded
+    *    nodes (best-first with an expansion ledger — re-expanding the
+    *    standing beam stalls at ~40 visited and 0.28 recall, measured),
+    *    scores their un-visited out-neighbours against the query
+    *    (bit-identical cosine, ascending fold), and folds them into
+    *    the visited pool; ties break (cos DESC, node);
+    *  - after [[GraphHops]] hops: top-5 of the visited pool, self
+    *    excluded — directly comparable to s01's exact ranking
+    *    (`SimilaritySpec` pins recall ≥ 0.5 at sf0.01 vs the 0.0025
+    *    chance floor, plus the hop-monotonicity law).
+    * Dataflow per hop: beam ≤ Q·B rows anti-join ledger → equi-join
+    * the edge artifact (3 rows/node) → anti-join visited → broadcast
+    * 10-row query attach + corpus-keyed embedding fetch → union into
+    * the checkpointed pool. Nothing corpus-global after the one-time
+    * graph build; the H-round sequential chain is the same
+    * rounds-depend-on-rounds trade s16 documents for FPS. */
+  val s17 = Q("s17_graph_ann_topk", {
+    val hops = (1 to GraphHops).map { h =>
+      s"""beam$h AS MATERIALIZED (
+         |  SELECT query_id, node FROM (
+         |    SELECT v.query_id, v.node,
+         |           row_number() OVER (PARTITION BY v.query_id
+         |                              ORDER BY v.cos DESC, v.node) AS rn
+         |    FROM vis${h - 1} v
+         |    LEFT JOIN exp${h - 1} x
+         |      ON x.query_id = v.query_id AND x.node = v.node
+         |    WHERE x.node IS NULL) WHERE rn <= $GraphBeam),
+         |exp$h AS MATERIALIZED (
+         |  SELECT * FROM exp${h - 1} UNION ALL SELECT * FROM beam$h),
+         |cand$h AS (
+         |  SELECT DISTINCT b.query_id, g.neighbor_id AS node
+         |  FROM beam$h b JOIN edges g ON g.vec_id = b.node),
+         |new$h AS (
+         |  SELECT c.query_id, c.node FROM cand$h c
+         |  LEFT JOIN vis${h - 1} v
+         |    ON v.query_id = c.query_id AND v.node = c.node
+         |  WHERE v.node IS NULL),
+         |sc$h AS (
+         |  SELECT n.query_id, n.node, ${cosSql("q", "x")} AS cos
+         |  FROM new$h n
+         |  JOIN e q ON q.vec_id = n.query_id
+         |  JOIN e x ON x.vec_id = n.node),
+         |vis$h AS MATERIALIZED (
+         |  SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM sc$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtesSql,
+       |edges AS MATERIALIZED (
+       |  SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3),
+       |vis0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, ent.vec_id AS node,
+       |         ${cosSql("q", "ent")} AS cos
+       |  FROM e q JOIN e ent ON ent.vec_id = 0
+       |  WHERE q.vec_id < 10),
+       |exp0 AS (SELECT query_id, node FROM vis0 WHERE FALSE),
+       |$hops,
+       |fin AS (
+       |  SELECT query_id, node AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, node) AS rank
+       |  FROM vis$GraphHops WHERE node <> query_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM fin WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // graph build + every hop's embedding fetch
+    val edges = knnGraphEdges(s, e).select("vec_id", "neighbor_id")
+      .localCheckpoint() // the index artifact every hop equi-joins
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint() // 10 rows; broadcast into every hop's scoring
+    val entry = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("node"), col("embedding").as("n_emb"))
+    var vis = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("node"),
+        expr("cosine_sim(q_emb, n_emb)").as("cos"))
+      .localCheckpoint()
+    var ledger = vis.select("query_id", "node").limit(0)
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node"))
+    for (_ <- 1 to GraphHops) {
+      val beam = vis.join(ledger, Seq("query_id", "node"), "left_anti")
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= GraphBeam).select("query_id", "node")
+        .localCheckpoint() // ≤ Q·B rows; read by ledger AND expansion
+      ledger = ledger.unionAll(beam).localCheckpoint()
+      val fresh = beam.join(edges, beam("node") === edges("vec_id"))
+        .select(col("query_id"), col("neighbor_id").as("node")).distinct()
+        .join(vis.select("query_id", "node"), Seq("query_id", "node"),
+          "left_anti")
+      val scored = fresh.join(broadcast(q), "query_id")
+        .join(e.select(col("vec_id").as("node"),
+          col("embedding").as("n_emb")), "node")
+        .select(col("query_id"), col("node"),
+          expr("cosine_sim(q_emb, n_emb)").as("cos"))
+      vis = vis.unionAll(scored).localCheckpoint()
+    }
+    vis.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16)
+      s14, s15, s16, s17)
 }

@@ -851,6 +851,21 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("p20: the shipped card reads published artifacts only; 1-row total is the lone BNLJ") {
+    val plan = executedPlan("p20_curated_release")
+    // the cascade + audit ran inside run(); the RETURNED plan may scan
+    // only the published release (or the sources-sized card checkpoint)
+    // — a FileScan over documents here would mean the shipped card was
+    // recomputed from the SOURCE, not from what was actually published
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.forall(_.contains("/published/")),
+      s"card plan scans a non-published location:\n${scans.mkString("\n").take(800)}")
+    // the 1-row token total attach is the one allowed broadcast nested
+    // loop; nothing else quadratic
+    assert(!plan.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop")
+      && !plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("q63: CMS grid lookups broadcast; no cartesian anywhere") {
     val plan = executedPlan("q63_cms_heavy_hitters")
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))

@@ -426,4 +426,66 @@ class SimilaritySpec extends SparkSpec {
     assert(cov <= sel.last,
       s"coverage $cov exceeds the final selection radius ${sel.last}")
   }
+
+  test("s17: graph-ANN — sequential replay, corpus-independent visit bound, recall floor") {
+    // sf0.01 for the same reason as s15: at sf0.001 the ~B·3·H visit
+    // budget covers most of the 50-vector corpus and recall would be
+    // coverage luck, not traversal signal
+    val sf01 = "/root/testdata/sf0.01"
+    val got = ops.Similarity.s17.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val B = ops.Similarity.GraphBeam
+    val H = ops.Similarity.GraphHops
+    // driver-side replay of the whole traversal (the s16 discipline):
+    // same graph (the s08 artifact), same cosine fold, same tie-breaks
+    val edges = ops.Similarity.s08.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val vecs = model.Tables.embeddings(spark, sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (q <- 0L until 10L) {
+      var visited = Map(0L -> cos(vecs(q), vecs(0L)))
+      var expanded = Set.empty[Long]
+      for (_ <- 1 to H) {
+        val beam = visited.keysIterator.filterNot(expanded).toSeq
+          .sortBy(n => (-visited(n), n)).take(B)
+        expanded ++= beam
+        beam.flatMap(edges.getOrElse(_, Nil)).distinct
+          .filterNot(visited.contains)
+          .foreach(n => visited += n -> cos(vecs(q), vecs(n)))
+      }
+      // the deployed-property law: visited is bounded by 1 + B·3·H,
+      // INDEPENDENT of corpus size
+      assert(visited.size <= 1 + 3 * B * H,
+        s"query $q visited ${visited.size} > ${1 + 3 * B * H}")
+      val replay = visited.toSeq.filter(_._1 != q)
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+      val mine = got.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+      assert(mine == replay, s"query $q: engine $mine vs replay $replay")
+    }
+    // recall floor vs s01's exact ranking: measured 0.82 at sf0.01
+    // (chance floor 5/2000 = 0.0025); 0.5 guards the traversal
+    // dataflow, not tie luck
+    val exact = ops.Similarity.s01.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mine = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.keySet == mine.keySet, "same query set as s01")
+    val recalls = exact.map { case (q, ex) =>
+      mine(q).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"graph-ANN recall@5 mean = $mean%.2f (visit budget ${1 + 3 * B * H} of 2000)")
+    assert(mean >= 0.5, f"graph-ANN recall collapsed: $mean%.2f")
+  }
 }
