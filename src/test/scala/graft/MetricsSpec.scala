@@ -549,6 +549,76 @@ class MetricsSpec extends SparkSpec {
       s"${(best._5 - baseline) / BigInt(n)} micro-purity")
   }
 
+  test("ml18: staged boosting equals an exact recompute; round 2 strictly improves; stumps differ") {
+    val got = ops.MLClassify.ml18.run(spark, sf).collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 2)
+    // independent recompute: per-order cells, then both rounds in BigInt
+    val cells = model.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1)),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).values.map { ls =>
+        val rev = ls.map(_._3).sum
+        (ls.length.toLong, ls.map(_._2).sum,
+          if (rev > 15000000L && rev <= 30000000L) 1000L else 0L)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val n = BigInt(cells.map(_._2).sum)
+    // exact least-squares stump fit on (cell -> target) — trunc-division
+    // throughout (BigInt / truncates toward zero, as Spark div does)
+    def fit(t: ((Long, Long, Long)) => Long): (String, Long, Long, Long) = {
+      val cands = Seq("items" -> ((c: (Long, Long, Long)) => c._1),
+        "sumqty" -> ((c: (Long, Long, Long)) => c._2)).flatMap {
+        case (feat, fv) =>
+          val marg = cells.groupBy { case (c, _) => fv(c) }.view.mapValues {
+            g => (g.map(_._2).sum, g.map { case (c, m) => m * t(c) }.sum)
+          }.toSeq.sortBy(_._1)
+          val (nt, st) = (marg.map(_._2._1).sum, marg.map(_._2._2).sum)
+          marg.scanLeft((0L, 0L, 0L)) { case ((_, nl, sl), (v, (m, sy))) =>
+            (v, nl + m, sl + sy)
+          }.drop(1).filter(_._2 < nt).map { case (v, nl, sl) =>
+            val (nr, sr) = (nt - nl, st - sl)
+            val gain = BigInt(sl) * sl / nl + BigInt(sr) * sr / nr
+            (feat, v, gain, sl / nl, sr / nr)
+          }
+      }
+      val best = cands.minBy { case (f, v, g, _, _) => (-g, f, v) }(
+        Ordering.Tuple3(Ordering.BigInt, Ordering.String, Ordering.Long))
+      (best._1, best._2, best._4, best._5)
+    }
+    def leafOf(e: (String, Long, Long, Long), c: (Long, Long, Long)): Long = {
+      val v = if (e._1 == "items") c._1 else c._2
+      if (v <= e._2) e._3 else e._4
+    }
+    def measure(f: ((Long, Long, Long)) => Long): (Long, Long) = {
+      val corr = cells.collect { case (c, m)
+        if (f(c) >= 500) == (c._3 >= 500) => BigInt(m) }.sum
+      val se = cells.map { case (c, m) =>
+        BigInt(m) * (c._3 - f(c)) * (c._3 - f(c)) }.sum
+      ((corr * 1000000 / n).toLong, (se / n).toLong)
+    }
+    val e1 = fit(_._3)
+    val (acc1, mse1) = measure(leafOf(e1, _))
+    val e2 = fit(c => c._3 - leafOf(e1, c))
+    val (acc2, mse2) = measure(c => leafOf(e1, c) + leafOf(e2, c))
+    assert(got(0) == ((1, e1._1, e1._2, e1._3, e1._4, acc1, mse1)),
+      s"round 1 mismatch: ${got(0)} vs $e1/$acc1/$mse1")
+    assert(got(1) == ((2, e2._1, e2._2, e2._3, e2._4, acc2, mse2)),
+      s"round 2 mismatch: ${got(1)} vs $e2/$acc2/$mse2")
+    // the boosting contract: the staged model strictly improves both
+    // metrics, and round 2 elected a genuinely different stump
+    assert(got(1)._6 > got(0)._6,
+      s"staged accuracy did not strictly improve: ${got(0)._6} -> ${got(1)._6}")
+    assert(got(1)._7 < got(0)._7,
+      s"staged MSE did not strictly decrease: ${got(0)._7} -> ${got(1)._7}")
+    assert((got(0)._2, got(0)._3) != ((got(1)._2, got(1)._3)),
+      "round 2 re-elected round 1's stump")
+    info(s"acc ${got(0)._6} -> ${got(1)._6} ppm, mse ${got(0)._7} -> " +
+      s"${got(1)._7} pm², stumps ${got(0)._2}<=${got(0)._3} then " +
+      s"${got(1)._2}<=${got(1)._3}")
+  }
+
   test("q56 hierarchy: recursion laws hold at every node") {
     val got = ops.Relational.q56.run(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
