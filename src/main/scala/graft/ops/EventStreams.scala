@@ -931,15 +931,22 @@ object EventStreams {
           .stripMargin.replace("\n", " "))
   }
 
+  /** DuckDB form of [[arrivalStream]] — ONE definition of the derived
+    * arrival stream, spliced into both the st23 and st26 oracles (the
+    * shared-CTE discipline: the advisors must sweep the identical
+    * arrival sequence). */
+  private val ArrivalCteSql: String =
+    """e AS (
+      |  SELECT event_id, epoch_us(ts) AS em,
+      |    epoch_us(ts)
+      |      + (CAST(concat('0x', substr(md5('st23:' ||
+      |           CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |         % 600000000) - 300000000 AS arr
+      |  FROM events)""".stripMargin
+
   val st23 = Q("st23_watermark_advisor", {
     val cands = WmCandidates
-    s"""WITH e AS (
-       |  SELECT event_id, epoch_us(ts) AS em,
-       |    epoch_us(ts)
-       |      + (CAST(concat('0x', substr(md5('st23:' ||
-       |           CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
-       |         % 600000000) - 300000000 AS arr
-       |  FROM events),
+    s"""WITH $ArrivalCteSql,
        |l AS (
        |  SELECT event_id,
        |    greatest(0, coalesce(
@@ -1136,7 +1143,125 @@ object EventStreams {
   private[graft] def sessionDedup(ev: DataFrame): DataFrame =
     sessionDedupCore(ev).orderBy("user_id", "em", "event_id")
 
+  // --------------------------------------------------------------- st26
+  /** Candidate trigger intervals (seconds) for the st26 sweep. */
+  private[graft] val TriggerCandidatesS = Seq(1L, 2L, 5L, 10L, 30L, 60L)
+  /** Modeled per-event micro-batch processing cost (µs) and per-trigger
+    * scheduling overhead (ms) for [[st26]]'s latency estimate. The
+    * estimate is LINEAR in both — a deployment re-measures its own
+    * per-event cost (the in19 logical-estimate discipline) and the
+    * advisor's ordering of candidates is cost-invariant. */
+  private[graft] val PerEventCostUs = 50L
+  private[graft] val TriggerOverheadMs = 200L
+  /** Target end-to-end micro-batch latency (ms) the recommendation
+    * must stay under. */
+  private[graft] val TargetLatencyMs = 5000L
+
+  /** Trigger-sizing advisor core over an arrival stream `(arr micros)`
+    * — shared by [[st26]] (st23's derived corpus arrivals) and the
+    * observed-metrics twin in `WatermarkAdvisorSpec`, which replays a
+    * known arrival schedule through a REAL micro-batch query
+    * (maxFilesPerTrigger = one arrival-second per trigger) and checks
+    * the advisor's rate table against the runtime's own
+    * `numInputRows` progress — the two can never drift. */
+  private[graft] def triggerAdvice(arrivals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-arrival-second rates: the ONLY corpus-sized pass (keyed agg,
+    // map-side combined); everything after is seconds- or tinier-sized
+    val sec = arrivals.selectExpr("arr div 1000000 AS s")
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // read by count-of-counts AND the span stats
+    // p99 per-second rate WITHOUT a seconds-global sort: count-of-
+    // counts histogram (≤ peak distinct values), cumulate, take the
+    // smallest rate covering ⌈0.99·n_active⌉ seconds (q64's
+    // boundaries-not-ntile discipline; cum·100 ≥ 99·n ⟺ cum ≥ ⌈.99n⌉)
+    val coc = sec.groupBy("cnt").agg(count(lit(1)).as("ns"))
+    val st = sec.agg(min("s").as("smin"), max("s").as("smax"),
+      sum("cnt").as("n"), count(lit(1)).as("nact"), max("cnt").as("peak"))
+    val cum = coc.withColumn("cum",
+      sum(col("ns")).over(Window.orderBy("cnt")))
+    val p99 = cum.crossJoin(broadcast(st.select(col("nact"))))
+      .filter(expr("cum * 100 >= nact * 99"))
+      .agg(min("cnt").as("p99"))
+    val o = st.crossJoin(broadcast(p99))
+      .select(explode(expr(
+        s"array(${TriggerCandidatesS.mkString(", ")})")).as("trigger_s"),
+        col("smin"), col("smax"), col("n"), col("peak"), col("p99"))
+      .selectExpr("CAST(trigger_s AS BIGINT) AS trigger_s",
+        "CAST(n * trigger_s div (smax - smin + 1) AS BIGINT) AS batch_mean",
+        "CAST(p99 * trigger_s AS BIGINT) AS batch_p99",
+        "CAST(p99 * trigger_s * 6 div 5 AS BIGINT) AS max_offsets_per_trigger",
+        s"""CAST(p99 * trigger_s * $PerEventCostUs div 1000
+           | + $TriggerOverheadMs AS BIGINT) AS est_latency_ms"""
+          .stripMargin.replace("\n", " "))
+      .localCheckpoint() // 6 rows; the recommendation re-reads it
+    val rec = o.agg(
+      coalesce(max(when(col("est_latency_ms") <= TargetLatencyMs,
+        col("trigger_s"))), min(col("trigger_s"))).as("rect"))
+    o.crossJoin(broadcast(rec))
+      .withColumn("recommended", col("trigger_s") === col("rect"))
+      .drop("rect").orderBy("trigger_s")
+  }
+
+  /** Trigger-sizing advisor — the fourth measured-advisor (q57 the
+    * skew salt, st23 the watermark delay, st24 the session gap, in19
+    * the file size; this picks the OTHER two knobs every micro-batch
+    * deployment guesses: `maxOffsetsPerTrigger` and the trigger
+    * interval). From the measured per-arrival-second rate distribution
+    * of st23's derived arrival stream, for each candidate interval T:
+    * the mean batch (n·T / wall-span), the p99-burst batch (p99-rate
+    * · T — the size the cap must admit so a burst drains instead of
+    * queueing), the recommended cap (p99 batch + 20% headroom), and a
+    * modeled latency estimate (batch · per-event cost + trigger
+    * overhead). Recommended = the LARGEST interval whose estimate
+    * meets [[TargetLatencyMs]] (fewest triggers that still meet the
+    * latency target; the smallest candidate as the loud fallback when
+    * none do) — the st24 coverage-curve discipline: the knob is read
+    * off a measured curve, never guessed.
+    *
+    * Scale: one keyed per-second agg over arrivals; the rate
+    * PERCENTILE rides a count-of-counts histogram (≤ peak-rate rows),
+    * never a seconds-global sort; the sweep is a 6-row unpivot.
+    * Integer end-to-end (ceil via `cum·100 ≥ 99·n`, trunc div both
+    * engines). */
+  val st26 = Q("st26_trigger_advisor",
+    s"""WITH $ArrivalCteSql,
+       |sec AS (
+       |  SELECT arr // 1000000 AS s, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM e GROUP BY 1),
+       |coc AS (SELECT cnt, count(*) AS ns FROM sec GROUP BY 1),
+       |st AS (
+       |  SELECT min(s) AS smin, max(s) AS smax, sum(cnt) AS n,
+       |    count(*) AS nact, max(cnt) AS peak
+       |  FROM sec),
+       |cum AS (SELECT cnt, sum(ns) OVER (ORDER BY cnt) AS cum FROM coc),
+       |p99 AS (
+       |  SELECT min(cnt) AS p99 FROM cum CROSS JOIN st
+       |  WHERE cum * 100 >= nact * 99),
+       |t(trigger_s) AS (VALUES ${TriggerCandidatesS.map(c => s"($c)")
+          .mkString(", ")}),
+       |o AS (
+       |  SELECT CAST(t.trigger_s AS BIGINT) AS trigger_s,
+       |    CAST(n * t.trigger_s // (smax - smin + 1) AS BIGINT)
+       |      AS batch_mean,
+       |    CAST(p99 * t.trigger_s AS BIGINT) AS batch_p99,
+       |    CAST(p99 * t.trigger_s * 6 // 5 AS BIGINT)
+       |      AS max_offsets_per_trigger,
+       |    CAST(p99 * t.trigger_s * $PerEventCostUs // 1000
+       |      + $TriggerOverheadMs AS BIGINT) AS est_latency_ms
+       |  FROM t CROSS JOIN st CROSS JOIN p99),
+       |r AS (
+       |  SELECT coalesce(max(CASE WHEN est_latency_ms <= $TargetLatencyMs
+       |      THEN trigger_s END), min(trigger_s)) AS rect
+       |  FROM o)
+       |SELECT o.trigger_s, o.batch_mean, o.batch_p99,
+       |  o.max_offsets_per_trigger, o.est_latency_ms,
+       |  o.trigger_s = r.rect AS recommended
+       |FROM o CROSS JOIN r ORDER BY trigger_s""".stripMargin) { (s, d) =>
+    triggerAdvice(arrivalStream(s, d).select(col("arr")))
+  }
+
   def all: Seq[Q] = Seq(st01, st02, st03, st04, st05, st06, st07, st08, st09,
     st10, st11, st12, st13, st14, st15, st16, st17, st18, st19, st20, st21,
-    st22, st23, st24, st25)
+    st22, st23, st24, st25, st26)
 }

@@ -1153,6 +1153,91 @@ object Ingest {
       .orderBy("table_name")
   }
 
+  // ---------------------------------------------------------------- in20
+  /** Snapshot versioning + time-travel read — in15's commit manifests
+    * chained into a version LEDGER (the Iceberg/Delta snapshot model):
+    * every commit stages, audits, atomically lands its data files, and
+    * then writes ledger entry `v{N}` = the FULL live-file list at that
+    * version (previous version's files + the new commit's — data files
+    * are immutable once landed, commits only add). The COMMIT POINT is
+    * the atomic rename of the ledger entry itself, exactly Iceberg's:
+    * a reader either sees `v{N}` complete or doesn't see it at all.
+    * `AS OF v` is then pure metadata: read exactly the files `v`'s
+    * entry lists — no data is copied to keep history, and old versions
+    * stay byte-stable because nothing ever rewrites a landed file
+    * (`require`d in-op: v1's file stats are identical after v3
+    * commits; `IngestSpec` re-proves it with content hashes and runs
+    * p13's diff discipline between versions).
+    *
+    * Three commits partition lineitem by return flag (A, then N, then
+    * R), and the result reads ALL THREE versions `AS OF` after the
+    * last commit — count + order-free content digest per version, the
+    * in12/in13 discipline: the oracle states each version's content
+    * off the SOURCE table (rank(flag) ≤ version), so time travel must
+    * be content-exact, not just row-count-plausible. The digest
+    * accumulates in DECIMAL(38,0)/HUGEINT reduced mod 2³² (the p20
+    * overflow lesson — engines must agree at any version size).
+    *
+    * Scale: a commit costs its own batch's write + one audit pass;
+    * the ledger entry is file-count-sized metadata; an `AS OF v` read
+    * costs exactly v's data. History is O(Σ batches) bytes total —
+    * never O(versions × table). The diff between adjacent versions
+    * (p13's question) is the new commit's files alone — metadata
+    * answers it without scanning either version. */
+  val in20 = Q("in20_time_travel",
+    """WITH fd AS (
+      |  SELECT CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+      |      ELSE 3 END AS rk,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(concat('0x', substr(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT))
+      |      AS HUGEINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |vs AS (SELECT 1 AS version UNION ALL SELECT 2 UNION ALL SELECT 3)
+      |SELECT version, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(c) % 4294967296 AS BIGINT) AS checksum
+      |FROM vs JOIN fd ON fd.rk <= vs.version
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val t = new VersionedTable(s, s"$compactScratch/$run/versioned")
+    val src = graft.model.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    // in15's audit-before-publish gate, batch-granular
+    def audit(staged: org.apache.spark.sql.DataFrame): Boolean = {
+      val gates = staged.agg(count(lit(1)),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0))).head()
+      gates.getLong(0) > 0 && gates.getLong(1) == 0
+    }
+    t.commit(src.filter(col("l_returnflag") === "A"), audit)
+    val v1Stats = t.files(1).map { p =>
+      val f = new java.io.File(p); (p, f.length(), f.lastModified())
+    }
+    t.commit(src.filter(col("l_returnflag") === "N"), audit)
+    t.commit(src.filter(col("l_returnflag") === "R"), audit)
+    // history immutability: v1's bytes untouched by later commits
+    require(v1Stats.forall { case (p, len, mt) =>
+      val f = new java.io.File(p); f.length() == len && f.lastModified() == mt
+    }, "in20: a later commit rewrote version 1's data files")
+    // p13's diff question answered from the metadata plane alone: the
+    // v2->v3 delta is exactly commit 3's files (then verified on data)
+    val deltaFiles = t.files(3).diff(t.files(2))
+    require(deltaFiles.nonEmpty && t.files(2).diff(t.files(3)).isEmpty,
+      "in20: append-only ledger grew backwards")
+    require(s.read.parquet(deltaFiles: _*).count() ==
+      t.readAsOf(3).count() - t.readAsOf(2).count(),
+      "in20: metadata diff disagrees with the data diff")
+    val D = "DECIMAL(38,0)"
+    def digest(v: Int): org.apache.spark.sql.DataFrame =
+      t.readAsOf(v).agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+          .cast(D)) % lit(4294967296L)).cast("long").as("checksum"))
+        .select(lit(v).as("version"), col("n_rows"), col("checksum"))
+    digest(1).union(digest(2)).union(digest(3)).orderBy("version")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19)
+    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20)
 }

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal append-only versioned table — the snapshot/ledger core of
+  * the table formats (Iceberg snapshots, Delta's transaction log),
+  * small enough to reason about and shared by [[Ingest.in20]] and its
+  * spec. Layout under `base/`:
+  *
+  *  - `data/c{N}/` — commit N's immutable parquet files (landed by ONE
+  *    atomic directory rename from staging; never rewritten after);
+  *  - `ledger/v{N}` — one line per live data file at version N (the
+  *    previous version's list plus commit N's files). The atomic
+  *    rename of this entry IS the commit point: a concurrent reader
+  *    sees version N whole or not at all, and `AS OF v` is pure
+  *    metadata — read exactly the files `v` lists.
+  *
+  * History costs O(Σ batches) bytes total: snapshots share data files,
+  * nothing is copied to keep old versions readable, and the diff
+  * between adjacent versions is answerable from the ledger alone.
+  * (Reference scope note: the reference app overwrite-publishes its
+  * batch outputs with no history — `news_summarization_batch.py`
+  * keeps only the latest digest. This is the [EXT] metadata plane a
+  * 100 TB curation pipeline needs for reproducible `AS OF` reads.) */
+final class VersionedTable(s: SparkSession, base: String) {
+
+  private def ledgerEntry(v: Int) =
+    java.nio.file.Paths.get(s"$base/ledger/v$v")
+
+  /** Live data files at version `v` (ledger order: commit order, then
+    * lexicographic within a commit). */
+  def files(v: Int): Seq[String] = {
+    require(java.nio.file.Files.exists(ledgerEntry(v)),
+      s"version $v does not exist in the ledger")
+    java.nio.file.Files.readAllLines(ledgerEntry(v))
+      .toArray(Array.empty[String]).toSeq
+  }
+
+  /** Highest committed version, 0 for an empty table. */
+  def head: Int =
+    Iterator.from(1).takeWhile(v =>
+      java.nio.file.Files.exists(ledgerEntry(v))).foldLeft(0)((_, v) => v)
+
+  /** Stage `df`, gate it on `audit` (over the STAGED bytes — what a
+    * reader would see), land the files atomically, and commit the new
+    * ledger entry. Returns the new version. A batch that fails the
+    * audit is refused with the staging retained for forensics, and
+    * the table is untouched — in15's write-audit-publish contract. */
+  def commit(df: DataFrame,
+      audit: DataFrame => Boolean = _ => true): Int = {
+    val v = head + 1
+    val stage = s"$base/staging/c$v"
+    df.write.parquet(stage)
+    require(audit(s.read.parquet(stage)),
+      s"commit $v failed the staging audit (staging retained at $stage)")
+    val landed = s"$base/data/c$v"
+    new java.io.File(landed).getParentFile.mkdirs()
+    java.nio.file.Files.move(java.nio.file.Paths.get(stage),
+      java.nio.file.Paths.get(landed),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val added = new java.io.File(landed).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted.toSeq
+    val live = (if (v == 1) Seq.empty else files(v - 1)) ++ added
+    new java.io.File(s"$base/ledger").mkdirs()
+    val tmp = java.nio.file.Paths.get(s"$base/ledger/.v$v.tmp")
+    java.nio.file.Files.writeString(tmp, live.mkString("\n"))
+    // the ledger rename IS the commit point: entry appears whole
+    java.nio.file.Files.move(tmp, ledgerEntry(v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Time-travel read: exactly the files version `v`'s entry lists. */
+  def readAsOf(v: Int): DataFrame = s.read.parquet(files(v): _*)
+}

@@ -284,6 +284,47 @@ class IngestSpec extends SparkSpec {
     assert(got("k5_absent") == (0L, 0L))
   }
 
+  test("in20 ledger: old versions are byte-stable and AS-OF-exact after new commits") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ledger").toString
+    val t = new sources.VersionedTable(spark, base)
+    def md5Of(p: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p))).map("%02x".format(_)).mkString
+    val batch1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val batch2 = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+    val batch3 = Seq((6L, "f")).toDF("id", "v")
+    assert(t.head == 0)
+    assert(t.commit(batch1) == 1)
+    // CONTENT hashes of v1's bytes, captured before any later commit
+    // (the op's in-op require pins (length, mtime); this is stronger)
+    val v1Hashes = t.files(1).map(p => p -> md5Of(p)).toMap
+    assert(t.commit(batch2) == 2 && t.commit(batch3) == 3 && t.head == 3)
+    // byte-stability: every v1 file is hash-identical after v2/v3
+    v1Hashes.foreach { case (p, h) =>
+      assert(md5Of(p) == h, s"commit rewrote version-1 bytes: $p")
+    }
+    // AS OF v is content-exact at every version AFTER head moved on
+    def ids(v: Int) = t.readAsOf(v).select("id").as[Long].collect().sorted
+    assert(ids(1).toSeq == Seq(1L, 2L, 3L))
+    assert(ids(2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(3).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // p13's snapshot-diff discipline between two versions, data-plane:
+    // v3 minus v2 is exactly batch 3; v2 lost nothing
+    val delta = t.readAsOf(3).join(t.readAsOf(2), Seq("id"), "left_anti")
+    assert(delta.select("id").as[Long].collect().toSeq == Seq(6L))
+    assert(t.readAsOf(2).join(t.readAsOf(3), Seq("id"), "left_anti")
+      .isEmpty, "append-only history lost rows between versions")
+    // a version past head (or 0) is refused loudly, never empty-read
+    intercept[IllegalArgumentException](t.readAsOf(4))
+    intercept[IllegalArgumentException](t.readAsOf(0))
+    // a refused commit leaves the ledger untouched (WAP contract)
+    intercept[IllegalArgumentException](
+      t.commit(Seq((7L, "g")).toDF("id", "v"), _ => false))
+    assert(t.head == 3 && ids(3).length == 6)
+  }
+
   test("in17: z-order re-layout is content-invariant per predicate band") {
     // the op's in-op requires pin the locality inequalities (suppkey
     // band: z strictly beats linear; partkey band: linear never loses

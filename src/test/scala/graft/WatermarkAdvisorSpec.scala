@@ -153,4 +153,78 @@ class WatermarkAdvisorSpec extends SparkSpec {
       assert(hist.getOrElse(b, 0L) >= n, s"bucket $b holds fewer than user $uid's $n")
     }
   }
+
+  test("st26: advisor arithmetic recomputes exactly from a known schedule") {
+    import spark.implicits._
+    // a dense 10-second schedule with a distinct burst shape
+    val perSec = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3).map(_.toLong)
+    val arr = perSec.zipWithIndex.flatMap { case (c, s) =>
+      (0L until c).map(i => s * 1000000L + i)
+    }
+    val got = ops.EventStreams.triggerAdvice(arr.toDF("arr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // by-hand recompute of the advisor's definition
+    val n = perSec.sum
+    val span = perSec.length.toLong
+    val sortedCnt = perSec.sorted
+    val p99 = sortedCnt((99 * span / 100).toInt) // ⌈.99·10⌉ = 10th value
+    val exp = ops.EventStreams.TriggerCandidatesS.map { t =>
+      val est = p99 * t * ops.EventStreams.PerEventCostUs / 1000 +
+        ops.EventStreams.TriggerOverheadMs
+      (t, n * t / span, p99 * t, p99 * t * 6 / 5, est)
+    }
+    val okMax = exp.filter(_._5 <= ops.EventStreams.TargetLatencyMs)
+      .map(_._1).maxOption.getOrElse(exp.map(_._1).min)
+    assert(got.toSeq == exp.map(e => (e._1, e._2, e._3, e._4, e._5,
+      e._1 == okMax)), s"advisor table mismatch:\n${got.toSeq}\nvs\n$exp")
+    assert(p99 == 9L && got.count(_._6) == 1)
+  }
+
+  test("st26 observed twin: a real micro-batch run paced one arrival-second per trigger matches the advisor's rate table") {
+    import spark.implicits._
+    // the advisor's whole output derives from the per-second rate
+    // distribution; this proves that distribution is what the RUNTIME
+    // observes, not just what the batch query computed: each
+    // arrival-second becomes one file, maxFilesPerTrigger=1 makes each
+    // micro-batch exactly one second's admission, and the progress
+    // stream's numInputRows must replay the schedule file for file.
+    val perSec = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-st26").toString
+    val t0 = System.currentTimeMillis() - 60000
+    perSec.zipWithIndex.foreach { case (c, s) =>
+      val part = s"$dir/sec=$s"
+      (0L until c).map(i => s * 1000000L + i).toDF("arr")
+        .coalesce(1).write.parquet(part)
+      // one data file per second, mtimes ascending: FileStreamSource
+      // admits oldest-first, so trigger order IS schedule order
+      new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => assert(f.setLastModified(t0 + s * 1000L)))
+    }
+    val in = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arr",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/sec=*")
+    val q = in.writeStream.format("memory").queryName("st26_observed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val observed = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(observed == perSec,
+      s"runtime batch sizes $observed diverge from the schedule $perSec")
+    // the advisor's burst figures are exactly the runtime's: its
+    // peak/p99 basis equals the largest observed batch, and the T=1
+    // offset cap it recommends admits EVERY observed micro-batch
+    val advice = ops.EventStreams.triggerAdvice(
+      perSec.zipWithIndex.flatMap { case (c, s) =>
+        (0L until c).map(i => s * 1000000L + i) }.toDF("arr")).collect()
+    val t1 = advice.find(_.getLong(0) == 1L).get
+    assert(t1.getLong(2) == observed.max,
+      "p99 burst basis diverged from the observed peak batch")
+    assert(observed.forall(_ <= t1.getLong(3)),
+      "an observed micro-batch exceeded the advisor's T=1 offset cap")
+  }
 }
