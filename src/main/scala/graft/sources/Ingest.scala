@@ -312,6 +312,22 @@ object Ingest {
       .orderBy("id")
   }
 
+  /** The in-family order-free content digest: per row, the first 32
+    * md5 bits of the `|`-joined key columns; summed in DECIMAL(38,0)
+    * and reduced mod 2³² (the p20/r11-ADVICE overflow lesson applied
+    * family-wide: a LONG accumulator wraps silently in Spark past
+    * ~2e9 rows while DuckDB sums to HUGEINT and RAISES on the BIGINT
+    * cast — the engines would disagree exactly at the scale the
+    * digests exist to protect). Oracle twin: `CAST(sum(CAST(
+    * concat('0x', substr(md5(...), 1, 8)) AS BIGINT)) % 4294967296
+    * AS BIGINT)`. Shared by every in-family digest and in20; the
+    * CompactionSpec recomputes go through it too, so op, oracle and
+    * spec can never drift. */
+  private[graft] def md5ChecksumOf(
+      cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    (sum(conv(substring(md5(concat(cols: _*)), 1, 8), 16, 10)
+      .cast("decimal(38,0)")) % lit(4294967296L)).cast("long")
+
   /** Per-process scratch base for in09's fragmented/compacted tables,
     * removed on JVM exit (the GraftSession warehouse-dir discipline). */
   private lazy val compactScratch: String = {
@@ -347,7 +363,7 @@ object Ingest {
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
       |    '|' || CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag),
-      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |    1, 8)) AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM lineitem""".stripMargin) { (s, d) =>
     val src = graft.model.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
@@ -371,12 +387,11 @@ object Ingest {
       s"compaction did not shrink the file count: ${before.length} -> ${after.length}")
     s.read.parquet(compDir).agg(
       count(lit(1)).cast("long").as("n_rows"),
-      sum(conv(substring(md5(concat(
+      md5ChecksumOf(
         col("l_orderkey").cast("string"), lit("|"),
         col("l_partkey").cast("string"), lit("|"),
         col("l_suppkey").cast("string"), lit("|"),
-        col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
-        .cast("long").as("checksum"))
+        col("l_returnflag")).as("checksum"))
   }
 
   /** Compression-codec matrix (SURVEY.md §2.1 [EXT]) — a 100 TB estate
@@ -396,7 +411,7 @@ object Ingest {
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
       |    '|' || CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag),
-      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |    1, 8)) AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM lineitem
       |CROSS JOIN (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
       |GROUP BY codec
@@ -416,12 +431,11 @@ object Ingest {
         s"$codec round-trip wrote unexpected files: ${files.take(3).mkString(", ")}")
       s.read.parquet(dir).agg(
         count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
+        md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
           col("l_partkey").cast("string"), lit("|"),
           col("l_suppkey").cast("string"), lit("|"),
-          col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
-          .cast("long").as("checksum"))
+          col("l_returnflag")).as("checksum"))
         .select(lit(codec).as("codec"), col("n_rows"), col("checksum"))
     }
     digests.reduce(_ union _).orderBy("codec")
@@ -461,8 +475,8 @@ object Ingest {
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
-      |    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
-      |    AS checksum,
+      |    CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)) % 4294967296
+      |    AS BIGINT) AS checksum,
       |  CAST(max(epoch_us(ts)) AS BIGINT) AS watermark_micros
       |FROM events""".stripMargin) { (s, d) =>
     import graft.ops.EventStreams
@@ -484,11 +498,10 @@ object Ingest {
     val merged = s.read.parquet(snapDir)
     merged.agg(
       count(lit(1)).cast("long").as("n_rows"),
-      sum(conv(substring(md5(concat(
+      md5ChecksumOf(
         col("event_id").cast("string"), lit("|"),
         col("event_type"), lit("|"),
-        col("user_id").cast("string"))), 1, 8), 16, 10).cast("long"))
-        .cast("long").as("checksum"),
+        col("user_id").cast("string")).as("checksum"),
       max(EventStreams.eventMicros(merged)).cast("long")
         .as("watermark_micros"))
   }
@@ -514,7 +527,7 @@ object Ingest {
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(event_id AS VARCHAR) || '|' || event_type), 1, 8))
-      |    AS BIGINT)) AS BIGINT) AS checksum
+      |    AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     import graft.ops.EventStreams
     val ev = graft.model.Tables.events(s, d)
@@ -551,9 +564,9 @@ object Ingest {
     s.read.parquet(dir)
       .groupBy(col("day").cast("string").as("day"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
-          col("event_id").cast("string"), lit("|"), col("event_type"))),
-          1, 8), 16, 10).cast("long")).cast("long").as("checksum"))
+        md5ChecksumOf(
+          col("event_id").cast("string"), lit("|"), col("event_type"))
+          .as("checksum"))
       .orderBy("day")
   }
 
@@ -581,7 +594,7 @@ object Ingest {
     """SELECT layout, CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)),
-      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |    1, 8)) AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM lineitem
       |CROSS JOIN (SELECT unnest(['hash_scattered', 'range_sorted']) AS layout)
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
@@ -611,10 +624,9 @@ object Ingest {
     def digested(dir: String, layout: String) =
       monthScan(dir).agg(
         count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
+        md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
-          col("l_partkey").cast("string"))), 1, 8), 16, 10).cast("long"))
-          .cast("long").as("checksum"))
+          col("l_partkey").cast("string")).as("checksum"))
         .select(lit(layout).as("layout"), col("n_rows"), col("checksum"))
     digested(scatterDir, "hash_scattered")
       .union(digested(sortedDir, "range_sorted"))
@@ -640,7 +652,7 @@ object Ingest {
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
       |    '|' || CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag),
-      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |    1, 8)) AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM lineitem
       |CROSS JOIN (SELECT unnest(['json', 'orc', 'parquet']) AS fmt)
       |GROUP BY fmt
@@ -663,12 +675,11 @@ object Ingest {
         s"$fmt round-trip wrote unexpected files: ${files.take(3).mkString(", ")}")
       s.read.format(fmt).schema(schema).load(dir).agg(
         count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
+        md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
           col("l_partkey").cast("string"), lit("|"),
           col("l_suppkey").cast("string"), lit("|"),
-          col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
-          .cast("long").as("checksum"))
+          col("l_returnflag")).as("checksum"))
         .select(lit(fmt).as("fmt"), col("n_rows"), col("checksum"))
     }
     digests.reduce(_ union _).orderBy("fmt")
@@ -703,7 +714,7 @@ object Ingest {
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' ||
       |    CAST(l_linenumber AS VARCHAR)), 1, 8))
-      |    AS BIGINT)) AS BIGINT) AS checksum
+      |    AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
     val run = java.util.UUID.randomUUID().toString.take(8)
     val base = s"$compactScratch/$run"
@@ -765,10 +776,9 @@ object Ingest {
     s.read.parquet(published)
       .groupBy(col("l_returnflag").as("flag"))
       .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
+        md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
-          col("l_linenumber").cast("string"))),
-          1, 8), 16, 10).cast("long")).cast("long").as("checksum"))
+          col("l_linenumber").cast("string")).as("checksum"))
       .orderBy("flag")
   }
 
@@ -801,7 +811,7 @@ object Ingest {
     """SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)),
-      |    1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+      |    1, 8)) AS BIGINT)) % 4294967296 AS BIGINT) AS checksum
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) {
@@ -828,10 +838,9 @@ object Ingest {
     s.read.parquet(live: _*)
       .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .agg(count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
+        md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
-          col("l_partkey").cast("string"))), 1, 8), 16, 10).cast("long"))
-          .cast("long").as("checksum"))
+          col("l_partkey").cast("string")).as("checksum"))
   }
 
   /** One metadata pass: per data file, (path, key min, key max) — the
@@ -892,8 +901,8 @@ object Ingest {
       |SELECT l.layout, f.pred, CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(CAST(concat('0x', substr(md5(
       |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) ||
-      |    '|' || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT)
-      |    AS checksum
+      |    '|' || CAST(l_suppkey AS VARCHAR)), 1, 8)) AS BIGINT))
+      |    % 4294967296 AS BIGINT) AS checksum
       |FROM f
       |CROSS JOIN (SELECT unnest(['linear_partkey', 'zorder']) AS layout) l
       |GROUP BY l.layout, f.pred
@@ -941,11 +950,10 @@ object Ingest {
     def digested(dir: String, layout: String, pred: String) =
       s.read.parquet(dir).filter(predOf(pred))
         .agg(count(lit(1)).cast("long").as("n_rows"),
-          sum(conv(substring(md5(concat(
+          md5ChecksumOf(
             col("l_orderkey").cast("string"), lit("|"),
             col("l_partkey").cast("string"), lit("|"),
-            col("l_suppkey").cast("string"))), 1, 8), 16, 10).cast("long"))
-            .cast("long").as("checksum"))
+            col("l_suppkey").cast("string")).as("checksum"))
         .select(lit(layout).as("layout"), lit(pred).as("pred"),
           col("n_rows"), col("checksum"))
     Seq(("linear_partkey", linDir), ("zorder", zDir))
@@ -997,8 +1005,8 @@ object Ingest {
       |    CASE WHEN l.l_orderkey IS NULL THEN NULL
       |    ELSE CAST(concat('0x', substr(md5(
       |      CAST(l.l_orderkey AS VARCHAR) || '|' ||
-      |      CAST(l.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) END), 0)
-      |    AS BIGINT) AS checksum
+      |      CAST(l.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT) END)
+      |    % 4294967296, 0) AS BIGINT) AS checksum
       |FROM pk
       |LEFT JOIN lineitem l ON l.l_orderkey = pk.k
       |GROUP BY pk.probe
@@ -1070,10 +1078,9 @@ object Ingest {
       else
         s.read.parquet(hit: _*).filter(col("l_orderkey") === k)
           .agg(count(lit(1)).cast("long").as("n_rows"),
-            coalesce(sum(conv(substring(md5(concat(
+            coalesce(md5ChecksumOf(
               col("l_orderkey").cast("string"), lit("|"),
-              col("l_partkey").cast("string"))), 1, 8), 16, 10)
-              .cast("long")), lit(0L)).cast("long").as("checksum"))
+              col("l_partkey").cast("string")), lit(0L)).as("checksum"))
           .select(lit(p).as("probe"), col("n_rows"), col("checksum"))
     }
     digests.reduce(_ union _).orderBy("probe")
@@ -1227,13 +1234,11 @@ object Ingest {
     require(s.read.parquet(deltaFiles: _*).count() ==
       t.readAsOf(3).count() - t.readAsOf(2).count(),
       "in20: metadata diff disagrees with the data diff")
-    val D = "DECIMAL(38,0)"
     def digest(v: Int): org.apache.spark.sql.DataFrame =
       t.readAsOf(v).agg(count(lit(1)).cast("long").as("n_rows"),
-        (sum(conv(substring(md5(concat(
+        md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
-          col("l_linenumber").cast("string"))), 1, 8), 16, 10)
-          .cast(D)) % lit(4294967296L)).cast("long").as("checksum"))
+          col("l_linenumber").cast("string")).as("checksum"))
         .select(lit(v).as("version"), col("n_rows"), col("checksum"))
     digest(1).union(digest(2)).union(digest(3)).orderBy("version")
   }

@@ -60,12 +60,11 @@ class CompactionSpec extends SparkSpec {
     val srcRow = model.Tables.lineitem(spark, sf)
       .agg(
         count(lit(1)).cast("long").as("n_rows"),
-        sum(conv(substring(md5(concat(
+        sources.Ingest.md5ChecksumOf(
           col("l_orderkey").cast("string"), lit("|"),
           col("l_partkey").cast("string"), lit("|"),
           col("l_suppkey").cast("string"), lit("|"),
-          col("l_returnflag"))), 1, 8), 16, 10).cast("long"))
-          .cast("long").as("checksum"))
+          col("l_returnflag")).as("checksum"))
       .collect()(0)
     assert(out.getLong(0) == srcRow.getLong(0), "row count drifted")
     assert(out.getLong(1) == srcRow.getLong(1), "content digest drifted")
@@ -86,9 +85,8 @@ class CompactionSpec extends SparkSpec {
       .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast(ntz) &&
         col("l_shipdate") < lit("1996-04-01 00:00:00").cast(ntz))
       .agg(count(lit(1)).cast("long"),
-        sum(conv(substring(md5(concat(col("l_orderkey").cast("string"),
-          lit("|"), col("l_partkey").cast("string"))), 1, 8), 16, 10)
-          .cast("long")).cast("long"))
+        sources.Ingest.md5ChecksumOf(col("l_orderkey").cast("string"),
+          lit("|"), col("l_partkey").cast("string")))
       .collect().head
     assert(rows("range_sorted") == ((direct.getLong(0), direct.getLong(1))))
     assert(direct.getLong(0) > 0, "empty month - the scan contract is vacuous")
@@ -102,10 +100,9 @@ class CompactionSpec extends SparkSpec {
     assert(rows.values.toSet.size == 1, s"formats disagree: $rows")
     val src = model.Tables.lineitem(spark, sf).agg(
         count(lit(1)).cast("long"),
-        sum(conv(substring(md5(concat(col("l_orderkey").cast("string"),
+        sources.Ingest.md5ChecksumOf(col("l_orderkey").cast("string"),
           lit("|"), col("l_partkey").cast("string"), lit("|"),
-          col("l_suppkey").cast("string"), lit("|"), col("l_returnflag"))),
-          1, 8), 16, 10).cast("long")).cast("long"))
+          col("l_suppkey").cast("string"), lit("|"), col("l_returnflag")))
       .collect().head
     assert(rows("parquet") == ((src.getLong(0), src.getLong(1))))
   }
