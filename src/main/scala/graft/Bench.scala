@@ -181,7 +181,7 @@ object Bench {
     * full path ("/root/testdata/sf0.1"): bench_full.json records the
     * full SPARK_GRAFT_SF_DIR, and an artifact seeded by copying it must
     * not silently disable anchors/isolation over the tag's spelling. */
-  private def loadSfTagged(path: String, sfName: String,
+  private[graft] def loadSfTagged(path: String, sfName: String,
       key: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get(path)
@@ -201,6 +201,27 @@ object Bench {
       System.err.println(s"[bench] could not read $path: ${e.getMessage}")
       Map.empty
     }
+
+  /** The bench_prev refresh policy, pure (r11 verdict ask #1 — the
+    * refresh must be testable, not another inert mechanism):
+    *  - failed queries (−1 timings) are omitted, never recorded;
+    *  - a query that was isolated-re-measured records its ISOLATED min
+    *    when that is cleaner — the in-catalog number it replaces was by
+    *    definition a >2× swing under shared-JVM load;
+    *  - when the anchors call the run uniformly pressured
+    *    (`anchorDrift` > 1.5) and an old record exists, merge
+    *    elementwise-min with it: a pressured run must not inflate the
+    *    clean record and blind the next round's swing detection. */
+  private[graft] def refreshedPrev(results: Seq[(String, Double)],
+      isolated: Map[String, Double], prevOld: Map[String, Double],
+      anchorDrift: Double): Seq[(String, Double)] = {
+    val fresh = results.collect { case (k, v) if v >= 0.0 =>
+      k -> isolated.get(k).filter(iv => iv > 0 && iv < v).getOrElse(v)
+    }
+    if (anchorDrift > 1.5 && prevOld.nonEmpty)
+      fresh.map { case (k, v) => k -> math.min(v, prevOld.getOrElse(k, v)) }
+    else fresh
+  }
 
   /** ONE fresh-JVM `SPARK_GRAFT_BENCH_ONLY` re-run of `names` — the
     * judge's manual isolation procedure, automated. The child inherits
@@ -394,25 +415,11 @@ object Bench {
       s""""isolated":${ctlJson(toIso.map(n => n -> isoTimes.getOrElse(n, -1.0)))},"isolated_control_drift":${fmt(isoDrift)}"""
     // REFRESH tools/bench_prev.json after every full catalog pass (r11
     // verdict ask #1: a read-only prev file went stale-at-birth and the
-    // whole adjudication pipeline emitted -1 sentinels). Policy:
-    //  - full passes only (a BENCH_ONLY filter has no catalog to record);
-    //  - failed queries are omitted, never recorded as -1 timings;
-    //  - a query that was isolated-re-measured is recorded at its
-    //    ISOLATED min when that is cleaner — the in-catalog number it
-    //    replaced was by definition a >2x swing under shared-JVM load;
-    //  - if the anchors say this run is uniformly pressured
-    //    (anchor_drift > 1.5), merge elementwise-min with the existing
-    //    prev: a pressured run must not inflate the clean record and
-    //    blind the next round's swing detection.
+    // whole adjudication pipeline emitted -1 sentinels). Full passes
+    // only — a BENCH_ONLY filter has no catalog to record; the policy
+    // itself is [[refreshedPrev]], spec-pinned in BenchSpec.
     if (only.isEmpty) {
-      val fresh = results.collect { case (k, v) if v >= 0.0 =>
-        k -> (isoTimes.get(k).filter(iv => iv > 0 && iv < v).getOrElse(v))
-      }
-      val merged =
-        if (anchorDrift > 1.5 && prevPath._2.nonEmpty)
-          fresh.map { case (k, v) =>
-            k -> math.min(v, prevPath._2.getOrElse(k, v)) }
-        else fresh
+      val merged = refreshedPrev(results, isoTimes, prevPath._2, anchorDrift)
       val prevJson = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       try {

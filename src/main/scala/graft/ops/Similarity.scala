@@ -1566,7 +1566,12 @@ object Similarity {
     * the checkpointed pool. Nothing corpus-global after the one-time
     * graph build; the H-round sequential chain is the same
     * rounds-depend-on-rounds trade s16 documents for FPS. */
-  val s17 = Q("s17_graph_ann_topk", {
+  /** The graph-ANN oracle: the s08 build + H materialized hop CTEs +
+    * the top-5 finish. ONE definition shared verbatim by [[s17]] and
+    * [[s18]] — the two tiers are the SAME search (identical beams,
+    * ledger, scores, results); only the physical lookup layout
+    * differs, which an oracle cannot and must not see. */
+  private lazy val graphAnnSql: String = {
     val hops = (1 to GraphHops).map { h =>
       s"""beam$h AS MATERIALIZED (
          |  SELECT query_id, node FROM (
@@ -1613,7 +1618,9 @@ object Similarity {
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM fin WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }) { (s, d) =>
+  }
+
+  val s17 = Q("s17_graph_ann_topk", graphAnnSql) { (s, d) =>
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .localCheckpoint() // graph build + every hop's embedding fetch
@@ -1655,7 +1662,118 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Per-process scratch base for s18's bucketed index artifacts,
+    * removed on JVM exit (the Ingest compactScratch discipline). */
+  private lazy val annScratch: String = {
+    val dir = s"/tmp/graft-ann-${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
+  // ---------------------------------------------------------------- s18
+  /** [[s17]]'s traversal over a BUCKETED on-disk index — the production
+    * lookup tier (DiskANN's whole point, Subramanya et al. 2019: the
+    * graph lives on disk and a hop touches only the sectors it needs).
+    * SCALE.md №13 measured s17's honest split: candidate work is
+    * corpus-independent (3BH+1), but each hop re-SCANS the whole
+    * checkpointed edge/embedding artifacts because Spark has no
+    * point-lookup index — linear per hop in the corpus. This tier
+    * makes the lookups sub-linear the Spark-native way: both
+    * artifacts are written ONCE partitioned by `pmod(vec_id, nb)`
+    * (nb scales as ~n/256, clamped to [8, 1024]), and each hop reads
+    * them with `b IN (beam buckets) AND vec_id IN (beam ids)` —
+    * partition pruning skips the untouched bucket directories and the
+    * id predicate prunes row groups inside the hit buckets, so a hop
+    * costs O(beam · bucket), not O(E). The beam's ids ARE
+    * driver-visible by design (≤ Q·B ≈ 160 per hop — the frontier an
+    * ANN coordinator holds anyway); every set operation (ledger
+    * anti-join, dedup, scoring, pool union) stays distributed.
+    *
+    * Search-identical to s17 by construction — same beams, same
+    * ledger, same scores — so both share [[graphAnnSql]] verbatim and
+    * `SimilaritySpec` pins row-for-row equality of the two tiers (the
+    * d05↔d07/d09 validation-vs-production discipline). */
+  val s18 = Q("s18_graph_ann_bucketed", graphAnnSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // graph build + the one-time index write
+    val nb = math.max(8L, math.min(1024L, e.count() / 256 + 1)).toInt
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val idx = s"$annScratch/$run"
+    // repartition BY THE BUCKET KEY before partitionBy: without it every
+    // write task opens a file in every bucket dir — tasks × nb small
+    // files per artifact (≈4000 at 16×), which is both the in09
+    // small-files problem at write time and a 4000-file LIST on every
+    // hop's pruned read. With it: exactly one file per bucket.
+    knnGraphEdges(s, e).select("vec_id", "neighbor_id")
+      .withColumn("b", pmod(col("vec_id"), lit(nb)))
+      .repartition(nb, col("b"))
+      .write.partitionBy("b").parquet(s"$idx/edges")
+    e.withColumn("b", pmod(col("vec_id"), lit(nb)))
+      .repartition(nb, col("b"))
+      .write.partitionBy("b").parquet(s"$idx/emb")
+    val edgesP = s.read.parquet(s"$idx/edges")
+    val embP = s.read.parquet(s"$idx/emb")
+    require(new java.io.File(s"$idx/edges").listFiles()
+      .count(_.getName.startsWith("b=")) > 1,
+      "s18: the edge index is not bucketed — every hop would scan it whole")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .localCheckpoint() // 10 rows; broadcast into every hop's scoring
+    val entry = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("node"), col("embedding").as("n_emb"))
+    var vis = q.crossJoin(broadcast(entry))
+      .select(col("query_id"), col("node"),
+        expr("cosine_sim(q_emb, n_emb)").as("cos"))
+      .localCheckpoint()
+    var ledger = vis.select("query_id", "node").limit(0)
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node"))
+    // pruned point-lookup: only the frontier's buckets are opened, and
+    // the id predicate reaches the parquet row-group stats
+    def lookup(artifact: DataFrame, ids: Seq[Long]): DataFrame =
+      if (ids.isEmpty) artifact.limit(0)
+      else artifact.filter(
+        col("b").isin(ids.map(_ % nb).distinct.sorted: _*) &&
+          col("vec_id").isin(ids.sorted: _*))
+    for (_ <- 1 to GraphHops) {
+      val beam = vis.join(ledger, Seq("query_id", "node"), "left_anti")
+        .withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= GraphBeam).select("query_id", "node")
+        .localCheckpoint() // ≤ Q·B rows; read by ledger, lookup, expansion
+      ledger = ledger.unionAll(beam).localCheckpoint()
+      val beamIds = beam.select("node").distinct()
+        .collect().map(_.getLong(0)).toSeq // the coordinator's frontier
+      val hits = lookup(edgesP, beamIds).select("vec_id", "neighbor_id")
+      val fresh = beam.join(hits, beam("node") === hits("vec_id"))
+        .select(col("query_id"), col("neighbor_id").as("node")).distinct()
+        .join(vis.select("query_id", "node"), Seq("query_id", "node"),
+          "left_anti")
+        .localCheckpoint() // ≤ Q·B·3 rows; read by the id fetch AND scoring
+      val freshIds = fresh.select("node").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val scored = fresh.join(broadcast(q), "query_id")
+        .join(broadcast(lookup(embP, freshIds)
+          .select(col("vec_id").as("node"), col("embedding").as("n_emb"))),
+          "node")
+        .select(col("query_id"), col("node"),
+          expr("cosine_sim(q_emb, n_emb)").as("cos"))
+      vis = vis.unionAll(scored).localCheckpoint()
+    }
+    vis.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17)
+      s14, s15, s16, s17, s18)
 }

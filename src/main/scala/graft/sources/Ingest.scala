@@ -1243,6 +1243,88 @@ object Ingest {
     digest(1).union(digest(2)).union(digest(3)).orderBy("version")
   }
 
+  // ---------------------------------------------------------------- in21
+  /** Compaction as a REWRITE commit + retention vacuum — the lifecycle
+    * half of the in20 ledger (Delta `OPTIMIZE` + `VACUUM`; Iceberg
+    * rewrite-data-files + expire-snapshots): without it, an append-only
+    * versioned table keeps every small file and every snapshot forever,
+    * which at 100 TB is both the small-files problem (in09/in19) and an
+    * unbounded storage bill. Flow: two append commits (flags A then N),
+    * then in09's compaction re-enters the ledger as commit v3 — the
+    * SAME bytes rewritten into fewer files, with the ledger entry
+    * listing ONLY the new files (`replace = true`) so history v1/v2
+    * still time-travels; then `vacuum(retainFrom = 3)` expires v1/v2
+    * and deletes exactly the files no retained version references.
+    *
+    * The output pins content INVARIANCE through both operations: the
+    * head digest before compaction (read AS OF v2), after compaction
+    * (AS OF v3), and after vacuum (AS OF v3 again, now reading only
+    * surviving bytes) — three identical rows the oracle states off the
+    * SOURCE table once. In-op `require`s pin the physical contracts
+    * the oracle cannot see: compaction shrank the file inventory,
+    * vacuum deleted exactly v2's file set (all pre-rewrite bytes, and
+    * nothing else), head files byte-identical across the vacuum, and
+    * expired versions refuse loudly.
+    *
+    * Scale: the rewrite costs one read+write of live bytes (in09's
+    * bill, now crash-safe behind the ledger's atomic commit point);
+    * vacuum is pure metadata arithmetic (set difference over file
+    * lists) plus deletes — no data is ever scanned to decide what to
+    * drop. */
+  val in21 = Q("in21_compaction_vacuum",
+    """WITH d AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CAST(concat('0x', substr(md5(
+      |      CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT))
+      |      % 4294967296 AS BIGINT) AS checksum
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'N'))
+      |SELECT s.stage, d.n_rows, d.checksum
+      |FROM d CROSS JOIN (
+      |  SELECT unnest(['1_before_compaction', '2_after_compaction',
+      |                 '3_after_vacuum']) AS stage) s
+      |ORDER BY s.stage""".stripMargin) { (s, d) =>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val t = new VersionedTable(s, s"$compactScratch/$run/lifecycle")
+    val src = graft.model.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    // appends land 4 files each (the in09 fragmented-nightly shape) so
+    // the rewrite has a real inventory to shrink
+    t.commit(src.filter(col("l_returnflag") === "A").repartition(4))
+    t.commit(src.filter(col("l_returnflag") === "N").repartition(4))
+    def digest(stage: String): org.apache.spark.sql.DataFrame =
+      t.readAsOf(t.head).agg(count(lit(1)).cast("long").as("n_rows"),
+        md5ChecksumOf(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string")).as("checksum"))
+        .select(lit(stage).as("stage"), col("n_rows"), col("checksum"))
+    val before = digest("1_before_compaction").localCheckpoint()
+    // in09's compaction, ledger-entered: same content, fewer files,
+    // a REWRITE commit so v1/v2 still time-travel until retention
+    val v2Files = t.files(2)
+    t.commit(t.readAsOf(2).coalesce(2), replace = true)
+    require(t.files(3).length < v2Files.length,
+      s"in21: compaction did not shrink the inventory: " +
+        s"${v2Files.length} -> ${t.files(3).length}")
+    val after = digest("2_after_compaction").localCheckpoint()
+    val headStats = t.files(3).map { p =>
+      val f = new java.io.File(p); (p, f.length(), f.lastModified())
+    }
+    val (expired, deleted) = t.vacuum(retainFrom = 3)
+    // retention deleted exactly the pre-rewrite bytes, nothing else
+    require(expired == Seq(1, 2) && deleted.toSet == v2Files.toSet,
+      s"in21: vacuum scope wrong: expired $expired, " +
+        s"deleted ${deleted.length} of ${v2Files.length}")
+    require(headStats.forall { case (p, len, mt) =>
+      val f = new java.io.File(p); f.length() == len && f.lastModified() == mt
+    }, "in21: vacuum touched retained bytes")
+    require(scala.util.Try(t.files(1)).isFailure &&
+      scala.util.Try(t.files(2)).isFailure,
+      "in21: expired versions must refuse, not read deleted bytes")
+    val afterVacuum = digest("3_after_vacuum")
+    before.union(after).union(afterVacuum).orderBy("stage")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20)
+    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21)
 }

@@ -36,18 +36,28 @@ final class VersionedTable(s: SparkSession, base: String) {
       .toArray(Array.empty[String]).toSeq
   }
 
-  /** Highest committed version, 0 for an empty table. */
-  def head: Int =
-    Iterator.from(1).takeWhile(v =>
-      java.nio.file.Files.exists(ledgerEntry(v))).foldLeft(0)((_, v) => v)
+  /** Highest committed version, 0 for an empty table. Listed from the
+    * ledger directory, not probed from v1 upward — after a vacuum has
+    * expired the leading versions, v1's absence must not hide a live
+    * head. */
+  def head: Int = {
+    val d = new java.io.File(s"$base/ledger")
+    Option(d.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      .maxOption.getOrElse(0)
+  }
 
   /** Stage `df`, gate it on `audit` (over the STAGED bytes — what a
     * reader would see), land the files atomically, and commit the new
     * ledger entry. Returns the new version. A batch that fails the
     * audit is refused with the staging retained for forensics, and
-    * the table is untouched — in15's write-audit-publish contract. */
-  def commit(df: DataFrame,
-      audit: DataFrame => Boolean = _ => true): Int = {
+    * the table is untouched — in15's write-audit-publish contract.
+    * With `replace = true` the new entry lists ONLY this commit's
+    * files (a REWRITE commit — Delta `OPTIMIZE` / Iceberg rewrite:
+    * the caller asserts the new files carry the table's content);
+    * otherwise the entry appends to the previous version's list. */
+  def commit(df: DataFrame, audit: DataFrame => Boolean = _ => true,
+      replace: Boolean = false): Int = {
     val v = head + 1
     val stage = s"$base/staging/c$v"
     df.write.parquet(stage)
@@ -61,7 +71,8 @@ final class VersionedTable(s: SparkSession, base: String) {
     val added = new java.io.File(landed).listFiles()
       .filter(_.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath).sorted.toSeq
-    val live = (if (v == 1) Seq.empty else files(v - 1)) ++ added
+    val live =
+      (if (replace || v == 1) Seq.empty else files(v - 1)) ++ added
     new java.io.File(s"$base/ledger").mkdirs()
     val tmp = java.nio.file.Paths.get(s"$base/ledger/.v$v.tmp")
     java.nio.file.Files.writeString(tmp, live.mkString("\n"))
@@ -69,6 +80,31 @@ final class VersionedTable(s: SparkSession, base: String) {
     java.nio.file.Files.move(tmp, ledgerEntry(v),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** Retention vacuum (Iceberg expire-snapshots + remove-orphans;
+    * Delta VACUUM): expire every version below `retainFrom`, then
+    * delete the data files no RETAINED version references. Ledger
+    * entries go first — a crash mid-vacuum must never leave a
+    * readable version pointing at deleted bytes; files shared with a
+    * retained version (append-only lineage) survive untouched.
+    * Returns (expired versions, deleted file paths). Time travel to
+    * an expired version refuses loudly afterwards — that is the
+    * retention CONTRACT, not a failure mode. */
+  def vacuum(retainFrom: Int): (Seq[Int], Seq[String]) = {
+    val h = head
+    require(retainFrom >= 1 && retainFrom <= h,
+      s"vacuum retainFrom $retainFrom outside the ledger (head $h)")
+    val keep = (retainFrom to h)
+      .filter(v => java.nio.file.Files.exists(ledgerEntry(v)))
+      .flatMap(files).toSet
+    val expired = (1 until retainFrom)
+      .filter(v => java.nio.file.Files.exists(ledgerEntry(v)))
+    val orphaned = expired.flatMap(files).distinct.filterNot(keep)
+    expired.foreach(v => java.nio.file.Files.delete(ledgerEntry(v)))
+    orphaned.foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)): Unit)
+    (expired, orphaned)
   }
 
   /** Time-travel read: exactly the files version `v`'s entry lists. */

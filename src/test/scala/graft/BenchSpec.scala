@@ -56,6 +56,47 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.flagSwings(Seq("a" -> 4.0), prev).isEmpty)
   }
 
+  test("bench_prev refresh policy: omit failures, prefer clean isolated mins, min-merge under pressure") {
+    val results = Seq("a" -> 2.0, "b" -> 10.0, "c" -> -1.0, "d" -> 0.5)
+    val isolated = Map("b" -> 3.0, "d" -> 9.0) // d's "isolated" is WORSE
+    // clean run (anchorDrift <= 1.5): fresh values, iso override only
+    // where cleaner, failed c omitted
+    assert(Bench.refreshedPrev(results, isolated, Map("a" -> 1.0), 1.1) ==
+      Seq("a" -> 2.0, "b" -> 3.0, "d" -> 0.5))
+    // pressured run (anchorDrift > 1.5) with an old record: elementwise
+    // min so the pressured numbers cannot inflate the clean record
+    assert(Bench.refreshedPrev(results, isolated,
+      Map("a" -> 1.2, "b" -> 8.0, "c" -> 2.0), 1.9) ==
+      Seq("a" -> 1.2, "b" -> 3.0, "d" -> 0.5))
+    // pressured but NO old record (first round): fresh values still land
+    // — an empty prev must never block the first refresh
+    assert(Bench.refreshedPrev(results, Map.empty, Map.empty, 9.0) ==
+      Seq("a" -> 2.0, "b" -> 10.0, "d" -> 0.5))
+    // anchors absent (-1 sentinel) reads as not-pressured
+    assert(Bench.refreshedPrev(Seq("a" -> 5.0), Map.empty,
+      Map("a" -> 1.0), -1.0) == Seq("a" -> 5.0))
+  }
+
+  test("sf-tagged artifacts accept basename AND full-path tags, reject other SFs") {
+    def write(tag: String): String = {
+      val f = java.io.File.createTempFile("bench_prev_test", ".json")
+      java.nio.file.Files.writeString(f.toPath,
+        s"""{"sf":"$tag","queries":{"q01_x":1.250,"d03_y":0.034}}""")
+      f.getAbsolutePath
+    }
+    val want = Map("q01_x" -> 1.25, "d03_y" -> 0.034)
+    // basename tag (the form Bench itself writes)
+    assert(Bench.loadSfTagged(write("sf0.1"), "sf0.1", "queries") == want)
+    // full-path tag (the form bench_full.json records — r11 ADVICE: an
+    // artifact seeded by copying it must not silently no-op)
+    assert(Bench.loadSfTagged(write("/root/testdata/sf0.1"), "sf0.1",
+      "queries") == want)
+    // a different scale factor's record says nothing about this run
+    assert(Bench.loadSfTagged(write("sf1.0"), "sf0.1", "queries").isEmpty)
+    assert(Bench.loadSfTagged("/nonexistent/prev.json", "sf0.1",
+      "queries").isEmpty)
+  }
+
   test("r01 like-for-like subset is exactly the 58 names recorded in BENCH_r01.json") {
     assert(Bench.r01Subset.size == 58)
     // every subset name must still exist in the catalog, or the subset

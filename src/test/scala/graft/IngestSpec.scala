@@ -325,6 +325,51 @@ class IngestSpec extends SparkSpec {
     assert(t.head == 3 && ids(3).length == 6)
   }
 
+  test("in21 lifecycle: rewrite commits preserve content; vacuum deletes exactly the orphans") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-vacuum").toString
+    val t = new sources.VersionedTable(spark, base)
+    def ids(v: Int) = t.readAsOf(v).select("id").as[Long].collect().sorted
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(3))
+    t.commit(Seq((3L, "c")).toDF("id", "v").repartition(2))
+    // v3 = rewrite of v2's content into fewer files
+    t.commit(t.readAsOf(2).coalesce(1), replace = true)
+    assert(t.head == 3 && t.files(3).length == 1)
+    assert(ids(3).toSeq == Seq(1L, 2L, 3L) && ids(2).toSeq == ids(3).toSeq)
+    // v4 appends ON TOP of the rewrite — lineage continues normally
+    t.commit(Seq((4L, "d")).toDF("id", "v"))
+    assert(ids(4).toSeq == Seq(1L, 2L, 3L, 4L))
+    // vacuum(retain >= 3): v1/v2 expire; their files are orphans
+    // EXCEPT any shared with retained versions (none here, the rewrite
+    // replaced them all); v3's file survives because v4 references it
+    val v12Files = (t.files(1) ++ t.files(2)).distinct.toSet
+    val (expired, deleted) = t.vacuum(retainFrom = 3)
+    assert(expired == Seq(1, 2) && deleted.toSet == v12Files)
+    assert(deleted.forall(p => !new java.io.File(p).exists()))
+    assert(t.files(3).forall(p => new java.io.File(p).exists()))
+    // retained versions read exactly as before the vacuum
+    assert(ids(3).toSeq == Seq(1L, 2L, 3L))
+    assert(ids(4).toSeq == Seq(1L, 2L, 3L, 4L))
+    // expired versions refuse loudly; head is unaffected by their absence
+    intercept[IllegalArgumentException](t.readAsOf(1))
+    intercept[IllegalArgumentException](t.readAsOf(2))
+    assert(t.head == 4)
+    // a second vacuum at the same horizon is a no-op
+    assert(t.vacuum(retainFrom = 3) == ((Seq.empty, Seq.empty)))
+    // vacuum at head retains head; shared-file lineage (v3's file is in
+    // v4's list) must survive the expiry of v3
+    val v3File = t.files(3).head
+    val (e2, d2) = t.vacuum(retainFrom = 4)
+    assert(e2 == Seq(3) && d2.isEmpty,
+      "vacuum deleted a file still referenced by a retained version")
+    assert(new java.io.File(v3File).exists() &&
+      ids(4).toSeq == Seq(1L, 2L, 3L, 4L))
+    // commits continue after vacuums
+    t.commit(Seq((5L, "e")).toDF("id", "v"))
+    assert(t.head == 5 && ids(5).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("in17: z-order re-layout is content-invariant per predicate band") {
     // the op's in-op requires pin the locality inequalities (suppkey
     // band: z strictly beats linear; partkey band: linear never loses

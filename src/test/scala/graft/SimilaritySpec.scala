@@ -488,4 +488,18 @@ class SimilaritySpec extends SparkSpec {
     info(f"graph-ANN recall@5 mean = $mean%.2f (visit budget ${1 + 3 * B * H} of 2000)")
     assert(mean >= 0.5, f"graph-ANN recall collapsed: $mean%.2f")
   }
+
+  test("s18: the bucketed index tier is search-identical to s17, row for row") {
+    // the d05<->d07/d09 validation-vs-production discipline: s18 changes
+    // ONLY the lookup layout (bucketed parquet + pruned point reads);
+    // beams, ledger, scores and therefore results must be bit-equal.
+    // sf0.01 so the traversal is non-trivial (see the s17 test above).
+    val sf01 = "/root/testdata/sf0.01"
+    def rows(q: Q) = q.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val flat = rows(ops.Similarity.s17)
+    val bucketed = rows(ops.Similarity.s18)
+    assert(flat.nonEmpty && bucketed == flat,
+      s"tiers diverged: ${bucketed.diff(flat).take(5)} vs ${flat.diff(bucketed).take(5)}")
+  }
 }
