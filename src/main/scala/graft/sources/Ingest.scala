@@ -985,9 +985,26 @@ object Ingest {
     * states each probe's row count + order-free content digest off the
     * SOURCE table (the in13/in16 discipline — bloom bits and file
     * identities are physical, row content is the contract), with
-    * absent probes pinning the (0, 0) row. Scale: probe cost is
-    * files-hit × point-scan; the bloom consult itself is driver-side
-    * bit math over the manifest. */
+    * absent probes pinning the (0, 0) row.
+    *
+    * Scale shape (r12 verdict task 2): the bloom words are PERSISTED
+    * as a manifest TABLE `(f, w, bits)` sorted by `w` — the in16
+    * pattern — never collected to the driver (at 10⁵–10⁶ files the
+    * word arrays are tens of GB; the old driver-side map was the one
+    * remaining estate-scale hazard). The consult is ONE join job:
+    * the probes' K positions (probes × K rows) broadcast against the
+    * manifest with the touched words pushed down as `w IN (...)` —
+    * min/max row-group pruning makes the scan O(touched words), and
+    * at estate scale the manifest buckets by `pmod(w, nb)` for
+    * partition pruning (s18 precedent). A probe hits a file iff ALL
+    * its distinct (w, mask) tests match — the same conjunction
+    * `bloomHit` evaluates, just as a join-side count. The data read
+    * is also ONE job: the union of hit files scanned once with the
+    * probe keys pushed as an `IN` filter, rows routed to probes by a
+    * broadcast key join (no false negatives ⇒ reading the union is
+    * output-identical to per-probe scans). Job count is O(1) in file
+    * count — `IngestSpec`'s job-count test pins it by doubling the
+    * (config-gated) layout width and asserting no growth. */
   val in18 = Q("in18_bloom_file_skipping",
     """WITH kb AS (
       |  SELECT min(l_orderkey) AS kmin, max(l_orderkey) AS kmax
@@ -1011,47 +1028,45 @@ object Ingest {
       |LEFT JOIN lineitem l ON l.l_orderkey = pk.k
       |GROUP BY pk.probe
       |ORDER BY pk.probe""".stripMargin) { (s, d) =>
-    import graft.ops.TextAnalysis.bloomHit
     val src = graft.model.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_shipdate"))
     val run = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$compactScratch/$run/bloom_indexed"
-    src.repartitionByRange(8, col("l_shipdate"))
+    val manifestDir = s"$compactScratch/$run/bloom_manifest"
+    // layout width is config-gated ONLY so In18JobCountSpec can pin
+    // that the job count does not grow with the file count
+    val layoutFiles =
+      s.conf.getOption("spark.graft.in18.files").map(_.toInt).getOrElse(8)
+    src.repartitionByRange(layoutFiles, col("l_shipdate"))
       .sortWithinPartitions("l_shipdate")
       .write.mode("overwrite").parquet(dataDir)
     val data = s.read.parquet(dataDir)
-    // the bloom manifest: one build pass per file (all files in one
-    // job), m sized from the largest file at ~16 bits/key
+    // m sized from the largest file at ~16 bits/key (one metadata job)
     val perFile = data.groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    require(perFile.length > 1, "layout produced a single file")
+    val nFiles = perFile.length
+    require(nFiles > 1, "layout produced a single file")
     val mBits = math.max(1L << 13,
       java.lang.Long.highestOneBit(
         math.max(1L, 2 * 16L * perFile.map(_._2).max - 1)))
-    // ALL files' blooms in ONE distributed pass (per-file reads would
-    // pay one job per file — measured 2× the whole op's cost): explode
-    // the K positions, partial-combine bit_or per (file, word), collect
-    // O(files · m/64) words — still the metadata plane
-    val blooms: Map[String, Array[Long]] = {
-      val words = data
-        .select(input_file_name().as("f"),
-          col("l_orderkey").cast("string").as("s"))
-        .distinct()
-        .select(col("f"), explode(array(
-          graft.ops.TextAnalysis.bloomPositionsOf(col("s"), mBits): _*))
-          .as("p"))
-        .select(col("f"), shiftright(col("p"), 6).as("w"),
-          call_function("shiftleft", lit(1L),
-            col("p").bitwiseAND(lit(63L)).cast("int")).as("mask"))
-        .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
-        .collect()
-      words.groupBy(_.getString(0)).map { case (f, rs) =>
-        val arr = new Array[Long]((mBits / 64).toInt)
-        rs.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
-        f -> arr
-      }
-    }
+    // ALL files' blooms in ONE distributed pass, PERSISTED as a
+    // manifest table (f, w, bits) sorted by w — never on the driver.
+    // No distinct() before the explode: bit_or is idempotent, and the
+    // map-side partial bit_or combine collapses duplicates cheaper
+    // than a full (f, key) shuffle would.
+    data
+      .select(input_file_name().as("f"),
+        col("l_orderkey").cast("string").as("s"))
+      .select(col("f"), explode(array(
+        graft.ops.TextAnalysis.bloomPositionsOf(col("s"), mBits): _*))
+        .as("p"))
+      .select(col("f"), shiftright(col("p"), 6).as("w"),
+        call_function("shiftleft", lit(1L),
+          col("p").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+      .groupBy("f", "w").agg(expr("bit_or(mask)").as("bits"))
+      .repartitionByRange(4, col("w")).sortWithinPartitions("w")
+      .write.mode("overwrite").parquet(manifestDir)
     // data-derived probe keys (scalar metadata pass)
     val Array(kb) = src.agg(min("l_orderkey"), max("l_orderkey")).collect()
     val (kmin, kmax) = (kb.getLong(0), kb.getLong(1))
@@ -1059,31 +1074,70 @@ object Ingest {
       .agg(max("l_orderkey")).collect()(0).getLong(0)
     val probes = Seq("k1_min" -> kmin, "k2_mid" -> kmid, "k3_max" -> kmax,
       "k4_absent" -> (kmax + 1), "k5_absent" -> (kmax + 17))
+    // the probes' distinct (w, mask) tests — probes × K rows derived
+    // from the same bloomPositions the build used (one micro-job over
+    // a local 5-row relation; O(1) in file count)
     import s.implicits._
-    val probeDf = probes.map { case (p, k) => (p, k.toString) }
-      .toDF("probe", "s").localCheckpoint()
-    // one tiny job per FILE evaluates all probes against its bloom
-    val hitsByFile: Map[String, Set[String]] = blooms.map { case (f, bits) =>
-      f -> probeDf.filter(bloomHit(bits, col("s")))
-        .select("probe").collect().map(_.getString(0)).toSet
+    val probeTests: Seq[(String, Long, Long)] =
+      probes.map { case (p, k) => (p, k.toString) }.toDF("probe", "s")
+        .select(col("probe"), explode(array(
+          graft.ops.TextAnalysis.bloomPositionsOf(col("s"), mBits): _*))
+          .as("p"))
+        .select(col("probe"), shiftright(col("p"), 6).as("w"),
+          call_function("shiftleft", lit(1L),
+            col("p").bitwiseAND(lit(63L)).cast("int")).as("mask"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val needByProbe = probeTests.groupBy(_._1).map { case (p, ts) =>
+      (p, ts.length.toLong)
     }
-    val digests = probes.map { case (p, k) =>
-      val hit = hitsByFile.keys.toSeq.sorted.filter(hitsByFile(_)(p))
-      require(hit.length < perFile.length,
-        s"bloom pruned nothing for $p: ${hit.length}/${perFile.length}")
-      if (hit.isEmpty)
-        probeDf.filter(col("probe") === p)
-          .select(col("probe"), lit(0L).as("n_rows"),
-            lit(0L).as("checksum"))
-      else
-        s.read.parquet(hit: _*).filter(col("l_orderkey") === k)
-          .agg(count(lit(1)).cast("long").as("n_rows"),
-            coalesce(md5ChecksumOf(
-              col("l_orderkey").cast("string"), lit("|"),
-              col("l_partkey").cast("string")), lit(0L)).as("checksum"))
-          .select(lit(p).as("probe"), col("n_rows"), col("checksum"))
+    val testsDf = probeTests.toDF("probe", "w", "mask")
+    val needDf = needByProbe.toSeq.toDF("probe", "need")
+    val touchedWords = probeTests.map(_._2).distinct
+    // consult: ONE join job — manifest scan pruned to the touched
+    // words (pushed IN filter + w-sorted row groups), broadcast the
+    // probes' tests, a probe hits a file iff every test matches
+    val hitPairs = s.read.parquet(manifestDir)
+      .filter(col("w").isin(touchedWords: _*))
+      .join(broadcast(testsDf), "w")
+      .filter(col("bits").bitwiseAND(col("mask")) =!= lit(0L))
+      .groupBy(col("probe"), col("f"))
+      .agg(count_distinct(col("w"), col("mask")).as("matched"))
+      .join(broadcast(needDf), "probe")
+      .filter(col("matched") === col("need"))
+      .select("probe", "f")
+      .collect()                       // O(probes × files-hit) rows
+      .map(r => (r.getString(0), r.getString(1)))
+    val hitsByProbe: Map[String, Seq[String]] =
+      hitPairs.groupBy(_._1).map { case (p, fs) =>
+        (p, fs.map(_._2).toSeq.sorted)
+      }
+    probes.foreach { case (p, _) =>
+      val nHit = hitsByProbe.getOrElse(p, Nil).length
+      require(nHit < nFiles, s"bloom pruned nothing for $p: $nHit/$nFiles")
     }
-    digests.reduce(_ union _).orderBy("probe")
+    // data read: ONE job over the union of hit files, probe keys
+    // pushed as an IN filter, rows routed to probes by a broadcast
+    // key join (no false negatives ⇒ identical to per-probe scans)
+    val hitFiles = hitsByProbe.values.flatten.toSeq.distinct.sorted
+    val keyDf = probes.map { case (p, k) => (p, k) }.toDF("probe", "k")
+    val present =
+      if (hitFiles.isEmpty) Seq.empty[(String, Long, Long)].toDF(
+        "probe", "n_rows", "checksum")
+      else s.read.parquet(hitFiles: _*)
+        .filter(col("l_orderkey").isin(probes.map(_._2): _*))
+        .join(broadcast(keyDf), col("l_orderkey") === col("k"))
+        .groupBy("probe")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(md5ChecksumOf(
+            col("l_orderkey").cast("string"), lit("|"),
+            col("l_partkey").cast("string")), lit(0L)).as("checksum"))
+    keyDf.select("probe")
+      .join(present, Seq("probe"), "left")
+      .select(col("probe"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"))
+      .orderBy("probe")
   }
 
   // ---------------------------------------------------------------- in19

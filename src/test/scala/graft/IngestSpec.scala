@@ -284,6 +284,43 @@ class IngestSpec extends SparkSpec {
     assert(got("k5_absent") == (0L, 0L))
   }
 
+  test("in18: consult + read job count is O(1) in the file count") {
+    // the r12 verdict's estate-scale hazard: the old form ran one job
+    // per FILE for the bloom consult and one per probe for the read,
+    // so doubling the layout width added ~nFiles jobs. The manifest-
+    // table form is a fixed pipeline (layout write, sizing pass,
+    // manifest write, key scans, probe-test micro-job, ONE consult
+    // join, ONE data read) — under AQE each action decomposes into a
+    // few stage-materialization sub-jobs, but the ACTION list is
+    // constant, so the total must not grow when the file count doubles
+    def jobsAt(files: Int): Int = {
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.conf.set("spark.graft.in18.files", files.toString)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        sources.Ingest.in18.run(spark, sf).collect()
+        // listener delivery is async; events post on job submission
+        // so a short settle covers the final collect
+        Thread.sleep(500)
+        jobs
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.unset("spark.graft.in18.files")
+      }
+    }
+    val j8 = jobsAt(8)
+    val j16 = jobsAt(16)
+    // slack 2 absorbs AQE's run-to-run stage decomposition wobble;
+    // the old per-file consult would add +8 here
+    assert(j16 <= j8 + 2,
+      s"in18 jobs grew with file count: $j8 @8 files -> $j16 @16 files")
+  }
+
   test("in20 ledger: old versions are byte-stable and AS-OF-exact after new commits") {
     import spark.implicits._
     val base = java.nio.file.Files
