@@ -211,16 +211,45 @@ object Bench {
     *  - when the anchors call the run uniformly pressured
     *    (`anchorDrift` > 1.5) and an old record exists, merge
     *    elementwise-min with it: a pressured run must not inflate the
-    *    clean record and blind the next round's swing detection. */
+    *    clean record and blind the next round's swing detection;
+    *  - a flagged swing that fell past the isolation cap
+    *    (`flaggedNoIso`) min-merges with its old record even on a
+    *    clean-anchor run — without isolation evidence its inflated
+    *    in-catalog time must not replace the clean value for exactly
+    *    the query that just misbehaved (r12 ADVICE);
+    *  - old records for queries ABSENT from this run (failed → −1, or
+    *    removed from the catalog mid-experiment) carry forward — a
+    *    failure must not also erase the query's clean baseline
+    *    (r12 ADVICE). */
+  /** SF routing for the prev record (r12 ADVICE, medium): the primary
+    * file belongs to the sf it already holds; a run at any other scale
+    * factor reads/writes a per-SF sibling so a sweep or smoke pass can
+    * never clobber the sf0.1 clean record. A missing/unreadable
+    * primary (no tag) stays primary — first write claims it. */
+  private[graft] def routedPrevPath(p: String, primaryTag: Option[String],
+      sfName: String): String =
+    if (primaryTag.exists(_ != sfName))
+      p.replaceAll("\\.json$", "") + s".$sfName.json"
+    else p
+
   private[graft] def refreshedPrev(results: Seq[(String, Double)],
       isolated: Map[String, Double], prevOld: Map[String, Double],
-      anchorDrift: Double): Seq[(String, Double)] = {
+      anchorDrift: Double,
+      flaggedNoIso: Set[String] = Set.empty): Seq[(String, Double)] = {
     val fresh = results.collect { case (k, v) if v >= 0.0 =>
       k -> isolated.get(k).filter(iv => iv > 0 && iv < v).getOrElse(v)
     }
-    if (anchorDrift > 1.5 && prevOld.nonEmpty)
-      fresh.map { case (k, v) => k -> math.min(v, prevOld.getOrElse(k, v)) }
-    else fresh
+    val merged =
+      if (anchorDrift > 1.5 && prevOld.nonEmpty)
+        fresh.map { case (k, v) =>
+          k -> math.min(v, prevOld.getOrElse(k, v)) }
+      else
+        fresh.map { case (k, v) =>
+          if (flaggedNoIso(k)) k -> math.min(v, prevOld.getOrElse(k, v))
+          else k -> v
+        }
+    val have = merged.map(_._1).toSet
+    merged ++ prevOld.toSeq.filterNot(kv => have(kv._1)).sortBy(_._1)
   }
 
   /** ONE fresh-JVM `SPARK_GRAFT_BENCH_ONLY` re-run of `names` — the
@@ -395,11 +424,28 @@ object Bench {
     // in-artifact (see scaladoc)
     val noIso = sys.env.get("SPARK_GRAFT_BENCH_NO_ISOLATE").contains("1")
     // (path, loaded map) — the path is reused below to REWRITE the file
-    // after a full catalog pass, so read and refresh can never diverge
+    // after a full catalog pass, so read and refresh can never diverge.
+    // SF routing (r12 ADVICE, medium): the primary file holds ONE sf's
+    // record; a full pass at any OTHER scale factor (sf0.01 smoke, a
+    // /tmp/sf16x sweep) must not clobber it, so when the primary's sf
+    // tag differs from this run, both read and refresh divert to a
+    // per-SF sibling (tools/bench_prev.<sf>.json) and the primary
+    // record survives untouched.
     val prevPath = {
       val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV",
         "tools/bench_prev.json")
-      (p, loadSfTagged(p, sfName, "queries"))
+      val primaryTag = try {
+        val path = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.exists(path)) None
+        else parseJsonStr(new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8), "sf")
+          .map(t => new java.io.File(t).getName)
+      } catch { case _: Exception => None }
+      val routed = routedPrevPath(p, primaryTag, sfName)
+      if (routed != p)
+        System.err.println(s"[bench] $p holds ${primaryTag.get}, run is " +
+          s"$sfName — routing prev record to $routed")
+      (routed, loadSfTagged(routed, sfName, "queries"))
     }
     val prev = prevPath._2
     val flaggedAll =
@@ -419,7 +465,8 @@ object Bench {
     // only — a BENCH_ONLY filter has no catalog to record; the policy
     // itself is [[refreshedPrev]], spec-pinned in BenchSpec.
     if (only.isEmpty) {
-      val merged = refreshedPrev(results, isoTimes, prevPath._2, anchorDrift)
+      val merged = refreshedPrev(results, isoTimes, prevPath._2, anchorDrift,
+        droppedIso.toSet)
       val prevJson = merged.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       try {

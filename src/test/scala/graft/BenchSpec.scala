@@ -64,10 +64,12 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.refreshedPrev(results, isolated, Map("a" -> 1.0), 1.1) ==
       Seq("a" -> 2.0, "b" -> 3.0, "d" -> 0.5))
     // pressured run (anchorDrift > 1.5) with an old record: elementwise
-    // min so the pressured numbers cannot inflate the clean record
+    // min so the pressured numbers cannot inflate the clean record; the
+    // failed c's OLD clean value carries forward instead of vanishing
+    // (r12 ADVICE — a failure must not also erase the baseline)
     assert(Bench.refreshedPrev(results, isolated,
       Map("a" -> 1.2, "b" -> 8.0, "c" -> 2.0), 1.9) ==
-      Seq("a" -> 1.2, "b" -> 3.0, "d" -> 0.5))
+      Seq("a" -> 1.2, "b" -> 3.0, "d" -> 0.5, "c" -> 2.0))
     // pressured but NO old record (first round): fresh values still land
     // — an empty prev must never block the first refresh
     assert(Bench.refreshedPrev(results, Map.empty, Map.empty, 9.0) ==
@@ -75,6 +77,31 @@ class BenchSpec extends AnyFunSuite {
     // anchors absent (-1 sentinel) reads as not-pressured
     assert(Bench.refreshedPrev(Seq("a" -> 5.0), Map.empty,
       Map("a" -> 1.0), -1.0) == Seq("a" -> 5.0))
+    // carry-forward on a clean run too: failed query keeps its record
+    assert(Bench.refreshedPrev(Seq("a" -> 2.0, "c" -> -1.0), Map.empty,
+      Map("c" -> 4.0), 1.0) == Seq("a" -> 2.0, "c" -> 4.0))
+    // a swing flagged past the isolation cap (no isolated evidence)
+    // min-merges with its old record EVEN on a clean-anchor run — the
+    // inflated in-catalog time must not become the new baseline for
+    // exactly the query that swung (r12 ADVICE)
+    assert(Bench.refreshedPrev(Seq("a" -> 2.0, "e" -> 12.0), Map.empty,
+      Map("e" -> 3.0), 1.0, flaggedNoIso = Set("e")) ==
+      Seq("a" -> 2.0, "e" -> 3.0))
+    // ...but a flagged-no-iso query with no old record records fresh
+    assert(Bench.refreshedPrev(Seq("e" -> 12.0), Map.empty,
+      Map.empty, 1.0, flaggedNoIso = Set("e")) == Seq("e" -> 12.0))
+  }
+
+  test("prev record routes to a per-SF sibling when the primary holds another sf") {
+    // primary holds sf0.1, run is a 16x sweep -> sibling file
+    assert(Bench.routedPrevPath("tools/bench_prev.json", Some("sf0.1"),
+      "sf16x") == "tools/bench_prev.sf16x.json")
+    // matching sf -> primary
+    assert(Bench.routedPrevPath("tools/bench_prev.json", Some("sf0.1"),
+      "sf0.1") == "tools/bench_prev.json")
+    // missing/unreadable primary -> first write claims the primary
+    assert(Bench.routedPrevPath("tools/bench_prev.json", None,
+      "sf0.01") == "tools/bench_prev.json")
   }
 
   test("sf-tagged artifacts accept basename AND full-path tags, reject other SFs") {
