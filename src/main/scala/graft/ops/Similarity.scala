@@ -1740,7 +1740,11 @@ object Similarity {
     def lookup(artifact: DataFrame, ids: Seq[Long]): DataFrame =
       if (ids.isEmpty) artifact.limit(0)
       else artifact.filter(
-        col("b").isin(ids.map(_ % nb).distinct.sorted: _*) &&
+        // floorMod, not %: the index was written with pmod, and for a
+        // negative vec_id Scala's % is negative — the probe would miss
+        // the partition and silently return no rows (r12 ADVICE)
+        col("b").isin(
+          ids.map(i => Math.floorMod(i, nb.toLong)).distinct.sorted: _*) &&
           col("vec_id").isin(ids.sorted: _*))
     for (_ <- 1 to GraphHops) {
       val beam = vis.join(ledger, Seq("query_id", "node"), "left_anti")

@@ -323,6 +323,17 @@ object Ingest {
     * AS BIGINT)`. Shared by every in-family digest and in20; the
     * CompactionSpec recomputes go through it too, so op, oracle and
     * spec can never drift. */
+  /** (path, length, MD5-of-bytes) — the immutability witness for
+    * in20/in21's history `require`s. mtime is NOT part of it: its
+    * granularity is often 1 s, so a same-size rewrite within the same
+    * second would false-pass (r12 ADVICE); content bytes cannot. */
+  private def fileWitness(p: String): (String, Long, String) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    (p, bytes.length.toLong, h)
+  }
+
   private[graft] def md5ChecksumOf(
       cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     (sum(conv(substring(md5(concat(cols: _*)), 1, 8), 16, 10)
@@ -1271,14 +1282,12 @@ object Ingest {
       gates.getLong(0) > 0 && gates.getLong(1) == 0
     }
     t.commit(src.filter(col("l_returnflag") === "A"), audit)
-    val v1Stats = t.files(1).map { p =>
-      val f = new java.io.File(p); (p, f.length(), f.lastModified())
-    }
+    val v1Stats = t.files(1).map(fileWitness)
     t.commit(src.filter(col("l_returnflag") === "N"), audit)
     t.commit(src.filter(col("l_returnflag") === "R"), audit)
     // history immutability: v1's bytes untouched by later commits
-    require(v1Stats.forall { case (p, len, mt) =>
-      val f = new java.io.File(p); f.length() == len && f.lastModified() == mt
+    require(v1Stats.forall { case (p, len, h) =>
+      fileWitness(p) == ((p, len, h))
     }, "in20: a later commit rewrote version 1's data files")
     // p13's diff question answered from the metadata plane alone: the
     // v2->v3 delta is exactly commit 3's files (then verified on data)
@@ -1361,16 +1370,14 @@ object Ingest {
       s"in21: compaction did not shrink the inventory: " +
         s"${v2Files.length} -> ${t.files(3).length}")
     val after = digest("2_after_compaction").localCheckpoint()
-    val headStats = t.files(3).map { p =>
-      val f = new java.io.File(p); (p, f.length(), f.lastModified())
-    }
+    val headStats = t.files(3).map(fileWitness)
     val (expired, deleted) = t.vacuum(retainFrom = 3)
     // retention deleted exactly the pre-rewrite bytes, nothing else
     require(expired == Seq(1, 2) && deleted.toSet == v2Files.toSet,
       s"in21: vacuum scope wrong: expired $expired, " +
         s"deleted ${deleted.length} of ${v2Files.length}")
-    require(headStats.forall { case (p, len, mt) =>
-      val f = new java.io.File(p); f.length() == len && f.lastModified() == mt
+    require(headStats.forall { case (p, len, h) =>
+      fileWitness(p) == ((p, len, h))
     }, "in21: vacuum touched retained bytes")
     require(scala.util.Try(t.files(1)).isFailure &&
       scala.util.Try(t.files(2)).isFailure,
