@@ -1255,7 +1255,9 @@ object Similarity {
     *
     * Same deterministic centroid/probe/cosine arithmetic as s03 —
     * fully oracled, filter included. */
-  val s14 = Q("s14_filtered_topk",
+  /** s14's contract, shared VERBATIM with its bucketed physical variant
+    * [[s19]] (the s17/s18 precedent: one oracle, two layouts). */
+  private lazy val filteredAnnSql: String =
     s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
        |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
        |assign AS (
@@ -1288,7 +1290,9 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+       |ORDER BY query_id, rank""".stripMargin
+
+  val s14 = Q("s14_filtered_topk", filteredAnnSql) { (s, d) =>
     GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -1662,7 +1666,7 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Per-process scratch base for s18's bucketed index artifacts,
+  /** Per-process scratch base for s18's/s19's bucketed index artifacts,
     * removed on JVM exit (the Ingest compactScratch discipline). */
   private lazy val annScratch: String = {
     val dir = s"/tmp/graft-ann-${ProcessHandle.current().pid()}"
@@ -1777,7 +1781,75 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- s19
+  /** Bucketed IVF posting lists — [[s14]]'s filtered ANN over a
+    * PERSISTED, partition-pruned index (the r12 verdict's last
+    * similarity op whose artifacts were unpartitioned; s18 precedent,
+    * same [[filteredAnnSql]] oracle verbatim, `SimilaritySpec` pins
+    * row-for-row tier equality with s14). The posting lists are
+    * payload-carrying: one artifact `(vec_id, label, embedding)`
+    * partitioned by `cid` — assignment, filter column AND vector live
+    * in the list (the DiskANN/ScaNN deployment layout), so a query
+    * never joins back to the corpus table. The probe stage collects
+    * the ≤ |Q|·P probed (query, cid) pairs (the s18 frontier
+    * discipline — bounded by the probe budget, never corpus-sized),
+    * and the candidate read is ONE pruned scan: `cid IN (probed)`
+    * reaches the partition directories, so a query batch touches only
+    * its probed lists — at 10⁹ vectors with C≈√n lists, P·|Q| list
+    * dirs instead of the whole corpus. Label filtering happens INSIDE
+    * the pruned scan (pushed predicate), before any cosine is
+    * computed. Write is `.repartition(C, cid)` before `partitionBy`
+    * (one file per list, not tasks × C — the s18 small-files lesson).
+    * Cost vs s14 at bench scale is the one-time index write, the same
+    * amortized-at-scale tradeoff s18 measured. */
+  val s19 = Q("s19_ivf_bucketed_filtered", filteredAnnSql) { (s, d) =>
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val c = centroidTable(e)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val idx = s"$annScratch/$run/postings"
+    val nLists = c.count().toInt
+    assignToCentroids(e, c).join(e, "vec_id")
+      .select(col("cid"), col("vec_id"), col("label"), col("embedding"))
+      .repartition(nLists, col("cid"))
+      .write.partitionBy("cid").parquet(idx)
+    val postings = s.read.parquet(idx)
+    require(new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("cid=")) > 1,
+      "s19: posting lists are not bucketed — every probe would scan all")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("q_label"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("q_embedding"), col("q_label"),
+        col("cid"), expr("cosine_sim(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 4)
+      .select("query_id", "q_embedding", "q_label", "cid")
+      .localCheckpoint() // ≤ |Q|·P rows; read twice (cid set + join)
+    // the probed list ids — bounded by the probe budget |Q|·P, the
+    // coordinator-frontier discipline s18 set for pruned reads
+    val probedCids = probed.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    postings
+      .filter(col("cid").isin(probedCids: _*)) // partition pruning
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18)
+      s14, s15, s16, s17, s18, s19)
 }

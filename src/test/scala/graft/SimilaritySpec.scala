@@ -502,4 +502,18 @@ class SimilaritySpec extends SparkSpec {
     assert(flat.nonEmpty && bucketed == flat,
       s"tiers diverged: ${bucketed.diff(flat).take(5)} vs ${flat.diff(bucketed).take(5)}")
   }
+
+  test("s19: the bucketed posting-list tier is answer-identical to s14, row for row") {
+    // same discipline for the filtered-ANN pair: s19 changes ONLY the
+    // posting-list layout (persisted payload-carrying lists partitioned
+    // by cid + one pruned candidate scan); probes, label filter, scores
+    // and therefore ranks must be bit-equal to s14's in-plan form
+    val sf01 = "/root/testdata/sf0.01"
+    def rows(q: Q) = q.run(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inPlan = rows(ops.Similarity.s14)
+    val bucketed = rows(ops.Similarity.s19)
+    assert(inPlan.nonEmpty && bucketed == inPlan,
+      s"tiers diverged: ${bucketed.diff(inPlan).take(5)} vs ${inPlan.diff(bucketed).take(5)}")
+  }
 }
