@@ -948,4 +948,25 @@ class PlanAuditSpec extends SparkSpec {
     // per-moment re-aggregation
     assert(!plan.contains("Expand"), plan.take(800))
   }
+
+  test("s19: the candidate read prunes posting-list partitions at listing time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = SparkEntry.catalog.find(_.name == "s19_ivf_bucketed_filtered").get
+    val df = q.run(spark, sf)
+    // sparkPlan, not executedPlan: AQE's wrapper hides children
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.relation.partitionSchema.nonEmpty => f
+    }
+    assert(scans.nonEmpty, "no partitioned posting-list scan in the plan")
+    val postings = scans.head
+    // the probed `cid IN (...)` must be a PARTITION filter (pruned at
+    // file-listing time — untouched list dirs never opened), not a
+    // post-scan row Filter
+    assert(postings.partitionFilters.nonEmpty,
+      s"cid predicate did not reach the partition listing")
+    // anti-vacuity: the listing kept strictly fewer dirs than the C=16
+    // lists the artifact holds — some list was actually skipped
+    assert(postings.selectedPartitions.partitionCount < 16,
+      s"no list pruned: ${postings.selectedPartitions.partitionCount}/16")
+  }
 }
