@@ -744,12 +744,27 @@ object Dedup {
     * candidates cheaply; character-level Levenshtein then verifies them
     * exactly (catching the false band collisions shingle hashing lets
     * through). Both engines ship the classic DP `levenshtein` built-in
-    * with identical integer semantics, and the expensive O(len²)
-    * comparison runs ONLY on the candidate set — never all pairs — so
-    * the composition stays linear-plus-candidates at any corpus size
-    * (the measured-threshold verification pattern d09 uses for Hamming,
-    * here for edit distance). */
+    * with identical integer semantics; the Spark side passes the
+    * THRESHOLD overload (`levenshtein(a, b, k)`, SQL surface since
+    * 3.5) — band-limited O(k·len) with early abort, returning −1 over
+    * budget, so kept rows carry the exact distance and the filter
+    * keeps the identical set the unbounded form would (r13 16× sweep:
+    * the unbounded form ground a 31-minute straggler task on a
+    * dup-heavy corpus; thresholded, the whole verify is seconds). The
+    * expensive comparison runs ONLY on the candidate set — never all
+    * pairs — and candidates are re-hashed across the cluster before
+    * the verify so a hot LSH band cannot serialise it. On dup-heavy
+    * corpora the candidate count itself is quadratic in the
+    * duplication factor — that term belongs to the data, and the
+    * cascade ordering (d11: exact dedup BEFORE shingling) is the
+    * production mitigation. */
   val EditDistThreshold = 40L
+
+  /** Partition count for CPU-dense comparator stages (d12/d17 verify):
+    * the session's shuffle width, pinned EXPLICITLY so AQE cannot
+    * bytes-coalesce a stage whose cost is DP work per row, not I/O. */
+  private def verifyParallelism(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   val d12 = Q("d12_lsh_editdist",
     s"""WITH $shinglesSql,
@@ -765,9 +780,26 @@ object Dedup {
     d03.run(s, d)
       .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
       .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+      // decouple verify parallelism from the band-join's partitioning
+      // with an EXPLICIT partition count: the comparator's cost is
+      // CPU-per-row (O(k·len) DP), which breaks AQE's bytes-based
+      // sizing — left to coalesce, AQE folds the whole candidate set
+      // into 1-2 partitions (~128 MB of compressed text) and
+      // serialises minutes of DP onto one task (the r13 16× straggler)
+      .repartition(verifyParallelism(s), col("i"), col("j"))
       .select(col("i"), col("j"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= EditDistThreshold)
+        levenshtein(col("ta"), col("tb"), EditDistThreshold.toInt)
+          .cast("long").as("edit_dist"))
+      // checkpoint BEFORE filtering: predicate pushdown would
+      // substitute edit_dist's alias and evaluate the DP inside the
+      // band-join stage below the repartition — precisely the
+      // coalesced stage the explicit spread exists to avoid; the
+      // barrier pins the comparator to the 32-way stage and the
+      // filter to the tiny (i, j, edit_dist) rows
+      .localCheckpoint()
+      // thresholded lev returns −1 over budget: keep [0, k] — the
+      // exact set (with exact distances) the unbounded form keeps
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= EditDistThreshold)
       .orderBy("i", "j")
   }
 
@@ -976,9 +1008,15 @@ object Dedup {
     d03.run(s, d)
       .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
       .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+      // same skew/AQE decoupling as d12: explicit-count spread of the
+      // CPU-dense verify over the pair hash
+      .repartition(verifyParallelism(s), col("i"), col("j"))
       .select(col("i"), col("j"),
         expr(s"bounded_edit_distance(ta, tb, $EditDistThreshold)")
           .cast("long").as("edit_dist"))
+      // same pushdown barrier as d12 (see there): keep the DP in the
+      // explicitly-partitioned stage
+      .localCheckpoint()
       .filter(col("edit_dist") <= EditDistThreshold)
       .orderBy("i", "j")
   }
