@@ -1999,7 +1999,89 @@ object MLClassify {
       .orderBy("round")
   }
 
+  // ---------------------------------------------------------------- ml19
+  /** Number of held-out probe vectors / neighbours per probe. */
+  val KnnProbes = 20
+  val KnnK = 5
+
+  /** kNN MAJORITY-VOTE classifier over the embedding column — the
+    * non-parametric sibling of ml06's centroid classifier and the
+    * label-propagation primitive of every embedding-era curation stack
+    * (label a few thousand seed docs, kNN-extend the labels to the
+    * corpus). [[KnnProbes]] held-out vectors are classified by the
+    * majority label of their [[KnnK]] nearest training neighbours
+    * (cosine, [[graft.functions.CosineSimilarity]]); vote ties break to
+    * the smallest label, neighbour-rank ties to the smallest vec_id —
+    * fully deterministic, so the DuckDB oracle recomputes the whole
+    * decision, not just its shape.
+    *
+    * Scale shape: the probe side is tiny and explicitly `broadcast` —
+    * the training corpus streams through ONE codegen'd map pass
+    * (s01's discipline; the condition-less join is hint-carried for
+    * the CatalogPlanSpec audit), ranking is a per-query window over
+    * KnnProbes·|corpus| scored rows, map-side combinable. At estate
+    * scale the exact scan swaps for ANN candidate generation (s03
+    * posting lists or s18's bucketed graph walk) feeding the SAME
+    * vote — this op pins the vote semantics those tiers plug into. */
+  val ml19 = Q("ml19_knn_classifier",
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+       |q AS (SELECT vec_id, embedding, label FROM e WHERE vec_id < $KnnProbes),
+       |t AS (SELECT vec_id, embedding, label FROM e WHERE vec_id >= $KnnProbes),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS true_label,
+       |         t.vec_id AS neighbor_id, t.label AS n_label,
+       |         ${Similarity.cosSql("q", "t")} AS cos
+       |  FROM q JOIN t ON TRUE),
+       |ranked AS (
+       |  SELECT query_id, true_label, neighbor_id, n_label,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, true_label, n_label, count(*) AS votes
+       |  FROM ranked WHERE rank <= $KnnK GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, true_label, n_label AS pred_label, votes,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY votes DESC, n_label) AS r
+       |  FROM votes)
+       |SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+       |       CAST(pred_label AS INTEGER) AS pred_label,
+       |       CAST(votes AS BIGINT) AS votes,
+       |       true_label = pred_label AS correct
+       |FROM pred WHERE r = 1 ORDER BY query_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = graft.ops.Dedup.validationCap(s, Tables.embeddings(s, d),
+      "vec_id", "spark.graft.validation.cap.vecs")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val q = e.filter(col("vec_id") < KnnProbes)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"), col("label").as("true_label"))
+    val t = e.filter(col("vec_id") >= KnnProbes)
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val votes = t.join(broadcast(q))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= KnnK)
+      .groupBy("query_id", "true_label", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("r", row_number().over(wVote))
+      .filter(col("r") === 1)
+      .select(col("query_id"),
+        col("true_label").cast("int").as("true_label"),
+        col("n_label").cast("int").as("pred_label"),
+        col("votes").cast("long").as("votes"),
+        (col("true_label") === col("n_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13, ml14, ml15, ml16, ml17, ml18)
+      ml12, ml13, ml14, ml15, ml16, ml17, ml18, ml19)
 }

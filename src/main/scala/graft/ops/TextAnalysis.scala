@@ -2089,7 +2089,106 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t34
+  /** Hashed-feature buckets / number of docs selected. */
+  val DsirBuckets = 256
+  val DsirTopN = 50
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the
+    * data-SELECTION half of the curation stack: score every raw doc by
+    * how target-like its hashed-unigram distribution is, keep the top
+    * slice. Target here = the `lang = 'en'` stratum; features are
+    * md5-head hash buckets (the t09 portable-hash discipline,
+    * [[DsirBuckets]] buckets); per-bucket weight is the add-one-
+    * smoothed log-likelihood ratio ln(p_target/p_raw), quantised to
+    * MICRO-units per DISTINCT bucket (the t27 trick — cross-engine ln
+    * ulp drift is absorbed by the rounding, and doc scores are then
+    * exact INTEGER sums in both engines). A doc's score is the summed
+    * log importance weight of its tokens — the exact DSIR resampling
+    * statistic; the top [[DsirTopN]] docs are the selected slice.
+    *
+    * Scale shape: one token explode feeding ONE map-side-combined hash
+    * agg (bucket-sized: 256 rows carrying both the raw count and the
+    * target count via a conditional sum — the target pass is free);
+    * the weight table is bucket-sized and BROADCAST back onto the
+    * token stream; the per-doc sum is one map-side-combinable agg; the
+    * selection is TakeOrderedAndProject (q02's top-k discipline — no
+    * corpus-global window, the n02 ban). The corpus body never
+    * shuffles; only its doc-id'd scores do. At 100 TB the bucket count
+    * rises (DSIR uses 10^4–10^5) — the shape is unchanged. */
+  val t34 = Q("t34_dsir_importance",
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS w
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, lang, unnest(w) AS t FROM docs)),
+       |agg AS (
+       |  SELECT b, count(*) AS cr,
+       |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |  FROM feat GROUP BY b),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM agg),
+       |wgt AS (
+       |  SELECT b, CAST(round(ln(
+       |      (CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+       |      / (CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))
+       |    ) * 1000000.0) AS BIGINT) AS w_micro
+       |  FROM agg CROSS JOIN tot),
+       |scored AS (
+       |  SELECT f.doc_id, count(*) AS n_tokens,
+       |    CAST(sum(w.w_micro) AS BIGINT) AS logw_micro
+       |  FROM feat f JOIN wgt w ON f.b = w.b GROUP BY f.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, n_tokens, logw_micro,
+       |    row_number() OVER (ORDER BY logw_micro DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, logw_micro,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $DsirTopN ORDER BY rank""".stripMargin) {
+      (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val feat = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
+    val agg = feat.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // totals via a window over the BUCKET-sized (256-row) agg table —
+    // never a second corpus pass (and nothing for ReuseExchange to miss)
+    val wTot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wgt = agg
+      .withColumn("nr", sum("cr").over(wTot))
+      .withColumn("nt", sum("ct").over(wTot))
+      .select(col("b"), expr(
+        s"""CAST(round(ln(
+           |  (CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+           |  / (CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))
+           |) * 1000000.0) AS BIGINT)""".stripMargin.replace("\n", " "))
+        .as("w_micro"))
+    val scored = feat.join(broadcast(wgt), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_micro").as("logw_micro"))
+    // top-N first (TakeOrderedAndProject), rank assigned on the bounded
+    // result — never a corpus-global window
+    val top = scored
+      .orderBy(col("logw_micro").desc, col("doc_id"))
+      .limit(DsirTopN)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("logw_micro").desc,
+          col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("logw_micro").cast("long").as("logw_micro"), col("rank"))
+      .orderBy("rank")
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
 }

@@ -1386,6 +1386,116 @@ object Ingest {
     before.union(after).union(afterVacuum).orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- in22
+  /** Schema-EVOLUTION reconciliation — the drift problem a 100 TB
+    * estate accumulates by existing: writers upgrade over years, so one
+    * logical table's files span generations (columns added, types
+    * widened), and `mergeSchema` cannot save a reader when a generation
+    * WIDENED a type (parquet int32 vs double refuse to merge — the
+    * in-op `require` PINS that failure, because this op exists exactly
+    * where the built-in stops). The production answer is
+    * registry-driven reconciliation: each generation is read under its
+    * OWN schema and lifted to the current contract with explicit casts
+    * and declared defaults (`unionByName` — never positional union),
+    * and the lift is PROVEN content-preserving by per-generation +
+    * unified order-free digests stated by the oracle off the SOURCE
+    * table. Two generations round-trip here: gen1 (3 columns, qty
+    * narrowed to int by an old writer) and gen2 (adds `l_returnflag`,
+    * widens qty to double); gen1's missing flag lifts to the declared
+    * 'NA' default, qty lifts to exact integer cents (floor before the
+    * cast in BOTH engines — Spark truncates double→int, DuckDB rounds,
+    * so a bare cast would silently diverge).
+    *
+    * Scale shape: per-generation reads are map-only passes under
+    * pushed-down schemas; the union inserts no shuffle; the digest is
+    * one map-side-combined agg. The registry (schema-per-generation)
+    * is metadata-plane, the in16 manifest discipline. */
+  val in22 = Q("in22_schema_evolution", {
+    // single-line on purpose: this fragment is interpolated into a
+    // stripMargin block, so an embedded newline + leading '||' would be
+    // eaten as a margin
+    def digestSql(flag: String) =
+      "CAST(sum(CAST(concat('0x', substr(md5(" +
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)" +
+        s" || '|' || CAST(qty_cents AS VARCHAR) || '|' || $flag)," +
+        " 1, 8)) AS BIGINT)) % 4294967296 AS BIGINT)"
+    s"""WITH src AS (
+       |  SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+       |         l_returnflag
+       |  FROM lineitem),
+       |g1 AS (
+       |  SELECT l_orderkey, l_partkey,
+       |    CAST(floor(l_quantity) AS BIGINT) * 100 AS qty_cents,
+       |    'NA' AS flag
+       |  FROM src WHERE l_linenumber <= 3),
+       |g2 AS (
+       |  SELECT l_orderkey, l_partkey,
+       |    CAST(floor(l_quantity * 100) AS BIGINT) AS qty_cents,
+       |    l_returnflag AS flag
+       |  FROM src WHERE l_linenumber > 3),
+       |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+       |SELECT 'gen1' AS gen, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(3 AS INTEGER) AS n_cols, ${digestSql("flag")} AS checksum
+       |FROM g1
+       |UNION ALL
+       |SELECT 'gen2', CAST(count(*) AS BIGINT), CAST(4 AS INTEGER),
+       |  ${digestSql("flag")}
+       |FROM g2
+       |UNION ALL
+       |SELECT 'unified', CAST(count(*) AS BIGINT), CAST(4 AS INTEGER),
+       |  ${digestSql("flag")}
+       |FROM u
+       |ORDER BY gen""".stripMargin
+  }) { (s, d) =>
+    val src = graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val g1Dir = s"$compactScratch/$run/gen1"
+    val g2Dir = s"$compactScratch/$run/gen2"
+    // the old writer: narrow qty, no flag column
+    src.filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_quantity")).cast("int").as("qty"))
+      .write.mode("overwrite").parquet(g1Dir)
+    // the new writer: widened qty, added column
+    src.filter(col("l_linenumber") > 3)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").as("qty"), col("l_returnflag"))
+      .write.mode("overwrite").parquet(g2Dir)
+    // the reason this op exists: the built-in merge REFUSES the widening
+    val merged = scala.util.Try(
+      s.read.option("mergeSchema", "true").parquet(g1Dir, g2Dir).schema)
+    require(merged.isFailure,
+      "in22: mergeSchema unexpectedly merged int and double qty — " +
+        "the reconciliation tier is redundant on this engine version")
+    val g1 = s.read.parquet(g1Dir)
+    val g2 = s.read.parquet(g2Dir)
+    val g1r = g1.select(col("l_orderkey"), col("l_partkey"),
+      (col("qty").cast("long") * 100).as("qty_cents"),
+      lit("NA").as("flag"))
+    val g2r = g2.select(col("l_orderkey"), col("l_partkey"),
+      floor(col("qty") * 100).cast("long").as("qty_cents"),
+      col("l_returnflag").as("flag"))
+    val uni = g1r.unionByName(g2r)
+    def report(gen: String, df: org.apache.spark.sql.DataFrame,
+        nCols: Int) =
+      df.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        md5ChecksumOf(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_partkey").cast("string"), lit("|"),
+          col("qty_cents").cast("string"), lit("|"),
+          col("flag")).as("checksum"))
+        .select(lit(gen).as("gen"), col("n_rows"),
+          lit(nCols).cast("int").as("n_cols"), col("checksum"))
+    report("gen1", g1r, g1.columns.length)
+      .union(report("gen2", g2r, g2.columns.length))
+      .union(report("unified", uni, uni.columns.length))
+      .orderBy("gen")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
-    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21)
+    in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21,
+    in22)
 }

@@ -816,4 +816,36 @@ class CorpusOpsSpec extends SparkSpec {
     val shares = card.values.map(_._4).sum
     assert(shares <= 1000000L && shares >= 1000000L - card.size)
   }
+
+  test("t34: DSIR selection enriches the target stratum; top-k never windows the corpus") {
+    val got = TextAnalysis.t34.run(spark, sf)
+    val plan = got.queryExecution.executedPlan.toString
+    // selection must be TakeOrderedAndProject on the doc-score table —
+    // a corpus-global Window before the limit is the banned shape
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == TextAnalysis.DsirTopN)
+    assert(rows.map(_._4).toSeq == (1L to TextAnalysis.DsirTopN).toSeq,
+      "ranks not dense 1..N")
+    // scores arrive sorted and strictly follow the (score desc, doc_id)
+    // tie-break law
+    val orderedOk = rows.sliding(2).forall {
+      case Array((d1, _, s1, _), (d2, _, s2, _)) =>
+        s1 > s2 || (s1 == s2 && d1 < d2)
+      case _ => true
+    }
+    assert(orderedOk, "selection order violates (score desc, doc_id)")
+    // the point of DSIR: the selected slice is ENRICHED in the target
+    // stratum relative to the corpus base rate
+    val langs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseRate =
+      langs.values.count(_ == "en").toDouble / langs.size
+    val selRate =
+      rows.count(r => langs(r._1) == "en").toDouble / rows.length
+    assert(selRate > baseRate,
+      f"no enrichment: selected en-rate $selRate%.2f <= base $baseRate%.2f")
+  }
 }

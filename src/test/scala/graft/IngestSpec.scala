@@ -428,4 +428,25 @@ class IngestSpec extends SparkSpec {
       assert(rs.head.getLong(2) > 0, s"$pred band is empty — vacuous")
     }
   }
+
+  test("in22: generations reconcile losslessly where mergeSchema refuses") {
+    // the op's own require pins the mergeSchema refusal (int-vs-double
+    // widening); the oracle pins content digests cross-engine; here we
+    // pin the report's internal conservation laws
+    val rows = sources.Ingest.in22.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("gen1", "gen2", "unified"))
+    val Seq(g1, g2, u) = rows.toSeq
+    // unified = exactly both generations, no row invented or dropped
+    assert(u.getLong(1) == g1.getLong(1) + g2.getLong(1),
+      "unified row count is not the sum of generations")
+    assert(g1.getLong(1) > 0 && g2.getLong(1) > 0,
+      "a generation is empty — the drift scenario is vacuous")
+    // the lifted contract is the new writer's width; the old writer's
+    // files really are narrower
+    assert(g1.getInt(2) == 3 && g2.getInt(2) == 4 && u.getInt(2) == 4)
+    // digests are per-slice distinct (gen1 'NA'-flag rows cannot hash
+    // like gen2 rows) — guards against a digest that ignores the flag
+    assert(Set(g1.getLong(3), g2.getLong(3), u.getLong(3)).size == 3,
+      "slice digests collide — checksum insensitive to the lifted column?")
+  }
 }
