@@ -1573,7 +1573,99 @@ object Graph {
           .stripMargin.replace("\n", " "))
   }
 
+  // ---------------------------------------------------------------- g17
+  /** Modularity of the g06 community partition (Newman & Girvan 2004) —
+    * the number that tells you whether label propagation found real
+    * structure or noise: Q = Σ_c [ L_c/m − (D_c/2m)² ], where L_c =
+    * intra-community edges, D_c = community degree sum, m = edges. g06
+    * ships the PARTITION; without its quality score a pipeline cannot
+    * compare sparsification knobs ([[TriTopK]]) or stop an iterative
+    * clustering — this is the evaluation half, exactly as ml03/ml20
+    * evaluate the classifiers.
+    *
+    * Zero-drift composition (the ml03 technique): the Spark side runs
+    * [[g06]] itself for the labels, and the oracle splices g06's own
+    * SQL verbatim as a CTE — the partition DEFINITIONS cannot diverge
+    * from the operator they score. Determinism: L_c, D_c, m and the
+    * degree-square sum are all INTEGERS (exact, order-free); the only
+    * doubles are per-row single expressions from those integers
+    * (identical IEEE shapes in both engines) — no float accumulation
+    * anywhere. Σ D_c² ≤ 4m² stays in BIGINT up to m ≈ 1.5e9 edges;
+    * beyond that the sum widens to DECIMAL — the g16 headroom rule.
+    *
+    * Scale: reads the memoised g05 projection (edge-table-sized); two
+    * keyed label joins onto the edge list, one degree agg, one
+    * community agg with map-side combine, two broadcast scalars. No
+    * stage sees the corpus. */
+  val g17 = Q("g17_modularity",
+    s"""WITH $projEdgeCtes,
+       |g06o AS (${g06.oracle.get}),
+       |lab AS (SELECT node AS v, label AS lbl FROM g06o),
+       |dirx AS (
+       |  SELECT s1 AS v, s2 AS nb FROM e
+       |  UNION ALL SELECT s2 AS v, s1 AS nb FROM e),
+       |deg AS (SELECT v, count(*) AS deg FROM dirx GROUP BY v),
+       |cstats AS (
+       |  SELECT lab.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(deg.deg) AS BIGINT) AS degree_sum
+       |  FROM lab JOIN deg ON deg.v = lab.v GROUP BY 1),
+       |cintra AS (
+       |  SELECT a.lbl, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM e JOIN lab a ON a.v = e.s1 JOIN lab b ON b.v = e.s2
+       |  WHERE a.lbl = b.lbl GROUP BY 1),
+       |j AS (
+       |  SELECT c.lbl, c.n_nodes, c.degree_sum,
+       |    coalesce(i.intra_edges, 0) AS intra_edges
+       |  FROM cstats c LEFT JOIN cintra i ON i.lbl = c.lbl),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |gsum AS (
+       |  SELECT CAST(sum(intra_edges) AS BIGINT) AS intra,
+       |    CAST(sum(degree_sum * degree_sum) AS BIGINT) AS degsq
+       |  FROM j)
+       |SELECT j.lbl AS community, j.n_nodes, j.intra_edges, j.degree_sum,
+       |  CAST(j.intra_edges AS DOUBLE) / m.m
+       |    - (CAST(j.degree_sum AS DOUBLE) / (2.0 * m.m))
+       |      * (CAST(j.degree_sum AS DOUBLE) / (2.0 * m.m)) AS q_c,
+       |  CAST(gsum.intra AS DOUBLE) / m.m
+       |    - CAST(gsum.degsq AS DOUBLE) / (4.0 * m.m * m.m) AS modularity
+       |FROM j CROSS JOIN m CROSS JOIN gsum
+       |ORDER BY community""".stripMargin) { (s, d) =>
+    val e = s.read.parquet(ensureProjection(s, d))
+    val lab = g06.run(s, d)
+      .select(col("node").as("v"), col("label").as("lbl"))
+      .localCheckpoint() // node-sized; feeds three keyed joins
+    val dirx = e.select(col("s1").as("v"))
+      .union(e.select(col("s2").as("v")))
+    val deg = dirx.groupBy("v").agg(count(lit(1)).as("deg"))
+    val cstats = lab.join(deg, "v").groupBy("lbl")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum("deg").cast("long").as("degree_sum"))
+    val cintra = e
+      .join(lab.select(col("v").as("s1"), col("lbl").as("la")), "s1")
+      .join(lab.select(col("v").as("s2"), col("lbl").as("lb")), "s2")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl"))
+      .agg(count(lit(1)).cast("long").as("intra_edges"))
+    val j = cstats.join(cintra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .localCheckpoint() // community-sized; feeds globals and output
+    val mDf = e.agg(count(lit(1)).cast("long").as("m"))
+    val glob = j.agg(sum("intra_edges").cast("long").as("intra"),
+      sum(col("degree_sum") * col("degree_sum")).cast("long").as("degsq"))
+    j.crossJoin(broadcast(mDf)).crossJoin(broadcast(glob))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        col("intra_edges"), col("degree_sum"),
+        (col("intra_edges").cast("double") / col("m")
+          - (col("degree_sum").cast("double") / (lit(2.0) * col("m")))
+            * (col("degree_sum").cast("double") / (lit(2.0) * col("m"))))
+          .as("q_c"),
+        (col("intra").cast("double") / col("m")
+          - col("degsq").cast("double")
+            / (lit(4.0) * col("m") * col("m"))).as("modularity"))
+      .orderBy("community")
+  }
+
   def all: Seq[Q] =
     Seq(g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11, g12, g13,
-      g14, g15, g16)
+      g14, g15, g16, g17)
 }

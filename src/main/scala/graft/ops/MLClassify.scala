@@ -2081,7 +2081,106 @@ object MLClassify {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- ml20
+  /** Precision-recall curve + average precision — ml03's sibling for the
+    * IMBALANCED regime, which is the one curation actually lives in
+    * (toxic docs, contaminated docs, PII hits are all rare classes, and
+    * ROC-AUC flatters rare-class classifiers because FPR's denominator
+    * is the huge negative class; PR answers "of what the gate flags, how
+    * much is real" — Davis & Goadrich 2006). Same inputs as ml03 so the
+    * two curves are directly comparable on the same scored corpus:
+    * score = t02's quality in micros, label = t15's Gopher keep.
+    *
+    * Same distributed shape as ml03 — the corpus collapses to the
+    * (score, pos, neg) HISTOGRAM (bounded by distinct quantised scores),
+    * the curve is a cumulative walk over that small table, and the only
+    * window runs over the histogram. AP is the step-wise integral
+    * AP = Σ_i (tp_i − tp_{i−1}) · precision_i / P (what
+    * `average_precision_score` computes); the float hazard is the SUM,
+    * so each row's contribution quantises to nanos FIRST
+    * (`round(Δtp · tp/(tp+fp) · 1e9)` → BIGINT, the g01/ml03
+    * discipline: per-row IEEE arithmetic is bit-identical across
+    * engines, BIGINT summation is order-free), and AP emerges from one
+    * final division. Per-row precision/recall are single divisions —
+    * no accumulation, no drift.
+    *
+    * At 100 TB: one map pass, one ≤|scores| histogram shuffle, a tiny
+    * window, a broadcast of two scalars — identical bill to ml03. */
+  val ml20 = Q("ml20_pr_auc", {
+    val t15Sql = graft.ops.TextAnalysis.t15.oracle.get
+    val t02Sql = graft.ops.TextAnalysis.t02.oracle.get
+    s"""WITH t15o AS ($t15Sql),
+       |t02o AS ($t02Sql),
+       |lab AS (SELECT doc_id, keep AS label FROM t15o),
+       |qs AS (
+       |  SELECT doc_id,
+       |    CAST(round(quality * 1000000.0) AS BIGINT) AS score_micro
+       |  FROM t02o),
+       |d AS (
+       |  SELECT qs.score_micro, lab.label
+       |  FROM qs JOIN lab ON lab.doc_id = qs.doc_id),
+       |hist AS (
+       |  SELECT score_micro,
+       |    count(*) FILTER (WHERE label) AS pos,
+       |    count(*) FILTER (WHERE NOT label) AS neg
+       |  FROM d GROUP BY score_micro),
+       |tot AS (SELECT sum(pos) AS p FROM hist),
+       |cum AS (
+       |  SELECT score_micro,
+       |    sum(pos) OVER (ORDER BY score_micro DESC) AS tp,
+       |    sum(neg) OVER (ORDER BY score_micro DESC) AS fp
+       |  FROM hist),
+       |steps AS (
+       |  SELECT score_micro, tp, fp,
+       |    CAST(round(
+       |      CAST(tp - coalesce(lag(tp) OVER (ORDER BY score_micro DESC),
+       |                         0) AS DOUBLE)
+       |        * (CAST(tp AS DOUBLE) / (tp + fp)) * 1000000000.0)
+       |      AS BIGINT) AS contrib_nano
+       |  FROM cum),
+       |apn AS (SELECT sum(contrib_nano) AS num FROM steps)
+       |SELECT s.score_micro, CAST(s.tp AS BIGINT) AS tp,
+       |  CAST(s.fp AS BIGINT) AS fp,
+       |  CAST(s.tp AS DOUBLE) / (s.tp + s.fp) AS precision,
+       |  CAST(s.tp AS DOUBLE) / tot.p AS recall,
+       |  CAST(apn.num AS DOUBLE) / 1000000000.0 / tot.p AS ap
+       |FROM steps s CROSS JOIN tot CROSS JOIN apn
+       |ORDER BY score_micro DESC""".stripMargin
+  }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val lab = graft.ops.TextAnalysis.t15.run(s, d)
+      .select(col("doc_id"), col("keep").as("label"))
+    val qs = graft.ops.TextAnalysis.t02.run(s, d)
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000.0) AS BIGINT)").as("score_micro"))
+    val hist = qs.join(lab, "doc_id")
+      .groupBy("score_micro")
+      .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("neg"))
+      .localCheckpoint() // small histogram; feeds the total, window, AP
+    val tot = hist.agg(sum("pos").as("p"))
+    val w = Window.orderBy(col("score_micro").desc)
+    val cum = hist.select(col("score_micro"),
+      sum("pos").over(w).as("tp"), sum("neg").over(w).as("fp"))
+    val steps = cum.select(col("score_micro"), col("tp"), col("fp"),
+      round((col("tp") - coalesce(lag(col("tp"), 1).over(w), lit(0L)))
+          .cast("double")
+        * (col("tp").cast("double") / (col("tp") + col("fp")))
+        * lit(1000000000.0)).cast("long").as("contrib_nano"))
+      .localCheckpoint() // reused by the AP scalar and the output rows
+    val apn = steps.agg(sum("contrib_nano").as("num"))
+    steps.crossJoin(broadcast(tot)).crossJoin(broadcast(apn))
+      .select(col("score_micro"),
+        col("tp").cast("long").as("tp"), col("fp").cast("long").as("fp"),
+        (col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        (col("tp").cast("double") / col("p")).as("recall"),
+        (col("num").cast("double") / lit(1000000000.0) / col("p"))
+          .as("ap"))
+      .orderBy(col("score_micro").desc)
+  }
+
   def all: Seq[Q] =
     Seq(ml01, ml02, ml03, ml04, ml05, ml06, ml07, ml08, ml09, ml10, ml11,
-      ml12, ml13, ml14, ml15, ml16, ml17, ml18, ml19)
+      ml12, ml13, ml14, ml15, ml16, ml17, ml18, ml19, ml20)
 }

@@ -1495,7 +1495,130 @@ object Ingest {
       .orderBy("gen")
   }
 
+  // ---------------------------------------------------------------- in23
+  /** Row-level deletes via DELETE FILES (merge-on-read) + scoped purge —
+    * the erasure path a 100 TB training corpus cannot live without
+    * (DSAR / right-to-be-forgotten, licensor opt-outs, takedowns):
+    * rewriting the estate per delete request is ruinous, so the formats
+    * all split the operation in two (Iceberg v2 equality deletes, Delta
+    * deletion vectors):
+    *
+    *  1. ACCEPT is metadata-cheap: the revoked keys land as a small
+    *     delete file next to the in20 ledger; NO data file is touched
+    *     (witness-pinned in-op). Readers get merge-on-read semantics —
+    *     one broadcast anti-join of the key list against the scan, the
+    *     same plan shape at any corpus size because the delete set is
+    *     request-sized, never corpus-sized.
+    *  2. PURGE is a SCOPED rewrite commit: one pass over the base maps
+    *     `input_file_name()` against the delete keys to find the files
+    *     that actually CONTAIN deleted rows (here the revoked source is
+    *     hash-clustered by the base layout, so most files are untouched),
+    *     only those are rewritten, and the new ledger entry carries the
+    *     untouched files forward (`VersionedTable.commit(carry = …)` —
+    *     Iceberg's rewrite-data-files: new snapshot = previous −
+    *     rewritten + new). `vacuum` then deletes exactly the pre-rewrite
+    *     affected files, and the applied delete file is dropped — at
+    *     which point the revoked bytes are physically GONE, which the op
+    *     proves by scanning every surviving file for the revoked keys
+    *     (zero hits, require'd) before it releases the digests.
+    *
+    * The scenario: source `src7` revokes its license. Output = the
+    * in21 three-stage digest discipline: `1_base` (pre-delete), then
+    * `2_merge_on_read` and `3_after_purge` — logically identical BY
+    * CONSTRUCTION ONLY IF both the anti-join and the scoped rewrite are
+    * correct, which is exactly what the oracle states off the source
+    * table once. In-op `require`s pin the physical half the oracle
+    * cannot see: accept touched no data bytes, the purge rewrote a
+    * proper subset of files, carried files are byte-identical across
+    * commit AND vacuum, vacuum deleted exactly the affected set, the
+    * expired version refuses, and the delete file is gone.
+    *
+    * Scale: accept is O(request); merge-on-read adds one broadcast
+    * anti-join per read; purge costs ONE base pass to scope plus a
+    * rewrite of only the affected files (clustered layouts make that
+    * the minority); vacuum is metadata arithmetic. The `affected` list
+    * is file-inventory-sized metadata (the in16 manifest bound), never
+    * row-scale. */
+  val in23 = Q("in23_deletion_vectors", {
+    def digestSql(where: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CAST(concat('0x', substr(md5(
+         |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT))
+         |      % 4294967296 AS BIGINT) AS checksum
+         |  FROM documents $where""".stripMargin
+    s"""WITH b AS (${digestSql("")}),
+       |k AS (${digestSql("WHERE source <> 'src7'")})
+       |SELECT '1_base' AS stage, n_rows, checksum FROM b
+       |UNION ALL SELECT '2_merge_on_read', n_rows, checksum FROM k
+       |UNION ALL SELECT '3_after_purge', n_rows, checksum FROM k
+       |ORDER BY stage""".stripMargin
+  }) { (s, d) =>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"$compactScratch/$run/dv"
+    val t = new VersionedTable(s, base)
+    // clustered base layout: a source's rows concentrate in its hash
+    // bucket's file(s), so a per-source revocation is file-scopable
+    t.commit(graft.model.Tables.documents(s, d)
+      .select("doc_id", "source", "lang", "n_chars")
+      .repartition(8, col("source")))
+    val v1Stats = t.files(1).map(fileWitness)
+    def digest(df: org.apache.spark.sql.DataFrame, stage: String) =
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+        md5ChecksumOf(col("doc_id").cast("string")).as("checksum"))
+        .select(lit(stage).as("stage"), col("n_rows"), col("checksum"))
+    val baseDig = digest(t.readAsOf(1), "1_base").localCheckpoint()
+    // 1. ACCEPT: the revocation lands as a delete FILE — request-sized
+    //    keys, zero data files touched
+    val dvPath = s"$base/deletes/dv1"
+    t.readAsOf(1).filter(col("source") === "src7").select("doc_id")
+      .write.parquet(dvPath)
+    val dv = s.read.parquet(dvPath)
+    // merge-on-read: every reader anti-joins the broadcast key list
+    val morDig = digest(
+      t.readAsOf(1).join(broadcast(dv), Seq("doc_id"), "left_anti"),
+      "2_merge_on_read").localCheckpoint()
+    require(v1Stats.forall { case w @ (p, _, _) => fileWitness(p) == w },
+      "in23: accepting a delete file must not touch data bytes")
+    // 2. PURGE: scope the rewrite to files that contain deleted rows
+    val affected = t.readAsOf(1).withColumn("f", input_file_name())
+      .join(broadcast(dv), Seq("doc_id"), "left_semi")
+      .select("f").distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSeq
+    val carried = t.files(1).filterNot(affected.contains)
+    require(affected.nonEmpty && carried.nonEmpty,
+      s"in23: purge scope degenerate: ${affected.length} affected, " +
+        s"${carried.length} carried of ${t.files(1).length}")
+    t.commit(
+      s.read.parquet(affected: _*)
+        .join(broadcast(dv), Seq("doc_id"), "left_anti"),
+      replace = true, carry = carried)
+    val carriedStats = carried.map(fileWitness)
+    val (expired, deleted) = t.vacuum(retainFrom = 2)
+    require(expired == Seq(1) && deleted.toSet == affected.toSet,
+      s"in23: vacuum scope wrong: expired $expired, deleted " +
+        s"${deleted.length} of ${affected.length} affected")
+    require(carriedStats.forall { case w @ (p, _, _) => fileWitness(p) == w },
+      "in23: purge/vacuum touched carried bytes")
+    require(scala.util.Try(t.files(1)).isFailure,
+      "in23: the pre-purge version must refuse, not read deleted bytes")
+    // the erasure PROOF, on the bytes: no surviving file holds a
+    // revoked key (checked before the delete file itself is dropped)
+    val survivors = s.read.parquet(t.files(2): _*)
+    require(survivors
+      .join(broadcast(dv), Seq("doc_id"), "left_semi").isEmpty,
+      "in23: a revoked key survives in the purged bytes")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dvPath))
+    require(!new java.io.File(dvPath).exists(),
+      "in23: the applied delete file must not outlive the purge")
+    baseDig.union(morDig).union(digest(t.readAsOf(2), "3_after_purge"))
+      .orderBy("stage")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
     in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21,
-    in22)
+    in22, in23)
 }

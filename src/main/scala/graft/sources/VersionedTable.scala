@@ -55,10 +55,22 @@ final class VersionedTable(s: SparkSession, base: String) {
     * With `replace = true` the new entry lists ONLY this commit's
     * files (a REWRITE commit — Delta `OPTIMIZE` / Iceberg rewrite:
     * the caller asserts the new files carry the table's content);
-    * otherwise the entry appends to the previous version's list. */
+    * otherwise the entry appends to the previous version's list.
+    * `carry` (only meaningful with `replace`) additionally retains
+    * the named files from the previous version — the SCOPED rewrite
+    * of Iceberg's rewrite-data-files: new snapshot = previous −
+    * rewritten + new, so files a rewrite never touched stay shared
+    * across the commit instead of being recopied. Must be a subset
+    * of the previous version's file list. */
   def commit(df: DataFrame, audit: DataFrame => Boolean = _ => true,
-      replace: Boolean = false): Int = {
+      replace: Boolean = false, carry: Seq[String] = Nil): Int = {
     val v = head + 1
+    // carry contracts are validated BEFORE any I/O: a refused commit
+    // must leave no staging or landed bytes behind
+    require(carry.isEmpty || (replace && v > 1),
+      "carry is only meaningful on a replace commit over an existing version")
+    require(v == 1 || carry.forall(files(v - 1).contains),
+      "carry must name files from the previous version")
     val stage = s"$base/staging/c$v"
     df.write.parquet(stage)
     require(audit(s.read.parquet(stage)),
@@ -72,7 +84,7 @@ final class VersionedTable(s: SparkSession, base: String) {
       .filter(_.getName.endsWith(".parquet"))
       .map(_.getAbsolutePath).sorted.toSeq
     val live =
-      (if (replace || v == 1) Seq.empty else files(v - 1)) ++ added
+      (if (replace || v == 1) carry else files(v - 1)) ++ added
     new java.io.File(s"$base/ledger").mkdirs()
     val tmp = java.nio.file.Paths.get(s"$base/ledger/.v$v.tmp")
     java.nio.file.Files.writeString(tmp, live.mkString("\n"))

@@ -550,4 +550,50 @@ class GraphSpec extends SparkSpec {
     assert(micro >= -1000000L && micro <= 1000000L)
     assert((micro >= 0) == (num >= 0), "sign disagrees with the numerator")
   }
+
+  test("g17: modularity equals a driver recompute over g06's own labels") {
+    val rows = ops.Graph.g17.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val lab = ops.Graph.g06.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = spark.read
+      .parquet(ops.Graph.ensureProjection(spark, sf))
+      .select("s1", "s2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = edges.length.toLong
+    // conservation laws: communities partition the labelled nodes;
+    // degree mass sums to 2m; intra edges can't exceed m
+    assert(rows.map(_._2).sum == lab.size)
+    assert(rows.map(_._4).sum == 2 * m)
+    assert(rows.map(_._3).sum <= m)
+    // per-community integers equal a sequential recompute
+    val wantIntra = edges.groupBy { case (a, b) =>
+      if (lab(a) == lab(b)) Some(lab(a)) else None }
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (v, os) => v -> os.length.toLong }
+    val wantDeg = lab.toSeq.groupBy(_._2)
+      .map { case (c, vs) => c -> vs.map(p => deg(p._1)).sum }
+    rows.foreach { case (c, _, intra, dsum, _, _) =>
+      assert(intra == wantIntra.getOrElse(Some(c), Array.empty).length,
+        s"community $c intra edges")
+      assert(dsum == wantDeg(c), s"community $c degree sum")
+    }
+    // the global score: constant across rows, equals both the integer
+    // formula and (within float re-association) the sum of q_c
+    val q = rows.head._6
+    assert(rows.forall(_._6 == q))
+    val intra = rows.map(_._3).sum
+    val degsq = rows.map(r => r._4 * r._4).sum
+    assert(q == intra.toDouble / m - degsq.toDouble / (4.0 * m * m))
+    assert(math.abs(q - rows.map(_._5).sum) < 1e-9,
+      "modularity is not the sum of its per-community terms")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q out of range")
+    // non-vacuous: edges and intra-community mass exist (at this tiny
+    // SF the projection is near-complete, so LPA legitimately finds
+    // Q ≈ 0 — the SCORE being honest about that is the point; do not
+    // assert structure the corpus doesn't have)
+    assert(m > 0 && rows.map(_._3).sum > 0, "no intra-community edges")
+  }
 }

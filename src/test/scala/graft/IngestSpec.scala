@@ -449,4 +449,56 @@ class IngestSpec extends SparkSpec {
     assert(Set(g1.getLong(3), g2.getLong(3), u.getLong(3)).size == 3,
       "slice digests collide — checksum insensitive to the lifted column?")
   }
+
+  test("carry commits: scoped rewrite keeps untouched files shared and readable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-carry").toString
+    val t = new sources.VersionedTable(spark, base)
+    t.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(3, org.apache.spark.sql.functions.col("id")))
+    // carry contracts: only on replace commits, only previous files
+    intercept[IllegalArgumentException](
+      t.commit(Seq((9L, "x")).toDF("id", "v"), carry = t.files(1)))
+    intercept[IllegalArgumentException](
+      t.commit(Seq((9L, "x")).toDF("id", "v"), replace = true,
+        carry = Seq("/nonexistent/file.parquet")))
+    assert(t.head == 1, "a refused commit must not advance the ledger")
+    // scoped rewrite: drop id=2 by rewriting ONLY its file; carry the rest
+    val hit = t.readAsOf(1)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .filter($"id" === 2L).select("f").as[String].collect()
+      .map(p => new java.net.URI(p).getPath).toSeq
+    val carried = t.files(1).filterNot(hit.contains)
+    assert(hit.length == 1 && carried.length >= 1)
+    t.commit(spark.read.parquet(hit: _*).filter($"id" =!= 2L),
+      replace = true, carry = carried)
+    assert(t.readAsOf(2).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // the carried files appear VERBATIM in the new snapshot's listing
+    assert(carried.forall(t.files(2).contains),
+      "carried files missing from the rewrite snapshot")
+    // vacuum deletes only the rewritten file; carried bytes survive
+    val (expired, deleted) = t.vacuum(retainFrom = 2)
+    assert(expired == Seq(1) && deleted.toSet == hit.toSet)
+    assert(carried.forall(p => new java.io.File(p).exists()))
+    assert(t.readAsOf(2).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("in23: accept is logically invisible-equal to purge; deletion is non-vacuous") {
+    val rows = sources.Ingest.in23.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_base", "2_merge_on_read", "3_after_purge"))
+    val Seq(b, mor, purged) = rows.toSeq
+    // the revocation actually removed rows (non-vacuous scenario)
+    assert(b.getLong(1) > mor.getLong(1),
+      "delete set empty — the erasure scenario is vacuous")
+    // merge-on-read (logical) and purge (physical) agree row-for-row:
+    // same count, same order-free content digest
+    assert(mor.getLong(1) == purged.getLong(1) &&
+      mor.getLong(2) == purged.getLong(2),
+      "merge-on-read and purged digests diverge")
+    assert(b.getLong(2) != mor.getLong(2),
+      "base and deleted digests collide — checksum insensitive?")
+  }
 }

@@ -204,6 +204,45 @@ class MetricsSpec extends SparkSpec {
       s"auc $auc vs Mann-Whitney $want")
   }
 
+  test("ml20: PR laws hold and AP equals a driver-side recompute") {
+    val rows = ops.MLClassify.ml20.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // descending score; tp/fp cumulative therefore nondecreasing
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(-_).toSeq)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3)
+    case _ => }
+    val p = rows.last._2
+    assert(p > 0 && rows.last._3 > 0, "degenerate label split")
+    // recall walks to 1; precision stays in (0, 1] wherever defined
+    assert(rows.last._5 == 1.0)
+    rows.foreach { r =>
+      assert(r._4 > 0.0 - 1e-15 && r._4 <= 1.0 && r._5 >= 0.0 &&
+        r._5 <= 1.0, s"precision/recall out of range: $r")
+      assert(r._4 == r._2.toDouble / (r._2 + r._3))
+      assert(r._5 == r._2.toDouble / p)
+    }
+    val ap = rows.head._6
+    assert(rows.forall(_._6 == ap), "ap constant across curve rows")
+    assert(ap >= 0.0 && ap <= 1.0)
+    // independent sequential recompute with the op's own nano
+    // quantisation (per-row IEEE arithmetic, exact integer sum)
+    var prevTp = 0L
+    var nanos = 0L
+    rows.foreach { r =>
+      nanos += math.round(
+        (r._2 - prevTp).toDouble * (r._2.toDouble / (r._2 + r._3)) * 1e9)
+      prevTp = r._2
+    }
+    assert(ap == nanos.toDouble / 1e9 / p,
+      s"ap $ap vs step recompute ${nanos.toDouble / 1e9 / p}")
+    // anti-vacuity: the curve has at least two operating points (a
+    // single score bucket would make the walk, and this test, trivial)
+    assert(rows.length >= 2, "degenerate single-threshold curve")
+  }
+
   test("ml05: calibration bins partition the corpus; ECE equals the textbook recompute") {
     val rows = ops.MLClassify.ml05.run(spark, sf).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
