@@ -515,5 +515,124 @@ object EntityResolution {
         "CAST(n_passes AS BIGINT) AS n_passes")
       .orderBy("b_id", "a_custkey")
   }
-  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05)
+  // ---------------------------------------------------------------- er06
+  /** Unsupervised EM estimation of the Fellegi–Sunter m/u parameters —
+    * the piece that makes er01–er05 DEPLOYABLE on a corpus with no
+    * ground truth (Winkler 1988; what Splink's `estimate_parameters_
+    * using_expectation_maximisation` runs): er04's bands assumed the
+    * agreement weights; production linkage LEARNS them from the data by
+    * EM over the comparison vectors. The scale insight that makes EM a
+    * metadata-plane loop: the E/M steps never need the pairs, only the
+    * HISTOGRAM of agreement patterns — here (balance-agrees ∈ {0,1},
+    * name-edit level ∈ {0..3}), ≤ 8 rows at ANY corpus size — so one
+    * blocked counting pass (the er01 join + a group-by) funds every
+    * iteration.
+    *
+    * Two EM rounds unrolled (the g01/g06 fixed-round convention).
+    * Determinism discipline: round-1 parameters are literals; each
+    * E-step posterior is a per-row IEEE expression quantised to NANOS
+    * (`round(r·1e9)` → BIGINT, the g01/ml20 rule) so every M-step
+    * accumulation is an exact integer sum; round-2 parameters are
+    * single divisions of those integers; λ ships in exact micros via
+    * integer division (`m1 DIV (t DIV 10⁶)` — the inner DIV keeps the
+    * numerator inside BIGINT; weighted sums here peak ≈ n_pairs·10⁹,
+    * BIGINT-safe to ~9·10⁹ pairs, then the g16 DECIMAL headroom rule).
+    * The WHOLE post-histogram dataflow is ONE shared SQL body run
+    * verbatim by both engines (only the integer-division token
+    * differs) — the zero-drift convention at its strongest.
+    *
+    * Pattern space is derived from the score structure (score =
+    * 24·balᵢ + max(0, 12 − 4·ed) is invertible: bal = score ≥ 24,
+    * name points = score − 24·bal), so the op composes [[scoredPairs]]
+    * unchanged. Cost: er01's blocked join + one 8-row group-by; the EM
+    * itself is broadcast-sized. */
+  private def er06Body(div: String) =
+    s"""pat AS (
+       |  SELECT CASE WHEN score >= 24 THEN 1 ELSE 0 END AS bal,
+       |    CASE score - CASE WHEN score >= 24 THEN 24 ELSE 0 END
+       |      WHEN 12 THEN 0 WHEN 8 THEN 1 WHEN 4 THEN 2 ELSE 3
+       |    END AS lvl
+       |  FROM scored),
+       |hist AS (
+       |  SELECT bal, lvl, CAST(count(*) AS BIGINT) AS n
+       |  FROM pat GROUP BY 1, 2),
+       |e1 AS (
+       |  SELECT bal, lvl, n,
+       |    CAST(round(1000000000.0 * (0.1 * mb * mn)
+       |      / (0.1 * mb * mn + 0.9 * ub * un)) AS BIGINT) AS r1
+       |  FROM (
+       |    SELECT bal, lvl, n,
+       |      CASE WHEN bal = 1 THEN 0.9 ELSE 0.1 END AS mb,
+       |      CASE WHEN bal = 1 THEN 0.1 ELSE 0.9 END AS ub,
+       |      CASE lvl WHEN 0 THEN 0.7 WHEN 1 THEN 0.2 WHEN 2 THEN 0.07
+       |        ELSE 0.03 END AS mn,
+       |      CASE lvl WHEN 0 THEN 0.05 WHEN 1 THEN 0.1 WHEN 2 THEN 0.25
+       |        ELSE 0.6 END AS un
+       |    FROM hist) p0),
+       |ms AS (
+       |  SELECT CAST(sum(n * r1) AS BIGINT) AS m1,
+       |    CAST(sum(n) * 1000000000 AS BIGINT) AS t,
+       |    CAST(sum(CASE WHEN bal = 1 THEN n * r1 ELSE 0 END)
+       |      AS BIGINT) AS mb1,
+       |    CAST(sum(CASE WHEN lvl = 0 THEN n * r1 ELSE 0 END)
+       |      AS BIGINT) AS mn0,
+       |    CAST(sum(CASE WHEN lvl = 1 THEN n * r1 ELSE 0 END)
+       |      AS BIGINT) AS mn1,
+       |    CAST(sum(CASE WHEN lvl = 2 THEN n * r1 ELSE 0 END)
+       |      AS BIGINT) AS mn2,
+       |    CAST(sum(n * (1000000000 - r1)) AS BIGINT) AS u1,
+       |    CAST(sum(CASE WHEN bal = 1 THEN n * (1000000000 - r1)
+       |      ELSE 0 END) AS BIGINT) AS ub1,
+       |    CAST(sum(CASE WHEN lvl = 0 THEN n * (1000000000 - r1)
+       |      ELSE 0 END) AS BIGINT) AS un0,
+       |    CAST(sum(CASE WHEN lvl = 1 THEN n * (1000000000 - r1)
+       |      ELSE 0 END) AS BIGINT) AS un1,
+       |    CAST(sum(CASE WHEN lvl = 2 THEN n * (1000000000 - r1)
+       |      ELSE 0 END) AS BIGINT) AS un2
+       |  FROM e1),
+       |e2 AS (
+       |  SELECT bal, lvl, n, r1,
+       |    CAST(round(1000000000.0 * pm / (pm + pu)) AS BIGINT) AS r2
+       |  FROM (
+       |    SELECT h.bal, h.lvl, h.n, h.r1,
+       |      (CAST(s.m1 AS DOUBLE) / CAST(s.t AS DOUBLE))
+       |        * (CASE WHEN h.bal = 1 THEN CAST(s.mb1 AS DOUBLE)
+       |             ELSE CAST(s.m1 - s.mb1 AS DOUBLE) END
+       |           / CAST(s.m1 AS DOUBLE))
+       |        * (CASE h.lvl WHEN 0 THEN CAST(s.mn0 AS DOUBLE)
+       |             WHEN 1 THEN CAST(s.mn1 AS DOUBLE)
+       |             WHEN 2 THEN CAST(s.mn2 AS DOUBLE)
+       |             ELSE CAST(s.m1 - s.mn0 - s.mn1 - s.mn2 AS DOUBLE) END
+       |           / CAST(s.m1 AS DOUBLE)) AS pm,
+       |      (1.0 - CAST(s.m1 AS DOUBLE) / CAST(s.t AS DOUBLE))
+       |        * (CASE WHEN h.bal = 1 THEN CAST(s.ub1 AS DOUBLE)
+       |             ELSE CAST(s.u1 - s.ub1 AS DOUBLE) END
+       |           / CAST(s.u1 AS DOUBLE))
+       |        * (CASE h.lvl WHEN 0 THEN CAST(s.un0 AS DOUBLE)
+       |             WHEN 1 THEN CAST(s.un1 AS DOUBLE)
+       |             WHEN 2 THEN CAST(s.un2 AS DOUBLE)
+       |             ELSE CAST(s.u1 - s.un0 - s.un1 - s.un2 AS DOUBLE) END
+       |           / CAST(s.u1 AS DOUBLE)) AS pu
+       |    FROM e1 h CROSS JOIN ms s) x),
+       |m2 AS (
+       |  SELECT CAST(sum(n * r2) AS BIGINT) AS m2v,
+       |    CAST(sum(n) * 1000000000 AS BIGINT) AS t2
+       |  FROM e2)
+       |SELECT e2.bal, e2.lvl, e2.n AS n_pairs, e2.r1 AS r1_nano,
+       |  e2.r2 AS r2_nano,
+       |  CAST(s.m1 $div (s.t $div 1000000) AS BIGINT) AS lam1_micro,
+       |  CAST(m2.m2v $div (m2.t2 $div 1000000) AS BIGINT) AS lam2_micro
+       |FROM e2 CROSS JOIN ms s CROSS JOIN m2
+       |ORDER BY bal, lvl""".stripMargin
+
+  val er06 = Q("er06_em_weights",
+    s"""WITH $LinksCtesSql,
+       |${er06Body("//")}""".stripMargin) { (s, d) =>
+    scoredPairs(s, d).createOrReplaceTempView("er06_scored")
+    s.sql(
+      s"""WITH scored AS (SELECT score FROM er06_scored),
+         |${er06Body("DIV")}""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06)
 }

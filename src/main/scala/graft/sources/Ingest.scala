@@ -1618,7 +1618,110 @@ object Ingest {
       .orderBy("stage")
   }
 
+  // ---------------------------------------------------------------- in24
+  /** Partition-SPEC evolution — in22's layout sibling (Iceberg partition
+    * evolution; the one table-format feature Hive-style tables
+    * structurally cannot have): a 100 TB estate's partitioning outlives
+    * its own wisdom — early data landed under a COARSE spec
+    * (year-partitioned), later writers evolved to a finer one
+    * (year/month) as volume grew, and rewriting history to the new spec
+    * is exactly the bill partition evolution exists to avoid. The
+    * format's answer: files keep the spec they were WRITTEN under, a
+    * spec registry maps file ranges to specs, and the planner prunes
+    * each generation BY ITS OWN SPEC — a time-range query prunes yearly
+    * dirs on gen1 and monthly dirs on gen2, then unions the surviving
+    * scans.
+    *
+    * The scenario: orders < 1998 under `y=` (yearly), orders ≥ 1998
+    * under `y=/m=` (monthly); a query window [1997-06, 1998-07) spans
+    * the spec boundary. In-op `require`s pin the physical claim the
+    * oracle cannot see: BOTH pruned scans open strictly fewer files
+    * than their generation holds (directory-level partition pruning
+    * actually fired, per spec), and the spec boundary leaks no rows
+    * (the generations' windows are disjoint by construction). The
+    * oracle states each generation's window content and the unified
+    * result off the source table.
+    *
+    * Scale: each generation scan is partition-pruned at PLANNING time
+    * (file listing of the matching dirs only — never a data pass over
+    * the estate); the union adds no shuffle; the registry is
+    * metadata-plane (in16/in22 discipline). The digests are one
+    * map-side-combined agg per slice. */
+  val in24 = Q("in24_partition_evolution", {
+    def slice(lo: String, hi: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CAST(concat('0x', substr(md5(
+         |      CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT))
+         |      % 4294967296 AS BIGINT) AS checksum
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$lo'
+         |    AND o_orderdate < TIMESTAMP '$hi'""".stripMargin
+    s"""WITH w1 AS (${slice("1997-06-01 00:00:00", "1998-01-01 00:00:00")}),
+       |w2 AS (${slice("1998-01-01 00:00:00", "1998-07-01 00:00:00")}),
+       |u AS (${slice("1997-06-01 00:00:00", "1998-07-01 00:00:00")})
+       |SELECT 'gen1_yearly' AS gen, n_rows, checksum FROM w1
+       |UNION ALL SELECT 'gen2_monthly', n_rows, checksum FROM w2
+       |UNION ALL SELECT 'unified', n_rows, checksum FROM u
+       |ORDER BY gen""".stripMargin
+  }) { (s, d) =>
+    def ts(x: String) = lit(x).cast(
+      org.apache.spark.sql.types.TimestampNTZType)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val g1Dir = s"$compactScratch/$run/spec_yearly"
+    val g2Dir = s"$compactScratch/$run/spec_monthly"
+    val src = graft.model.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val boundary = ts("1998-01-01 00:00:00")
+    // the OLD writer's spec: yearly directories
+    src.filter(col("o_orderdate") < boundary)
+      .withColumn("y", year(col("o_orderdate")))
+      .write.partitionBy("y").parquet(g1Dir)
+    // the EVOLVED spec: year/month directories — history not rewritten
+    src.filter(col("o_orderdate") >= boundary)
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .write.partitionBy("y", "m").parquet(g2Dir)
+    // each generation prunes BY ITS OWN SPEC for the same query window
+    val g1All = s.read.parquet(g1Dir)
+    val g2All = s.read.parquet(g2Dir)
+    val g1W = g1All.filter(col("y") === 1997 &&
+      col("o_orderdate") >= ts("1997-06-01 00:00:00"))
+    val g2W = g2All.filter(col("y") === 1998 && col("m") <= 6)
+    // the physical claim: directory-level pruning fired under both
+    // specs — read off the planned scan's selected partitions (listing-
+    // time pruning: non-matching dirs are never opened; inputFiles
+    // would report the unpruned relation)
+    def partsScanned(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          require(f.partitionFilters.nonEmpty,
+            "in24: predicate did not reach the scan as a partition filter")
+          f.selectedPartitions.partitionCount.toLong
+      }.sum
+    def partsTotal(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount.toLong
+      }.sum
+    require(partsScanned(g1W) < partsTotal(g1All),
+      s"in24: yearly spec did not prune (${partsScanned(g1W)} of " +
+        s"${partsTotal(g1All)} partitions)")
+    require(partsScanned(g2W) < partsTotal(g2All),
+      s"in24: monthly spec did not prune (${partsScanned(g2W)} of " +
+        s"${partsTotal(g2All)} partitions)")
+    def digest(df: org.apache.spark.sql.DataFrame, gen: String) =
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+        md5ChecksumOf(col("o_orderkey").cast("string")).as("checksum"))
+        .select(lit(gen).as("gen"), col("n_rows"), col("checksum"))
+    val uni = g1W.select("o_orderkey")
+      .unionByName(g2W.select("o_orderkey"))
+    digest(g1W, "gen1_yearly")
+      .union(digest(g2W, "gen2_monthly"))
+      .union(digest(uni, "unified"))
+      .orderBy("gen")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
     in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21,
-    in22, in23)
+    in22, in23, in24)
 }

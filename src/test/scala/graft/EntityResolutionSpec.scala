@@ -135,4 +135,72 @@ class EntityResolutionSpec extends SparkSpec {
     // by fewer than all three passes (single-key SNM would miss links)
     assert(snm.values.exists(_._3 < 3), "all links found by all passes")
   }
+
+  test("er06: EM posteriors equal a sequential recompute at the op's quantisation") {
+    val rows = ops.EntityResolution.er06.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(r => (r._1, r._2))
+    assert(rows.nonEmpty && rows.map(r => (r._1, r._2)).distinct.length
+      == rows.length)
+    // sequential EM over the same pattern histogram, replicating the
+    // op's exact quantisation (literal init → nano posteriors → exact
+    // integer M-step → single-division round-2 params)
+    val hist = rows.map(r => ((r._1, r._2), r._3)).toMap
+    def mb(b: Int) = if (b == 1) 0.9 else 0.1
+    def ub(b: Int) = if (b == 1) 0.1 else 0.9
+    val mnA = Array(0.7, 0.2, 0.07, 0.03)
+    val unA = Array(0.05, 0.1, 0.25, 0.6)
+    val r1 = hist.keys.map { case k @ (b, l) =>
+      val pm = 0.1 * mb(b) * mnA(l)
+      k -> math.round(1e9 * pm / (pm + 0.9 * ub(b) * unA(l)))
+    }.toMap
+    val m1 = hist.map { case (k, n) => n * r1(k) }.sum
+    val t = hist.values.sum * 1000000000L
+    val u1 = hist.map { case (k, n) => n * (1000000000L - r1(k)) }.sum
+    def msum(f: ((Int, Int)) => Boolean, w: ((Int, Int)) => Long) =
+      hist.collect { case (k, n) if f(k) => n * w(k) }.sum
+    val r2 = hist.keys.map { case k @ (b, l) =>
+      val pmB = (if (b == 1) msum(_._1 == 1, r1)
+                 else m1 - msum(_._1 == 1, r1)).toDouble / m1
+      val pmN = (if (l < 3) msum(_._2 == l, r1)
+                 else m1 - (0 to 2).map(i => msum(_._2 == i, r1)).sum)
+        .toDouble / m1
+      val puB = (if (b == 1) msum(_._1 == 1, k2 => 1000000000L - r1(k2))
+                 else u1 - msum(_._1 == 1, k2 => 1000000000L - r1(k2)))
+        .toDouble / u1
+      val puN = (if (l < 3) msum(_._2 == l, k2 => 1000000000L - r1(k2))
+                 else u1 - (0 to 2).map(i =>
+                   msum(_._2 == i, k2 => 1000000000L - r1(k2))).sum)
+        .toDouble / u1
+      val lam = m1.toDouble / t
+      val pm = lam * pmB * pmN
+      val pu = (1.0 - lam) * puB * puN
+      k -> math.round(1e9 * pm / (pm + pu))
+    }.toMap
+    val m2 = hist.map { case (k, n) => n * r2(k) }.sum
+    rows.foreach { case (b, l, _, r1n, r2n, lam1, lam2) =>
+      assert(r1n == r1((b, l)), s"pattern ($b,$l) round-1 posterior")
+      assert(r2n == r2((b, l)), s"pattern ($b,$l) round-2 posterior")
+      assert(lam1 == m1 / (t / 1000000L) && lam2 == m2 / (t / 1000000L))
+      assert(r1n >= 0 && r1n <= 1000000000L &&
+        r2n >= 0 && r2n <= 1000000000L)
+    }
+    // EM laws that hold at ANY corpus size: the strongest-evidence
+    // pattern present carries the highest posterior, the weakest the
+    // lowest; λ is a pair-weighted average of the posteriors (so it
+    // lies strictly inside their range); and EM actually MOVED off the
+    // 0.1 init (at sf0.001 sparse blocks make matches the MAJORITY of
+    // candidates, so λ legitimately moves UP — direction is data, not
+    // a law; see the er06 scaladoc)
+    val best = rows.filter(_._1 == 1).minBy(_._2)
+    val worst = rows.filter(_._1 == 0).maxBy(_._2)
+    assert(best._5 == rows.map(_._5).max && worst._5 == rows.map(_._5).min)
+    val lam2 = rows.head._7
+    assert(lam2 >= rows.map(_._5).min / 1000 &&
+      lam2 <= rows.map(_._5).max / 1000,
+      s"lambda2 $lam2 outside the posterior range — not a weighted mean")
+    assert(rows.head._6 != 100000L,
+      "lambda1 still exactly at the init — EM step inert")
+  }
 }

@@ -485,6 +485,24 @@ class IngestSpec extends SparkSpec {
       Seq(1L, 3L))
   }
 
+  test("in24: generations are disjoint and conserve the window; both specs prune") {
+    // the op's in-op requires pin the physical pruning claims (they ran
+    // or this call would throw); here we pin the logical conservation
+    val rows = sources.Ingest.in24.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("gen1_yearly", "gen2_monthly", "unified"))
+    val Seq(g1, g2, u) = rows.toSeq
+    // the spec boundary leaks no rows in either direction
+    assert(u.getLong(1) == g1.getLong(1) + g2.getLong(1),
+      "unified window is not the disjoint union of the generations")
+    assert(g1.getLong(1) > 0 && g2.getLong(1) > 0,
+      "a generation's window slice is empty — the evolution is vacuous")
+    // the order-free digest is additive mod 2^32 over disjoint slices
+    assert(u.getLong(2) ==
+      (g1.getLong(2) + g2.getLong(2)) % 4294967296L,
+      "unified checksum is not the modular sum of the slices")
+  }
+
   test("in23: accept is logically invisible-equal to purge; deletion is non-vacuous") {
     val rows = sources.Ingest.in23.run(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
