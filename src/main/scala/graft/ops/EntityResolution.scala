@@ -634,5 +634,70 @@ object EntityResolution {
          |${er06Body("DIV")}""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06)
+  // ---------------------------------------------------------------- er07
+  /** er06's PRODUCTION tier: EM over a deterministic RECORD sample of
+    * BOTH inputs — what Splink's `estimate_u_using_random_sampling`
+    * actually ships, because er06's full-candidate histogram pass is
+    * the one er-family stage that grows as Σ_blocks |A_b|·|B_b| (the
+    * er01 256×-at-16× validation-blocking note; measured: er06 208 s at
+    * 16×). λ/m/u are RATIOS, invariant under uniform pair subsampling,
+    * and sampling RECORDS (1/4 each side on independent key hashes →
+    * 1/16 of pairs) shrinks the JOIN ITSELF, not just the comparator —
+    * a pair-level draw after the join was measured at 16× to save only
+    * 1.6× (130 s) because materialising 150 M joined rows to hash them
+    * was the real bill; the record-level draw removes that term too.
+    * Production sizes the per-side rate as √(target/corpus-pairs)
+    * (Splink's fixed ~10⁷-pair target → corpus-independent cost); the
+    * rate is FIXED 1/4 here so the oracle draws the identical sample
+    * (9 / 415 / 36137 pairs at sf0.001/0.01/0.1 — non-degenerate at
+    * every test SF). Independent per-side key hashes keep a true
+    * pair's survival probability identical to any other pair's
+    * (unbiased histogram). Post-histogram the dataflow IS er06's
+    * shared body verbatim. */
+  private def sideSampleSpark(key: String) =
+    s"CAST(conv(substr(md5(CAST($key AS STRING)), 1, 8), 16, 10) " +
+      "AS BIGINT) % 4 = 0"
+  private def sideSampleDuck(key: String) =
+    s"CAST(concat('0x', substr(md5(CAST($key AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT) % 4 = 0"
+
+  /** Sampled scored pairs (Spark side): the 1/4 record draws applied
+    * to each join INPUT, comparator only on surviving pairs. */
+  private[graft] def scoredPairsSampled(
+      s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    registry(s, d).filter(expr(sideSampleSpark("b_id")))
+      .join(Tables.customer(s, d)
+          .filter(expr(sideSampleSpark("c_custkey"))),
+        col("nat_b") === col("c_nationkey") &&
+          col("seg_b") === col("c_mktsegment"))
+      .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
+        "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
+      .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")
+  }
+
+  val er07 = Q("er07_em_sampled", {
+    // b CTE verbatim from LinksCtesSql; the record draws sit on the
+    // join INPUTS, exactly as run
+    val bCte = LinksCtesSql.substring(0, LinksCtesSql.indexOf(",\nscored"))
+    s"""WITH $bCte,
+       |b2 AS (SELECT * FROM b WHERE ${sideSampleDuck("b_id")}),
+       |c2 AS (SELECT * FROM customer
+       |       WHERE ${sideSampleDuck("c_custkey")}),
+       |scored AS (
+       |  SELECT b_id, c_custkey AS a_custkey, $ScoreSql AS score
+       |  FROM (
+       |    SELECT b_id, c_custkey, acct_b, c_acctbal,
+       |           least(levenshtein(name_b, c_name), 3) AS ed
+       |    FROM b2 JOIN c2
+       |      ON nat_b = c_nationkey AND seg_b = c_mktsegment)),
+       |${er06Body("//")}""".stripMargin
+  }) { (s, d) =>
+    scoredPairsSampled(s, d).createOrReplaceTempView("er07_scored")
+    s.sql(
+      s"""WITH scored AS (SELECT score FROM er07_scored),
+         |${er06Body("DIV")}""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06, er07)
 }

@@ -136,17 +136,12 @@ class EntityResolutionSpec extends SparkSpec {
     assert(snm.values.exists(_._3 < 3), "all links found by all passes")
   }
 
-  test("er06: EM posteriors equal a sequential recompute at the op's quantisation") {
-    val rows = ops.EntityResolution.er06.run(spark, sf).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6)))
-      .sortBy(r => (r._1, r._2))
-    assert(rows.nonEmpty && rows.map(r => (r._1, r._2)).distinct.length
-      == rows.length)
-    // sequential EM over the same pattern histogram, replicating the
-    // op's exact quantisation (literal init → nano posteriors → exact
-    // integer M-step → single-division round-2 params)
-    val hist = rows.map(r => ((r._1, r._2), r._3)).toMap
+  /** Sequential two-round EM over a pattern histogram, replicating the
+    * er06/er07 ops' exact quantisation (literal init → nano posteriors
+    * → exact integer M-step sums → single-division round-2 params).
+    * Returns (r1, r2, lam1Micro, lam2Micro). */
+  private def emRecompute(hist: Map[(Int, Int), Long])
+      : (Map[(Int, Int), Long], Map[(Int, Int), Long], Long, Long) = {
     def mb(b: Int) = if (b == 1) 0.9 else 0.1
     def ub(b: Int) = if (b == 1) 0.1 else 0.9
     val mnA = Array(0.7, 0.2, 0.07, 0.03)
@@ -179,28 +174,65 @@ class EntityResolutionSpec extends SparkSpec {
       k -> math.round(1e9 * pm / (pm + pu))
     }.toMap
     val m2 = hist.map { case (k, n) => n * r2(k) }.sum
-    rows.foreach { case (b, l, _, r1n, r2n, lam1, lam2) =>
+    (r1, r2, m1 / (t / 1000000L), m2 / (t / 1000000L))
+  }
+
+  private def emLaws(rows: Array[(Int, Int, Long, Long, Long, Long, Long)])
+      : Unit = {
+    assert(rows.nonEmpty && rows.map(r => (r._1, r._2)).distinct.length
+      == rows.length)
+    val (r1, r2, lam1, lam2) =
+      emRecompute(rows.map(r => ((r._1, r._2), r._3)).toMap)
+    rows.foreach { case (b, l, _, r1n, r2n, l1, l2) =>
       assert(r1n == r1((b, l)), s"pattern ($b,$l) round-1 posterior")
       assert(r2n == r2((b, l)), s"pattern ($b,$l) round-2 posterior")
-      assert(lam1 == m1 / (t / 1000000L) && lam2 == m2 / (t / 1000000L))
+      assert(l1 == lam1 && l2 == lam2)
       assert(r1n >= 0 && r1n <= 1000000000L &&
         r2n >= 0 && r2n <= 1000000000L)
     }
     // EM laws that hold at ANY corpus size: the strongest-evidence
     // pattern present carries the highest posterior, the weakest the
     // lowest; λ is a pair-weighted average of the posteriors (so it
-    // lies strictly inside their range); and EM actually MOVED off the
-    // 0.1 init (at sf0.001 sparse blocks make matches the MAJORITY of
+    // lies inside their range); and EM actually MOVED off the 0.1 init
+    // (at sf0.001 sparse blocks make matches the MAJORITY of
     // candidates, so λ legitimately moves UP — direction is data, not
     // a law; see the er06 scaladoc)
-    val best = rows.filter(_._1 == 1).minBy(_._2)
-    val worst = rows.filter(_._1 == 0).maxBy(_._2)
-    assert(best._5 == rows.map(_._5).max && worst._5 == rows.map(_._5).min)
-    val lam2 = rows.head._7
+    // (guarded: a sparse SAMPLE may miss a bal class entirely)
+    rows.filter(_._1 == 1).minByOption(_._2).foreach(best =>
+      assert(best._5 == rows.map(_._5).max, "best pattern not max"))
+    rows.filter(_._1 == 0).maxByOption(_._2).foreach(worst =>
+      assert(worst._5 == rows.map(_._5).min, "worst pattern not min"))
     assert(lam2 >= rows.map(_._5).min / 1000 &&
       lam2 <= rows.map(_._5).max / 1000,
       s"lambda2 $lam2 outside the posterior range — not a weighted mean")
-    assert(rows.head._6 != 100000L,
+    assert(lam1 != 100000L,
       "lambda1 still exactly at the init — EM step inert")
+  }
+
+  private def emRows(q: graft.Q) =
+    q.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(r => (r._1, r._2))
+
+  test("er06: EM posteriors equal a sequential recompute at the op's quantisation") {
+    emLaws(emRows(ops.EntityResolution.er06))
+  }
+
+  test("er07: sampled EM obeys the same laws; the sample is a real subset") {
+    val full = emRows(ops.EntityResolution.er06)
+    val samp = emRows(ops.EntityResolution.er07)
+    emLaws(samp)
+    // the sample is drawn from the full candidate set: per-pattern
+    // counts are dominated, and the total shrinks by roughly the 1/64
+    // rate (loose band — the draw is hash-uniform, not stratified)
+    val fullN = full.map(r => ((r._1, r._2), r._3)).toMap
+    samp.foreach { case (b, l, n, _, _, _, _) =>
+      assert(fullN.getOrElse((b, l), 0L) >= n,
+        s"sampled pattern ($b,$l) exceeds its full count")
+    }
+    val (tot, stot) = (full.map(_._3).sum, samp.map(_._3).sum)
+    assert(stot > 0 && stot < tot,
+      s"sample size $stot not a proper subset of $tot")
   }
 }
