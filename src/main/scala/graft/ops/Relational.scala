@@ -1857,10 +1857,10 @@ object Relational {
     * by construction; `KmvSpec` pins the merge law, serialization
     * round-trip, ObjectHashAggregate planning, and the estimate's
     * measured error vs exact distinct counts. */
-  private val KmvK = 64
-  private def kmvHashSpark(c: String): String =
+  private[graft] val KmvK = 64
+  private[graft] def kmvHashSpark(c: String): String =
     s"CAST(conv(substr(md5(concat('$c:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT) AS h"
-  private def kmvHashDuck(c: String): String =
+  private[graft] def kmvHashDuck(c: String): String =
     s"CAST(concat('0x', substr(md5('$c:' || CAST($c AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   val q47 = Q("q47_kmv_sketch",

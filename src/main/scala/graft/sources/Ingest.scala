@@ -1721,7 +1721,123 @@ object Ingest {
       .orderBy("gen")
   }
 
+  // ---------------------------------------------------------------- in25
+  /** Per-file NDV sketch manifests (Iceberg puffin / Theta-sketch
+    * statistics files, on q47's KMV machinery): min/max manifests
+    * (in16) answer RANGE questions at metadata cost, but the CBO
+    * questions that actually pick join orders and distinct strategies
+    * are CARDINALITY questions — `NDV(col)` per file and per table —
+    * and counting distinct at planning time by scanning 100 TB is
+    * absurd. The format answer: each commit writes a SKETCH per
+    * (file, column) beside the data (one corpus pass, sketch states
+    * combine map-side, the exchange carries ≤ k longs per cell), and
+    * every later NDV question — any file subset, any partition-pruned
+    * slice, the whole table — is answered by MERGING sketches from the
+    * manifest alone. KMV (unlike Spark's HLL++ buffer) has an exactly
+    * SQL-replayable state, so the whole manifest oracles: per-file
+    * k-min sets are `row_number() ≤ k` per bucket, and the table-level
+    * merge is provably the global k-min over distinct hashes (the k
+    * smallest overall are each among their own file's k smallest —
+    * KMV merge is lossless), which the oracle states directly.
+    *
+    * The table is landed partitioned by `bucket = l_orderkey % 8`
+    * (deterministic file membership — both engines know which rows a
+    * file holds, the in13 discipline), with sketches over two columns
+    * of different cardinality classes (l_partkey high-NDV, l_suppkey
+    * mid-NDV). Output: 8×2 per-file manifest rows + 2 table-level
+    * merged rows. In-op `require` pins the metadata-plane claim: the
+    * merge consumes the MANIFEST (buckets×cols rows, localCheckpoint-
+    * severed), never the data, and the manifest row count is exactly
+    * buckets×cols. */
+  val in25 = Q("in25_ndv_sketch_manifest", {
+    import graft.ops.Relational.{KmvK, kmvHashDuck}
+    s"""WITH src AS (
+       |  SELECT CAST(l_orderkey % 8 AS BIGINT) AS bucket,
+       |    'l_partkey' AS colname, ${kmvHashDuck("l_partkey")} AS h
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT CAST(l_orderkey % 8 AS BIGINT),
+       |    'l_suppkey', ${kmvHashDuck("l_suppkey")}
+       |  FROM lineitem),
+       |d AS (SELECT DISTINCT bucket, colname, h FROM src),
+       |r AS (SELECT bucket, colname, h,
+       |        row_number() OVER (PARTITION BY bucket, colname
+       |                           ORDER BY h) AS rn
+       |      FROM d),
+       |kmin AS (SELECT bucket, colname, h FROM r WHERE rn <= $KmvK),
+       |pf AS (
+       |  SELECT concat('bucket_', CAST(bucket AS VARCHAR)) AS scope,
+       |    colname, CAST(count(*) AS BIGINT) AS n_retained,
+       |    max(h) AS kth_hash
+       |  FROM kmin GROUP BY bucket, colname),
+       |td AS (SELECT DISTINCT colname, h FROM kmin),
+       |tr AS (SELECT colname, h,
+       |         row_number() OVER (PARTITION BY colname ORDER BY h) AS rn
+       |       FROM td),
+       |tt AS (
+       |  SELECT 'table' AS scope, colname,
+       |    CAST(count(*) AS BIGINT) AS n_retained, max(h) AS kth_hash
+       |  FROM tr WHERE rn <= $KmvK GROUP BY colname),
+       |u AS (SELECT * FROM pf UNION ALL SELECT * FROM tt)
+       |SELECT scope, colname, n_retained, kth_hash,
+       |  CASE WHEN n_retained < $KmvK THEN n_retained
+       |       ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976)
+       |                 // kth_hash AS BIGINT) END AS est_distinct
+       |FROM u ORDER BY scope, colname""".stripMargin
+  }) { (s, d) =>
+    import graft.ops.Relational.{KmvK, kmvHashSpark}
+    graft.functions.GraftFunctions.register(s)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$compactScratch/$run/ndv_buckets"
+    graft.model.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("bucket", col("l_orderkey") % 8)
+      .write.partitionBy("bucket").parquet(dir)
+    val t = s.read.parquet(dir)
+    // the commit-time pass: ONE scan, per-(file, column) KMV states,
+    // map-side combine, exchange carries sketches (≤ k longs), not rows
+    val src = t.selectExpr("bucket", "'l_partkey' AS colname",
+        kmvHashSpark("l_partkey"))
+      .unionAll(t.selectExpr("bucket", "'l_suppkey' AS colname",
+        kmvHashSpark("l_suppkey")))
+    val manifest = src.groupBy("bucket", "colname")
+      .agg(expr(s"kmv_sketch(h, $KmvK)").as("sk"))
+      .localCheckpoint() // THE stats artifact: every NDV below reads this
+    require(manifest.count() == 8 * 2,
+      "in25: manifest must hold exactly buckets x columns sketches")
+    val perFile = manifest.select(
+      concat(lit("bucket_"), col("bucket").cast("string")).as("scope"),
+      col("colname"), col("sk.n_retained").as("n_retained"),
+      col("sk.kth_hash").as("kth_hash"),
+      col("sk.est_distinct").as("est_distinct"))
+    // table-level NDV from the MANIFEST alone: explode the retained
+    // states (≤ buckets x k longs — metadata-sized), re-take the k-min
+    val tbl = manifest
+      .select(col("colname"),
+        explode(split(col("sk.state"), ",")).as("hs"))
+      .select(col("colname"), col("hs").cast("long").as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("colname").orderBy("h")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("colname")
+      .agg(count(lit(1)).cast("long").as("n_retained"),
+        max("h").as("kth_hash"))
+      .select(lit("table").as("scope"), col("colname"), col("n_retained"),
+        col("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_retained") < KmvK, col("n_retained"))
+          // (k-1)·2^60 exceeds BIGINT — the q47 eval uses BigInt; here
+          // DECIMAL(38,0) integral division (positive operands: trunc
+          // == floor == the oracle's HUGEINT //)
+          .otherwise(expr(s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0))) DIV kth_hash " +
+            "AS BIGINT)")))
+    perFile.unionByName(tbl).orderBy("scope", "colname")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
     in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21,
-    in22, in23, in24)
+    in22, in23, in24, in25)
 }

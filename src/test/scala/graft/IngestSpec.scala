@@ -503,6 +503,65 @@ class IngestSpec extends SparkSpec {
       "unified checksum is not the modular sum of the slices")
   }
 
+  test("in25: sketch manifest equals a brute-force recompute; merge laws hold") {
+    val rows = sources.Ingest.in25.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.length == 18 &&
+      rows.count(_._1 == "table") == 2)
+    // brute-force: recompute every (scope, col) k-min set from the rows
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0) % 8, r.getLong(1), r.getLong(2)))
+    def kmvHash(c: String, v: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$c:$v".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15), 16)
+    }
+    def kmin(hs: Iterable[Long]): Seq[Long] =
+      hs.toSeq.distinct.sorted.take(64)
+    val byCol: Map[String, Array[(Long, Long)]] = Map(
+      "l_partkey" -> li.map(t => (t._1, kmvHash("l_partkey", t._2))),
+      "l_suppkey" -> li.map(t => (t._1, kmvHash("l_suppkey", t._3))))
+    rows.foreach { case (scope, colname, nRet, kth, est) =>
+      val hs = byCol(colname)
+      val set =
+        if (scope == "table") kmin(hs.map(_._2))
+        else kmin(hs.filter(_._1 == scope.stripPrefix("bucket_").toLong)
+          .map(_._2))
+      assert(nRet == set.length, s"$scope/$colname retained")
+      assert(kth == set.max, s"$scope/$colname kth hash")
+      val want = if (set.length < 64) set.length.toLong
+        else ((BigInt(63) << 60) / BigInt(set.max)).toLong
+      assert(est == want, s"$scope/$colname estimate")
+    }
+    // merge law: the global k-min's kth never exceeds a full file's kth
+    // (the k smallest overall are each among their file's k smallest),
+    // so the merged estimate dominates each saturated file's estimate
+    for (c <- Seq("l_partkey", "l_suppkey")) {
+      val t = rows.find(r => r._1 == "table" && r._2 == c).get
+      rows.filter(r => r._1 != "table" && r._2 == c && r._3 == 64L)
+        .foreach { f =>
+          assert(t._4 <= f._4, s"$c: table kth above file ${f._1} kth")
+          if (t._3 == 64L) assert(t._5 >= f._5,
+            s"$c: merged NDV below file ${f._1}")
+        }
+    }
+    // the estimate answers the CBO question: within the KMV error band
+    // of the exact table NDV when saturated (k=64 → expect ~1/8 rel
+    // error; assert the loose 4/sqrt(k) = 50% band, KmvSpec discipline)
+    for (c <- Seq("l_partkey", "l_suppkey")) {
+      val t = rows.find(r => r._1 == "table" && r._2 == c).get
+      val exact = (if (c == "l_partkey") li.map(_._2) else li.map(_._3))
+        .distinct.length.toLong
+      if (t._3 == 64L)
+        assert(math.abs(t._5 - exact).toDouble / exact <= 0.5,
+          s"$c: merged NDV ${t._5} vs exact $exact outside the band")
+      else assert(t._5 == exact, s"$c: unsaturated KMV must be exact")
+    }
+  }
+
   test("in23: accept is logically invisible-equal to purge; deletion is non-vacuous") {
     val rows = sources.Ingest.in23.run(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq ==
