@@ -64,13 +64,23 @@ object EntityResolution {
 
   /** ALL scored candidate pairs (b_id, a_custkey, score) off the
     * validation blocking — er04 reads the full score distribution;
-    * [[links]] is the ≥ 28 auto-link slice. */
+    * [[links]] is the ≥ 28 auto-link slice.
+    *
+    * The comparator stage is EXPLICITLY repartitioned (the SCALE.md №15
+    * rule, caught again by the round-13 full-catalog 16× pass): the
+    * blocked join broadcasts the registry, so without the exchange the
+    * join output inherits the PROBE SCAN's split count — a compact
+    * customer table is one split, and 10⁸ banded edit distances
+    * serialise onto one task while every other core idles. One shuffle
+    * of skinny pre-comparator rows buys full-width DP evaluation. */
   private[graft] def scoredPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cust = Tables.customer(s, d)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     registry(s, d)
       .join(cust, col("nat_b") === col("c_nationkey") &&
         col("seg_b") === col("c_mktsegment"))
+      .repartition(np, col("b_id"), col("c_custkey"))
       .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
         // k=3 returns min(lev, 4); least(..., 3) = the oracle's
         // least(levenshtein, 3), by the d17 bounded-distance law
@@ -79,9 +89,13 @@ object EntityResolution {
   }
 
   /** er01's scored links (b_id, a_custkey, score ≥ 28) — shared with
-    * er02's consolidation pass. */
+    * er02's consolidation pass. The localCheckpoint is the №15 rule's
+    * second half: predicate pushdown substitutes `score`'s alias and
+    * would drag the edit-distance DP through the repartition back into
+    * the single-split join stage (and evaluate it twice); the barrier
+    * pins the comparator where the exchange put it. */
   private[graft] def links(s: SparkSession, d: String): DataFrame =
-    scoredPairs(s, d)
+    scoredPairs(s, d).localCheckpoint()
       .filter(col("score") >= 28)
       .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
 
@@ -662,15 +676,20 @@ object EntityResolution {
       "AS BIGINT) % 4 = 0"
 
   /** Sampled scored pairs (Spark side): the 1/4 record draws applied
-    * to each join INPUT, comparator only on surviving pairs. */
+    * to each join INPUT, comparator only on surviving pairs — and
+    * explicitly repartitioned before the comparator (the scoredPairs
+    * №15 note: the broadcast join would otherwise pin the sampled DP
+    * to the probe scan's split count). */
   private[graft] def scoredPairsSampled(
       s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     registry(s, d).filter(expr(sideSampleSpark("b_id")))
       .join(Tables.customer(s, d)
           .filter(expr(sideSampleSpark("c_custkey"))),
         col("nat_b") === col("c_nationkey") &&
           col("seg_b") === col("c_mktsegment"))
+      .repartition(np, col("b_id"), col("c_custkey"))
       .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
         "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
       .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")

@@ -500,12 +500,24 @@ class PlanAuditSpec extends SparkSpec {
   test("er01: record linkage joins only on block keys — no nested loop, no cartesian") {
     // the blocking claim: candidate generation must be an equi join on
     // the block key (Σ_blocks |A_b|·|B_b| comparisons), never an
-    // all-pairs product that scores |A|·|B| at fact scale
-    val plan = executedPlan("er01_record_linkage")
+    // all-pairs product that scores |A|·|B| at fact scale. Audited on
+    // scoredPairs' own plan: links localCheckpoints the scored frame
+    // (the №15 pushdown barrier), so er01's FINAL plan reads the
+    // materialised RDD and the join claims live below the barrier
+    val qe = ops.EntityResolution.scoredPairs(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1500))
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(1500))
+    // the №15 comparator-width claim: an exchange sits between the
+    // blocked join and the edit-distance projection, so the DP stage
+    // is shuffle-partitions wide, not probe-scan-splits wide
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(1500))
+    // and er01's own final plan stays cartesian-free
+    val er01Plan = executedPlan("er01_record_linkage")
+    assert(!er01Plan.contains("NestedLoop") &&
+      !er01Plan.contains("CartesianProduct"), er01Plan.take(1000))
   }
 
   test("q48: cohort joins broadcast; the distinct set and cells are hash aggs, no window") {
