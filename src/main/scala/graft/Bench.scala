@@ -343,6 +343,17 @@ object Bench {
     spark.conf.set("spark.graft.fasthash", "true")
     spark.conf.set("spark.graft.validation.cap.docs", "5000")
     spark.conf.set("spark.graft.validation.cap.vecs", "2000")
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs for measurement
+    // toggles (e.g. spark.graft.er.widen=false for the SCALE.md №20
+    // before/after). Applied last so a toggle can override the
+    // defaults above; inherited by isolated-rerun children via the
+    // ProcessBuilder's copied environment.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     // warmup: touch the parquet reader, a shuffle, and codegen paths
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -73,14 +73,26 @@ object EntityResolution {
     * customer table is one split, and 10⁸ banded edit distances
     * serialise onto one task while every other core idles. One shuffle
     * of skinny pre-comparator rows buys full-width DP evaluation. */
+  /** Measurement toggle for the №20 before/after: `false` restores the
+    * pre-fix single-task shape (no comparator exchange, no barrier) so
+    * the 16× cost of the bug is measurable on demand instead of taken
+    * on faith. Production default is true; nothing in the repo sets it
+    * false except the SCALE.md №20 runs. */
+  private[graft] def widen(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.er.widen").forall(_.toBoolean)
+
+  private def maybeWiden(s: SparkSession, df: DataFrame): DataFrame =
+    if (widen(s)) {
+      val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+      df.repartition(np, col("b_id"), col("c_custkey"))
+    } else df
+
   private[graft] def scoredPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val cust = Tables.customer(s, d)
-    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-    registry(s, d)
+    maybeWiden(s, registry(s, d)
       .join(cust, col("nat_b") === col("c_nationkey") &&
-        col("seg_b") === col("c_mktsegment"))
-      .repartition(np, col("b_id"), col("c_custkey"))
+        col("seg_b") === col("c_mktsegment")))
       .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
         // k=3 returns min(lev, 4); least(..., 3) = the oracle's
         // least(levenshtein, 3), by the d17 bounded-distance law
@@ -93,11 +105,22 @@ object EntityResolution {
     * second half: predicate pushdown substitutes `score`'s alias and
     * would drag the edit-distance DP through the repartition back into
     * the single-split join stage (and evaluate it twice); the barrier
-    * pins the comparator where the exchange put it. */
-  private[graft] def links(s: SparkSession, d: String): DataFrame =
-    scoredPairs(s, d).localCheckpoint()
+    * pins the comparator where the exchange put it. DISK_ONLY (r13
+    * ADVICE): the checkpointed frame is candidate-set-sized (~10⁸ rows
+    * at 16×) and read exactly once by the ≥28 filter — default
+    * MEMORY_AND_DISK would pin it in executor storage for the rest of
+    * the session for no second read. */
+  private[graft] def links(s: SparkSession, d: String): DataFrame = {
+    val sp = scoredPairs(s, d)
+    val barriered =
+      if (widen(s))
+        sp.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else sp
+    barriered
       .filter(col("score") >= 28)
       .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
+  }
 
   /** Production-blocked links — THRESHOLD-AWARE blocking (the d05→d09
     * validation-vs-production pattern applied to linkage): the 28
@@ -125,8 +148,13 @@ object EntityResolution {
       .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
   }
 
-  /** Shared oracle CTE text: the dirty registry + scored links. */
-  private val LinksCtesSql =
+  /** The dirty-registry CTE on its own — er07 composes it with its
+    * record-sampled join, every other oracle through [[LinksCtesSql]].
+    * A named constant rather than substring surgery on the combined
+    * text (r13 ADVICE): slicing by `indexOf` made any reformatting of
+    * LinksCtesSql an object-initialisation crash for the whole
+    * EntityResolution catalog. */
+  private val BCteSql =
     s"""b AS (
       |  SELECT c_custkey + 10000000 AS b_id, $NameDelSql AS name_b,
       |         $AcctSql AS acct_b, c_nationkey AS nat_b,
@@ -137,7 +165,11 @@ object EntityResolution {
       |    FROM (
       |      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
       |             $HDuck AS h
-      |      FROM customer WHERE c_custkey % 3 = 0))),
+      |      FROM customer WHERE c_custkey % 3 = 0)))""".stripMargin
+
+  /** Shared oracle CTE text: the dirty registry + scored links. */
+  private val LinksCtesSql =
+    s"""$BCteSql,
       |scored AS (
       |  SELECT b_id, c_custkey AS a_custkey,
       |         $ScoreSql AS score
@@ -560,17 +592,32 @@ object EntityResolution {
     * name points = score − 24·bal), so the op composes [[scoredPairs]]
     * unchanged. Cost: er01's blocked join + one 8-row group-by; the EM
     * itself is broadcast-sized. */
-  private def er06Body(div: String) =
-    s"""pat AS (
-       |  SELECT CASE WHEN score >= 24 THEN 1 ELSE 0 END AS bal,
-       |    CASE score - CASE WHEN score >= 24 THEN 24 ELSE 0 END
-       |      WHEN 12 THEN 0 WHEN 8 THEN 1 WHEN 4 THEN 2 ELSE 3
-       |    END AS lvl
-       |  FROM scored),
-       |hist AS (
-       |  SELECT bal, lvl, CAST(count(*) AS BIGINT) AS n
-       |  FROM pat GROUP BY 1, 2),
-       |e1 AS (
+  /** The data-plane half of the EM body: candidate scores → the ≤8-row
+    * agreement-pattern histogram. Split from [[er06Tail]] so the Spark
+    * op can materialise the histogram once, guard its mass (r13
+    * ADVICE: the nano-scale sums below overflow BIGINT past ~9.2e9
+    * pairs — silently in Spark's non-ANSI arithmetic, loudly in
+    * DuckDB's HUGEINT-then-cast), and feed the broadcast-sized tail
+    * from the 8 rows instead of re-deriving from the heavy view. */
+  private val er06HistSql =
+    """pat AS (
+      |  SELECT CASE WHEN score >= 24 THEN 1 ELSE 0 END AS bal,
+      |    CASE score - CASE WHEN score >= 24 THEN 24 ELSE 0 END
+      |      WHEN 12 THEN 0 WHEN 8 THEN 1 WHEN 4 THEN 2 ELSE 3
+      |    END AS lvl
+      |  FROM scored),
+      |hist AS (
+      |  SELECT bal, lvl, CAST(count(*) AS BIGINT) AS n
+      |  FROM pat GROUP BY 1, 2)""".stripMargin
+
+  /** n·r1 accumulations stay inside BIGINT only below this pair mass
+    * (r1 ≤ 10⁹ nano-units; 9·10⁹ · 10⁹ < 2⁶³). The Spark ops require
+    * it on the materialised histogram so a beyond-headroom corpus
+    * fails loudly instead of wrapping. */
+  private val EmPairHeadroom = 9000000000L
+
+  private def er06Tail(div: String) =
+    s"""e1 AS (
        |  SELECT bal, lvl, n,
        |    CAST(round(1000000000.0 * (0.1 * mb * mn)
        |      / (0.1 * mb * mn + 0.9 * ub * un)) AS BIGINT) AS r1
@@ -639,13 +686,37 @@ object EntityResolution {
        |FROM e2 CROSS JOIN ms s CROSS JOIN m2
        |ORDER BY bal, lvl""".stripMargin
 
+  private def er06Body(div: String) =
+    s"""$er06HistSql,
+       |${er06Tail(div)}""".stripMargin
+
+  /** Shared Spark-side EM dataflow: one pass over the (possibly heavy)
+    * scored view builds the histogram, materialised via an eager
+    * localCheckpoint (≤8 rows); the headroom require reads those 8
+    * rows, and the EM tail runs off them — the heavy candidate join is
+    * consumed exactly once. */
+  private def emFromScored(s: SparkSession, view: String): DataFrame = {
+    val hist = s.sql(
+      s"""WITH scored AS (SELECT score FROM $view),
+         |$er06HistSql
+         |SELECT bal, lvl, n FROM hist""".stripMargin)
+      .localCheckpoint(true)
+    val mass = hist.agg(sum(col("n"))).first().getLong(0)
+    require(mass <= EmPairHeadroom,
+      s"EM histogram covers $mass candidate pairs — beyond the " +
+        s"$EmPairHeadroom-pair BIGINT headroom of the nano-scale " +
+        "accumulations (widen ms sums to DECIMAL before raising it)")
+    hist.createOrReplaceTempView(s"${view}_hist")
+    s.sql(
+      s"""WITH hist AS (SELECT bal, lvl, n FROM ${view}_hist),
+         |${er06Tail("DIV")}""".stripMargin)
+  }
+
   val er06 = Q("er06_em_weights",
     s"""WITH $LinksCtesSql,
        |${er06Body("//")}""".stripMargin) { (s, d) =>
     scoredPairs(s, d).createOrReplaceTempView("er06_scored")
-    s.sql(
-      s"""WITH scored AS (SELECT score FROM er06_scored),
-         |${er06Body("DIV")}""".stripMargin)
+    emFromScored(s, "er06_scored")
   }
 
   // ---------------------------------------------------------------- er07
@@ -683,23 +754,20 @@ object EntityResolution {
   private[graft] def scoredPairsSampled(
       s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-    registry(s, d).filter(expr(sideSampleSpark("b_id")))
+    maybeWiden(s, registry(s, d).filter(expr(sideSampleSpark("b_id")))
       .join(Tables.customer(s, d)
           .filter(expr(sideSampleSpark("c_custkey"))),
         col("nat_b") === col("c_nationkey") &&
-          col("seg_b") === col("c_mktsegment"))
-      .repartition(np, col("b_id"), col("c_custkey"))
+          col("seg_b") === col("c_mktsegment")))
       .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
         "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
       .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")
   }
 
   val er07 = Q("er07_em_sampled", {
-    // b CTE verbatim from LinksCtesSql; the record draws sit on the
-    // join INPUTS, exactly as run
-    val bCte = LinksCtesSql.substring(0, LinksCtesSql.indexOf(",\nscored"))
-    s"""WITH $bCte,
+    // b CTE verbatim (the LinksCtesSql constituent); the record draws
+    // sit on the join INPUTS, exactly as run
+    s"""WITH $BCteSql,
        |b2 AS (SELECT * FROM b WHERE ${sideSampleDuck("b_id")}),
        |c2 AS (SELECT * FROM customer
        |       WHERE ${sideSampleDuck("c_custkey")}),
@@ -713,9 +781,7 @@ object EntityResolution {
        |${er06Body("//")}""".stripMargin
   }) { (s, d) =>
     scoredPairsSampled(s, d).createOrReplaceTempView("er07_scored")
-    s.sql(
-      s"""WITH scored AS (SELECT score FROM er07_scored),
-         |${er06Body("DIV")}""".stripMargin)
+    emFromScored(s, "er07_scored")
   }
 
   def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06, er07)
