@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Catalog-wide audit for the SCALE.md №15/№16 failure class: a
+  * CPU-DENSE stage whose task width is inherited rather than chosen.
+  *
+  * Twice a comparator ran effectively single-task at 16× while 31
+  * cores idled: №15 (d12) when the AQE coalescer shrank a CPU-dense
+  * stage to its tiny byte size, and №16/№20 (er01) when a broadcast
+  * join's output inherited the probe SCAN's split count — one split
+  * for a compact single-file table — and ~10⁸ banded edit distances
+  * serialised onto one core. The common structure: an expensive
+  * expression (string DP, vector math, fingerprinting) evaluated in a
+  * stage whose parallelism was set by BYTES (scan splits), not by the
+  * CPU work the stage performs — and a row-MULTIPLYING broadcast join
+  * between scan and comparator makes bytes-based width arbitrarily
+  * wrong, because the multiplier (pairs per probe row) grows with
+  * corpus scale while the probe's split count does not.
+  *
+  * The rule this spec enforces: any plan node evaluating one of the
+  * engine's expensive custom expressions must NOT sit in the output
+  * stage of a broadcast join with no exchange in between. Sitting
+  * directly over a scan is fine (per-row work scales with the bytes
+  * that size the splits); over a shuffle is fine (width is
+  * `spark.sql.shuffle.partitions`, the operator author's choice);
+  * over a broadcast join it must be separated by an explicit
+  * `repartition` (the er01 fix) unless the query is in the exemption
+  * table below with a reason the reviewer can check.
+  */
+class ParallelismAuditSpec extends SparkSpec {
+
+  /** Codegen'd but CPU-dense per row — the expressions whose stages
+    * must have chosen, not inherited, width. */
+  private val expensiveExprs = Set(
+    "BoundedEditDistance", "CosineSimilarity", "CosineSimilarityD",
+    "DotProduct", "SimHash64", "NGramExplode", "WordShingles")
+
+  /** Queries allowed to evaluate an expensive expression directly in a
+    * broadcast-join output stage, each with the reason the shape is
+    * safe at estate scale. The legitimate pattern: the broadcast side
+    * is a BOUNDED small frame (query set, centroid table, envelope
+    * scalar), so the row multiplier is a constant and the stage's CPU
+    * cost stays proportional to the probe bytes that sized its splits.
+    * An exemption whose broadcast side can grow with the corpus is a
+    * bug — that was er01. */
+  private val exempt: Map[String, String] = Map(
+    // -- bounded broadcast side: the multiplier is the QUERY/CENTROID
+    //    set, a constant the operator owns, so comparator CPU stays
+    //    proportional to the probe bytes that sized its splits
+    "s01_topk_cosine" -> "query set (Q vectors) is the broadcast side",
+    "s02_lsh_topk" -> "broadcast side is Q*B query band rows",
+    "s03_ivf_topk" -> "broadcast sides are K centroids + Q queries",
+    "s04_pq_topk" -> "broadcast sides are the codebook + Q queries",
+    "s05_kmeans_step" -> "broadcast side is the K-centroid table",
+    "s07_ivf_retrained" -> "broadcast sides are retrained centroids + Q",
+    "s10_two_stage_topk" -> "broadcast side is the Q*k shortlist",
+    "s11_mips_topk" -> "broadcast side is the Q query set",
+    "s14_filtered_topk" -> "broadcast side is the Q query set",
+    "s15_hamming_topk" -> "broadcast side is the Q query set",
+    "s19_ivf_bucketed_filtered" -> "broadcast side is the Q probe set",
+    "ml19_knn_classifier" ->
+      ("broadcast side is the holdout test split - a fixed evaluation " +
+        "set in deployment, not corpus-scaling; 16x measured 1.0x"),
+    // -- documented validation referees / knobs
+    "d04_embedding_neardup" ->
+      ("all-pairs validation twin, bounded by spark.graft.validation" +
+        ".cap.vecs at scale (production tier is s02/s03)"),
+    "s08_knn_graph" ->
+      ("the documented C~sqrt(n) candidate knob (SCALE.md); multiplier " +
+        "growth is the op's stated cost model, measured at 16x"),
+    // -- multiplier bounded by construction
+    "d21_incremental_dedup" ->
+      ("candidate-id filter joins (distinct ids, multiplier <= 1): the " +
+        "Generate does the same per-document shingling a plain scan " +
+        "would, on candidate docs only"),
+    "er02_golden_records" ->
+      ("linksProd joins on (nation, segment, CENTS): threshold-aware " +
+        "near-singleton blocks, multiplier O(1) per probe row"),
+    "er03_blocking_quality" ->
+      ("ED only on the 1:1 truth join (b_id-10^7 = c_custkey), " +
+        "multiplier exactly 1; candidate counts carry no comparator"),
+    "er05_sorted_neighborhood" ->
+      ("candidates bounded to 3 probes x window w per record per pass " +
+        "by the rank-band filter - multiplier O(w), not corpus-scaling"))
+
+  private def initial(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  /** Names of expensive expression classes appearing in this node's
+    * own expressions. */
+  private def expensiveIn(p: SparkPlan): Seq[String] =
+    p.expressions.flatMap(_.collect {
+      case e if expensiveExprs(e.getClass.getSimpleName) =>
+        e.getClass.getSimpleName
+    }).distinct
+
+  /** Walks the input chain below `n`: Some(joinName) iff the first
+    * width-determining node is a broadcast join (the flagged shape),
+    * None if an exchange / shuffled join / leaf is reached first. */
+  private def broadcastPinned(n: SparkPlan): Option[String] = n match {
+    case _: ShuffleExchangeLike => None
+    case _: SortMergeJoinExec | _: ShuffledHashJoinExec => None
+    case j: BroadcastHashJoinExec => Some(j.nodeName)
+    case j: BroadcastNestedLoopJoinExec => Some(j.nodeName)
+    case l if l.children.isEmpty => None
+    case other => other.children.view.flatMap(broadcastPinned).headOption
+  }
+
+  /** All (node, joinName, exprs) violations in a physical plan. */
+  private def violations(plan: SparkPlan): Seq[String] =
+    plan.collect {
+      // a broadcast join evaluating the expensive expr in its own
+      // condition/projection is the same shape, one node earlier
+      case j: BroadcastHashJoinExec if expensiveIn(j).nonEmpty =>
+        Seq(s"${expensiveIn(j).mkString("/")} inside ${j.nodeName}")
+      case j: BroadcastNestedLoopJoinExec if expensiveIn(j).nonEmpty =>
+        Seq(s"${expensiveIn(j).mkString("/")} inside ${j.nodeName}")
+      case p if expensiveIn(p).nonEmpty =>
+        p.children.flatMap(broadcastPinned).map(jn =>
+          s"${expensiveIn(p).mkString("/")} in ${p.nodeName} " +
+            s"width-pinned to $jn's probe side")
+    }.flatten
+
+  test("the pre-fix er01 comparator shape IS flagged (audit is live)") {
+    // widen=false restores the round-13 single-task shape: comparator
+    // projection directly in the broadcast-join output stage
+    spark.conf.set("spark.graft.er.widen", "false")
+    try {
+      val v = violations(initial(graft.ops.EntityResolution
+        .scoredPairs(spark, sf)))
+      assert(v.exists(_.contains("BoundedEditDistance")),
+        s"auditor missed the №16 single-task comparator shape: $v")
+    } finally spark.conf.set("spark.graft.er.widen", "true")
+  }
+
+  test("the fixed er01 comparator is NOT flagged (exchange in between)") {
+    val v = violations(initial(graft.ops.EntityResolution
+      .scoredPairs(spark, sf)))
+    assert(v.isEmpty, s"er01 comparator regressed to inherited width: $v")
+  }
+
+  test("no catalog query evaluates an expensive expression at " +
+    "broadcast-join-inherited width") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val flagged = scala.collection.mutable.Set[String]()
+    for (q <- SparkEntry.catalog) {
+      val vs =
+        try violations(initial(q.run(spark, sf)))
+        catch { case e: Exception =>
+          fail(s"${q.name}: failed to build a plan at $sf: $e")
+        }
+      if (vs.nonEmpty) flagged += q.name
+      vs.foreach { v =>
+        exempt.get(q.name) match {
+          case Some(_) => () // reviewed shape, reason in the table
+          case None => offenders += s"${q.name}: $v"
+        }
+      }
+    }
+    // anti-vacuity: the exemption table documents shapes that EXIST —
+    // a sweep that stops seeing them has a broken matcher, and a
+    // table entry no plan hits any more is stale documentation
+    assert(flagged.size >= 10,
+      s"walker flagged only ${flagged.size} queries — match broken?")
+    val stale = exempt.keySet.diff(flagged)
+    assert(stale.isEmpty,
+      s"stale exemptions (no plan hits them any more): $stale")
+    info(s"${SparkEntry.catalog.size} queries audited, " +
+      s"${flagged.size} flagged, ${exempt.size} exempt, " +
+      s"${offenders.size} offender(s)")
+    assert(offenders.isEmpty,
+      s"expensive work at inherited width (add a repartition before " +
+        s"the comparator, or an exemption WITH a reason):\n" +
+        offenders.mkString("\n"))
+  }
+}
