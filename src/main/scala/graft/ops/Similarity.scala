@@ -1849,7 +1849,183 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- s20
+  /** IVF-PQ — the composition the 10⁹-vector production tier actually
+    * deploys (FAISS `IVFxx,PQyy`; Jégou et al. §V "non-exhaustive
+    * search"): s03's coarse quantiser prunes WHICH lists a query reads,
+    * s04's product codes compress WHAT each list stores, and the exact
+    * re-rank touches only the ADC shortlist. The posting lists are
+    * PERSISTED partitioned by `cid` (s18/s19's bucketed-artifact
+    * discipline) and carry `(vec_id, codes)` — M=8 one-byte codes per
+    * vector, NOT the 256-byte embedding (that is the PQ memory
+    * contract; s19 stores payload vectors, s20 stores codes). The
+    * exact re-rank joins the Q·50 shortlist BACK to the corpus flat
+    * store by key — shortlist-sized work, the separate-flat-store
+    * layout FAISS/DiskANN re-rank uses.
+    *
+    * Query cost at scale: probe = |Q|·C broadcast rows; candidate
+    * read = P·n/C code rows via partition-pruned scan (`cid IN
+    * probed`, the s19 pruning path); ADC = an equi-join against the
+    * broadcast |Q|·M·K distance table, map-side-combinable sum;
+    * re-rank = |Q|·50 keyed lookups. Nothing corpus×corpus, nothing
+    * resident beyond 8 bytes/vector + the C-row centroid table.
+    *
+    * Law (SimilaritySpec): probing ALL C lists makes IVF-PQ ≡ flat PQ
+    * — [[s20Run]] with nprobe=C equals s04's output row-for-row. The
+    * oracle splices s04's codebook/ADC CTEs with s03/s19's
+    * assign/probe CTEs verbatim; the SAME `c` table is both coarse
+    * quantiser and codebook source, exactly the shared-quantiser
+    * shortcut small FAISS indexes use. */
+  val s20 = Q("s20_ivfpq_topk",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding FROM e WHERE vec_id < 16),
+       |ms AS (SELECT unnest(range(8)) AS m),
+       |codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT e.vec_id, ms.m, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id, ms.m
+       |                              ORDER BY ${subD2Sql("e", "c")} ASC, c.cid) AS rn
+       |    FROM e CROSS JOIN ms CROSS JOIN c)
+       |  WHERE rn = 1),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${cosSql("e", "c")} DESC, c.cid) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding FROM e WHERE vec_id < 10),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |                              ORDER BY ${cosSql("q", "c")} DESC, c.cid) AS prn
+       |    FROM q, c)
+       |  WHERE prn <= 4),
+       |qd AS (
+       |  SELECT q.query_id, ms.m, c.cid,
+       |         CAST(${subD2Sql("q", "c")} AS DECIMAL(24,12)) AS d2
+       |  FROM q CROSS JOIN ms CROSS JOIN c),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probed p
+       |  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cd.query_id, cd.vec_id, sum(qd.d2) AS dist
+       |  FROM cand cd
+       |  JOIN codes ON codes.vec_id = cd.vec_id
+       |  JOIN qd ON qd.query_id = cd.query_id AND qd.m = codes.m
+       |         AND qd.cid = codes.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY dist ASC, vec_id) AS srn
+       |    FROM adc)
+       |  WHERE srn <= 50),
+       |scored AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id, ${cosSql("q", "e")} AS cos
+       |  FROM short s
+       |  JOIN q ON q.query_id = s.query_id
+       |  JOIN e ON e.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    s20Run(s, d, nprobe = 4)
+  }
+
+  /** [[s20]]'s dataflow with the probe budget exposed — nprobe = C
+    * removes the IVF restriction, the full-probe ≡ flat-PQ law
+    * `SimilaritySpec` pins against [[s04]]. */
+  private[graft] def s20Run(s: SparkSession, d: String,
+      nprobe: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val c = centroidTable(e)
+    // PQ encode — s04's encoder: argmin sub-centroid per 8-dim
+    // subspace against the broadcast codebook, one map pass
+    val withM = e.select(col("vec_id"), col("embedding"),
+      explode(sequence(lit(0), lit(7))).as("m"))
+    val wCode = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("cid"))
+    val codesLong = withM.join(broadcast(c))
+      .select(col("vec_id"), col("m"), col("cid"),
+        expr(subD2Spark("embedding", "c_embedding")).as("d2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    // one row per vector: codes[m] ascending — 8 small ints, the PQ
+    // memory contract (the full embedding does NOT enter the index)
+    val packed = codesLong.groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code)))," +
+        " x -> x.code)").as("codes"))
+    val assign = assignToCentroids(e, c)
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val idx = s"$annScratch/$run/pqlists"
+    val nLists = c.count().toInt
+    assign.join(packed, "vec_id")
+      .select(col("cid"), col("vec_id"), col("codes"))
+      .repartition(nLists, col("cid")) // one file per list (s18 lesson)
+      .write.partitionBy("cid").parquet(idx)
+    val postings = s.read.parquet(idx)
+    require(new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("cid=")) > 1,
+      "s20: posting lists are not bucketed — every probe would scan all")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val probed = q.join(broadcast(c))
+      .select(col("query_id"), col("cid"),
+        expr("cosine_sim(q_embedding, c_embedding)").as("cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select("query_id", "cid")
+      .localCheckpoint() // ≤ |Q|·P rows; read twice (cid set + join)
+    val probedCids = probed.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // ADC lookup table: |Q|·M·K rows, broadcast both ways
+    val qd = q.select(col("query_id"), col("q_embedding"),
+        explode(sequence(lit(0), lit(7))).as("m"))
+      .join(broadcast(c))
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        expr(subD2Spark("q_embedding", "c_embedding"))
+          .cast("decimal(24,12)").as("d2"))
+    val adc = postings
+      .filter(col("cid").isin(probedCids: _*)) // partition pruning
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(qd), Seq("query_id", "m", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2")).as("dist"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vec_id"))
+    val short = adc.withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= 50)
+      .select("query_id", "vec_id")
+    // exact re-rank: Q·50 keyed lookups against the corpus flat store
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(q, "query_id")
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(q_embedding, embedding)").as("cos"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   def all: Seq[Q] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-      s14, s15, s16, s17, s18, s19)
+      s14, s15, s16, s17, s18, s19, s20)
 }

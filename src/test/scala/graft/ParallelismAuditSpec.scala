@@ -63,6 +63,9 @@ class ParallelismAuditSpec extends SparkSpec {
     "s14_filtered_topk" -> "broadcast side is the Q query set",
     "s15_hamming_topk" -> "broadcast side is the Q query set",
     "s19_ivf_bucketed_filtered" -> "broadcast side is the Q probe set",
+    "s20_ivfpq_topk" ->
+      ("broadcast sides are the Q probe set, the Q*M*K ADC table and " +
+        "the Q*50 shortlist - all probe-budget-bounded"),
     "ml19_knn_classifier" ->
       ("broadcast side is the holdout test split - a fixed evaluation " +
         "set in deployment, not corpus-scaling; 16x measured 1.0x"),
