@@ -616,8 +616,14 @@ object EntityResolution {
     * fails loudly instead of wrapping. */
   private val EmPairHeadroom = 9000000000L
 
-  private def er06Tail(div: String) =
-    s"""e1 AS (
+  /** The EM dataflow as CTEs (initial nano-posteriors e1, M-step sums
+    * ms, re-scored posteriors e2, second-round mass m2) — shared by
+    * er06/er07's report ([[er06Report]] reads them) and er08's decision
+    * loop (which joins e2's learned posteriors back onto the full
+    * candidate set). No engine-specific arithmetic, so one text serves
+    * both Spark and DuckDB. */
+  private val er06EmCtes =
+    """e1 AS (
        |  SELECT bal, lvl, n,
        |    CAST(round(1000000000.0 * (0.1 * mb * mn)
        |      / (0.1 * mb * mn + 0.9 * ub * un)) AS BIGINT) AS r1
@@ -678,13 +684,19 @@ object EntityResolution {
        |m2 AS (
        |  SELECT CAST(sum(n * r2) AS BIGINT) AS m2v,
        |    CAST(sum(n) * 1000000000 AS BIGINT) AS t2
-       |  FROM e2)
-       |SELECT e2.bal, e2.lvl, e2.n AS n_pairs, e2.r1 AS r1_nano,
+       |  FROM e2)""".stripMargin
+
+  private def er06Report(div: String) =
+    s"""SELECT e2.bal, e2.lvl, e2.n AS n_pairs, e2.r1 AS r1_nano,
        |  e2.r2 AS r2_nano,
        |  CAST(s.m1 $div (s.t $div 1000000) AS BIGINT) AS lam1_micro,
        |  CAST(m2.m2v $div (m2.t2 $div 1000000) AS BIGINT) AS lam2_micro
        |FROM e2 CROSS JOIN ms s CROSS JOIN m2
        |ORDER BY bal, lvl""".stripMargin
+
+  private def er06Tail(div: String) =
+    s"""$er06EmCtes
+       |${er06Report(div)}""".stripMargin
 
   private def er06Body(div: String) =
     s"""$er06HistSql,
@@ -695,7 +707,10 @@ object EntityResolution {
     * localCheckpoint (≤8 rows); the headroom require reads those 8
     * rows, and the EM tail runs off them — the heavy candidate join is
     * consumed exactly once. */
-  private def emFromScored(s: SparkSession, view: String): DataFrame = {
+  /** Materialises the ≤8-row agreement histogram off `view` (eager
+    * localCheckpoint), guards the pair-mass headroom, registers it as
+    * `<view>_hist` and returns the registered name. */
+  private def emHist(s: SparkSession, view: String): String = {
     val hist = s.sql(
       s"""WITH scored AS (SELECT score FROM $view),
          |$er06HistSql
@@ -707,8 +722,13 @@ object EntityResolution {
         s"$EmPairHeadroom-pair BIGINT headroom of the nano-scale " +
         "accumulations (widen ms sums to DECIMAL before raising it)")
     hist.createOrReplaceTempView(s"${view}_hist")
+    s"${view}_hist"
+  }
+
+  private def emFromScored(s: SparkSession, view: String): DataFrame = {
+    val histView = emHist(s, view)
     s.sql(
-      s"""WITH hist AS (SELECT bal, lvl, n FROM ${view}_hist),
+      s"""WITH hist AS (SELECT bal, lvl, n FROM $histView),
          |${er06Tail("DIV")}""".stripMargin)
   }
 
@@ -784,5 +804,143 @@ object EntityResolution {
     emFromScored(s, "er07_scored")
   }
 
-  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06, er07)
+  // ---------------------------------------------------------------- er08
+  /** The EM→decision loop closed (r13 verdict ask #4): er07's learned
+    * m/u/λ stop terminating in a report and DRIVE the banding — the
+    * full Fellegi–Sunter program, where thresholds come from the
+    * fitted model, not designed constants (er04 keeps the designed-
+    * constant bands as the independent reference).
+    *
+    * Decision rule, read off the learned quantities alone: each
+    * agreement pattern γ carries the EM posterior P(M|γ) (e2's
+    * nano-scaled r2 — the monotone transform of the F-S log-likelihood
+    * ratio log m(γ)/u(γ) plus the prior odds, so banding on the
+    * posterior IS banding on the LLR) and the fitted class prior λ
+    * (m2's second-round mass). Bands:
+    *   auto_link  — posterior ≥ ½ (the Bayes rule: match is the MAP
+    *                class);
+    *   review     — posterior above the PRIOR but below ½ (evidence
+    *                favours a match — LLR > 0 — yet not decisively;
+    *                exactly the clerical-review region F-S defines
+    *                between the two thresholds);
+    *   non_match  — posterior at or below the prior (evidence is
+    *                against).
+    * A full-set pattern unseen in the sample falls back to the prior
+    * (coalesce → non_match): no evidence, prior decision — the honest
+    * default for a sampled model.
+    *
+    * Like er04 the report carries measured purity per band (the
+    * registry's built-in ground truth), so the learned bands are
+    * AUDITED, not trusted: `EntityResolutionSpec` pins purity
+    * monotonicity (auto ≥ review ≥ non_match) and threshold
+    * consistency (min/max posteriors respect the band edges).
+    *
+    * Cost: er07's sampled EM (record-level draws shrink the estimation
+    * join itself — SCALE.md №18) + ONE conditional agg over er01's
+    * blocked candidate join for the banding — the same full-set pass
+    * er04 pays, with the 8-row learned table broadcast onto it. */
+  val er08 = Q("er08_em_decisions",
+    s"""WITH $BCteSql,
+       |scored_all AS (
+       |  SELECT b_id, c_custkey AS a_custkey,
+       |         $ScoreSql AS score
+       |  FROM (
+       |    SELECT b_id, c_custkey, acct_b, c_acctbal,
+       |           least(levenshtein(name_b, c_name), 3) AS ed
+       |    FROM b JOIN customer
+       |      ON nat_b = c_nationkey AND seg_b = c_mktsegment)),
+       |b2 AS (SELECT * FROM b WHERE ${sideSampleDuck("b_id")}),
+       |c2 AS (SELECT * FROM customer
+       |       WHERE ${sideSampleDuck("c_custkey")}),
+       |scored AS (
+       |  SELECT b_id, c_custkey AS a_custkey, $ScoreSql AS score
+       |  FROM (
+       |    SELECT b_id, c_custkey, acct_b, c_acctbal,
+       |           least(levenshtein(name_b, c_name), 3) AS ed
+       |    FROM b2 JOIN c2
+       |      ON nat_b = c_nationkey AND seg_b = c_mktsegment)),
+       |$er06HistSql,
+       |$er06EmCtes,
+       |lam AS (SELECT CAST(m2v // (t2 // 1000000000) AS BIGINT)
+       |               AS lam_nano FROM m2),
+       |pat_all AS (
+       |  SELECT b_id, a_custkey,
+       |    CASE WHEN score >= 24 THEN 1 ELSE 0 END AS bal,
+       |    CASE score - CASE WHEN score >= 24 THEN 24 ELSE 0 END
+       |      WHEN 12 THEN 0 WHEN 8 THEN 1 WHEN 4 THEN 2 ELSE 3
+       |    END AS lvl
+       |  FROM scored_all),
+       |banded AS (
+       |  SELECT p.b_id, p.a_custkey,
+       |    coalesce(e2.r2, lam.lam_nano) AS post_nano, lam.lam_nano
+       |  FROM pat_all p
+       |  LEFT JOIN e2 ON e2.bal = p.bal AND e2.lvl = p.lvl
+       |  CROSS JOIN lam)
+       |SELECT
+       |  CASE WHEN post_nano >= 500000000 THEN 'auto_link'
+       |       WHEN post_nano > lam_nano THEN 'review'
+       |       ELSE 'non_match' END AS band,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN a_custkey = b_id - 10000000 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_true,
+       |  CAST(CASE WHEN count(*) = 0 THEN 0
+       |       ELSE sum(CASE WHEN a_custkey = b_id - 10000000
+       |                     THEN 1 ELSE 0 END) * 1000000 // count(*) END
+       |       AS BIGINT) AS true_ppm,
+       |  CAST(min(post_nano) AS BIGINT) AS min_post_nano,
+       |  CAST(max(post_nano) AS BIGINT) AS max_post_nano,
+       |  CAST(min(lam_nano) AS BIGINT) AS lam_nano
+       |FROM banded
+       |GROUP BY 1
+       |ORDER BY band""".stripMargin) { (s, d) =>
+    // learn on the sampled draw (er07's dataflow verbatim) ...
+    scoredPairsSampled(s, d).createOrReplaceTempView("er08_scored")
+    val histView = emHist(s, "er08_scored")
+    val learned = s.sql(
+      s"""WITH hist AS (SELECT bal, lvl, n FROM $histView),
+         |$er06EmCtes,
+         |lam AS (SELECT CAST(m2v DIV (t2 DIV 1000000000) AS BIGINT)
+         |               AS lam_nano FROM m2)
+         |SELECT e2.bal, e2.lvl, e2.r2, lam.lam_nano
+         |FROM e2 CROSS JOIN lam""".stripMargin)
+      .localCheckpoint(true) // ≤ 8 rows — the learned decision table
+    learned.createOrReplaceTempView("er08_learned")
+    // ... decide on the FULL candidate set (er01's blocked join)
+    scoredPairs(s, d).createOrReplaceTempView("er08_scored_all")
+    s.sql(
+      s"""WITH lam AS (SELECT min(lam_nano) AS lam_nano
+         |             FROM er08_learned),
+         |pat_all AS (
+         |  SELECT b_id, a_custkey,
+         |    CASE WHEN score >= 24 THEN 1 ELSE 0 END AS bal,
+         |    CASE score - CASE WHEN score >= 24 THEN 24 ELSE 0 END
+         |      WHEN 12 THEN 0 WHEN 8 THEN 1 WHEN 4 THEN 2 ELSE 3
+         |    END AS lvl
+         |  FROM er08_scored_all),
+         |banded AS (
+         |  SELECT p.b_id, p.a_custkey,
+         |    coalesce(e.r2, lam.lam_nano) AS post_nano, lam.lam_nano
+         |  FROM pat_all p
+         |  LEFT JOIN er08_learned e ON e.bal = p.bal AND e.lvl = p.lvl
+         |  CROSS JOIN lam)
+         |SELECT
+         |  CASE WHEN post_nano >= 500000000 THEN 'auto_link'
+         |       WHEN post_nano > lam_nano THEN 'review'
+         |       ELSE 'non_match' END AS band,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a_custkey = b_id - 10000000
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |       ELSE sum(CASE WHEN a_custkey = b_id - 10000000
+         |                     THEN 1 ELSE 0 END) * 1000000 DIV count(*)
+         |       END AS BIGINT) AS true_ppm,
+         |  CAST(min(post_nano) AS BIGINT) AS min_post_nano,
+         |  CAST(max(post_nano) AS BIGINT) AS max_post_nano,
+         |  CAST(min(lam_nano) AS BIGINT) AS lam_nano
+         |FROM banded
+         |GROUP BY 1
+         |ORDER BY band""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06, er07, er08)
 }
