@@ -1837,7 +1837,125 @@ object Ingest {
     perFile.unionByName(tbl).orderBy("scope", "colname")
   }
 
+  // ---------------------------------------------------------------- in26
+  /** MERGE as a COMMIT on the versioned table — the missing lifecycle
+    * verb (the ledger has append in20, replace/compaction in21, delete
+    * files + scoped purge in23, partition evolution in24): row-level
+    * UPSERT landed as one copy-on-write rewrite commit (Delta `MERGE
+    * INTO` / Iceberg copy-on-write merge). q28 supplies the MERGE
+    * dataflow (outer join + coalesce: matched keys take the change
+    * row, unmatched changes insert, the rest passes through); in23's
+    * scoping supplies the physical half — only the files that CONTAIN
+    * matched keys are rewritten, everything else rides the commit's
+    * `carry` list untouched.
+    *
+    * Scenario: a `src3` re-crawl — every src3 document's `n_chars` is
+    * re-extracted (+1000), and half the batch (doc_id % 40 = 3) also
+    * yields new documents (fresh keys, +10⁸). The base layout clusters
+    * by `source` (in23's clustered-layout premise), so the matched
+    * keys concentrate in src3's hash bucket and the rewrite scope is a
+    * proper minority of files — `require`d in-op, witness-pinned for
+    * the carried bytes.
+    *
+    * Output = three-version digests over (doc_id, n_chars): `1_base`,
+    * `2_after_merge` (the oracle restates the merge in closed form off
+    * the source table: update arm + insert arm), and
+    * `3_time_travel_base` — reading v1 AS OF after the merge must
+    * still digest as the base, the snapshot-isolation promise a MERGE
+    * commit must keep (no vacuum here; in21/in23 own retention).
+    *
+    * Scale: scoping is ONE pass over the base (input_file_name vs the
+    * broadcast key list — the delete-file read path of in23); the
+    * rewrite touches only affected files + the insert batch; the
+    * carry is metadata. A 100 TB merge pays for the files its keys
+    * live in — with a key-clustered layout, the minority — never the
+    * estate. */
+  val in26 = Q("in26_merge_commit", {
+    def digestSql(body: String) =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CAST(concat('0x', substr(md5(
+         |      CAST(doc_id AS VARCHAR) || '|' ||
+         |      CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT))
+         |      % 4294967296 AS BIGINT) AS checksum
+         |  FROM ($body)""".stripMargin
+    val baseBody = "SELECT doc_id, n_chars FROM documents"
+    val mergedBody =
+      """SELECT doc_id,
+        |    CASE WHEN source = 'src3' THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, n_chars FROM documents
+        |  WHERE source = 'src3' AND doc_id % 40 = 3""".stripMargin
+    s"""WITH b AS (${digestSql(baseBody)}),
+       |m AS (${digestSql(mergedBody)})
+       |SELECT '1_base' AS stage, n_rows, checksum FROM b
+       |UNION ALL SELECT '2_after_merge', n_rows, checksum FROM m
+       |UNION ALL SELECT '3_time_travel_base', n_rows, checksum FROM b
+       |ORDER BY stage""".stripMargin
+  }) { (s, d) =>
+    val run = java.util.UUID.randomUUID().toString.take(8)
+    val t = new VersionedTable(s, s"$compactScratch/$run/merge")
+    // key-clustered base: a source's rows concentrate in its hash
+    // bucket's file(s), so a per-source merge is file-scopable
+    t.commit(graft.model.Tables.documents(s, d)
+      .select("doc_id", "source", "lang", "n_chars")
+      .repartition(8, col("source")))
+    val v1 = t.readAsOf(1)
+    // the change set, read from the CURRENT snapshot (what a MERGE
+    // sees): updates for every src3 doc, inserts for half the batch
+    val updates = v1.filter(col("source") === "src3")
+      .select(col("doc_id"), (col("n_chars") + 1000L).as("new_chars"))
+    val inserts = v1
+      .filter(col("source") === "src3" && col("doc_id") % 40 === 3)
+      .select((col("doc_id") + 100000000L).as("doc_id"), col("source"),
+        col("lang"), col("n_chars"))
+    // scope the rewrite: only files that CONTAIN matched keys (the
+    // in23 delete-file read path, reused for the update path)
+    val affected = v1.withColumn("f", input_file_name())
+      .join(broadcast(updates.select("doc_id")), Seq("doc_id"),
+        "left_semi")
+      .select("f").distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSeq
+    val carried = t.files(1).filterNot(affected.contains)
+    require(affected.nonEmpty && carried.nonEmpty &&
+      affected.length < t.files(1).length,
+      s"in26: merge scope degenerate: ${affected.length} affected, " +
+        s"${carried.length} carried of ${t.files(1).length}")
+    val carriedStats = carried.map(fileWitness)
+    // copy-on-write MERGE (q28's dataflow, scoped): matched keys take
+    // the change row, the affected files' other rows pass through,
+    // unmatched changes insert as new rows in the commit's own files
+    val nBefore = v1.count()
+    val nInserts = inserts.count()
+    t.commit(
+      s.read.parquet(affected: _*)
+        .join(broadcast(updates), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("lang"),
+          coalesce(col("new_chars"), col("n_chars")).as("n_chars"))
+        .unionByName(inserts),
+      replace = true, carry = carried)
+    // carry contract: untouched files byte-identical across the commit
+    require(carriedStats.forall { case w @ (p, _, _) =>
+      fileWitness(p) == w
+    }, "in26: merge rewrote carried bytes")
+    // ledger arithmetic: the version diff is exactly the rewrite scope
+    require(t.files(1).diff(t.files(2)).toSet == affected.toSet,
+      "in26: v1 minus v2 must be exactly the rewritten files")
+    require(t.readAsOf(2).count() == nBefore + nInserts,
+      "in26: merge changed the row count beyond its inserts")
+    def digest(df: org.apache.spark.sql.DataFrame, stage: String) =
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+        md5ChecksumOf(col("doc_id").cast("string"), lit("|"),
+          col("n_chars").cast("string")).as("checksum"))
+        .select(lit(stage).as("stage"), col("n_rows"), col("checksum"))
+    digest(t.readAsOf(1), "1_base")
+      .union(digest(t.readAsOf(2), "2_after_merge"))
+      .union(digest(t.readAsOf(1), "3_time_travel_base"))
+      .orderBy("stage")
+  }
+
   def all: Seq[Q] = Seq(in01, in02, in03, in04, in05, in06, in07, in08, in09,
     in10, in11, in12, in13, in14, in15, in16, in17, in18, in19, in20, in21,
-    in22, in23, in24, in25)
+    in22, in23, in24, in25, in26)
 }

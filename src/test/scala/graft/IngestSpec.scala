@@ -578,4 +578,25 @@ class IngestSpec extends SparkSpec {
     assert(b.getLong(2) != mor.getLong(2),
       "base and deleted digests collide — checksum insensitive?")
   }
+
+  test("in26: merge commit — inserts grow the snapshot, updates change " +
+    "content, time travel back is byte-faithful") {
+    val rows = sources.Ingest.in26.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_base", "2_after_merge", "3_time_travel_base"))
+    val Seq(b, m, tt) = rows.toSeq
+    // the merge actually inserted (non-vacuous change set) ...
+    assert(m.getLong(1) > b.getLong(1),
+      "merge inserted nothing — the upsert scenario is vacuous")
+    // ... and actually updated (content digest moves beyond the count)
+    assert(m.getLong(2) != b.getLong(2),
+      "merge digest equals base — updates were lost")
+    // snapshot isolation: v1 AS OF after the merge commit is the base,
+    // count and content
+    assert(tt.getLong(1) == b.getLong(1) && tt.getLong(2) == b.getLong(2),
+      "time travel across the merge commit does not return the base")
+    // (the physical carry contract — untouched files byte-identical,
+    // ledger diff == rewrite scope, count arithmetic — is require'd
+    // inside the op itself; this test pins the logical laws)
+  }
 }
