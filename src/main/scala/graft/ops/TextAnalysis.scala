@@ -1240,6 +1240,61 @@ object TextAnalysis {
     (top, merged)
   }
 
+  /** Iterated BPE trainer — [[bpeRound]] under a driver loop, the
+    * kmeansLloyd pattern (`ops/Similarity.scala`) applied to t22: the
+    * two unrolled rounds oracle the MECHANISM; this is the usable
+    * `bpeLearn(maxMerges)` a tokenizer build actually calls. Each round
+    * collects the 1-row winner (bounded by construction), applies the
+    * merge, and localCheckpoints the vocab-sized token table so
+    * lineage stays flat across hundreds of merges. Termination:
+    *  - exhaustion — no adjacent pair remains, or the best pair's
+    *    weighted count falls below `minFreq` (the standard
+    *    min-frequency floor: merging a once-seen pair memorises noise);
+    *  - the s06 fixpoint-checksum guard — a (count, bit_xor(xxhash64))
+    *    signature of the token table must CHANGE every round; a
+    *    repeated signature means the merge applied vacuously and the
+    *    loop would spin, so it stops and reports instead (defensive:
+    *    unreachable while bpeRound merges the counted winner, and
+    *    cheap — the signature rides the checkpointed table).
+    * Returns (merges in learned order (a, b, count-at-selection), the
+    * final token table, rounds run). Scale: every round is vocab-sized
+    * (t22's law); the corpus is touched once by [[bpeCharToks]]'s
+    * word-count agg. `BpeSpec` pins 2-round equality with t22 and the
+    * max-count monotonicity law; the t22/t23 oracles are unchanged. */
+  def bpeLearn(docs: DataFrame, maxMerges: Int, minFreq: Long = 2L)
+      : (Seq[(String, String, Long)], DataFrame, Int) = {
+    require(maxMerges >= 1, s"maxMerges must be >= 1, got $maxMerges")
+    var toks = bpeCharToks(docs).localCheckpoint()
+    def sigOf(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).cast("long"),
+        coalesce(expr("bit_xor(xxhash64(word, freq, pos, sym))"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevSig = sigOf(toks)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxMerges) {
+      val (topDf, merged) = bpeRound(toks)
+      val top = topDf.collect() // ≤ 1 row by construction (LIMIT 1)
+      if (top.isEmpty || top.head.getLong(2) < minFreq) done = true
+      else {
+        val next = merged.localCheckpoint()
+        val sig = sigOf(next)
+        if (sig == prevSig) done = true // fixpoint guard — see scaladoc
+        else {
+          merges += ((top.head.getString(0), top.head.getString(1),
+            top.head.getLong(2)))
+          prevSig = sig
+          toks = next
+          rounds += 1
+        }
+      }
+    }
+    (merges.toSeq, toks, rounds)
+  }
+
   /** The same round as a DuckDB CTE block, parameterised by round id and
     * input relation — spliced twice into t22's oracle so both engines
     * run ONE shared definition per round (zero drift). */

@@ -98,4 +98,43 @@ class BpeSpec extends SparkSpec {
     assert(seqOf(m2, "abab") == Seq("abab"))
     assert(seqOf(m2, "abc") == Seq("ab", "c"))
   }
+
+  test("bpeLearn: 2-round driver output equals the unrolled t22 rounds " +
+    "on the corpus; learned counts are non-increasing") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val (merges, toksOut, rounds) = ops.TextAnalysis.bpeLearn(docs, 2)
+    assert(rounds == 2, s"corpus exhausted early: $rounds")
+    // t22's merge rows state the same two winners
+    val t22Merges = ops.TextAnalysis.t22.run(spark, sf).collect()
+      .filter(_.getString(0) == "merge").sortBy(_.getInt(1))
+      .map(r => (r.getString(2), r.getLong(3))).toSeq
+    assert(merges.map { case (a, b, c) => (s"$a+$b", c) } == t22Merges,
+      s"driver merges ${merges} != t22 ${t22Merges}")
+    // and the driver's final table IS the unrolled mg2: same per-symbol
+    // mass (the quantity t22's vocab rows digest)
+    val (_, m1) = ops.TextAnalysis.bpeRound(
+      ops.TextAnalysis.bpeCharToks(docs))
+    val (_, m2) = ops.TextAnalysis.bpeRound(m1)
+    def mass(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("sym").agg(sum("freq").as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass(toksOut) == mass(m2), "driver table diverged from mg2")
+    // max-count monotonicity: a new symbol occurs at most count(merge)
+    // times, so every later winner's weight is bounded by every earlier
+    assert(merges.map(_._3).sliding(2).forall {
+      case Seq(a, b) => a >= b
+      case _ => true
+    }, s"learned counts increased: ${merges.map(_._3)}")
+  }
+
+  test("bpeLearn: exhaustion stops the loop before the budget on a " +
+    "tiny vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // merges available: (a,b) cnt 2, then (c,d) cnt 1 < minFreq floor
+    val (merges, _, rounds) = ops.TextAnalysis.bpeLearn(docs, 10)
+    assert(rounds == 1 && merges.map(m => (m._1, m._2, m._3)) ==
+      Seq(("a", "b", 2L)),
+      s"expected one merge then the minFreq floor: $merges")
+  }
 }
