@@ -43,7 +43,7 @@ object Relational {
     * (HALF_UP) and DuckDB (round-half-even) break ties differently. */
   private def price12(c: Column): Column = c.cast(DecimalType(12, 2))
   private def rate4(c: Column): Column = c.cast(DecimalType(4, 2))
-  private def discPriceOf(price: Column, disc: Column): Column =
+  private[graft] def discPriceOf(price: Column, disc: Column): Column =
     price12(price) * rate4(lit(1.0) - disc)
   private def chargeOf(price: Column, disc: Column, tax: Column): Column =
     price12(price) * rate4(lit(1.0) - disc) * rate4(lit(1.0) + tax)
