@@ -681,7 +681,19 @@ object Similarity {
   }
 
   /** s08's dataflow, unsorted — (vec_id, neighbor_id, rank ≤ 3);
-    * shared by [[s08]] and [[s17]]. */
+    * shared by [[s08]] and [[s17]].
+    *
+    * The candidate pairs are EXPLICITLY repartitioned before the
+    * comparator (the №16/№20 rule, caught for this op by round 14's
+    * first complete full-catalog 16× pass): the candidate join
+    * broadcasts the assignment, so its output inherits the probe
+    * side's split count — the embeddings table is one compact file at
+    * 16× (8 MB < maxPartitionBytes), so probes·n/C ≈ 2.6×10⁸ cosines
+    * PLUS the rank sort serialised onto ONE task (observed ≥680 s of
+    * single-core CPU mid-pass while 31 cores idled). One shuffle of
+    * skinny (vec_id, neighbor_id) pairs buys full-width cosine + rank;
+    * the exchange's hashpartitioning(vec_id) also satisfies the rank
+    * window's distribution, so no second exchange appears. */
   private def knnGraphEdges(s: SparkSession,
       e: DataFrame): DataFrame = {
     val c = centroidTable(e)
@@ -698,11 +710,13 @@ object Similarity {
       .localCheckpoint() // reused by assign AND probes
     val assign = cellrank.filter(col("rn") === 1).select("vec_id", "cid")
     val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     val wRank = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes
       .join(assign.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
+      .repartition(np, col("vec_id"))
       .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
       .join(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("b_emb")), "neighbor_id")

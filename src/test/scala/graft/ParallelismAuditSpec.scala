@@ -51,21 +51,18 @@ class ParallelismAuditSpec extends SparkSpec {
   private val exempt: Map[String, String] = Map(
     // -- bounded broadcast side: the multiplier is the QUERY/CENTROID
     //    set, a constant the operator owns, so comparator CPU stays
-    //    proportional to the probe bytes that sized its splits
+    //    proportional to the probe bytes that sized its splits.
+    //    (s04/s10/s15/s20/d21 needed no entry once the walk learned to
+    //    pass THROUGH broadcast joins: their comparators sit above an
+    //    exchange further down the streamed side.)
     "s01_topk_cosine" -> "query set (Q vectors) is the broadcast side",
     "s02_lsh_topk" -> "broadcast side is Q*B query band rows",
     "s03_ivf_topk" -> "broadcast sides are K centroids + Q queries",
-    "s04_pq_topk" -> "broadcast sides are the codebook + Q queries",
     "s05_kmeans_step" -> "broadcast side is the K-centroid table",
     "s07_ivf_retrained" -> "broadcast sides are retrained centroids + Q",
-    "s10_two_stage_topk" -> "broadcast side is the Q*k shortlist",
     "s11_mips_topk" -> "broadcast side is the Q query set",
     "s14_filtered_topk" -> "broadcast side is the Q query set",
-    "s15_hamming_topk" -> "broadcast side is the Q query set",
     "s19_ivf_bucketed_filtered" -> "broadcast side is the Q probe set",
-    "s20_ivfpq_topk" ->
-      ("broadcast sides are the Q probe set, the Q*M*K ADC table and " +
-        "the Q*50 shortlist - all probe-budget-bounded"),
     "ml19_knn_classifier" ->
       ("broadcast side is the holdout test split - a fixed evaluation " +
         "set in deployment, not corpus-scaling; 16x measured 1.0x"),
@@ -73,14 +70,12 @@ class ParallelismAuditSpec extends SparkSpec {
     "d04_embedding_neardup" ->
       ("all-pairs validation twin, bounded by spark.graft.validation" +
         ".cap.vecs at scale (production tier is s02/s03)"),
-    "s08_knn_graph" ->
-      ("the documented C~sqrt(n) candidate knob (SCALE.md); multiplier " +
-        "growth is the op's stated cost model, measured at 16x"),
+    // (s08 was exempt here in early round 14 under its C~sqrt(n) knob
+    // reading; the first complete 16x pass showed the knob does NOT
+    // excuse the WIDTH — 2.6e8 comparator rows on the probe scan's one
+    // split — so knnGraphEdges gained the explicit exchange and the
+    // exemption is gone: the audit now proves the fixed shape.)
     // -- multiplier bounded by construction
-    "d21_incremental_dedup" ->
-      ("candidate-id filter joins (distinct ids, multiplier <= 1): the " +
-        "Generate does the same per-document shingling a plain scan " +
-        "would, on candidate docs only"),
     "er02_golden_records" ->
       ("linksProd joins on (nation, segment, CENTS): threshold-aware " +
         "near-singleton blocks, multiplier O(1) per probe row"),
@@ -105,29 +100,48 @@ class ParallelismAuditSpec extends SparkSpec {
         e.getClass.getSimpleName
     }).distinct
 
-  /** Walks the input chain below `n`: Some(joinName) iff the first
-    * width-determining node is a broadcast join (the flagged shape),
-    * None if an exchange / shuffled join / leaf is reached first. */
-  private def broadcastPinned(n: SparkPlan): Option[String] = n match {
+  /** Walks the input chain below `n` to the node that SET the stage's
+    * width, passing THROUGH broadcast joins via their streamed side
+    * (a broadcast join keeps its streamed child's partitioning):
+    * Some(joinName) iff the walk reaches a LEAF having passed at least
+    * one broadcast join — width = the probe scan's byte-sized splits
+    * while the join multiplied the rows (the er01/s08 shape); None if
+    * an exchange / shuffled join is reached first (width chosen by the
+    * operator author) or the chain is join-free per-row work. */
+  private def broadcastPinned(n: SparkPlan,
+      passed: Option[String] = None): Option[String] = n match {
     case _: ShuffleExchangeLike => None
     case _: SortMergeJoinExec | _: ShuffledHashJoinExec => None
-    case j: BroadcastHashJoinExec => Some(j.nodeName)
-    case j: BroadcastNestedLoopJoinExec => Some(j.nodeName)
-    case l if l.children.isEmpty => None
-    case other => other.children.view.flatMap(broadcastPinned).headOption
+    case j: BroadcastHashJoinExec =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      }
+      broadcastPinned(streamed, Some(j.nodeName))
+    case j: BroadcastNestedLoopJoinExec =>
+      val streamed = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+      }
+      broadcastPinned(streamed, Some(j.nodeName))
+    case l if l.children.isEmpty => passed
+    case other =>
+      other.children.view.flatMap(broadcastPinned(_, passed)).headOption
   }
 
-  /** All (node, joinName, exprs) violations in a physical plan. */
+  /** All (node, joinName, exprs) violations in a physical plan. A
+    * broadcast join evaluating the expensive expr in its own condition
+    * is the same shape, one node earlier — the walk starts AT the join
+    * in that case, at the node's children otherwise. */
   private def violations(plan: SparkPlan): Seq[String] =
     plan.collect {
-      // a broadcast join evaluating the expensive expr in its own
-      // condition/projection is the same shape, one node earlier
-      case j: BroadcastHashJoinExec if expensiveIn(j).nonEmpty =>
-        Seq(s"${expensiveIn(j).mkString("/")} inside ${j.nodeName}")
-      case j: BroadcastNestedLoopJoinExec if expensiveIn(j).nonEmpty =>
-        Seq(s"${expensiveIn(j).mkString("/")} inside ${j.nodeName}")
       case p if expensiveIn(p).nonEmpty =>
-        p.children.flatMap(broadcastPinned).map(jn =>
+        val starts: Seq[SparkPlan] = p match {
+          case _: BroadcastHashJoinExec |
+               _: BroadcastNestedLoopJoinExec => Seq(p)
+          case _ => p.children
+        }
+        starts.flatMap(broadcastPinned(_)).distinct.map(jn =>
           s"${expensiveIn(p).mkString("/")} in ${p.nodeName} " +
             s"width-pinned to $jn's probe side")
     }.flatten
