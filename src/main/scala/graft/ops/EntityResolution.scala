@@ -66,33 +66,45 @@ object EntityResolution {
     * validation blocking — er04 reads the full score distribution;
     * [[links]] is the ≥ 28 auto-link slice.
     *
-    * The comparator stage is EXPLICITLY repartitioned (the SCALE.md №15
-    * rule, caught again by the round-13 full-catalog 16× pass): the
-    * blocked join broadcasts the registry, so without the exchange the
-    * join output inherits the PROBE SCAN's split count — a compact
-    * customer table is one split, and 10⁸ banded edit distances
-    * serialise onto one task while every other core idles. One shuffle
-    * of skinny pre-comparator rows buys full-width DP evaluation. */
+    * The join INPUTS are explicitly widened ([[maybeWiden]], the №20
+    * v2 rule): without exchanges, the blocked join broadcasts one side
+    * and inherits the other's single compact-file split — ~10⁸ banded
+    * edit distances (r13 finding) AND, with the r13 post-join exchange,
+    * the single-task shuffle write of every joined row (r14 finding) —
+    * so the width is fixed BEFORE the join and nothing pair-sized ever
+    * crosses a shuffle. */
   /** Measurement toggle for the №20 before/after: `false` restores the
-    * pre-fix single-task shape (no comparator exchange, no barrier) so
-    * the 16× cost of the bug is measurable on demand instead of taken
-    * on faith. Production default is true; nothing in the repo sets it
-    * false except the SCALE.md №20 runs. */
+    * pre-fix single-task shape (no input exchanges) so the 16× cost of
+    * the bug is measurable on demand instead of taken on faith.
+    * Production default is true; nothing in the repo sets it false
+    * except the SCALE.md №20 runs. */
   private[graft] def widen(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.er.widen").forall(_.toBoolean)
 
-  private def maybeWiden(s: SparkSession, df: DataFrame): DataFrame =
+  /** Widen a join INPUT to shuffle-partition width (№20 v2 rule): the
+    * r13 fix placed the exchange AFTER the blocked join, which widened
+    * the comparator but left the join stage itself — and the shuffle
+    * WRITE of every candidate-pair row, name strings included — on the
+    * probe scan's single split (observed at 16×: one task 37+ min into
+    * writing ~1.5×10⁸ joined rows while 31 cores idled). Exchanging
+    * the INPUTS instead costs two shuffles of ≤|table| skinny rows and
+    * the join, comparator, score filter and aggregation all fuse into
+    * one full-width stage: nothing pair-sized ever crosses a shuffle.
+    * BOTH sides are widened so the width holds whichever side the
+    * planner chooses to broadcast. */
+  private def maybeWiden(s: SparkSession, df: DataFrame,
+      key: String): DataFrame =
     if (widen(s)) {
       val np = s.conf.get("spark.sql.shuffle.partitions").toInt
-      df.repartition(np, col("b_id"), col("c_custkey"))
+      df.repartition(np, col(key))
     } else df
 
   private[graft] def scoredPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val cust = Tables.customer(s, d)
-    maybeWiden(s, registry(s, d)
+    val cust = maybeWiden(s, Tables.customer(s, d), "c_custkey")
+    maybeWiden(s, registry(s, d), "b_id")
       .join(cust, col("nat_b") === col("c_nationkey") &&
-        col("seg_b") === col("c_mktsegment")))
+        col("seg_b") === col("c_mktsegment"))
       .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
         // k=3 returns min(lev, 4); least(..., 3) = the oracle's
         // least(levenshtein, 3), by the d17 bounded-distance law
@@ -101,26 +113,18 @@ object EntityResolution {
   }
 
   /** er01's scored links (b_id, a_custkey, score ≥ 28) — shared with
-    * er02's consolidation pass. The localCheckpoint is the №15 rule's
-    * second half: predicate pushdown substitutes `score`'s alias and
-    * would drag the edit-distance DP through the repartition back into
-    * the single-split join stage (and evaluate it twice); the barrier
-    * pins the comparator where the exchange put it. DISK_ONLY (r13
-    * ADVICE): the checkpointed frame is candidate-set-sized (~10⁸ rows
-    * at 16×) and read exactly once by the ≥28 filter — default
-    * MEMORY_AND_DISK would pin it in executor storage for the rest of
-    * the session for no second read. */
-  private[graft] def links(s: SparkSession, d: String): DataFrame = {
-    val sp = scoredPairs(s, d)
-    val barriered =
-      if (widen(s))
-        sp.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      else sp
-    barriered
+    * er02's consolidation pass. No barrier and no checkpoint (№20 v2):
+    * with the exchanges on the join INPUTS, the score filter FUSING
+    * into the wide join stage is exactly what we want — the r13
+    * post-join-exchange shape needed a localCheckpoint to stop
+    * pushdown dragging the DP below its exchange, and that checkpoint
+    * itself materialised the candidate-set-sized frame. Here nothing
+    * pair-sized is ever materialised: join → comparator → filter run
+    * in one full-width stage and only the ~400 links leave it. */
+  private[graft] def links(s: SparkSession, d: String): DataFrame =
+    scoredPairs(s, d)
       .filter(col("score") >= 28)
       .selectExpr("b_id", "a_custkey", "CAST(score AS BIGINT) AS score")
-  }
 
   /** Production-blocked links — THRESHOLD-AWARE blocking (the d05→d09
     * validation-vs-production pattern applied to linkage): the 28
@@ -767,18 +771,18 @@ object EntityResolution {
       "AS BIGINT) % 4 = 0"
 
   /** Sampled scored pairs (Spark side): the 1/4 record draws applied
-    * to each join INPUT, comparator only on surviving pairs — and
-    * explicitly repartitioned before the comparator (the scoredPairs
-    * №15 note: the broadcast join would otherwise pin the sampled DP
-    * to the probe scan's split count). */
+    * to each join INPUT, comparator only on surviving pairs — inputs
+    * widened exactly as [[scoredPairs]] (the №20 v2 rule), so the
+    * sampled join + DP run full-width with no pair-sized shuffle. */
   private[graft] def scoredPairsSampled(
       s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    maybeWiden(s, registry(s, d).filter(expr(sideSampleSpark("b_id")))
-      .join(Tables.customer(s, d)
-          .filter(expr(sideSampleSpark("c_custkey"))),
+    maybeWiden(s,
+      registry(s, d).filter(expr(sideSampleSpark("b_id"))), "b_id")
+      .join(maybeWiden(s, Tables.customer(s, d)
+          .filter(expr(sideSampleSpark("c_custkey"))), "c_custkey"),
         col("nat_b") === col("c_nationkey") &&
-          col("seg_b") === col("c_mktsegment")))
+          col("seg_b") === col("c_mktsegment"))
       .selectExpr("b_id", "c_custkey", "acct_b", "c_acctbal",
         "least(bounded_edit_distance(name_b, c_name, 3), 3) AS ed")
       .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")

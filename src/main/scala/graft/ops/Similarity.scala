@@ -683,17 +683,20 @@ object Similarity {
   /** s08's dataflow, unsorted — (vec_id, neighbor_id, rank ≤ 3);
     * shared by [[s08]] and [[s17]].
     *
-    * The candidate pairs are EXPLICITLY repartitioned before the
-    * comparator (the №16/№20 rule, caught for this op by round 14's
-    * first complete full-catalog 16× pass): the candidate join
-    * broadcasts the assignment, so its output inherits the probe
-    * side's split count — the embeddings table is one compact file at
-    * 16× (8 MB < maxPartitionBytes), so probes·n/C ≈ 2.6×10⁸ cosines
-    * PLUS the rank sort serialised onto ONE task (observed ≥680 s of
-    * single-core CPU mid-pass while 31 cores idled). One shuffle of
-    * skinny (vec_id, neighbor_id) pairs buys full-width cosine + rank;
-    * the exchange's hashpartitioning(vec_id) also satisfies the rank
-    * window's distribution, so no second exchange appears. */
+    * The probe INPUT is explicitly repartitioned before the candidate
+    * join (the №20 v2 rule, caught for this op by round 14's first
+    * complete full-catalog 16× pass): the candidate join broadcasts
+    * the assignment, so its output stage — probes·n/C ≈ 2.6×10⁸
+    * cosine evaluations PLUS the rank sort — inherits the probe side's
+    * split count, and the embeddings-derived probe list is one compact
+    * split at 16× (measured: 266 s wall, 254 s of CPU on ONE task
+    * while 31 cores idled). Widening the INPUT costs one shuffle of
+    * 4·n skinny probe rows; the join, both embedding lookups, the
+    * cosine and the rank window (whose vec_id clustering the
+    * exchange's hashpartitioning already satisfies) then all fuse into
+    * one full-width stage — a v1 of this fix exchanged the join OUTPUT
+    * instead and merely moved the serialisation to the single-task
+    * shuffle write of the 2.6×10⁸ candidate rows. */
   private def knnGraphEdges(s: SparkSession,
       e: DataFrame): DataFrame = {
     val c = centroidTable(e)
@@ -709,14 +712,19 @@ object Similarity {
       .select("vec_id", "cid", "rn")
       .localCheckpoint() // reused by assign AND probes
     val assign = cellrank.filter(col("rn") === 1).select("vec_id", "cid")
-    val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
+      .repartition(np, col("vec_id"))
     val wRank = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes
-      .join(assign.select(col("cid"), col("vec_id").as("neighbor_id")), "cid")
+      // no broadcast hint: assign is corpus-sized, so the planner must
+      // stay free to pick a shuffled join at estate scale (both inputs
+      // are then exchange-width anyway); at bench scales it broadcasts
+      // the smaller assign side and inherits the widened probes
+      .join(assign.select(col("cid"), col("vec_id").as("neighbor_id")),
+        "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
-      .repartition(np, col("vec_id"))
       .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
       .join(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("b_emb")), "neighbor_id")
