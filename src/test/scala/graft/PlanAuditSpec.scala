@@ -500,19 +500,18 @@ class PlanAuditSpec extends SparkSpec {
   test("er01: record linkage joins only on block keys — no nested loop, no cartesian") {
     // the blocking claim: candidate generation must be an equi join on
     // the block key (Σ_blocks |A_b|·|B_b| comparisons), never an
-    // all-pairs product that scores |A|·|B| at fact scale. Audited on
-    // scoredPairs' own plan: links localCheckpoints the scored frame
-    // (the №15 pushdown barrier), so er01's FINAL plan reads the
-    // materialised RDD and the join claims live below the barrier
+    // all-pairs product that scores |A|·|B| at fact scale
     val qe = ops.EntityResolution.scoredPairs(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       plan.take(1500))
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(1500))
-    // the №15 comparator-width claim: an exchange sits between the
-    // blocked join and the edit-distance projection, so the DP stage
-    // is shuffle-partitions wide, not probe-scan-splits wide
+    // the №20 v2 comparator-width claim: the join INPUTS are exchanged
+    // (maybeWiden), so the join + DP + filter stage is
+    // shuffle-partitions wide and nothing pair-sized crosses a shuffle
+    // (ParallelismAuditSpec proves the stage-width structure; this
+    // pins that the explicit input exchanges are present at all)
     assert(plan.contains("REPARTITION_BY_NUM"), plan.take(1500))
     // and er01's own final plan stays cartesian-free
     val er01Plan = executedPlan("er01_record_linkage")
