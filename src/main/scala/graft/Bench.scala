@@ -347,13 +347,22 @@ object Bench {
     // toggles (e.g. spark.graft.er.widen=false for the SCALE.md №20
     // before/after). Applied last so a toggle can override the
     // defaults above; inherited by isolated-rerun children via the
-    // ProcessBuilder's copied environment.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
-        case _ =>
-      }
-    })
+    // ProcessBuilder's copied environment. The parsed overrides are
+    // echoed into every emitted JSON line ("conf_overrides") so each
+    // measurement is self-describing — a stale exported toggle can no
+    // longer skew a recorded number without a marker.
+    val confOverrides: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(';').toSeq
+        .flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        })
+    confOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    val confJson = confOverrides
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("\"conf_overrides\":{", ",", "}")
 
     // warmup: touch the parquet reader, a shuffle, and codegen paths
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -501,7 +510,7 @@ object Bench {
     val total = ok.map(_._2).sum
     // Full per-query detail first (may exceed harness tail windows)...
     val detail =
-      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,$controlJson,$isolatedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_med":$meds,$controlJson,$isolatedJson,$confJson,"sf":"$sfDir"}"""
     println(detail)
     // ...and the SAME complete line to a file (r06 verdict: the stdout
     // tail truncates the detail line, so per-query history for most of
@@ -549,7 +558,7 @@ object Bench {
     // quiet Spark's stop-time warnings BEFORE the final line so the
     // headline stays the last stdout line (the driver parses it)
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$compactQs,$controlJson,$isolatedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$compactQs,$controlJson,$isolatedJson,$confJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

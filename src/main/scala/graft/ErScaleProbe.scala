@@ -48,9 +48,11 @@ object ErScaleProbe {
     graft.ops.EntityResolution.links(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
-    // listener events are async; the bus API is private — a short
-    // bounded wait lets the final stage-completed event land
-    Thread.sleep(2000)
+    // listener events are async — quiesce the bus (reflective
+    // waitUntilEmpty with a stabilization-poll fallback, ProbeSync)
+    // so the final stage-completed event cannot be dropped from the
+    // task-count witness
+    ProbeSync.awaitQuiesce(spark, () => stages.size)
 
     val top = stages.sortBy(-_._3).take(5)
       .map { case (id, n, cpu) =>

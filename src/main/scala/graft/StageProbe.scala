@@ -49,7 +49,7 @@ object StageProbe {
     val t0 = System.nanoTime()
     q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(2000) // bounded wait for async stage events
+    ProbeSync.awaitQuiesce(spark, () => stages.size)
 
     val top = stages.sortBy(-_._3).take(5)
       .map { case (id, n, cpu) =>

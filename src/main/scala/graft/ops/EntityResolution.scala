@@ -91,7 +91,17 @@ object EntityResolution {
     * the join, comparator, score filter and aggregation all fuse into
     * one full-width stage: nothing pair-sized ever crosses a shuffle.
     * BOTH sides are widened so the width holds whichever side the
-    * planner chooses to broadcast. */
+    * planner chooses to broadcast. SMJ caveat: if NEITHER side
+    * broadcasts (estate scale / autoBroadcastJoinThreshold=-1), Spark
+    * inserts fresh exchanges on the (nation, segment) block keys —
+    * ~125 distinct values — and the comparator collapses to block-key
+    * width with per-block skew; the input exchanges become dead
+    * weight. That regime is audited, not assumed:
+    * `ParallelismAuditSpec` pins the non-broadcast plan shape under
+    * autoBroadcastJoinThreshold=-1. At true estate scale the fix is a
+    * higher-cardinality block key (linksProd's (nation, segment,
+    * cents) is already near-singleton), not a wider exchange on a
+    * 125-value key. */
   private def maybeWiden(s: SparkSession, df: DataFrame,
       key: String): DataFrame =
     if (widen(s)) {
@@ -112,8 +122,10 @@ object EntityResolution {
       .selectExpr("b_id", "c_custkey AS a_custkey", s"$ScoreSql AS score")
   }
 
-  /** er01's scored links (b_id, a_custkey, score ≥ 28) — shared with
-    * er02's consolidation pass. No barrier and no checkpoint (№20 v2):
+  /** er01's scored links (b_id, a_custkey, score ≥ 28). Sole consumer
+    * is er01 itself — er02 consolidates off linksProd, so nothing here
+    * needs (or should regain) a materialisation barrier for sharing.
+    * No barrier and no checkpoint (№20 v2):
     * with the exchanges on the join INPUTS, the score filter FUSING
     * into the wide join stage is exactly what we want — the r13
     * post-join-exchange shape needed a localCheckpoint to stop
@@ -228,9 +240,12 @@ object EntityResolution {
     * equi-join links; the master enrichment is a left join against that
     * links-sized side (broadcast-eligible); orphan detection is a
     * left_anti on b_id. No all-pairs anything, nothing driver-side. */
-  val er02 = Q("er02_golden_records",
-    s"""WITH $LinksCtesSql,
-      |lc AS (SELECT a_custkey, count(*) AS n_links FROM links GROUP BY a_custkey),
+  /** The consolidation tail as oracle SQL, over a `links(b_id,
+    * a_custkey)` CTE and the `b` registry CTE — er02 and er09 splice
+    * the SAME text after their respective link definitions (zero
+    * drift, mirroring [[consolidate]] on the Spark side). */
+  private val ConsolidationSql: String =
+    """lc AS (SELECT a_custkey, count(*) AS n_links FROM links GROUP BY a_custkey),
       |masters AS (
       |  SELECT c_custkey AS entity_id, c_name AS name,
       |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
@@ -246,10 +261,22 @@ object EntityResolution {
       |SELECT * FROM masters
       |UNION ALL
       |SELECT * FROM orphans
-      |ORDER BY entity_id""".stripMargin) { (s, d) =>
+      |ORDER BY entity_id""".stripMargin
+
+  val er02 = Q("er02_golden_records",
+    s"""WITH $LinksCtesSql,
+      |$ConsolidationSql""".stripMargin) { (s, d) =>
     // the production-blocked candidate pass — output-identical to the
     // er01 validation tier (spec-pinned), near-linear at corpus scale
-    val lk = linksProd(s, d)
+    consolidate(s, d, linksProd(s, d))
+  }
+
+  /** er02's survivorship dataflow over an arbitrary links relation
+    * (b_id, a_custkey, ...) — shared by er02 (designed-constant links)
+    * and er09 (er08's learned auto_link band), so the consolidation
+    * semantics cannot drift between the designed and learned seams. */
+  private def consolidate(s: SparkSession, d: String,
+      lk: DataFrame): DataFrame = {
     val lc = lk.groupBy("a_custkey").agg(count(lit(1)).as("n_links"))
     val masters = Tables.customer(s, d)
       .join(broadcast(lc), col("c_custkey") === col("a_custkey"), "left")
@@ -720,7 +747,12 @@ object EntityResolution {
          |$er06HistSql
          |SELECT bal, lvl, n FROM hist""".stripMargin)
       .localCheckpoint(true)
-    val mass = hist.agg(sum(col("n"))).first().getLong(0)
+    // coalesce: on an EMPTY candidate set sum(n) is NULL and getLong
+    // would throw an opaque NPE before the friendly require fires —
+    // an empty scored view should fail with the intended diagnostic
+    // (mass 0 passes the headroom guard; the EM tail then reports the
+    // empty histogram itself).
+    val mass = hist.agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
     require(mass <= EmPairHeadroom,
       s"EM histogram covers $mass candidate pairs — beyond the " +
         s"$EmPairHeadroom-pair BIGINT headroom of the nano-scale " +
@@ -843,8 +875,12 @@ object EntityResolution {
     * join itself — SCALE.md №18) + ONE conditional agg over er01's
     * blocked candidate join for the banding — the same full-set pass
     * er04 pays, with the 8-row learned table broadcast onto it. */
-  val er08 = Q("er08_em_decisions",
-    s"""WITH $BCteSql,
+  /** er08's oracle CTE chain through the per-pair posterior banding —
+    * shared verbatim with er09, whose links are `banded` filtered to
+    * the auto_link edge (the learned-threshold seam cannot drift
+    * between the report and the consolidation that acts on it). */
+  private val LearnedBandedCtes: String =
+    s"""$BCteSql,
        |scored_all AS (
        |  SELECT b_id, c_custkey AS a_custkey,
        |         $ScoreSql AS score
@@ -879,7 +915,10 @@ object EntityResolution {
        |    coalesce(e2.r2, lam.lam_nano) AS post_nano, lam.lam_nano
        |  FROM pat_all p
        |  LEFT JOIN e2 ON e2.bal = p.bal AND e2.lvl = p.lvl
-       |  CROSS JOIN lam)
+       |  CROSS JOIN lam)""".stripMargin
+
+  val er08 = Q("er08_em_decisions",
+    s"""WITH $LearnedBandedCtes
        |SELECT
        |  CASE WHEN post_nano >= 500000000 THEN 'auto_link'
        |       WHEN post_nano > lam_nano THEN 'review'
@@ -946,5 +985,67 @@ object EntityResolution {
          |ORDER BY band""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06, er07, er08)
+  // ---------------------------------------------------------------- er09
+  /** The er-family capstone (r14 verdict ask #8): er02's survivorship
+    * consolidation driven by er08's LEARNED links instead of er01's
+    * designed-constant threshold — the last designed-vs-learned seam
+    * closed. Links are the auto_link band exactly (EM posterior ≥ ½,
+    * the Bayes MAP rule over the fitted m/u/λ), so the golden-record
+    * table downstream of a REAL F-S deployment — where thresholds come
+    * from the model — is itself under the DuckDB hash gate, not just
+    * the band-count report.
+    *
+    * Dataflow: er07's sampled EM learns the ≤8-row decision table
+    * (broadcast); er01's blocked candidate pass is banded against it
+    * (the er08 full-set pass verbatim, shared `LearnedBandedCtes` /
+    * temp-view splice); the auto_link edges pass UNIQUE ASSIGNMENT
+    * (min a_custkey per b_id — a learned band can be liberal enough to
+    * auto-link one record to several masters, and survivorship demands
+    * each source record merge into exactly ONE golden record, else
+    * Σ n_sources double-counts absorbed records); the resolved links
+    * feed [[consolidate]] — er02's exact survivorship code. Scale: the candidate pass is the
+    * №20-widened blocked join; the learned table and the link counts
+    * are broadcast-sized; nothing pair-sized crosses a shuffle.
+    * `EntityResolutionSpec` pins the designed-vs-learned seam
+    * quantitatively (er09 vs er02 golden tables). */
+  val er09 = Q("er09_learned_golden_records",
+    s"""WITH $LearnedBandedCtes,
+       |links AS (
+       |  SELECT b_id, min(a_custkey) AS a_custkey FROM banded
+       |  WHERE post_nano >= 500000000
+       |  GROUP BY b_id),
+       |$ConsolidationSql""".stripMargin) { (s, d) =>
+    scoredPairsSampled(s, d).createOrReplaceTempView("er09_scored")
+    val histView = emHist(s, "er09_scored")
+    val learned = s.sql(
+      s"""WITH hist AS (SELECT bal, lvl, n FROM $histView),
+         |$er06EmCtes,
+         |lam AS (SELECT CAST(m2v DIV (t2 DIV 1000000000) AS BIGINT)
+         |               AS lam_nano FROM m2)
+         |SELECT e2.bal, e2.lvl, e2.r2, lam.lam_nano
+         |FROM e2 CROSS JOIN lam""".stripMargin)
+      .localCheckpoint(true) // ≤ 8 rows — the learned decision table
+    learned.createOrReplaceTempView("er09_learned")
+    scoredPairs(s, d).createOrReplaceTempView("er09_scored_all")
+    val links = s.sql(
+      s"""WITH lam AS (SELECT min(lam_nano) AS lam_nano
+         |             FROM er09_learned),
+         |pat_all AS (
+         |  SELECT b_id, a_custkey,
+         |    CASE WHEN score >= 24 THEN 1 ELSE 0 END AS bal,
+         |    CASE score - CASE WHEN score >= 24 THEN 24 ELSE 0 END
+         |      WHEN 12 THEN 0 WHEN 8 THEN 1 WHEN 4 THEN 2 ELSE 3
+         |    END AS lvl
+         |  FROM er09_scored_all)
+         |SELECT b_id, min(a_custkey) AS a_custkey
+         |FROM pat_all p
+         |LEFT JOIN er09_learned e ON e.bal = p.bal AND e.lvl = p.lvl
+         |CROSS JOIN lam
+         |WHERE coalesce(e.r2, lam.lam_nano) >= 500000000
+         |GROUP BY b_id""".stripMargin)
+    consolidate(s, d, links)
+  }
+
+  def all: Seq[Q] = Seq(er01, er02, er03, er04, er05, er06, er07, er08,
+    er09)
 }

@@ -2243,7 +2243,56 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- t35
+  /** The trained-vocabulary query over [[bpeLearn]] — puts the iterated
+    * trainer under the same DuckDB hash gate as everything else (t22
+    * oracles the MECHANISM with two unrolled rounds; this oracles the
+    * TRAINER's first `T35Merges` rounds by splicing the same
+    * [[bpeRoundSql]] block once per round, so a drift anywhere in the
+    * loop — selection, tie-break, greedy application, checkpoint
+    * plumbing, the fixpoint guard firing spuriously — breaks the hash).
+    * Output mirrors t22's shape: one 'merge' row per learned round
+    * (pair + weighted count at selection) plus the top-30 'vocab'
+    * symbols after the final merge. The learned merges are a
+    * driver-side Seq (bounded: `T35Merges` rows by construction) turned
+    * back into a DataFrame — the one place the trainer's loop output
+    * surfaces as a relation. minFreq floor never binds at test SFs
+    * (round-6 top pairs count in the hundreds at sf0.01) — if it ever
+    * did, the require below reports it rather than hash-mismatching. */
+  private val T35Merges = 6
+  val t35 = Q("t35_bpe_trained_vocab",
+    s"""WITH $bpeBaseCtes,
+       |${(1 to T35Merges).map(r =>
+          bpeRoundSql(r, if (r == 1) "toks0" else s"mg${r - 1}"))
+          .mkString(",\n")}
+       |SELECT kind, round, sym, cnt FROM (
+       |${(1 to T35Merges).map(r =>
+          s"""  SELECT 'merge' AS kind, $r AS round, a || '+' || b AS sym,
+             |    CAST(cnt AS BIGINT) AS cnt FROM top$r""".stripMargin)
+          .mkString("\n  UNION ALL\n")}
+       |  UNION ALL
+       |  SELECT 'vocab', $T35Merges, sym, cnt FROM (
+       |    SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt FROM mg$T35Merges
+       |    GROUP BY sym ORDER BY cnt DESC, sym LIMIT 30))
+       |ORDER BY kind, round, cnt DESC, sym""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val (merges, toks, rounds) =
+      bpeLearn(Tables.documents(s, d), T35Merges)
+    require(rounds == T35Merges,
+      s"bpeLearn stopped after $rounds/$T35Merges rounds (minFreq floor " +
+        "or fixpoint) — the oracle unrolls exactly " + T35Merges)
+    val mergeRows = merges.zipWithIndex.map { case ((a, b, cnt), i) =>
+      ("merge", i + 1, s"$a+$b", cnt)
+    }.toDF("kind", "round", "sym", "cnt")
+    val vocab = toks.groupBy("sym").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("sym")).limit(30)
+      .select(lit("vocab").as("kind"), lit(T35Merges).as("round"),
+        col("sym"), col("cnt").cast("long").as("cnt"))
+    mergeRows.unionAll(vocab)
+      .orderBy(col("kind"), col("round"), col("cnt").desc, col("sym"))
+  }
+
   def all: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34)
+    t25, t26, t27, t28, t29, t30, t31, t32, t33, t34, t35)
 }

@@ -164,6 +164,48 @@ class ParallelismAuditSpec extends SparkSpec {
     assert(v.isEmpty, s"er01 comparator regressed to inherited width: $v")
   }
 
+  test("the NON-broadcast (SMJ) er01 regime is the audited known shape: " +
+    "block-key exchanges set the width, input exchanges are bypassed") {
+    // r14 ADVICE: maybeWiden's input exchanges only guarantee width in
+    // the broadcast regimes. Under autoBroadcastJoinThreshold=-1 Spark
+    // plans an SMJ and inserts FRESH exchanges on the (nation, segment)
+    // block keys (~125 distinct values) — the comparator collapses to
+    // block-key-count width with per-block skew. This test pins that
+    // regime so it stays a KNOWN, audited shape: (a) the join really is
+    // an SMJ, (b) its immediate children are exchanges on the join keys
+    // (so the auditor's None-at-exchange answer is about THESE 125-way
+    // exchanges, not maybeWiden's), (c) the walker still reports no
+    // broadcast-pinned width (vacuously — there is no broadcast join).
+    // The estate-scale fix is a higher-cardinality block key (linksProd)
+    // — not a wider exchange on a 125-value key.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = initial(graft.ops.EntityResolution.scoredPairs(spark, sf))
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected an SMJ under threshold=-1:\n$plan")
+      val j = smjs.head
+      def widthSetter(p: SparkPlan): String = p match {
+        case s: ShuffleExchangeLike => s.outputPartitioning.toString
+        case other if other.children.nonEmpty =>
+          widthSetter(other.children.head)
+        case leaf => s"LEAF:${leaf.nodeName}"
+      }
+      for (side <- Seq(j.left, j.right)) {
+        val w = widthSetter(side)
+        assert(w.contains("hashpartitioning"),
+          s"SMJ side width not set by an exchange (got $w):\n$side")
+        assert(w.contains("nat") || w.contains("nationkey"),
+          s"SMJ exchange not on the block keys (got $w) — the known " +
+            s"125-value-collapse shape changed; re-derive the caveat")
+      }
+      assert(violations(plan).isEmpty,
+        "walker flagged a broadcast-pinned width in a plan with no " +
+          "broadcast join")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no catalog query evaluates an expensive expression at " +
     "broadcast-join-inherited width") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
