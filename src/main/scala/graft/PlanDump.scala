@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-tool main: print a catalog query's formatted physical plan at a
+  * given sf dir without executing it — the .explain counterpart of
+  * StageProbe for diagnosing width collapses that only appear at a
+  * corpus size (round-15: s08's comparator stage measured 1-task at
+  * 16× despite the №20 input exchange).
+  *
+  * Usage: runMain graft.PlanDump <queryName> <sfDir>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanDump <queryName> <sfDir>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.graft.fasthash", "true")
+    spark.conf.set("spark.graft.validation.cap.docs", "5000")
+    spark.conf.set("spark.graft.validation.cap.vecs", "2000")
+    val q = SparkEntry.catalog.find(_.name == args(0))
+      .getOrElse(sys.error(s"no catalog query named ${args(0)}"))
+    q.run(spark, args(1)).explain("formatted")
+    spark.stop()
+  }
+}

@@ -713,8 +713,20 @@ object Similarity {
       .localCheckpoint() // reused by assign AND probes
     val assign = cellrank.filter(col("rn") === 1).select("vec_id", "cid")
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // №22: widen the probe input ON THE JOIN KEY (cid), not on vec_id.
+    // The localCheckpoint above erases size statistics, so the planner
+    // cannot prove assign is broadcastable and plans the cid join as an
+    // SMJ — a vec_id exchange is then dead weight (the join inserts its
+    // own cid exchanges) and AQE coalesces those small-byte
+    // ENSURE_REQUIREMENTS shuffles to ONE partition under the CPU-dense
+    // comparator (measured at 16×: 766 s wall, 756 cpu-s on 1 task).
+    // A REPARTITION_BY_NUM exchange on cid is the width the join itself
+    // needs: the SMJ reuses it (non-coalescible, so the assign side is
+    // forced to match), and a broadcast regime streams it unchanged.
+    // The final per-vec_id rank never needed the vec_id clustering —
+    // its exchange carries only the partial-rank-capped rows.
     val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
-      .repartition(np, col("vec_id"))
+      .repartition(np, col("cid"))
     val wRank = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes
