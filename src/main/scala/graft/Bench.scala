@@ -360,8 +360,18 @@ object Bench {
           }
         })
     confOverrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    val confJson = confOverrides
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // r15 advice: the overrides are interpolated into the JSON lines
+    // the driver and history tooling parse — escape JSON-significant
+    // characters (and last-wins dedup duplicate keys) so a quote or
+    // backslash in SPARK_GRAFT_CONF cannot corrupt the record.
+    def jstr(x: String): String = x.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val confJson = confOverrides.toMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
       .mkString("\"conf_overrides\":{", ",", "}")
 
     // warmup: touch the parquet reader, a shuffle, and codegen paths

@@ -28,9 +28,18 @@ object ProbeSync {
           .find(x => x.getName == "waitUntilEmpty" &&
             x.getParameterCount == 1 &&
             x.getParameterTypes()(0) == java.lang.Long.TYPE)
-        if (wait0.isDefined) { wait0.get.invoke(bus); true }
-        else if (wait1.isDefined) {
-          wait1.get.invoke(bus, java.lang.Long.valueOf(15000L)); true
+        // r15 advice: a TIMEOUT from the found method (it throws on
+        // expiry, surfacing here as InvocationTargetException) is a
+        // completed quiesce ATTEMPT — waiting the poll window on top
+        // would double the worst case to ~30 s. Only a missing
+        // reflective shape falls through to the poll.
+        if (wait0.isDefined) {
+          try wait0.get.invoke(bus) catch { case _: Exception => () }
+          true
+        } else if (wait1.isDefined) {
+          try wait1.get.invoke(bus, java.lang.Long.valueOf(15000L))
+          catch { case _: Exception => () }
+          true
         } else false
       } catch { case _: Exception => false }
     if (!viaReflection) {

@@ -44,16 +44,21 @@ object StreamThroughputProbe {
       .as[(Long, String, Double)]
       .collect()
     val chunks = rows.grouped(chunkRows).toSeq
+    // r15 advice: an empty events table would run zero micro-batches
+    // and NPE on lastProgress — fail with a diagnostic instead
+    require(chunks.nonEmpty,
+      s"no events rows at $sfDir — nothing to replay")
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def replay(name: String,
         plan: org.apache.spark.sql.Dataset[(Long, String, Double)] =>
           org.apache.spark.sql.DataFrame): Unit = {
       val in = MemoryStream[(Long, String, Double)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stp_").toFile
       val q = plan(in.toDS())
         .writeStream.format("noop").outputMode(OutputMode.Update())
-        .option("checkpointLocation",
-          s"/tmp/graft_stp_${java.util.UUID.randomUUID().toString.take(8)}")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .start()
       val t0 = System.nanoTime()
       chunks.foreach { ch =>
@@ -61,8 +66,13 @@ object StreamThroughputProbe {
         q.processAllAvailable()
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // chunks.nonEmpty is required above, so ≥1 micro-batch ran and
+      // lastProgress is non-null by processAllAvailable's contract
       val batches = q.lastProgress.batchId + 1
       q.stop()
+      // r15 advice: the probe used to leak one /tmp checkpoint dir per
+      // replay across runs — clean up after the query is stopped
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
       println(f"""{"metric":"stream_throughput","plan":"$name","rows":${rows.length},"chunk_rows":$chunkRows,"batches":$batches,"wall_sec":$sec%.1f,"rows_per_sec":${(rows.length / sec).toLong},"sf":"$sfDir"}""")
     }
 

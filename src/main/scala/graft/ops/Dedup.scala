@@ -1182,6 +1182,92 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  // ---------------------------------------------------------------- d22
+  /** d18's PRODUCTION tier (r15 verdict ask #6): prefix filtering over
+    * the DF-CAPPED shingle domain — the d02→d06 / d05→d09
+    * validation-vs-production pattern applied to the prefix-filter
+    * discipline, closing the one dedup family that had no capped
+    * sibling. d18 is exact over ALL shingles, so a boilerplate shingle
+    * shared by 10⁵ docs can put itself into many prefixes and its df²
+    * into the candidate join; the cap (df ≤ 50, d06's constant)
+    * removes stop-shingles from the domain FIRST, so per-token fanout
+    * is bounded at df² ≤ 2500 with the prefix lemma intact on the
+    * surviving sets — candidate cost is predictable at corpus scale by
+    * CONSTRUCTION, not by corpus luck.
+    *
+    * The law that makes it production-grade rather than merely cheap:
+    * capped-domain Jaccard ≥ 0.8 is exactly what [[d06]] computes, and
+    * prefix filtering loses no qualifying pair on the capped sets
+    * (same pigeonhole, applied after the cap) — so d22's answer is
+    * IDENTICAL to d06's, pair for pair and value for value
+    * (`DedupSpec` pins equality; the oracle re-derives the prefix
+    * chain so the candidate route itself is under the hash gate).
+    * Same integer-prefix-length arithmetic as d18. */
+  val d22 = Q("d22_prefix_filter_capped",
+    s"""WITH $shinglesSql,
+       |kept AS (
+       |  SELECT doc_id, s FROM shingles
+       |  WHERE s IN (SELECT s FROM shingles GROUP BY s HAVING count(*) <= 50)),
+       |dfreq AS (SELECT s, count(*) AS df FROM kept GROUP BY s),
+       |counts AS (SELECT doc_id, count(*) AS c FROM kept GROUP BY doc_id),
+       |pref AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT k.doc_id, k.s, counts.c,
+       |      row_number() OVER (PARTITION BY k.doc_id
+       |                         ORDER BY dfreq.df, k.s) AS rn
+       |    FROM kept k JOIN dfreq USING (s) JOIN counts USING (doc_id)) r
+       |  WHERE rn <= c - (4 * c + 4) // 5 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM pref a JOIN pref b USING (s)
+       |  WHERE a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT p.i, p.j, count(*) AS common
+       |  FROM cand p
+       |  JOIN kept a ON a.doc_id = p.i
+       |  JOIN kept b ON b.doc_id = p.j AND b.s = a.s
+       |  GROUP BY 1, 2)
+       |SELECT i, j,
+       |       CAST(common AS DOUBLE) / (ca.c + cb.c - common) AS jaccard
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = i
+       |JOIN counts cb ON cb.doc_id = j
+       |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // d18's dataflow over the capped domain; one materialisation of
+    // the capped explode serves the df table, doc counts, prefix join
+    // and both verify sides
+    val sh0 = shingles(Tables.documents(s, d))
+    val rare = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("s")
+    val sh = sh0.join(rare, "s").localCheckpoint()
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val pref = sh.join(dfreq, "s").join(counts, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "s")))
+      .filter(col("rn") <= col("c") - expr("(4 * c + 4) DIV 5") + 1)
+      .select("doc_id", "s")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val common = cand
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("j") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    val jac = col("common").cast("double") /
+      (col("ca.c") + col("cb.c") - col("common"))
+    common
+      .join(counts.as("ca"), col("i") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("j") === col("cb.doc_id"))
+      .select(col("i"), col("j"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("i", "j")
+  }
+
   // ---------------------------------------------------------------- d19
   /** Content-defined chunking dedup (Rabin/FastCDC-class, Muthitacharoen
     * et al. 2001 LBFS) — the STORAGE-granularity dedup arm d01–d18 lack:
@@ -1558,5 +1644,5 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21)
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20, d21, d22)
 }

@@ -240,12 +240,15 @@ object EntityResolution {
     * equi-join links; the master enrichment is a left join against that
     * links-sized side (broadcast-eligible); orphan detection is a
     * left_anti on b_id. No all-pairs anything, nothing driver-side. */
-  /** The consolidation tail as oracle SQL, over a `links(b_id,
-    * a_custkey)` CTE and the `b` registry CTE — er02 and er09 splice
-    * the SAME text after their respective link definitions (zero
-    * drift, mirroring [[consolidate]] on the Spark side). */
-  private val ConsolidationSql: String =
-    """lc AS (SELECT a_custkey, count(*) AS n_links FROM links GROUP BY a_custkey),
+  /** The consolidation tail as oracle SQL, over a RESOLVED links CTE
+    * (b_id, a_custkey — exactly one row per b_id) named by the caller
+    * plus the `b` registry CTE — er02 and er09 splice the SAME text
+    * after their respective link definitions (zero drift, mirroring
+    * [[consolidate]] on the Spark side). Parametrized by CTE name (r15
+    * advice) so er02 can splice its own min-per-b_id resolution on top
+    * of the shared raw `links` without redefining that name. */
+  private def consolidationSql(links: String): String =
+    s"""lc AS (SELECT a_custkey, count(*) AS n_links FROM $links GROUP BY a_custkey),
       |masters AS (
       |  SELECT c_custkey AS entity_id, c_name AS name,
       |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
@@ -257,7 +260,7 @@ object EntityResolution {
       |  SELECT b_id AS entity_id, name_b AS name,
       |    CAST(round(acct_b * 100) AS BIGINT) AS acct_cents,
       |    CAST(1 AS BIGINT) AS n_sources, 'registry_only' AS origin
-      |  FROM b ANTI JOIN links USING (b_id))
+      |  FROM b ANTI JOIN $links USING (b_id))
       |SELECT * FROM masters
       |UNION ALL
       |SELECT * FROM orphans
@@ -265,16 +268,35 @@ object EntityResolution {
 
   val er02 = Q("er02_golden_records",
     s"""WITH $LinksCtesSql,
-      |$ConsolidationSql""".stripMargin) { (s, d) =>
+      |links1 AS (
+      |  SELECT b_id, min(a_custkey) AS a_custkey FROM links GROUP BY b_id),
+      |${consolidationSql("links1")}""".stripMargin) { (s, d) =>
     // the production-blocked candidate pass — output-identical to the
-    // er01 validation tier (spec-pinned), near-linear at corpus scale
-    consolidate(s, d, linksProd(s, d))
+    // er01 validation tier (spec-pinned), near-linear at corpus scale.
+    // №23 (r15 advice): survivorship demands each registry record merge
+    // into exactly ONE golden record, and the 28 threshold does NOT
+    // structurally guarantee 1:1 links (a cents collision plus an ed≤2
+    // name to a WRONG customer is reachable at larger SFs — digit-
+    // pattern names make it plausible) — at test SFs uniqueness held
+    // only by data margin. er09's unique-assignment rule (min a_custkey
+    // per b_id) is now applied HERE too, on both engine and oracle
+    // sides, so Σ n_sources = |customer| + |registry| is enforced by
+    // construction at every SF, not assumed.
+    consolidate(s, d, resolveOnePerB(linksProd(s, d)))
   }
 
-  /** er02's survivorship dataflow over an arbitrary links relation
-    * (b_id, a_custkey, ...) — shared by er02 (designed-constant links)
-    * and er09 (er08's learned auto_link band), so the consolidation
-    * semantics cannot drift between the designed and learned seams. */
+  /** Unique assignment — er09's survivorship precondition, shared with
+    * er02: collapse a links relation to exactly one master per
+    * registry record (deterministically the min a_custkey). Links are
+    * answer-sized (~hundreds of rows), so the groupBy is free. */
+  private def resolveOnePerB(lk: DataFrame): DataFrame =
+    lk.groupBy("b_id").agg(min(col("a_custkey")).as("a_custkey"))
+
+  /** er02's survivorship dataflow over a RESOLVED links relation
+    * (b_id, a_custkey — one row per b_id; see [[resolveOnePerB]]) —
+    * shared by er02 (designed-constant links) and er09 (er08's learned
+    * auto_link band), so the consolidation semantics cannot drift
+    * between the designed and learned seams. */
   private def consolidate(s: SparkSession, d: String,
       lk: DataFrame): DataFrame = {
     val lc = lk.groupBy("a_custkey").agg(count(lit(1)).as("n_links"))
@@ -1014,7 +1036,7 @@ object EntityResolution {
        |  SELECT b_id, min(a_custkey) AS a_custkey FROM banded
        |  WHERE post_nano >= 500000000
        |  GROUP BY b_id),
-       |$ConsolidationSql""".stripMargin) { (s, d) =>
+       |${consolidationSql("links")}""".stripMargin) { (s, d) =>
     scoredPairsSampled(s, d).createOrReplaceTempView("er09_scored")
     val histView = emHist(s, "er09_scored")
     val learned = s.sql(

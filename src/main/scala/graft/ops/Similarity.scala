@@ -723,19 +723,43 @@ object Similarity {
     // A REPARTITION_BY_NUM exchange on cid is the width the join itself
     // needs: the SMJ reuses it (non-coalescible, so the assign side is
     // forced to match), and a broadcast regime streams it unchanged.
+    // №23 (r15 advice): cid alone has only C=16 distinct values —
+    // hashing 16 keys into np=32 partitions caps the comparator at ≤16
+    // non-empty tasks (fewer under collisions), half the machine. So
+    // the join key is widened to (cid, salt): probes carry a
+    // deterministic salt = hash(vec_id) mod S and the (skinny,
+    // corpus-sized) member side is exploded ×S so every (cid, salt)
+    // cell holds the FULL membership of cid — each (probe, member)
+    // pair still arises exactly once (at the probe's own salt), so the
+    // answer is unchanged and the oracle needs no edit. C·S keys
+    // (S = ⌈2np/C⌉, 64 keys at np=32) occupy every partition, within-
+    // cell balance is hash-uniform, and BOTH regimes keep the width:
+    // the SMJ clusters on (cid, salt) and reuses the probe exchange;
+    // a broadcast join streams it unchanged. Cost: the member side
+    // shuffles/broadcasts S·n skinny rows instead of n.
     // The final per-vec_id rank never needed the vec_id clustering —
     // its exchange carries only the partial-rank-capped rows.
+    // `ParallelismAuditSpec` pins this shape (probe-side width-setter =
+    // user REPARTITION_BY_NUM on cid+salt) so a refactor back to a
+    // vec_id or unsalted exchange goes red, not silent.
+    val cellsC = 16 // centroidTable's C
+    val saltS = math.max(1, (2 * np + cellsC - 1) / cellsC)
     val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
-      .repartition(np, col("cid"))
+      .withColumn("salt", pmod(hash(col("vec_id")), lit(saltS)))
+      .repartition(np, col("cid"), col("salt"))
+    val members = assign
+      .select(col("cid"), col("vec_id").as("neighbor_id"))
+      .withColumn("salt", explode(lit((0 until saltS).toArray)))
     val wRank = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes
-      // no broadcast hint: assign is corpus-sized, so the planner must
-      // stay free to pick a shuffled join at estate scale (both inputs
-      // are then exchange-width anyway); at bench scales it broadcasts
-      // the smaller assign side and inherits the widened probes
-      .join(assign.select(col("cid"), col("vec_id").as("neighbor_id")),
-        "cid")
+      // no broadcast hint: members is corpus-sized (×S), so the planner
+      // must stay free to pick a shuffled join at estate scale (both
+      // inputs are then exchange-width anyway); at bench scales it
+      // broadcasts the smaller member side and inherits the widened,
+      // salted probes
+      .join(members, Seq("cid", "salt"))
+      .drop("salt")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .join(e.select(col("vec_id"), col("embedding").as("a_emb")), "vec_id")
       .join(e.select(col("vec_id").as("neighbor_id"),

@@ -323,6 +323,24 @@ class DedupSpec extends SparkSpec {
       .filter(col("count") < col("c")).count() > 0)
   }
 
+  test("d22 capped prefix filtering: output equals d06 exactly (the " +
+    "capped-domain law)") {
+    // the production law: capped-domain Jaccard >= 0.8 is exactly what
+    // d06 computes over the df<=50 shingle survivors, and the prefix
+    // lemma applied AFTER the cap loses no qualifying pair — so the
+    // bounded-fanout candidate route must reproduce d06 pair for pair
+    // and value for value
+    val viaCap = ops.Dedup.d06.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = ops.Dedup.d22.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCap.nonEmpty)
+    assert(viaPrefix == viaCap,
+      s"capped prefix join diverged from d06: only-prefix=" +
+        s"${(viaPrefix -- viaCap).take(5)} only-d06=" +
+        s"${(viaCap -- viaPrefix).take(5)}")
+  }
+
   test("d19 CDC chunking: tiling, boundary, shift-robustness, and ledger laws") {
     val docs = model.Tables.documents(spark, sf)
       .select("doc_id", "source", "text").collect()

@@ -206,6 +206,54 @@ class ParallelismAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("s08's probe-side width-setter is the user REPARTITION_BY_NUM " +
+    "on (cid, salt) — in the SMJ regime too") {
+    // №22/№23: the walker above answers None at ANY exchange, so the
+    // pre-fix dead-weight vec_id repartition ALSO passed it while AQE
+    // coalesced the join's own small-byte ENSURE_REQUIREMENTS
+    // exchanges to ONE task under the 2.6e8-cosine comparator at 16×.
+    // This test pins what the walker cannot see: under
+    // autoBroadcastJoinThreshold=-1 (the localCheckpoint-erased-stats
+    // regime that actually planned at 16×) the candidate join is an
+    // SMJ whose width is set by the USER repartition — non-coalescible
+    // REPARTITION_BY_NUM origin — and that repartition keys on the
+    // JOIN key cid plus the №23 salt (cid alone has only C=16 distinct
+    // values, a ≤16-task ceiling on a 32-core box). Reverting
+    // Similarity's probe exchange to vec_id (or dropping the salt)
+    // goes red here, not silent.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = initial(graft.ops.Similarity.s08.run(spark, sf))
+      val smjs = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.contains("cid")) => j
+      }
+      assert(smjs.nonEmpty,
+        s"expected an SMJ on cid under threshold=-1:\n$plan")
+      def nearestExchange(p: SparkPlan): Option[ShuffleExchangeLike] =
+        p match {
+          case s: ShuffleExchangeLike => Some(s)
+          case other =>
+            other.children.view.flatMap(nearestExchange).headOption
+        }
+      val widthSetters = smjs.flatMap(j =>
+        Seq(j.left, j.right).flatMap(nearestExchange(_)))
+      val userWidth = widthSetters.filter(e =>
+        e.shuffleOrigin.toString == "REPARTITION_BY_NUM")
+      assert(userWidth.nonEmpty,
+        s"no SMJ side is width-set by the user repartition — the №22 " +
+          s"fix regressed (setters: ${widthSetters.map(e =>
+            s"${e.shuffleOrigin} ${e.outputPartitioning}")})")
+      assert(userWidth.exists { e =>
+        val part = e.outputPartitioning.toString
+        part.contains("cid") && part.contains("salt")
+      }, s"user repartition is not on (cid, salt) — №23's width " +
+        s"ceiling fix regressed: ${userWidth.map(_.outputPartitioning)}")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("no catalog query evaluates an expensive expression at " +
     "broadcast-join-inherited width") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
