@@ -24,7 +24,16 @@ object PlanDump {
     spark.conf.set("spark.graft.validation.cap.vecs", "2000")
     val q = SparkEntry.catalog.find(_.name == args(0))
       .getOrElse(sys.error(s"no catalog query named ${args(0)}"))
-    q.run(spark, args(1)).explain("formatted")
+    val df = q.run(spark, args(1))
+    // SPARK_GRAFT_PLAN_EXEC=1: execute first and print the FINAL
+    // adaptive plan (round-16: the №25 collapse exists only in AQE's
+    // runtime re-plan — the initial plan showed a healthy 32-wide SMJ
+    // while the executed stage ran one task)
+    if (sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")) {
+      df.queryExecution.executedPlan.execute().count(): Unit
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    } else df.explain("formatted")
     spark.stop()
   }
 }

@@ -700,19 +700,39 @@ object Similarity {
   private def knnGraphEdges(s: SparkSession,
       e: DataFrame): DataFrame = {
     val c = centroidTable(e)
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     // ONE broadcast cosine pass + ranking window serves both roles:
     // assign = rn 1, probes = rn <= 4 (review finding: the earlier form
     // ran the n×C pass twice via assignToCentroids + a probe rebuild)
     val wProbe = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cid"))
+    // №25: the checkpoint is forced to np partitions BEFORE it
+    // materialises. The cellrank job's own window exchange is
+    // ENSURE_REQUIREMENTS, so AQE coalesces the ~20 MB of skinny rows
+    // to ONE partition — and a 1-partition checkpoint RDD poisons
+    // every DOWNSTREAM width: when AQE runtime-converts the candidate
+    // SMJ to a broadcast join (the member side is small), it swaps the
+    // probe-side shuffle READ for a LOCAL reader whose width is the
+    // MAP side of the exchange = the checkpoint's 1 partition — the
+    // №22 cid exchange is silently bypassed and the 2.3·10⁷-cosine
+    // comparator + partial-rank sort serialise onto one spilling task
+    // (caught live by jstack in round 16: one RUNNABLE task in
+    // UnsafeExternalSorter.spill under bhj_doConsume). A non-coalescible
+    // REPARTITION_BY_NUM before the checkpoint costs one extra shuffle
+    // of cellrank-sized rows and makes the local-reader width np in
+    // BOTH regimes. The require pins the premise at any scale.
     val cellrank = e.join(broadcast(c))
       .select(col("vec_id"), col("cid"),
         expr("cosine_sim(embedding, c_embedding)").as("cos"))
       .withColumn("rn", row_number().over(wProbe))
       .select("vec_id", "cid", "rn")
+      .repartition(np, col("vec_id"))
       .localCheckpoint() // reused by assign AND probes
+    require(cellrank.rdd.getNumPartitions == np,
+      s"cellrank checkpoint must be $np-wide (got " +
+        s"${cellrank.rdd.getNumPartitions}) — the №25 local-reader " +
+        "width premise")
     val assign = cellrank.filter(col("rn") === 1).select("vec_id", "cid")
-    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     // №22: widen the probe input ON THE JOIN KEY (cid), not on vec_id.
     // The localCheckpoint above erases size statistics, so the planner
     // cannot prove assign is broadcastable and plans the cid join as an
@@ -744,12 +764,25 @@ object Similarity {
     // vec_id or unsalted exchange goes red, not silent.
     val cellsC = 16 // centroidTable's C
     val saltS = math.max(1, (2 * np + cellsC - 1) / cellsC)
+    // №25 part 2: BOTH join inputs carry the non-coalescible exchange,
+    // because AQE's runtime broadcast conversion STREAMS whichever side
+    // it did not build — and the streamed side's width is the stage's
+    // width. The salt made members (S·n) heavier than probes (4n), so
+    // AQE flipped to building the PROBES side; the members side then
+    // streamed through its ENSURE_REQUIREMENTS exchange, which the
+    // coalescer shrank to ONE partition under the comparator (caught
+    // in the round-16 final-plan dump: BuildLeft over the probe
+    // exchange, AQEShuffleRead(coalesced) on members). Pinning both
+    // sides costs nothing in the SMJ regime (the join needs both
+    // distributions anyway) and makes EITHER broadcast orientation
+    // full-width.
     val probes = cellrank.filter(col("rn") <= 4).select("vec_id", "cid")
       .withColumn("salt", pmod(hash(col("vec_id")), lit(saltS)))
       .repartition(np, col("cid"), col("salt"))
     val members = assign
       .select(col("cid"), col("vec_id").as("neighbor_id"))
       .withColumn("salt", explode(lit((0 until saltS).toArray)))
+      .repartition(np, col("cid"), col("salt"))
     val wRank = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes

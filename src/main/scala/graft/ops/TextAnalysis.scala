@@ -1947,12 +1947,24 @@ object TextAnalysis {
     * measured near-UNIFORM (mid-octave ratios ~1.9·10⁶; the last
     * octave drops to ~1.2·10⁶ on the singleton tail), and that number is exactly what a data-quality
     * gate reads before trusting frequency-based heuristics (t02's
-    * stopword ratios, t13's idf) on a new corpus. Ranking is one
-    * window over the VOCAB-sized frequency table (dimension plane —
-    * the q02/st23 documented exception to the corpus-global-window
-    * ban; the corpus-scale stages are the token generator and one
-    * map-side-combined count). Octaves via a generated CASE chain —
-    * no float log crosses an engine boundary. */
+    * stopword ratios, t13's idf) on a new corpus.
+    *
+    * №24 (round 16, the WindowWidthScan sweep): the engine side no
+    * longer ranks the vocab at all. Octave statistics are
+    * TIE-INDEPENDENT — a frequency-c block of k types occupies the
+    * contiguous rank interval [r0, r0+k) whatever the tie order, and
+    * n_types/mass/max/min per octave depend only on interval overlap —
+    * so the vocab-global row_number (bigram vocab is corpus-GROWING,
+    * billions of types at estate scale, serialised through one task)
+    * is replaced by arithmetic over the FREQUENCY HISTOGRAM: group by
+    * c (distinct-frequency-sized, O(√tokens) by the counting bound),
+    * cumulate to get each block's r0, explode each block into the ≤22
+    * octaves it overlaps, and aggregate interval lengths. The only
+    * remaining global windows run over the histogram and the 22-octave
+    * report. The DuckDB oracle keeps the rank formulation — the
+    * equality IS the tie-independence proof, under the hash gate.
+    * Octaves via a generated CASE chain — no float log crosses an
+    * engine boundary. */
   val t32 = Q("t32_zipf_octaves",
     s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
        |tok AS (
@@ -1990,10 +2002,31 @@ object TextAnalysis {
       .filter(size(col("w")) >= 2)
       .select(explode(expr("word_shingles(w, 2)")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
-    val ranked = tc.withColumn("rank",
-      row_number().over(Window.orderBy(col("c").desc, col("token"))))
-    val oct = ranked.groupBy(expr(OctaveSql).as("octave"))
-      .agg(count(lit(1)).as("n_types"), sum("c").as("mass"),
+    // frequency histogram: k types share frequency c and occupy the
+    // contiguous rank block [r0, r0+k) — distinct-frequency-sized
+    val hist = tc.groupBy("c").agg(count(lit(1)).as("k"))
+    val wCum = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val octOf = (x: String) =>
+      (0 until 21).map(o => s"WHEN $x < ${1L << (o + 1)} THEN $o")
+        .mkString("CASE ", " ", " ELSE 21 END")
+    val blocks = hist
+      .withColumn("r0", coalesce(sum("k").over(wCum), lit(0L)) + 1L)
+      .withColumn("r1", col("r0") + col("k") - 1L)
+      .withColumn("o0", expr(octOf("r0")).cast("int"))
+      .withColumn("o1", expr(octOf("r1")).cast("int"))
+    // each block overlaps <=22 octaves; interval-overlap arithmetic
+    // replaces the per-type rank (octave 21 is open-ended by OctaveSql)
+    val oct = blocks
+      .withColumn("octave", explode(sequence(col("o0"), col("o1"))))
+      .withColumn("lo", greatest(col("r0"),
+        expr("shiftleft(CAST(1 AS BIGINT), octave)")))
+      .withColumn("hi", when(col("octave") === 21, col("r1"))
+        .otherwise(least(col("r1"),
+          expr("shiftleft(CAST(1 AS BIGINT), octave + 1) - 1"))))
+      .withColumn("cnt", col("hi") - col("lo") + 1L)
+      .groupBy("octave")
+      .agg(sum("cnt").as("n_types"), sum(col("c") * col("cnt")).as("mass"),
         max("c").as("max_freq"), min("c").as("min_freq"))
     oct.withColumn("prev_mass",
         lag(col("mass"), 1).over(Window.orderBy("octave")))
