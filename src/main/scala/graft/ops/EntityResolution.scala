@@ -273,7 +273,7 @@ object EntityResolution {
       |${consolidationSql("links1")}""".stripMargin) { (s, d) =>
     // the production-blocked candidate pass — output-identical to the
     // er01 validation tier (spec-pinned), near-linear at corpus scale.
-    // №23 (r15 advice): survivorship demands each registry record merge
+    // r15 advice (medium): survivorship demands each registry record merge
     // into exactly ONE golden record, and the 28 threshold does NOT
     // structurally guarantee 1:1 links (a cents collision plus an ed≤2
     // name to a WRONG customer is reachable at larger SFs — digit-

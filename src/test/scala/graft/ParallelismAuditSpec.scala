@@ -241,14 +241,20 @@ class ParallelismAuditSpec extends SparkSpec {
         Seq(j.left, j.right).flatMap(nearestExchange(_)))
       val userWidth = widthSetters.filter(e =>
         e.shuffleOrigin.toString == "REPARTITION_BY_NUM")
-      assert(userWidth.nonEmpty,
-        s"no SMJ side is width-set by the user repartition — the №22 " +
-          s"fix regressed (setters: ${widthSetters.map(e =>
+      // №25: BOTH sides must be user-pinned, not just the probe side —
+      // AQE's runtime broadcast conversion streams whichever side it
+      // did not build, and a streamed ENSURE_REQUIREMENTS exchange is
+      // coalescible to ONE partition under the comparator (measured at
+      // 16×: 869 s/1 task with only the probe side pinned, 60 s/32
+      // tasks with both).
+      assert(userWidth.size >= 2,
+        s"both SMJ sides must be width-set by user repartitions — the " +
+          s"№22/№25 fix regressed (setters: ${widthSetters.map(e =>
             s"${e.shuffleOrigin} ${e.outputPartitioning}")})")
-      assert(userWidth.exists { e =>
+      assert(userWidth.forall { e =>
         val part = e.outputPartitioning.toString
         part.contains("cid") && part.contains("salt")
-      }, s"user repartition is not on (cid, salt) — №23's width " +
+      }, s"user repartitions are not on (cid, salt) — №23's width " +
         s"ceiling fix regressed: ${userWidth.map(_.outputPartitioning)}")
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
