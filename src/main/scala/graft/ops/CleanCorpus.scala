@@ -1417,10 +1417,14 @@ object CleanCorpus {
         if (s.conf.get("spark.graft.p20.checkpoint", "true").toBoolean)
           card0.localCheckpoint()
         else card0
-      require(card.where(col("checksum").isNull).limit(1).count() == 0,
-        "p20: checksum DECIMAL(38,0) accumulator overflowed (null sum)")
+      // r16: the overflow guard is an in-plan raise_error on the
+      // checksum projection — same loud failure, zero extra jobs (the
+      // former where(isNull).count() was one driver action per card)
       val tot = card.agg(sum("n_tokens").as("t"))
       card.crossJoin(broadcast(tot))
+        .withColumn("checksum", when(col("checksum").isNull, raise_error(
+          lit("p20: checksum DECIMAL(38,0) accumulator overflowed (null sum)")))
+          .otherwise(col("checksum")))
         .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
           "CAST(n_tokens AS BIGINT) AS n_tokens",
           "CAST(n_bins AS BIGINT) AS n_bins",
@@ -1431,30 +1435,36 @@ object CleanCorpus {
     def cardLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
       cardOf(df).collect().toSeq.map(r =>
         (0 until 6).map(r.get(_).toString).mkString("|"))
-    def audit(dir: String): Boolean = {
+    // r16: one action per audit — the rule-book agg and the orphan
+    // count cross-join into a single 1-row plan (they were two driver
+    // actions, i.e. two full passes over the staged bytes); the row
+    // count rides along so the manifest needs no third scan
+    def audit(dir: String): (Boolean, Long) = {
       val staged = s.read.parquet(dir)
-      val g = staged.agg(
+      val gates = staged.agg(
         count(lit(1)).as("n"),
         sum(when(col("doc_id").isNull, 1).otherwise(0)).as("null_ids"),
         countDistinct(col("doc_id")).as("n_ids"),
         sum(when(col("n_tokens") <= 0, 1).otherwise(0)).as("bad_tokens"),
         sum(when(col("doc_id") % 10 === 0, 1).otherwise(0)).as("eval_leaks"))
-        .head()
       val orphans = staged.select(col("doc_id")).na.drop().distinct()
         .join(Tables.documents(s, d).select(col("doc_id")), Seq("doc_id"),
-          "left_anti").count()
-      g.getLong(0) > 0 && g.getLong(1) == 0 && g.getLong(2) == g.getLong(0) &&
-        g.getLong(3) == 0 && g.getLong(4) == 0 && orphans == 0
+          "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      val g = gates.crossJoin(orphans).head()
+      (g.getLong(0) > 0 && g.getLong(1) == 0 && g.getLong(2) == g.getLong(0) &&
+        g.getLong(3) == 0 && g.getLong(4) == 0 && g.getLong(5) == 0,
+        g.getLong(0))
     }
     // 1. the p18 cascade stages the curated corpus
     curatedCorpus(s, d).write.parquet(staging)
     // 2.-3. audit the staged bytes; green -> card as commit manifest,
     // ONE atomic move
-    require(audit(staging), "p20: the curated batch must audit green")
+    val (auditOk, nRows) = audit(staging)
+    require(auditOk, "p20: the curated batch must audit green")
     val manifestCard = cardLines(s.read.parquet(staging))
     val files = new java.io.File(staging).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
-    val nRows = s.read.parquet(staging).count()
     new java.io.File(published).getParentFile.mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$base/published/MANIFEST"),
@@ -1472,7 +1482,7 @@ object CleanCorpus {
       .withColumn("doc_id", col("doc_id") * 10)
     val badStage = s"$base/staging/poisoned"
     poisoned.write.parquet(badStage)
-    require(!audit(badStage), "p20: the eval-leak batch must be refused")
+    require(!audit(badStage)._1, "p20: the eval-leak batch must be refused")
     require(new java.io.File(badStage).exists(),
       "p20: refused staging must be retained for quarantine")
     require(new java.io.File(published).listFiles()

@@ -40,7 +40,12 @@ object Dedup {
     * SQL keeps the 1-based list_transform formulation — same values. */
   private def shingles(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // №27: the shingle explode + the distinct's map-side partial agg
+    // ride the single-split documents scan at bench SFs — spread to
+    // session width first (a no-op on any wide corpus). Serves every
+    // shingle consumer (d02/d03/d06/d08/d10/d11/d20, p01/p18/p20, ...).
+    Width.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
       .distinct()
@@ -267,6 +272,10 @@ object Dedup {
     // (both were measured; the pipelined version wins ~2×). Same values —
     // the oracle computes per distinct posting and min agrees.
     graft.functions.GraftFunctions.register(s)
+    // №27 measured NON-case: spreading this scan was tried in r16 and
+    // REGRESSED d03 1.00 → 2.11 s isolated — the short-doc minhash
+    // kernel is ~0.2 s of single-core work, less than the 32-task
+    // stage overhead the exchange adds. Width.spread stays off here.
     val shAll = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -308,8 +317,11 @@ object Dedup {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT i, j FROM pairs WHERE cos >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val e = validationCap(s, Tables.embeddings(s, d), "vec_id",
-      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
+    // №27: the theta join streams one side through the single-split
+    // embeddings scan — spread it so the fused cosine comparator runs
+    // at session width in the nested-loop regime.
+    val e = Width.spread(validationCap(s, Tables.embeddings(s, d), "vec_id",
+      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding")))
     // cosine_sim (custom codegen'd expression) fuses dot + both norms in
     // one ascending-index loop — same accumulation order as the oracle's
     // three list_sum folds, so values are bit-identical, but one pass per
@@ -338,7 +350,10 @@ object Dedup {
     * the md5 family one planted pair sits at Hamming 11 > 8 by honest
     * hash luck. */
   val d05 = Q("d05_simhash", simhashPairsSql(8)) { (s, d) =>
-    val h = cappedDocs(s, d)
+    // №27: the fingerprint pass is CPU-dense (64-bit token-vote simhash
+    // per row) and rides the single-split scan at bench SFs — spread
+    // first (measured 2.0 cpu-s on ONE task by WidthProbe).
+    val h = Width.spread(cappedDocs(s, d).select("doc_id", "text"))
       .select(col("doc_id"), simhashCol(s).as("h"))
     h.as("a").join(h.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
@@ -375,7 +390,11 @@ object Dedup {
        |JOIN counts cb ON cb.doc_id = j
        |WHERE CAST(common AS DOUBLE) / (ca.c + cb.c - common) >= 0.8
        |ORDER BY i, j""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d))
+    // r16: materialise the shingle explode once — `sh` feeds the df
+    // table AND the kept join, and with the №27 spread in shingles()
+    // the un-checkpointed recompute measured d06 1.36× slower in the
+    // toggle A/B (the d18 five-consumer discipline, applied here)
+    val sh = shingles(Tables.documents(s, d)).localCheckpoint()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select("s")
     val kept = sh.join(rare, "s")
@@ -426,7 +445,10 @@ object Dedup {
     // output pair set is inherently huge and its 7-bit buckets degenerate
     // on duplicate-heavy corpora (measured 33× at 4× docs), so it shares
     // d05's bench cap; d09's production threshold runs uncapped.
-    val h = cappedDocs(s, d)
+    // №27: the fingerprint pass is CPU-dense (64-bit token-vote simhash
+    // per row) and rides the single-split scan at bench SFs — spread
+    // first (measured 2.0 cpu-s on ONE task by WidthProbe).
+    val h = Width.spread(cappedDocs(s, d).select("doc_id", "text"))
       .select(col("doc_id"), simhashCol(s).as("h"))
     val blockKeys = (0 until 9).map { b =>
       val width = if (b == 8) 255L else 127L
@@ -499,7 +521,7 @@ object Dedup {
   }
 
   val d09 = Q("d09_simhash_prod", simhashPairsSql(3)) { (s, d) =>
-    val h = Tables.documents(s, d)
+    val h = Width.spread(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), simhashCol(s).as("h"))
     val keyed = simhash16Keys(h)
     keyed.as("a").join(keyed.as("b"),
@@ -1072,7 +1094,9 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / n.c >= 0.9
        |ORDER BY ex_id, doc_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val sh = shingles(Tables.documents(s, d))
+    // r16: same materialise-once as d06 (toggle A/B measured d16 1.41×
+    // slower with the spread shingle subtree recomputed per consumer)
+    val sh = shingles(Tables.documents(s, d)).localCheckpoint()
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select("s")
     val docsh = sh.join(rare, "s")
@@ -1238,7 +1262,9 @@ object Dedup {
     // d18's dataflow over the capped domain; one materialisation of
     // the capped explode serves the df table, doc counts, prefix join
     // and both verify sides
-    val sh0 = shingles(Tables.documents(s, d))
+    val sh0 = shingles(Tables.documents(s, d)).localCheckpoint() // r16:
+    // feeds the df table AND the capped join — materialise once (the
+    // d06/d16 toggle-A/B lesson)
     val rare = sh0.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 50).select("s")
     val sh = sh0.join(rare, "s").localCheckpoint()
@@ -1455,7 +1481,7 @@ object Dedup {
        |ORDER BY b DESC""".stripMargin
   }) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val sh = Tables.documents(s, d)
+    val sh = Width.spread(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr("word_shingles(w, 3)")).as("s"))
@@ -1579,7 +1605,10 @@ object Dedup {
        |LEFT JOIN best b ON b.new_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     graft.functions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
+    // №27 measured NON-case: a spread here regressed d21 1.9 → 4.6 s
+    // isolated (r16) — the frame fans out to four consumers, so the
+    // added exchange re-enters four plans while each kernel is light.
+    val docs = Tables.documents(s, d).select("doc_id", "text")
     def shinglesOf(df: DataFrame) = df
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)

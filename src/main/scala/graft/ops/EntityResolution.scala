@@ -298,7 +298,13 @@ object EntityResolution {
     * auto_link band), so the consolidation semantics cannot drift
     * between the designed and learned seams. */
   private def consolidate(s: SparkSession, d: String,
-      lk: DataFrame): DataFrame = {
+      lk0: DataFrame): DataFrame = {
+    // r16: the links relation is consumed TWICE below (master link
+    // counts + the orphan anti-join), and for er09/er02 its lineage is
+    // the full blocked-comparator pass — without a barrier that pass
+    // ran once per consumer (WidthProbe er09: two ~23 cpu-s comparator
+    // stages for one query). The checkpoint is links-sized.
+    val lk = lk0.localCheckpoint()
     val lc = lk.groupBy("a_custkey").agg(count(lit(1)).as("n_links"))
     val masters = Tables.customer(s, d)
       .join(broadcast(lc), col("c_custkey") === col("a_custkey"), "left")

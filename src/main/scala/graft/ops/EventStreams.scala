@@ -611,7 +611,15 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     val ev = events(s, d)
     val cut = ev.agg(date_trunc("day", max(col("ts"))).as("cut"))
+    // №27b: the user_id window chain is CPU-dense (3 windows + island
+    // agg) but its ENSURE_REQUIREMENTS exchange carries ~2 MB at bench
+    // SFs, so AQE coalesces it to ONE task (WidthProbe: 2.75 cpu-s, all
+    // 1-task stages). Pin the window's own distribution with a
+    // non-coalescible exchange — at scale this is the exact exchange
+    // the window inserts anyway, so production pays nothing extra.
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     val hist = ev.crossJoin(broadcast(cut)).filter(col("ts") < col("cut"))
+      .repartition(np, col("user_id"))
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wRun = Window.partitionBy("user_id").orderBy("ts")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -625,6 +633,10 @@ object EventStreams {
       .agg(min(col("ts")).as("valid_from"))
       .select(col("user_id"), col("event_type"), col("valid_from"),
         lead(col("valid_from"), 1).over(wLead).as("valid_to"))
+      // the dim subtree feeds history AND opened (which upd/ins both
+      // read) — without a barrier the 3-window chain re-runs once per
+      // branch of the final union; the checkpoint is users-sized
+      .localCheckpoint()
     val wChg = Window.partitionBy("user_id")
       .orderBy(col("ts").desc, col("event_id").desc)
     val chg = ev.crossJoin(broadcast(cut)).filter(col("ts") >= col("cut"))

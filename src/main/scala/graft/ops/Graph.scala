@@ -70,7 +70,7 @@ object Graph {
     // assembled identically
     val pr0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
+      .distinct() // №27 non-case: spread regressed g01/g02 (r16 measured)
     val pNode = col("pk") * 2
     val sNode = col("sk") * 2 + 1
     val edges = pr0.select(pNode.as("src"), sNode.as("dst"))
@@ -152,7 +152,7 @@ object Graph {
        |ORDER BY s1, s2""".stripMargin) { (s, d) =>
     val ps = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
+      .distinct() // №27 non-case: spread regressed g01/g02 (r16 measured)
     val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
     val kept = ps.join(pdeg.filter(col("d") <= ProjDegCap), "pk")
       .select("pk", "sk")
@@ -433,7 +433,7 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val ps = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
+      .distinct() // №27 non-case: spread regressed g01/g02 (r16 measured)
     val pdeg = ps.groupBy("pk").agg(count(lit(1)).as("d"))
     val kept = ps.join(pdeg.filter(col("d") <= ProjDegCap), "pk")
       .select("pk", "sk")
@@ -836,7 +836,7 @@ object Graph {
   }) { (s, d) =>
     val pr0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
+      .distinct() // №27 non-case: spread regressed g01/g02 (r16 measured)
     val pNode = col("pk") * 2
     val sNode = col("sk") * 2 + 1
     val edges = pr0.select(pNode.as("src"), sNode.as("dst"))

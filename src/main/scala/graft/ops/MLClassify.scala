@@ -121,7 +121,12 @@ object MLClassify {
   def serveModel(model: PipelineModel, labels: Array[String],
       docs: DataFrame): DataFrame = {
     val labelExpr = array(labels.toIndexedSeq.map(lit): _*)
-    model.transform(labelledFrame(docs))
+    // №27: serving is embarrassingly parallel (keyword teacher scan +
+    // HashingTF/IDF/LR transform per row) but rides the single-split
+    // documents scan at bench SFs — measured 7.6 cpu-s on ONE task
+    // (WidthProbe, ml01). Spread the SERVING frame only; training
+    // keeps the single partition per the fitModel measurement above.
+    model.transform(labelledFrame(Width.spread(docs)))
       .withColumn("probs", vector_to_array(col("probability")))
       .select(col("doc_id"),
         element_at(labelExpr, col("prediction").cast("int") + 1).as("category"),
@@ -416,6 +421,9 @@ object MLClassify {
        |WHERE rn = 1
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // №27 measured NON-case (r16): spreading this scan regressed the
+    // ml toks family ~1.2× isolated — the short-doc tokenize kernel is
+    // lighter than the 32-task stage overhead the exchange adds.
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val toks = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
@@ -592,6 +600,9 @@ object MLClassify {
        |ORDER BY s.doc_id""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // №27 measured NON-case (r16): spreading this scan regressed the
+    // ml toks family ~1.2× isolated — the short-doc tokenize kernel is
+    // lighter than the 32-task stage overhead the exchange adds.
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val lab = NewsPipeline.classify(docs)
       .filter(col("category") =!= "unknown")
@@ -710,6 +721,9 @@ object MLClassify {
        |FROM acc ORDER BY fold""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // №27 measured NON-case (r16): spreading this scan regressed the
+    // ml toks family ~1.2× isolated — the short-doc tokenize kernel is
+    // lighter than the 32-task stage overhead the exchange adds.
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val lab = NewsPipeline.classify(docs)
       .filter(col("category") =!= "unknown")
@@ -953,6 +967,9 @@ object MLClassify {
        |ORDER BY n_folds""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // №27 measured NON-case (r16): spreading this scan regressed the
+    // ml toks family ~1.2× isolated — the short-doc tokenize kernel is
+    // lighter than the 32-task stage overhead the exchange adds.
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val lab = NewsPipeline.classify(docs)
       .filter(col("category") =!= "unknown")
@@ -1072,6 +1089,9 @@ object MLClassify {
        |ORDER BY category, rank""".stripMargin
   }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // №27 measured NON-case (r16): spreading this scan regressed the
+    // ml toks family ~1.2× isolated — the short-doc tokenize kernel is
+    // lighter than the 32-task stage overhead the exchange adds.
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val lab = NewsPipeline.classify(docs)
       .filter(col("category") =!= "unknown")
@@ -1573,6 +1593,9 @@ object MLClassify {
   private def fullQuantPicks(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // №27 measured NON-case (r16): spreading this scan regressed the
+    // ml toks family ~1.2× isolated — the short-doc tokenize kernel is
+    // lighter than the 32-task stage overhead the exchange adds.
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val lab = NewsPipeline.classify(docs)
       .filter(col("category") =!= "unknown")
@@ -1634,22 +1657,29 @@ object MLClassify {
        |  CAST((SELECT count(*) FROM qtf) AS BIGINT) AS model_terms_quant"""
       .stripMargin) { (s, d) =>
     val (lab, full, quant, ctf, qtf) = fullQuantPicks(s, d)
-    val nDocs = lab.count()
-    val nAgree = full.join(quant, Seq("doc_id", "category")).count()
-    val accFull = full.join(lab,
-      full("doc_id") === lab("doc_id") &&
-        full("category") === lab("teacher_category")).count()
-    val accQ = quant.join(lab,
-      quant("doc_id") === lab("doc_id") &&
-        quant("category") === lab("teacher_category")).count()
-    val termsFull = ctf.count()
-    val termsQ = qtf.count()
-    import s.implicits._
-    Seq((nDocs, nAgree, nAgree * 1000000L / nDocs,
-      accFull * 1000000L / nDocs, accQ * 1000000L / nDocs,
-      termsFull, termsQ))
-      .toDF("n_docs", "n_agree", "agree_ppm", "acc_full_ppm",
-        "acc_quant_ppm", "model_terms_full", "model_terms_quant")
+    // r16: all six report scalars fold into ONE action — each former
+    // `count()` was its own driver job (six sequential jobs, measured
+    // 48 jobs/4.3 s wall for 3.4 cpu-s by WidthProbe); the cross-joined
+    // 1-row aggs compute the identical integer report in one plan, and
+    // the ppm divisions keep truncating-division semantics via DIV.
+    lab.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(full.join(quant, Seq("doc_id", "category"))
+        .agg(count(lit(1)).as("n_agree")))
+      .crossJoin(full.join(lab,
+        full("doc_id") === lab("doc_id") &&
+          full("category") === lab("teacher_category"))
+        .agg(count(lit(1)).as("acc_full")))
+      .crossJoin(quant.join(lab,
+        quant("doc_id") === lab("doc_id") &&
+          quant("category") === lab("teacher_category"))
+        .agg(count(lit(1)).as("acc_q")))
+      .crossJoin(ctf.agg(count(lit(1)).as("model_terms_full")))
+      .crossJoin(qtf.agg(count(lit(1)).as("model_terms_quant")))
+      .selectExpr("n_docs", "n_agree",
+        "n_agree * 1000000 DIV n_docs AS agree_ppm",
+        "acc_full * 1000000 DIV n_docs AS acc_full_ppm",
+        "acc_q * 1000000 DIV n_docs AS acc_quant_ppm",
+        "model_terms_full", "model_terms_quant")
   }
 
   // ---------------------------------------------------------------- ml16

@@ -2580,12 +2580,19 @@ object Relational {
     // frontier coverage so the divergence fails HERE, not as a
     // cross-engine hash mismatch. Both inputs are checkpointed, so the
     // two counts are artifact-sized reads, not plan re-executions.
-    val nNodes = nodes.count()
-    val nDepth = depth.count()
+    val cnts = nodes.agg(count(lit(1)).as("n"))
+      .crossJoin(depth.agg(count(lit(1)).as("nd"))).head() // one job, not two
+    val nNodes = cnts.getLong(0)
+    val nDepth = cnts.getLong(1)
     require(nDepth == nNodes,
       s"q56: depth relaxation covered $nDepth of $nNodes nodes — the " +
         "decimal-prefix ancestor chain has a gap (non-dense key base?)")
     // subtree rollup: bottom-up fixpoint, one parent-keyed agg per round
+    // r16 tried removing the per-round checkpoints (linear lineage, no
+    // recompute) — min-of-3 went UNSTABLE (1.98 s one run, 5.02 s the
+    // next: the checkpointless 6-join chain loses per-round runtime
+    // statistics and AQE's strategy flips run to run), so the eager
+    // materializations stay.
     var st = nodes.select(col("c"), col("own").as("subtree_cents"),
       lit(1L).as("n_nodes"))
       .localCheckpoint()
@@ -3162,6 +3169,11 @@ object Relational {
     val g = AmsGroups; val m = AmsGroupSize; val b = AmsB
     def w(salt: Int, c: String) =
       s"CAST(conv(substr(md5(concat('q60:$salt:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    // №27 measured NON-case (r16): spreading the unioned raw keys to
+    // session width before the 4-md5 pack regressed q60 5.55 → 6.98 s
+    // isolated — the six sides already hash on six parallel scan
+    // splits, and the RR exchange of 1.45M key strings (plus its
+    // sort-before-repartition) costs more than the extra width wins.
     def side(pair: String, sd: String, df: DataFrame, c: String) =
       df.selectExpr(s"'$pair' AS pair", s"'$sd' AS side",
         s"${w(0, c)} AS w0", s"${w(1, c)} AS w1",
@@ -3536,9 +3548,12 @@ object Relational {
        |LIMIT 20""".stripMargin
   }) { (s, d) =>
     val audit = s.conf.get("spark.graft.cms.audit", "true").toBoolean
-    val src0 = Tables.lineitem(s, d).selectExpr(
-      Seq("l_partkey AS k") ++ (0 until CmsRows).map(r =>
-        s"${cmsBucketSpark(r, "l_partkey")} AS b$r"): _*)
+    // №27: 4 md5 buckets per row ride the single lineitem scan split —
+    // spread the one projected key column to session width first.
+    val src0 = Width.spread(Tables.lineitem(s, d).select("l_partkey"))
+      .selectExpr(
+        Seq("l_partkey AS k") ++ (0 until CmsRows).map(r =>
+          s"${cmsBucketSpark(r, "l_partkey")} AS b$r"): _*)
     // checkpoint ONLY when the exact audit gives the projection a
     // second consumer (r10 ADVICE): the sketch-only production form has
     // one pass over src and must not materialize a fact-table-sized

@@ -313,7 +313,10 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // №27: the ×8 subvector explode and 128 subD2 evals per vector ride
+    // the single embeddings split — spread to session width first.
+    val e = graft.ops.Width.spread(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
     val c = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("c_embedding"))
     val withM = e.select(col("vec_id"), col("embedding"),
@@ -857,8 +860,12 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
   }) { (s, d) =>
-    val e0 = Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
-      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
+    // №27: SQ8 coding + the broadcast shortlist dot products ride the
+    // single embeddings split — spread to session width first.
+    val e0 = graft.ops.Width.spread(
+      Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
+        "spark.graft.validation.cap.vecs")
+        .select(col("vec_id"), col("embedding")))
     val coded = sq8Coded(e0)
     val q = coded.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "query_id")
@@ -921,8 +928,12 @@ object Similarity {
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     GraftFunctions.register(s)
-    val e0 = Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
-      "spark.graft.validation.cap.vecs").select(col("vec_id"), col("embedding"))
+    // №27: SQ8 coding + the broadcast shortlist dot products ride the
+    // single embeddings split — spread to session width first.
+    val e0 = graft.ops.Width.spread(
+      Dedup.validationCap(s, Tables.embeddings(s, d), "vec_id",
+        "spark.graft.validation.cap.vecs")
+        .select(col("vec_id"), col("embedding")))
     val coded = sq8Coded(e0)
     val q = coded.filter(col("vec_id") < 10)
       .withColumnRenamed("vec_id", "query_id")
@@ -1738,7 +1749,10 @@ object Similarity {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= GraphBeam).select("query_id", "node")
         .localCheckpoint() // ≤ Q·B rows; read by ledger AND expansion
-      ledger = ledger.unionAll(beam).localCheckpoint()
+      // r16: no per-hop checkpoint — the ledger is a union of ALREADY
+      // checkpointed beams, so its lineage stays H-shallow and flat;
+      // the former eager checkpoint was one extra job per hop
+      ledger = ledger.unionAll(beam)
       val fresh = beam.join(edges, beam("node") === edges("vec_id"))
         .select(col("query_id"), col("neighbor_id").as("node")).distinct()
         .join(vis.select("query_id", "node"), Seq("query_id", "node"),
@@ -1846,7 +1860,10 @@ object Similarity {
         .withColumn("rn", row_number().over(wBeam))
         .filter(col("rn") <= GraphBeam).select("query_id", "node")
         .localCheckpoint() // ≤ Q·B rows; read by ledger, lookup, expansion
-      ledger = ledger.unionAll(beam).localCheckpoint()
+      // r16: no per-hop checkpoint — the ledger is a union of ALREADY
+      // checkpointed beams, so its lineage stays H-shallow and flat;
+      // the former eager checkpoint was one extra job per hop
+      ledger = ledger.unionAll(beam)
       val beamIds = beam.select("node").distinct()
         .collect().map(_.getLong(0)).toSeq // the coordinator's frontier
       val hits = lookup(edgesP, beamIds).select("vec_id", "neighbor_id")

@@ -1215,7 +1215,10 @@ object TextAnalysis {
   private[graft] def bpeRound(toks: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("word").orderBy("pos")
-    val nx = toks.withColumn("nxt", lead("sym", 1).over(wOrd))
+    // normalize the input so a chained round never sees the (a, b, cnt)
+    // passenger columns the merged frame now carries (see below)
+    val nx = toks.select("word", "freq", "pos", "sym")
+      .withColumn("nxt", lead("sym", 1).over(wOrd))
     val top = nx.filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("a"), col("nxt").as("b"))
       .agg(sum("freq").as("cnt"))
@@ -1223,7 +1226,7 @@ object TextAnalysis {
     val wP = Window.partitionBy("word").orderBy("p")
     val cd = nx.crossJoin(broadcast(top)) // 1-row scalar attach
       .select(col("word"), col("freq"), col("pos").as("p"), col("sym"),
-        col("a"), col("b"),
+        col("a"), col("b"), col("cnt"),
         coalesce(col("sym") === col("a") && col("nxt") === col("b"),
           lit(false)).as("cand"))
     val kp = cd
@@ -1234,9 +1237,16 @@ object TextAnalysis {
     val merged = kp
       .withColumn("consumed", coalesce(lag("keep", 1).over(wP), lit(false)))
       .filter(!col("consumed"))
+      // (a, b, cnt) ride along as constant passenger columns so
+      // bpeLearn can read the round's winner off the checkpointed
+      // merged frame in ONE cheap job instead of a second full
+      // pair-count aggregation per round (r16; consumers that chain
+      // rounds are normalized at entry above, aggregating consumers
+      // group on word/sym and never see them)
       .select(col("word"), col("freq"), row_number().over(wP).as("pos"),
         when(col("keep"), concat(col("a"), col("b"))).otherwise(col("sym"))
-          .as("sym"))
+          .as("sym"),
+        col("a"), col("b"), col("cnt"))
     (top, merged)
   }
 
@@ -1276,20 +1286,28 @@ object TextAnalysis {
     var rounds = 0
     var done = false
     while (!done && rounds < maxMerges) {
-      val (topDf, merged) = bpeRound(toks)
-      val top = topDf.collect() // ≤ 1 row by construction (LIMIT 1)
-      if (top.isEmpty || top.head.getLong(2) < minFreq) done = true
+      // r16: TWO jobs per round, not three — the round's winner rides
+      // the merged frame as constant passenger columns (see bpeRound),
+      // so one checkpoint materializes the heavy pair-count + merge
+      // pass ONCE (the former topDf.collect() re-ran it), and one cheap
+      // checkpoint-read job returns winner + fixpoint signature
+      // together. `min` of a constant column IS the winner; an empty
+      // merged frame (no adjacent pair anywhere) reads back as nulls =
+      // the old empty-top exit.
+      val (_, merged) = bpeRound(toks)
+      val next = merged.localCheckpoint()
+      val r = next.agg(
+        count(lit(1)).cast("long"),
+        coalesce(expr("bit_xor(xxhash64(word, freq, pos, sym))"), lit(0L)),
+        min("a"), min("b"), min("cnt")).head()
+      val sig = (r.getLong(0), r.getLong(1))
+      if (r.isNullAt(2) || r.getLong(4) < minFreq) done = true
+      else if (sig == prevSig) done = true // fixpoint guard — see scaladoc
       else {
-        val next = merged.localCheckpoint()
-        val sig = sigOf(next)
-        if (sig == prevSig) done = true // fixpoint guard — see scaladoc
-        else {
-          merges += ((top.head.getString(0), top.head.getString(1),
-            top.head.getLong(2)))
-          prevSig = sig
-          toks = next
-          rounds += 1
-        }
+        merges += ((r.getString(2), r.getString(3), r.getLong(4)))
+        prevSig = sig
+        toks = next
+        rounds += 1
       }
     }
     (merges.toSeq, toks, rounds)
@@ -2238,7 +2256,10 @@ object TextAnalysis {
        |FROM ranked WHERE rank <= $DsirTopN ORDER BY rank""".stripMargin) {
       (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val feat = Tables.documents(s, d)
+    // №27: per-token md5 bucketing rides the single documents split —
+    // spread to session width first (no-op on a wide corpus).
+    val feat = Width.spread(
+      Tables.documents(s, d).select("doc_id", "lang", "text"))
       .select(col("doc_id"), col("lang"),
         explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
       .select(col("doc_id"), col("lang"),

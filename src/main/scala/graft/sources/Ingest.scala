@@ -427,6 +427,10 @@ object Ingest {
       |CROSS JOIN (SELECT unnest(['gzip', 'snappy', 'zstd']) AS codec)
       |GROUP BY codec
       |ORDER BY codec""".stripMargin) { (s, d) =>
+    // №27 measured NON-case (r16): spreading before the codec round-
+    // trips regressed in10 2.90 → 3.36 s isolated (32 small files per
+    // codec cost more in open/footer overhead than the parallel
+    // compression saved at this SF)
     val src = graft.model.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_returnflag"))
@@ -730,27 +734,31 @@ object Ingest {
     val run = java.util.UUID.randomUUID().toString.take(8)
     val base = s"$compactScratch/$run"
     val published = s"$base/published/batch"
-    def audit(stageDir: String): Boolean = {
+    // r16: one action per audit — rule-book agg and referential-
+    // integrity count cross-join into a single 1-row plan (previously
+    // two driver actions = two passes over the staged bytes)
+    def audit(stageDir: String): (Boolean, Long) = {
       val staged = s.read.parquet(stageDir)
       val gates = staged.agg(
         count(lit(1)).as("n"),
         sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("null_keys"))
-        .head()
       val ri = staged.select(col("l_orderkey")).na.drop().distinct()
         .join(graft.model.Tables.orders(s, d)
           .select(col("o_orderkey")), col("o_orderkey") === col("l_orderkey"),
-          "left_anti").count()
-      gates.getLong(0) > 0 && gates.getLong(1) == 0 && ri == 0
+          "left_anti")
+        .agg(count(lit(1)).as("ri"))
+      val g = gates.crossJoin(ri).head()
+      (g.getLong(0) > 0 && g.getLong(1) == 0 && g.getLong(2) == 0,
+        g.getLong(0))
     }
     def stageAndPublish(df: org.apache.spark.sql.DataFrame,
         name: String): Boolean = {
       val stage = s"$base/staging/$name"
       df.write.parquet(stage)
-      val ok = audit(stage)
+      val (ok, n) = audit(stage)
       if (ok) {
         val files = new java.io.File(stage).listFiles()
           .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
-        val n = s.read.parquet(stage).count()
         new java.io.File(published).getParentFile.mkdirs()
         // ONE atomic move: readers see nothing or everything
         java.nio.file.Files.move(java.nio.file.Paths.get(stage),
@@ -776,7 +784,7 @@ object Ingest {
         .otherwise(col("l_orderkey")))
     val badStage = s"$base/staging/poisoned"
     poisoned.write.parquet(badStage)
-    require(!audit(badStage), "poisoned batch must fail the audit")
+    require(!audit(badStage)._1, "poisoned batch must fail the audit")
     require(new java.io.File(badStage).exists(),
       "refused staging must be retained for quarantine")
     val after = new java.io.File(published).listFiles()
